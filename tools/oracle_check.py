@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local differential oracle check (mirrors the driver's t2 compare).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [query ...]
+
+For each query dumped by `graft.Verify` into <verifyOutDir>/<name>/ :
+  - read Spark's parquet result,
+  - run the matching oracle SQL from oracle_sql.json in DuckDB over
+    '{sfDir}/<table>.parquet' views,
+  - compare row count, column names (sorted), and values row-for-row
+    (columns sorted by name, exact equality; floats compared exactly to
+    surface any parity drift early).
+"""
+import json, sys, glob, math
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_fail += 1;  continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}");  n_fail += 1;  continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} != {ec}");  n_fail += 1;  continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}");  n_fail += 1;  continue
+        got, exp = got[gc], exp[gc]
+        bad = None
+        for i in range(len(got)):
+            for c in gc:
+                a, b = got[c].iloc[i], exp[c].iloc[i]
+                eq = (a == b) or (a is None and b is None)
+                try:
+                    if not eq and math.isnan(a) and math.isnan(b):
+                        eq = True
+                except (TypeError, ValueError):
+                    pass
+                if not eq:
+                    bad = (i, c, a, b);  break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"FAIL {name}: row {i} col {c}: spark={a!r} duckdb={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
