@@ -67,9 +67,13 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  val eventsSchema = StructType(Seq(
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
+    * reader rejects as TimestampType. We read the raw int64 nanos (legacy
+    * nanosAsLong flag) and truncate to micros exactly as DuckDB does on
+    * its side of the oracle (integer division, both positive). */
+  val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -95,12 +99,19 @@ object Tables {
     "part" -> partSchema,
     "orders" -> ordersSchema,
     "lineitem" -> lineitemSchema,
-    "events" -> eventsSchema,
+    "events" -> eventsRawSchema,
     "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -109,7 +120,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join operators (SURVEY §2B q_join_*).
+  *
+  * Scale notes per shape:
+  *  - inner/outer/semi/anti equi-joins shuffle both sides on the key
+  *    (sort-merge or shuffled-hash; AQE picks) — correct at any scale.
+  *  - dimension joins (part, nation, region, the 10-vector query set)
+  *    get an explicit broadcast() hint: no shuffle of the fact side.
+  *  - theta/band joins keep an equi component (nationkey / user_id) so
+  *    Spark hash-partitions on it and evaluates the inequality as a
+  *    post-join predicate — never a pure cartesian.
+  *  - the as-of join uses the equi+inequality formulation; at 100 TB this
+  *    becomes a sort-merge within user_id partitions (same plan family).
+  */
+object Joins extends QueryGroup {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_join_inner",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "q_join_broadcast",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"), "inner")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("sum_qty"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    QueryDef(
+      "q_join_multiway",
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast(DecimalType(14, 2))
+          * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey")
+              && col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(rev).cast(DoubleType).as("rev"))
+          .orderBy(col("rev").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY n_name ORDER BY rev DESC, n_name""".stripMargin)),
+
+    QueryDef(
+      "q_join_left_outer",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS n
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_full_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_nationkey").as("c_key")).distinct()
+        val su = Tables.supplier(s, d)
+          .select(col("s_nationkey").as("s_key")).distinct()
+        c.join(su, col("c_key") === col("s_key"), "full")
+          .select(col("c_key"), col("s_key"),
+            coalesce(col("c_key"), col("s_key")).as("k"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT c_key, s_key, COALESCE(c_key, s_key) AS k
+        |FROM (SELECT DISTINCT c_nationkey AS c_key FROM customer) c
+        |FULL JOIN (SELECT DISTINCT s_nationkey AS s_key FROM supplier) s
+        |  ON c_key = s_key
+        |ORDER BY k""".stripMargin)),
+
+    QueryDef(
+      "q_join_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
+      "q_join_theta",
+      (s, d) => {
+        val s1 = Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey"), col("s_acctbal").as("bal1"))
+        val s2 = Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nk2"), col("s_acctbal").as("bal2"))
+        s1.join(s2, col("nationkey") === col("nk2") && col("bal1") < col("bal2"))
+          .groupBy(col("nationkey")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""SELECT s1.s_nationkey AS nationkey, COUNT(*)::BIGINT AS n_pairs
+        |FROM supplier s1 JOIN supplier s2
+        |  ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_join_cross",
+      (s, d) => {
+        val r1 = Tables.region(s, d).select(col("r_name").as("name1"))
+        val r2 = Tables.region(s, d).select(col("r_name").as("name2"))
+        r1.crossJoin(r2).orderBy(col("name1"), col("name2"))
+      },
+      Some("""SELECT r1.r_name AS name1, r2.r_name AS name2
+        |FROM region r1 CROSS JOIN region r2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q_join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        p.join(c, col("p_user") === col("c_user") && col("c_ts") < col("p_ts"), "left")
+          .groupBy(col("event_id"))
+          .agg(max(col("c_ts")).as("prior_click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, MAX(c.ts) AS prior_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts < p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
+    QueryDef(
+      "q_join_range_band",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        c.join(p, col("user_id") === col("p_user")
+            && col("p_ts") > col("c_ts")
+            && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT c.user_id, COUNT(*)::BIGINT AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan / projection / filter operators (SURVEY §2B q_scan_*, q_filter_*).
+  *
+  * These lean entirely on Catalyst: the filters and the narrow selects
+  * below are pushed into the parquet scan (PushedFilters / ReadSchema in
+  * the formatted plan), which is the behavior that matters at 100 TB —
+  * a scan that decodes 2 of 11 columns and skips row groups by predicate.
+  */
+object Scans extends QueryGroup {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_scan_project_filter",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType)
+            && col("l_quantity") > 45)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            (col("l_extendedprice").cast(DecimalType(14, 2))
+              * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+              .cast(DoubleType).as("net"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+        | CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QueryDef(
+      "q_scan_pruned_count",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_filter_in_like",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_type").isin("ECONOMY", "PROMO")
+          && col("p_brand").like("Brand#1%")
+          && col("p_size").between(10, 30))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name FROM part
+        |WHERE p_type IN ('ECONOMY','PROMO') AND p_brand LIKE 'Brand#1%'
+        |  AND p_size BETWEEN 10 AND 30
+        |ORDER BY p_partkey""".stripMargin)),
+
+    QueryDef(
+      "q_filter_case_nullif",
+      (s, d) => Tables.orders(s, d)
+        .select(
+          when(col("o_orderstatus") === "F", "done")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status"),
+          coalesce(nullif(col("o_orderpriority"), lit("4-NOT SPECIFIED")),
+            lit("none")).as("prio"))
+        .groupBy(col("status"), col("prio")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"), col("prio")),
+      Some("""SELECT
+        | CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open' ELSE 'other' END AS status,
+        | COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
+        | COUNT(*)::BIGINT AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+  )
+}

@@ -13,6 +13,7 @@ For each query dumped by `graft.Verify` into <verifyOutDir>/<name>/ :
 """
 import json, sys, glob, math
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -47,12 +48,8 @@ def main():
         for i in range(len(got)):
             for c in gc:
                 a, b = got[c].iloc[i], exp[c].iloc[i]
-                eq = (a == b) or (a is None and b is None)
-                try:
-                    if not eq and math.isnan(a) and math.isnan(b):
-                        eq = True
-                except (TypeError, ValueError):
-                    pass
+                an, bn = pd.isna(a), pd.isna(b)
+                eq = (an and bn) or (not an and not bn and a == b)
                 if not eq:
                     bad = (i, c, a, b);  break
             if bad:
