@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Geometric mean as a typed Aggregator (SURVEY §2B q_agg_udaf_geomean).
+  *
+  * Buffer = (sum of logs, count): associative/commutative, so Spark runs
+  * it as a partial+final two-phase aggregate — map-side combine, one
+  * shuffle of 16-byte buffers, scale-safe at any cardinality.
+  */
+object GeoMean {
+
+  final case class Buf(var sumLog: Double, var n: Long)
+
+  val aggregator: Aggregator[Double, Buf, Double] =
+    new Aggregator[Double, Buf, Double] {
+      override def zero: Buf = Buf(0.0, 0L)
+      override def reduce(b: Buf, x: Double): Buf = {
+        b.sumLog += math.log(x); b.n += 1; b
+      }
+      override def merge(a: Buf, b: Buf): Buf = {
+        a.sumLog += b.sumLog; a.n += b.n; a
+      }
+      override def finish(b: Buf): Double =
+        if (b.n == 0) Double.NaN else math.exp(b.sumLog / b.n)
+      override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  /** column form: geomean(col) */
+  def geomean(c: Column): Column = udaf(aggregator).apply(c)
+}

@@ -62,6 +62,112 @@ object Aggs extends QueryGroup {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q_agg_pricing_summary", pricingSummary, Some(pricingSummaryOracle))
+    QueryDef("q_agg_pricing_summary", pricingSummary, Some(pricingSummaryOracle)),
+
+    QueryDef(
+      "q_agg_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
+        | COUNT(DISTINCT l_suppkey)::BIGINT AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_agg_rollup",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"), col("n"))
+        .orderBy(col("region_name"), col("nation_name")),
+      Some("""SELECT COALESCE(r_name,'ALL') AS region_name,
+        |       COALESCE(n_name,'ALL') AS nation_name, n
+        |FROM (SELECT r_name, n_name, COUNT(*)::BIGINT AS n
+        |      FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey
+        |      GROUP BY ROLLUP(r_name, n_name))
+        |ORDER BY region_name, nation_name""".stripMargin)),
+
+    QueryDef(
+      "q_agg_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"), col("n"))
+        .orderBy(col("status"), col("prio")),
+      Some("""SELECT COALESCE(o_orderstatus,'ALL') AS status,
+        |       COALESCE(o_orderpriority,'ALL') AS prio, n
+        |FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n
+        |      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority))
+        |ORDER BY status, prio""".stripMargin)),
+
+    QueryDef(
+      "q_agg_grouping_sets",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("dow", ((dayofweek(col("ts")) + lit(5)) % 7 + lit(1)))
+        ev.groupingSets(
+            Seq(Seq(col("event_type")), Seq(col("event_type"), col("dow")), Seq()),
+            col("event_type"), col("dow"))
+          .agg(sum(col("value").cast(DecimalType(14, 2))).cast(DoubleType)
+            .as("sum_val"), count(lit(1)).as("n"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("dow"), lit(-1)).as("dow"), col("sum_val"), col("n"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""SELECT COALESCE(event_type,'ALL') AS event_type,
+        |       COALESCE(dow,-1) AS dow, sum_val, n
+        |FROM (SELECT event_type, isodow(ts)::INTEGER AS dow,
+        |             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_val,
+        |             COUNT(*)::BIGINT AS n
+        |      FROM events
+        |      GROUP BY GROUPING SETS ((event_type), (event_type, dow), ()))
+        |ORDER BY event_type, dow""".stripMargin)),
+
+    QueryDef(
+      "q_agg_stats",
+      (s, d) => Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          (sum(col("c_acctbal").cast(DecimalType(14, 2))).cast(DoubleType)
+            / count(lit(1))).as("avg_bal"),
+          round(stddev_pop(col("c_acctbal")), 2).as("sd_bal"),
+          round(var_pop(col("c_acctbal")), 2).as("var_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+        | ROUND(STDDEV_POP(c_acctbal), 2) AS sd_bal,
+        | ROUND(VAR_POP(c_acctbal), 2) AS var_bal,
+        | MIN(c_acctbal) AS min_bal,
+        | MAX(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
+      "q_agg_udaf_geomean",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(graft.functions.GeoMean.geomean(col("l_quantity")), 4)
+          .as("geomean_qty"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        | ROUND(EXP(AVG(LN(l_quantity))), 4) AS geomean_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_agg_approx_hll",
+      (s, d) => Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts")),
+      None)
   )
 }

@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window operators (SURVEY §2B q_win_*).
+  *
+  * Every window partitions on a real key (customer / user / lang), so the
+  * single shuffle is on that key and partitions process independently —
+  * no global sort, no driver funnel; windows scale with key cardinality.
+  * Running sums use exact DECIMAL accumulation so frames hash-match the
+  * oracle without float-order drift (§2C).
+  */
+object Windows extends QueryGroup {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_win_topk_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn"), col("rnk"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey
+        |                   ORDER BY o_totalprice DESC, o_orderkey ASC))
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef(
+      "q_win_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            sum(col("value").cast(DecimalType(14, 2))).over(w)
+              .cast(DoubleType).as("running"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""SELECT user_id, ts, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    QueryDef(
+      "q_win_lead_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lag(col("ts"), 1).over(w).as("prev_ts"),
+            lead(col("ts"), 1).over(w).as("next_ts"))
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""SELECT user_id, ts, event_id,
+        | LAG(ts) OVER w AS prev_ts, LEAD(ts) OVER w AS next_ts,
+        | epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    QueryDef(
+      "q_win_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (sum(col("value").cast(DecimalType(14, 2))).over(w)
+              .cast(DoubleType) / count(lit(1)).over(w)).as("mavg"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""SELECT user_id, ts, event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+        |   / COUNT(*) OVER w AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    QueryDef(
+      "q_win_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"))
+          .rangeBetween(-50, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("lang"), col("n_chars"), col("doc_id"),
+            count(lit(1)).over(w).as("n_win"))
+          .orderBy(col("lang"), col("n_chars"), col("doc_id"))
+      },
+      Some("""SELECT lang, n_chars, doc_id,
+        | COUNT(*) OVER (PARTITION BY lang ORDER BY n_chars
+        |   RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)::BIGINT AS n_win
+        |FROM documents ORDER BY lang, n_chars, doc_id""".stripMargin)),
+
+    QueryDef(
+      "q_win_ntile_pctrank",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(4).over(w).as("nt"),
+            percent_rank().over(w).as("pct"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+        | NTILE(4) OVER w AS nt, PERCENT_RANK() OVER w AS pct
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin))
+  )
+}
