@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar-function surfaces, pivot/unpivot, UDF and generator queries
+  * (SURVEY §2B q_*_funcs, q_pivot, q_unpivot, q_udf_scalar,
+  * q_udtf_explode_tokens).
+  *
+  * All built-ins here are codegen'd Catalyst expressions; the one Scala
+  * UDF (q_udf_scalar) exists to exercise the UDF surface itself. Array
+  * math uses higher-order functions (transform/aggregate) — no UDF, no
+  * serialization boundary in the hot path.
+  */
+object Funcs extends QueryGroup {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_str_funcs",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_u"),
+          substring(col("p_type"), 1, 3).as("type3"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1)
+            .cast(IntegerType).as("brand_num"))
+        .orderBy(col("p_partkey")).limit(200),
+      Some("""SELECT p_partkey, upper(p_name) AS name_u,
+        | substring(p_type, 1, 3) AS type3,
+        | length(p_name)::INTEGER AS name_len,
+        | concat_ws('-', p_brand, p_type) AS brand_type,
+        | regexp_extract(p_brand, '#(\d+)', 1)::INTEGER AS brand_num
+        |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin)),
+
+    QueryDef(
+      "q_date_funcs",
+      (s, d) => {
+        val iso = (dayofweek(col("o_orderdate")) + lit(5)) % 7 + lit(1)
+        Tables.orders(s, d)
+          .select(year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            date_trunc("month", col("o_orderdate")).cast(DateType)
+              .as("month_start"),
+            iso.as("dow_iso"),
+            datediff(to_date(lit("1998-09-02")), to_date(col("o_orderdate")))
+              .as("days_to"))
+          .groupBy(col("y"), col("m"), col("month_start"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("dow_iso") === 1, 1)).as("n_mondays"),
+            max(col("days_to")).as("max_days_to"))
+          .orderBy(col("y"), col("m"))
+      },
+      Some("""SELECT year(o_orderdate)::INTEGER AS y,
+        | month(o_orderdate)::INTEGER AS m,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | COUNT(*)::BIGINT AS n,
+        | COUNT(*) FILTER (isodow(o_orderdate) = 1)::BIGINT AS n_mondays,
+        | MAX(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-09-02'))::INTEGER AS max_days_to
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q_math_funcs",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(sum(sqrt(col("l_quantity"))), 2).as("s_sqrt"),
+          round(sum(pow(col("l_discount"), 2)), 4).as("s_pow"),
+          round(sum(abs(col("l_quantity"))
+            + ceil(col("l_tax") * 10) + floor(col("l_discount") * 10)), 2)
+            .as("s_mix"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+        | ROUND(SUM(sqrt(l_quantity)), 2) AS s_sqrt,
+        | ROUND(SUM(pow(l_discount, 2)), 4) AS s_pow,
+        | ROUND(SUM(abs(l_quantity) + ceil(l_tax * 10) + floor(l_discount * 10)), 2) AS s_mix
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      "q_array_funcs",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("e1"),
+          round(sqrt(expr(
+            """aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+              | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)), 4)
+            .as("l2_norm"))
+        .orderBy(col("vec_id")).limit(100),
+      Some("""SELECT vec_id, len(embedding)::INTEGER AS dim,
+        | embedding[1]::DOUBLE AS e1,
+        | ROUND(sqrt(list_aggregate(list_transform(embedding,
+        |   x -> x::DOUBLE * x::DOUBLE), 'sum')), 4) AS l2_norm
+        |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      "q_json_funcs",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+        | SUM(k)::BIGINT AS sum_k, MAX(k)::BIGINT AS max_k
+        |FROM (SELECT event_type,
+        |        regexp_extract(props, '"k": (\d+)', 1)::BIGINT AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_pivot",
+      (s, d) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("d"))
+          .pivot("event_type", types).count()
+        p.select(col("d") +: types.map(t =>
+            coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy(col("d"))
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        | COUNT(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+        | COUNT(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+        | COUNT(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+        | COUNT(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+        | COUNT(*) FILTER (event_type = 'error')::BIGINT AS n_error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_unpivot",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          col("o_custkey").cast(DoubleType).as("custkey"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("price"), col("custkey")),
+          "metric_name", "metric_value")
+        .orderBy(col("o_orderkey"), col("metric_name")).limit(500),
+      Some("""SELECT o_orderkey, metric_name, metric_value FROM (
+        | SELECT o_orderkey, 'price' AS metric_name, o_totalprice AS metric_value FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 'custkey', o_custkey::DOUBLE FROM orders)
+        |ORDER BY o_orderkey, metric_name LIMIT 500""".stripMargin)),
+
+    QueryDef(
+      "q_udf_scalar",
+      (s, d) => {
+        val prioDigit = udf((p: String) => p.substring(0, 1).toInt)
+        Tables.orders(s, d)
+          .groupBy(prioDigit(col("o_orderpriority")).as("digit"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("digit"))
+      },
+      Some("""SELECT substring(o_orderpriority, 1, 1)::INTEGER AS digit,
+        | COUNT(*)::BIGINT AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      "q_udtf_explode_tokens",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("token"))
+          .groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("token").asc)
+        toks.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("lang"), col("rank"), col("token"), col("n"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""SELECT lang, rank, token, n FROM (
+        | SELECT lang, token, n,
+        |   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+        | FROM (SELECT lang, token, COUNT(*)::BIGINT AS n
+        |       FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents)
+        |       GROUP BY lang, token))
+        |WHERE rank <= 20 ORDER BY lang, rank""".stripMargin))
+  )
+}

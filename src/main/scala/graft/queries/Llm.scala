@@ -1,0 +1,241 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators (SURVEY §2B q_dedup_*, q_sim_*,
+  * q_knn_*, q_multimodal_join, q_text_stats) — the north-star additions
+  * beyond the reference's surface.
+  *
+  * Scale design:
+  *  - exact dedup: hash + per-key window — shuffles on the hash, the
+  *    canonical 100 TB dedup plan.
+  *  - near-dup: candidate generation by shared shingle (equi-join on
+  *    (lang, shingle)), never an n² document cross join; the MinHash/LSH
+  *    variant (MinHashLsh.scala) replaces the exact-shingle join once
+  *    per-key shingle lists stop fitting (100 TB path).
+  *  - cosine top-k: the 10-query probe side is broadcast; the corpus
+  *    side streams — no shuffle of the big side. Dot products are
+  *    higher-order-function folds in codegen, not UDFs.
+  */
+object Llm extends QueryGroup {
+
+  /** squared-L2 fold, then sqrt — double accumulation in array order */
+  private val l2Expr =
+    """sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
+      | cast(0 as double), (acc, x) -> acc + x))""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_dedup_exact",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+            .as("h"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("h")).as("n_surv"),
+          (count(lit(1)) - countDistinct(col("h"))).as("n_dup"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(DISTINCT h)::BIGINT AS n_surv,
+        | (COUNT(*) - COUNT(DISTINCT h))::BIGINT AS n_dup
+        |FROM (SELECT lang,
+        |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_near_jaccard",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            """array_distinct(transform(sequence(0, size(w)-3),
+              | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
+            .as("s"))
+        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val a = sh.select(col("doc_id").as("a"), col("lang"), col("s"))
+        val b = sh.select(col("doc_id").as("b"),
+          col("lang").as("lang_b"), col("s").as("s_b"))
+        val inter = a.join(b,
+            col("lang") === col("lang_b") && col("s") === col("s_b")
+              && col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+        val jac = col("i").cast(DoubleType) /
+          (col("sza") + col("szb") - col("i"))
+        inter
+          .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .filter(jac >= 0.6)
+          .select(col("a"), col("b"), round(jac, 4).as("jac"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |         unnest(list_transform(range(1, len(w)-1),
+        |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b,
+        |  ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a
+        |JOIN sz sb ON sb.doc_id = b
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6
+        |ORDER BY a, b""".stripMargin)),
+
+    QueryDef(
+      "q_sim_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .withColumn("nrm", expr(l2Expr))
+        val q = emb.select(col("vec_id").as("qid"),
+          col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+          .filter(col("qid") < 10)
+        val dot = expr(
+          """aggregate(zip_with(q_embedding, embedding,
+            | (x, y) -> cast(x as double) * cast(y as double)),
+            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+          .withColumn("cos", dot / (col("q_nrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("rank"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS q_emb FROM e WHERE vec_id < 10),
+        |c AS (SELECT q.qid, e.vec_id,
+        |        list_cosine_similarity(q.q_emb, e.emb) AS cos
+        |      FROM q JOIN e ON e.vec_id != q.qid)
+        |SELECT qid, vec_id, rank, ROUND(cos, 4) AS cos
+        |FROM (SELECT qid, vec_id, cos,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY cos DESC, vec_id ASC) AS rank
+        |      FROM c)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef(
+      "q_knn_majority_label",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .withColumn("nrm", expr(l2Expr))
+        val q = emb.select(col("vec_id").as("qid"),
+          col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+          .filter(col("qid") < 10)
+        val dot = expr(
+          """aggregate(zip_with(q_embedding, embedding,
+            | (x, y) -> cast(x as double) * cast(y as double)),
+            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        val wTop = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val neighbors = broadcast(q)
+          .join(emb, col("vec_id") =!= col("qid"))
+          .withColumn("cos", dot / (col("q_nrm") * col("nrm")))
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("label"))
+        val wVote = Window.partitionBy(col("qid"))
+          .orderBy(col("n_votes").desc, col("label").asc)
+        neighbors.groupBy(col("qid"), col("label"))
+          .agg(count(lit(1)).as("n_votes"))
+          .withColumn("r", row_number().over(wVote))
+          .filter(col("r") === 1)
+          .select(col("qid"), col("label").as("pred_label"), col("n_votes"))
+          .orderBy(col("qid"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, emb AS q_emb FROM e WHERE vec_id < 10),
+        |nb AS (SELECT qid, label FROM (
+        |         SELECT q.qid, e.label,
+        |           ROW_NUMBER() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.q_emb, e.emb) DESC,
+        |                      e.vec_id ASC) AS rank
+        |         FROM q JOIN e ON e.vec_id != q.qid)
+        |       WHERE rank <= 5),
+        |votes AS (SELECT qid, label, COUNT(*)::BIGINT AS n_votes
+        |          FROM nb GROUP BY qid, label)
+        |SELECT qid, label AS pred_label, n_votes
+        |FROM (SELECT qid, label, n_votes,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY n_votes DESC, label ASC) AS r
+        |      FROM votes)
+        |WHERE r = 1 ORDER BY qid""".stripMargin)),
+
+    QueryDef(
+      "q_multimodal_join",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).withColumn("l2", expr(l2Expr))
+        Tables.documents(s, d)
+          .join(emb, col("doc_id") === col("vec_id"))
+          .groupBy(col("lang"), col("label"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("n_chars")).cast(DoubleType) / count(lit(1)))
+              .as("avg_chars"),
+            round(sum(col("l2")) / count(lit(1)), 4).as("avg_l2"))
+          .orderBy(col("lang"), col("label"))
+      },
+      Some("""SELECT lang, label, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        | ROUND(SUM(l2) / COUNT(*), 4) AS avg_l2
+        |FROM documents
+        |JOIN (SELECT vec_id, label,
+        |        sqrt(list_aggregate(list_transform(embedding,
+        |          x -> x::DOUBLE * x::DOUBLE), 'sum')) AS l2
+        |      FROM embeddings) e
+        |  ON doc_id = vec_id
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin)),
+
+    QueryDef(
+      "q_text_stats",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("lang"), col("source"), col("n_chars"),
+            split(col("text"), " ").as("toks"))
+        val agg1 = base.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(size(col("toks"))).as("n_tok_total"))
+        val agg2 = base
+          .select(col("lang"), col("source"), explode(col("toks")).as("tok"))
+          .groupBy(col("lang"), col("source"))
+          .agg(countDistinct(col("tok")).as("n_tok_distinct"))
+        agg1.join(agg2, Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("n_docs"),
+            (col("sum_chars").cast(DoubleType) / col("n_docs"))
+              .as("avg_chars"),
+            col("n_tok_distinct"),
+            round(col("n_tok_distinct").cast(DoubleType)
+              / col("n_tok_total"), 4).as("ttr"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH base AS (SELECT lang, source, n_chars,
+        |              string_split(text, ' ') AS toks FROM documents),
+        |a1 AS (SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+        |         SUM(n_chars) AS sum_chars, SUM(len(toks)) AS n_tok_total
+        |       FROM base GROUP BY 1, 2),
+        |a2 AS (SELECT lang, source, COUNT(DISTINCT tok)::BIGINT AS n_tok_distinct
+        |       FROM (SELECT lang, source, unnest(toks) AS tok FROM base)
+        |       GROUP BY 1, 2)
+        |SELECT lang, source, n_docs,
+        |  CAST(sum_chars AS DOUBLE) / n_docs AS avg_chars,
+        |  n_tok_distinct,
+        |  ROUND(n_tok_distinct::DOUBLE / n_tok_total, 4) AS ttr
+        |FROM a1 JOIN a2 USING (lang, source)
+        |ORDER BY lang, source""".stripMargin))
+  )
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming-window semantics, batch-checked (SURVEY §2B q_stream_*).
+  *
+  * These four run the exact window/session/dedup semantics as batch
+  * queries so the DuckDB oracle can hash-check them; the true streaming
+  * forms (readStream + watermark, session_window, dropDuplicates within
+  * watermark) are exercised in StreamingSpec against MemoryStream, and
+  * q_stream_watermark_late lives there (no SQL oracle by design).
+  *
+  * Spark's window(ts, ...) buckets are epoch-aligned — identical to
+  * DuckDB's time_bucket; the sliding variant assigns each event to
+  * size/slide = 2 buckets, which the oracle reproduces by explicit
+  * 2-copy expansion.
+  */
+object Stream extends QueryGroup {
+
+  private val us30min = 30L * 60 * 1000 * 1000
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_stream_tumbling",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(14, 2))).cast(DoubleType)
+            .as("sum_val"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        | event_type, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q_stream_sliding",
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          window(col("ts"), "1 hour", "30 minutes").getField("start")
+            .as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""SELECT win_start, event_type, COUNT(*)::BIGINT AS n
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |               - k.k * INTERVAL '30 minutes' AS win_start,
+        |             event_type
+        |      FROM events CROSS JOIN (VALUES (0), (1)) AS k(k))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q_stream_session",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(wOrd)
+        val isBreak = when(prev.isNull
+          || unix_micros(col("ts")) - unix_micros(prev) > us30min, 1)
+          .otherwise(0)
+        Tables.events(s, d)
+          .withColumn("brk", isBreak)
+          .withColumn("sid", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n"))
+          .select(col("user_id"), col("session_start"), col("n"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""SELECT user_id, MIN(ts) AS session_start, COUNT(*)::BIGINT AS n
+        |FROM (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM (SELECT user_id, ts, event_id,
+        |              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |                   THEN 1 ELSE 0 END AS brk
+        |            FROM events))
+        |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef(
+      "q_stream_dedup",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id
+        |FROM (SELECT user_id, event_type, event_id,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+  )
+}
