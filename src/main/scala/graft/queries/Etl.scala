@@ -61,6 +61,26 @@ object Etl extends QueryGroup {
         |            UNION ALL
         |            SELECT * FROM events WHERE event_id % 3 = 0))
         |WHERE rn = 1
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      "q_etl_jdbc_sink",
+      (s, d) => {
+        // reference A7: POST to REST->PostgreSQL; here: real JDBC round
+        // trip through embedded Derby (the only DB in this offline env)
+        val url = "jdbc:derby:memory:graftdb;create=true"
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+          .write.mode("overwrite").jdbc(url, "orders_sink", props)
+        s.read.jdbc(url, "orders_sink", props)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
   )
 }

@@ -94,6 +94,49 @@ object Llm extends QueryGroup {
         |ORDER BY a, b""".stripMargin)),
 
     QueryDef(
+      "q_dedup_minhash_lsh",
+      (s, d) => {
+        graft.functions.MinHash.register(s)
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            """array_distinct(transform(sequence(0, size(w)-3),
+              | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
+            .as("s"))
+        // one 1 KiB sketch per doc; shuffle carries sketches, not shingles
+        val sketches = sh
+          .select(col("doc_id"), col("lang"), xxhash64(col("s")).as("sh_hash"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(expr("minhash128(sh_hash)").as("mh"))
+        // 32 bands x 4 rows; candidates = same (lang, band, band-signature)
+        val bands = sketches.select(col("doc_id"), col("lang"),
+          explode(expr(
+            """transform(sequence(0, 31), b -> struct(b AS band,
+              | xxhash64(mh[4*b], mh[4*b+1], mh[4*b+2], mh[4*b+3]) AS sig))"""
+              .stripMargin)).as("bs"))
+          .select(col("doc_id"), col("lang"),
+            col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val cand = bands.alias("x")
+          .join(bands.alias("y"),
+            col("x.lang") === col("y.lang")
+              && col("x.band") === col("y.band")
+              && col("x.sig") === col("y.sig")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val mhA = sketches.select(col("doc_id").as("a"), col("mh").as("mha"))
+        val mhB = sketches.select(col("doc_id").as("b"), col("mh").as("mhb"))
+        cand.join(mhA, "a").join(mhB, "b")
+          .select(col("a"), col("b"), round(expr(
+            "size(filter(zip_with(mha, mhb, (x, y) -> x = y), p -> p)) / 128.0"),
+            4).as("est_jac"))
+          .orderBy(col("a"), col("b"))
+      },
+      None),
+
+    QueryDef(
       "q_sim_cosine_topk",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

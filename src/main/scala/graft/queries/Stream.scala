@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   * size/slide = 2 buckets, which the oracle reproduces by explicit
   * 2-copy expansion.
   */
+/** unique memory-sink names across repeated invocations (Verify+Bench) */
+private[queries] object StreamNames {
+  private val c = new java.util.concurrent.atomic.AtomicLong(0)
+  def next(): Long = c.incrementAndGet()
+}
+
 object Stream extends QueryGroup {
 
   private val us30min = 30L * 60 * 1000 * 1000
@@ -82,6 +88,34 @@ object Stream extends QueryGroup {
         |                   THEN 1 ELSE 0 END AS brk
         |            FROM events))
         |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef(
+      "q_stream_watermark_late",
+      (s, d) => {
+        // TRUE Structured Streaming run: file source -> watermark ->
+        // tumbling window -> memory sink, drained synchronously. In
+        // complete mode over a replay all data is on-time, so the result
+        // must equal q_stream_tumbling's counts — which the oracle
+        // asserts; append-mode late-drop semantics are exercised
+        // epoch-by-epoch in StreamingSpec (MemoryStream).
+        val name = s"wm_${StreamNames.next()}"
+        val raw = s.readStream.schema(Tables.eventsRawSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(d)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val q = raw
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour").getField("start")
+            .as("win_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy(col("win_start"), col("event_type"))
+      },
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        | event_type, COUNT(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
       "q_stream_dedup",

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("geomean Aggregator matches closed form on a known set") {
+    import spark.implicits._
+    // geomean(2, 8) = 4; geomean(1..5) = (120)^(1/5)
+    val got = Seq(2.0, 8.0).toDF("x")
+      .agg(graft.functions.GeoMean.geomean(col("x"))).head.getDouble(0)
+    assert(math.abs(got - 4.0) < 1e-12)
+    val got2 = (1 to 5).map(_.toDouble).toDF("x")
+      .agg(graft.functions.GeoMean.geomean(col("x"))).head.getDouble(0)
+    assert(math.abs(got2 - math.pow(120.0, 0.2)) < 1e-12)
+  }
+
+  test("approx_count_distinct within 5% of exact (q_agg_approx_hll, sf0.01)") {
+    val r = SparkEntry.queries("q_agg_approx_hll")(spark, TestSpark.sf001).head()
+    val approx = r.getLong(0).toDouble
+    val exact = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("upsert-dedup is idempotent: re-staging changes nothing") {
+    val once = SparkEntry.queries("q_etl_upsert_dedup")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).toSeq
+    // baseline: counts straight off the target table
+    val base = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type")).collect().map(_.toString).toSeq
+    assert(once == base, "upsert of duplicate staging rows must be a no-op")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the 100 TB design contract (SURVEY §4.2).
+  * Correctness tests prove the answers; these prove the *plans* are the
+  * ones that survive a 1000-executor cluster: pushdown reaches parquet,
+  * scans are pruned, dimensions broadcast, top-k never global-sorts.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_project_filter pushes predicates into the parquet scan") {
+    val p = plan("q_scan_project_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("q_scan_pruned_count reads only l_returnflag") {
+    val p = plan("q_scan_pruned_count")
+    assert(p.contains("ReadSchema: struct<l_returnflag:string>"), p)
+  }
+
+  test("q_filter_in_like pushes In/StringStartsWith to parquet") {
+    val p = plan("q_filter_in_like")
+    assert(p.contains("In(p_type") && p.contains("StringStartsWith(p_brand"), p)
+  }
+
+  test("q_join_broadcast uses BroadcastHashJoin, no shuffle of lineitem") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_join_multiway broadcasts the nation and region dims") {
+    val p = plan("q_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_topk_limit plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_sort_multi with limit also avoids a full global sort") {
+    val p = plan("q_sort_multi")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_pricing_summary is a two-phase hash aggregate") {
+    val p = plan("q_agg_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_sim_cosine_topk broadcasts the query side") {
+    val p = plan("q_sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_near_jaccard candidate join is an equi join, not cartesian") {
+    val p = plan("q_dedup_near_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_dedup_minhash_lsh carries sketches not shingles through the join") {
+    val p = plan("q_dedup_minhash_lsh")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query runs on sf0.001 and is deterministic across
+  * re-execution (the driver hash-compares, so instability = failure). */
+class QueriesSmokeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001 and is deterministic") {
+      val r1 = fn(spark, TestSpark.sf0001).collect()
+      val r2 = fn(spark, TestSpark.sf0001).collect()
+      assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+        s"$name returned different results across runs")
+    }
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or a documented exemption") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // §2B declared-no-oracle set (ScalaTest-covered instead)
+    assert(noOracle == Set("q_agg_approx_hll", "q_dedup_minhash_lsh"))
+  }
+}
