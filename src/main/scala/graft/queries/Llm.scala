@@ -20,6 +20,21 @@ import org.apache.spark.sql.types._
   *    side streams — no shuffle of the big side. Dot products are
   *    higher-order-function folds in codegen, not UDFs.
   */
+/** deterministic random-hyperplane set: 8 tables x 4 planes x 64 dims */
+object AnnLsh {
+  val hyperplanes: Seq[Seq[Double]] = {
+    var s = 777L
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(32)(Seq.fill(64)(((next() % 2001L) / 1000.0)))
+  }
+}
+
 object Llm extends QueryGroup {
 
   /** squared-L2 fold, then sqrt — double accumulation in array order */
@@ -175,6 +190,52 @@ object Llm extends QueryGroup {
         |          ORDER BY cos DESC, vec_id ASC) AS rank
         |      FROM c)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef(
+      // ANN: 8 random-hyperplane LSH tables x 4 bits. Each vector lands
+      // in 8 buckets; candidates share a bucket with the query in at
+      // least one table. No-oracle (approximate); AnnLshSpec asserts
+      // recall vs the exact top-k and that candidates < corpus.
+      "q_sim_ann_lsh",
+      (s, d) => {
+        val hps = typedLit(AnnLsh.hyperplanes)
+        val sigExpr =
+          """transform(sequence(0, 7), t -> struct(t AS tbl,
+            | aggregate(sequence(0, 3), 0, (acc, j) ->
+            |   acc + if(
+            |     aggregate(zip_with(embedding, element_at(hps, t*4 + j + 1),
+            |       (x, h) -> cast(x as double) * h),
+            |       cast(0 as double), (a2, x) -> a2 + x) >= 0,
+            |     shiftleft(1, j), 0)) AS sig))""".stripMargin
+        val emb = Tables.embeddings(s, d).withColumn("nrm", expr(l2Expr))
+        val sigs = emb.withColumn("hps", hps)
+          .select(col("vec_id"), explode(expr(sigExpr)).as("b"))
+          .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+        val qsig = sigs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("tbl").as("q_tbl"),
+            col("sig").as("q_sig"))
+        val cand = broadcast(qsig).join(sigs,
+            col("q_tbl") === col("tbl") && col("q_sig") === col("sig")
+              && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id")).distinct()
+        val q = emb.select(col("vec_id").as("qid"),
+          col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+          .filter(col("qid") < 10)
+        val dot = expr(
+          """aggregate(zip_with(q_embedding, embedding,
+            | (x, y) -> cast(x as double) * cast(y as double)),
+            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand.join(broadcast(q), "qid").join(emb, "vec_id")
+          .withColumn("cos", dot / (col("q_nrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("rank"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
 
     QueryDef(
       "q_knn_majority_label",

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + additional dedup/similarity operators for the
+  * training-data pipeline (task brief: language-ID, quality scoring,
+  * token counting, fingerprinting, SimHash, embedding-cosine near-dup,
+  * multimodal binary columns).
+  *
+  * Scale notes: everything groups/joins on (lang | label | token)
+  * keys — no global state; SimHash reduces each document to one 60-bit
+  * signature before the pair join (the same sketch-first shape as
+  * MinHash); the binary query treats text bytes as an opaque BLOB the
+  * way image/audio payloads would flow.
+  */
+object LlmText extends QueryGroup {
+
+  /** 60-bit token hash both engines can compute identically:
+    * first 15 hex chars of md5, parsed base-16. */
+  private val tokHash =
+    "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+
+  /** 60-bit SimHash over the token multiset (nested HOFs, codegen'd). */
+  private val simhashExpr =
+    s"""aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
+       | acc + if(
+       |   aggregate(transform(toks, tok ->
+       |     if((shiftright($tokHash, j) & 1) = 1, 1, -1)),
+       |     0, (a2, x) -> a2 + x) >= 0,
+       |   shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q_text_langid",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("token"))
+        val prof = tok.groupBy(col("lang"), col("token"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n").desc, col("token").asc)))
+          .filter(col("r") <= 20)
+          .select(col("lang").as("plang"), col("token"))
+        val dt = tok.dropDuplicates("doc_id", "lang", "token")
+        val sc = dt.join(broadcast(prof), "token")
+          .groupBy(col("doc_id"), col("lang"), col("plang"))
+          .agg(count(lit(1)).as("score"))
+        val pred = sc.withColumn("r", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score").desc, col("plang").asc)))
+          .filter(col("r") === 1)
+          .select(col("doc_id"), col("plang"))
+        Tables.documents(s, d).select(col("doc_id"), col("lang"))
+          .join(pred, Seq("doc_id"), "left")
+          .select(col("lang"), coalesce(col("plang"), lit("none")).as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |         unnest(string_split(lower(text), ' ')) AS token
+        |       FROM documents),
+        |prof AS (SELECT lang AS plang, token FROM (
+        |           SELECT lang, token,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |               ORDER BY COUNT(*) DESC, token ASC) AS r
+        |           FROM tok GROUP BY lang, token) WHERE r <= 20),
+        |dt AS (SELECT DISTINCT doc_id, lang, token FROM tok),
+        |sc AS (SELECT dt.doc_id, dt.lang, prof.plang, COUNT(*) AS score
+        |       FROM dt JOIN prof USING (token) GROUP BY 1, 2, 3),
+        |pred AS (SELECT doc_id, plang FROM (
+        |           SELECT doc_id, plang,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |               ORDER BY score DESC, plang ASC) AS r
+        |           FROM sc) WHERE r = 1)
+        |SELECT d.lang, COALESCE(p.plang, 'none') AS pred_lang,
+        |       COUNT(*)::BIGINT AS n
+        |FROM documents d LEFT JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      "q_text_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("n_dist", size(array_distinct(split(col("text"), " "))))
+        .withColumn("ttr", col("n_dist").cast(DoubleType) / col("n_tok"))
+        .withColumn("avg_len",
+          (col("n_chars") - (col("n_tok") - 1)).cast(DoubleType) / col("n_tok"))
+        .withColumn("score",
+          lit(0.4) * least(col("n_tok").cast(DoubleType) / 100, lit(1.0))
+            + lit(0.3) * col("ttr")
+            + lit(0.3) * least(col("avg_len") / 8, lit(1.0)))
+        .groupBy(floor(col("score") * 10).cast(IntegerType).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("score")), 4).as("avg_score"))
+        .orderBy(col("bucket")),
+      Some("""SELECT (floor(score * 10))::INTEGER AS bucket,
+        | COUNT(*)::BIGINT AS n, ROUND(AVG(score), 4) AS avg_score
+        |FROM (SELECT
+        |        0.4 * least(n_tok::DOUBLE / 100, 1.0)
+        |          + 0.3 * (n_dist::DOUBLE / n_tok)
+        |          + 0.3 * least(((n_chars - (n_tok - 1))::DOUBLE / n_tok) / 8, 1.0)
+        |          AS score
+        |      FROM (SELECT n_chars,
+        |              len(string_split(text, ' ')) AS n_tok,
+        |              len(list_distinct(string_split(text, ' '))) AS n_dist
+        |            FROM documents))
+        |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    QueryDef(
+      "q_text_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .withColumn("fp", expr(
+          """array_min(transform(sequence(0, size(w)-5),
+            | i -> md5(concat_ws('_', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))))"""
+            .stripMargin))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        | COUNT(DISTINCT fp)::BIGINT AS n_distinct_fp
+        |FROM (SELECT lang,
+        |        list_min(list_transform(range(1, len(w)-3),
+        |          i -> md5(w[i]||'_'||w[i+1]||'_'||w[i+2]||'_'||w[i+3]||'_'||w[i+4]))) AS fp
+        |      FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+        |      WHERE len(w) >= 5)
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_simhash",
+      (s, d) => {
+        val sigs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(lower(col("text")), " ").as("toks"))
+          .withColumn("sig", expr(simhashExpr))
+          .select(col("doc_id"), col("lang"), col("sig"))
+        val a = sigs.select(col("doc_id").as("a"), col("lang"),
+          col("sig").as("sig_a"))
+        val b = sigs.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+          col("sig").as("sig_b"))
+        a.join(b, col("lang") === col("lang_b") && col("a") < col("b"))
+          .withColumn("hamming",
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+          .filter(col("hamming") <= 14)
+          .select(col("a"), col("b"), col("hamming"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH sigs AS (
+        |  SELECT doc_id, lang,
+        |    list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN list_sum(list_transform(toks, tok ->
+        |        CASE WHEN ((('0x'||substr(md5(tok),1,15))::BIGINT >> j) & 1) = 1
+        |             THEN 1 ELSE -1 END)) >= 0
+        |      THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS sig
+        |  FROM (SELECT doc_id, lang,
+        |          string_split(lower(text), ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  bit_count(xor(a.sig, b.sig))::INTEGER AS hamming
+        |FROM sigs a JOIN sigs b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 14
+        |ORDER BY a, b""".stripMargin)),
+
+    QueryDef(
+      "q_dedup_embcos",
+      (s, d) => {
+        val l2 = """sqrt(aggregate(transform(emb, x -> cast(x as double)
+          | * cast(x as double)), cast(0 as double), (acc, x) -> acc + x))"""
+          .stripMargin
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").as("emb"))
+          .withColumn("nrm", expr(l2))
+        val a = e.select(col("vec_id").as("a"), col("label"),
+          col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = e.select(col("vec_id").as("b"), col("label").as("label_b"),
+          col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+        val dot = expr(
+          """aggregate(zip_with(emb_a, emb_b,
+            | (x, y) -> cast(x as double) * cast(y as double)),
+            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        a.join(b, col("label") === col("label_b") && col("a") < col("b"))
+          .withColumn("cos", dot / (col("nrm_a") * col("nrm_b")))
+          .filter(col("cos") >= 0.4)
+          .select(col("a"), col("b"), col("label"), round(col("cos"), 4).as("cos"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |           FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b, a.label,
+        |  ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+        |ORDER BY a, b""".stripMargin)),
+
+    QueryDef(
+      "q_multimodal_binary",
+      (s, d) => Tables.documents(s, d)
+        // text bytes stand in for an opaque media BLOB column: the plan
+        // (binary payload + typed metadata flowing through agg) is what
+        // an image/audio pipeline shuffles at 100 TB
+        .select(col("lang"), encode(col("text"), "utf-8").as("payload"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload"))).as("total_bytes"),
+          max(length(col("payload")).cast(LongType)).as("max_bytes"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        | SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
+        | MAX(octet_length(encode(text)))::BIGINT AS max_bytes
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

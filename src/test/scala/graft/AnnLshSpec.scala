@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN recall contract (q_sim_ann_lsh, declared no-oracle): the LSH
+  * bucketed search must recover a substantial fraction of the exact
+  * top-5 while probing fewer candidates than the corpus. */
+class AnnLshSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("LSH ANN recall@5 vs exact top-k on sf0.01") {
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("q_sim_ann_lsh")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    info(s"recall@5 = $recall (${(exact intersect ann).size}/${exact.size})")
+    assert(recall >= 0.5, s"recall $recall below 0.5 — LSH params degenerate")
+  }
+}
