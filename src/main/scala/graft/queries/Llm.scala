@@ -37,10 +37,9 @@ object AnnLsh {
 
 object Llm extends QueryGroup {
 
-  /** squared-L2 fold, then sqrt — double accumulation in array order */
-  private val l2Expr =
-    """sqrt(aggregate(transform(embedding, x -> cast(x as double) * cast(x as double)),
-      | cast(0 as double), (acc, x) -> acc + x))""".stripMargin
+  /** L2 norm via the fused native dot product (same value as the HOF
+    * fold: sequential double accumulation) */
+  private val l2Expr = "sqrt(fdot(embedding, embedding))"
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -159,15 +158,13 @@ object Llm extends QueryGroup {
     QueryDef(
       "q_sim_cosine_topk",
       (s, d) => {
+        graft.functions.FloatDot.register(s)
         val emb = Tables.embeddings(s, d)
           .withColumn("nrm", expr(l2Expr))
         val q = emb.select(col("vec_id").as("qid"),
           col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
           .filter(col("qid") < 10)
-        val dot = expr(
-          """aggregate(zip_with(q_embedding, embedding,
-            | (x, y) -> cast(x as double) * cast(y as double)),
-            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        val dot = expr("fdot(q_embedding, embedding)")
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("vec_id").asc)
         broadcast(q).join(emb, col("vec_id") =!= col("qid"))
@@ -198,6 +195,7 @@ object Llm extends QueryGroup {
       // recall vs the exact top-k and that candidates < corpus.
       "q_sim_ann_lsh",
       (s, d) => {
+        graft.functions.FloatDot.register(s)
         val hps = typedLit(AnnLsh.hyperplanes)
         val sigExpr =
           """transform(sequence(0, 7), t -> struct(t AS tbl,
@@ -221,10 +219,7 @@ object Llm extends QueryGroup {
         val q = emb.select(col("vec_id").as("qid"),
           col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
           .filter(col("qid") < 10)
-        val dot = expr(
-          """aggregate(zip_with(q_embedding, embedding,
-            | (x, y) -> cast(x as double) * cast(y as double)),
-            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        val dot = expr("fdot(q_embedding, embedding)")
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("vec_id").asc)
         cand.join(broadcast(q), "qid").join(emb, "vec_id")
@@ -240,15 +235,13 @@ object Llm extends QueryGroup {
     QueryDef(
       "q_knn_majority_label",
       (s, d) => {
+        graft.functions.FloatDot.register(s)
         val emb = Tables.embeddings(s, d)
           .withColumn("nrm", expr(l2Expr))
         val q = emb.select(col("vec_id").as("qid"),
           col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
           .filter(col("qid") < 10)
-        val dot = expr(
-          """aggregate(zip_with(q_embedding, embedding,
-            | (x, y) -> cast(x as double) * cast(y as double)),
-            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        val dot = expr("fdot(q_embedding, embedding)")
         val wTop = Window.partitionBy(col("qid"))
           .orderBy(col("cos").desc, col("vec_id").asc)
         val neighbors = broadcast(q)
@@ -288,6 +281,7 @@ object Llm extends QueryGroup {
     QueryDef(
       "q_multimodal_join",
       (s, d) => {
+        graft.functions.FloatDot.register(s)
         val emb = Tables.embeddings(s, d).withColumn("l2", expr(l2Expr))
         Tables.documents(s, d)
           .join(emb, col("doc_id") === col("vec_id"))

@@ -18,19 +18,19 @@ import org.apache.spark.sql.types._
   */
 object LlmText extends QueryGroup {
 
-  /** 60-bit token hash both engines can compute identically:
-    * first 15 hex chars of md5, parsed base-16. */
-  private val tokHash =
+  /** 60-bit token hash both engines can compute identically: first
+    * 15 hex chars of md5, parsed base-16. */
+  private val tokHash60 =
     "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
 
-  /** 60-bit SimHash over the token multiset (nested HOFs, codegen'd). */
+  /** 60-bit SimHash over precomputed token hashes (nested HOFs). */
   private val simhashExpr =
-    s"""aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
-       | acc + if(
-       |   aggregate(transform(toks, tok ->
-       |     if((shiftright($tokHash, j) & 1) = 1, 1, -1)),
-       |     0, (a2, x) -> a2 + x) >= 0,
-       |   shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
+    """aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
+      | acc + if(
+      |   aggregate(transform(hs, h ->
+      |     if((shiftright(h, j) & 1) = 1, 1, -1)),
+      |     0, (a2, x) -> a2 + x) >= 0,
+      |   shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -135,9 +135,14 @@ object LlmText extends QueryGroup {
     QueryDef(
       "q_dedup_simhash",
       (s, d) => {
+        // md5 once per exploded token row; the aggregation boundary keeps
+        // the optimizer from re-inlining the hash into the 60-bit lambda
         val sigs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
-            split(lower(col("text")), " ").as("toks"))
+            explode(split(lower(col("text")), " ")).as("tok"))
+          .select(col("doc_id"), col("lang"), expr(tokHash60).as("h"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(collect_list(col("h")).as("hs"))
           .withColumn("sig", expr(simhashExpr))
           .select(col("doc_id"), col("lang"), col("sig"))
         val a = sigs.select(col("doc_id").as("a"), col("lang"),
