@@ -175,9 +175,8 @@ object LlmText extends QueryGroup {
     QueryDef(
       "q_dedup_embcos",
       (s, d) => {
-        val l2 = """sqrt(aggregate(transform(emb, x -> cast(x as double)
-          | * cast(x as double)), cast(0 as double), (acc, x) -> acc + x))"""
-          .stripMargin
+        graft.functions.FloatDot.register(s)
+        val l2 = "sqrt(fdot(emb, emb))"
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"), col("embedding").as("emb"))
           .withColumn("nrm", expr(l2))
@@ -185,10 +184,7 @@ object LlmText extends QueryGroup {
           col("emb").as("emb_a"), col("nrm").as("nrm_a"))
         val b = e.select(col("vec_id").as("b"), col("label").as("label_b"),
           col("emb").as("emb_b"), col("nrm").as("nrm_b"))
-        val dot = expr(
-          """aggregate(zip_with(emb_a, emb_b,
-            | (x, y) -> cast(x as double) * cast(y as double)),
-            | cast(0 as double), (acc, x) -> acc + x)""".stripMargin)
+        val dot = expr("fdot(emb_a, emb_b)")
         a.join(b, col("label") === col("label_b") && col("a") < col("b"))
           .withColumn("cos", dot / (col("nrm_a") * col("nrm_b")))
           .filter(col("cos") >= 0.4)
