@@ -35,5 +35,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("autocal_transfos",
         "autocal_transfos(f, pp, cdist, coeff) - explode calibration into transfos"),
       (exprs: Seq[Expression]) => AutocalTransfos(exprs)))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

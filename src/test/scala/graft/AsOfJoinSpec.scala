@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native AsOfJoin operator must match the declarative join+agg
+  * formulation (q_join_asof's oracle-checked plan) and plan with
+  * co-partitioning exchanges + local sorts, no shuffle of pairs. */
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def viaOperator(sf: String) = {
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOf.join(p, c, "user_id", "ts", "c_user", "c_ts")
+      .select(col("event_id"), col("asof_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  test("native as-of join equals the declarative formulation (sf0.01)") {
+    val declarative = SparkEntry.queries("q_join_asof")(spark, TestSpark.sf001)
+      .collect().map(_.toString).toSeq
+    val native = viaOperator(TestSpark.sf001)
+      .collect().map(_.toString).toSeq
+    assert(native == declarative)
+  }
+
+  test("plan: AsOfJoinExec with hash exchanges and per-partition sorts") {
+    val p = viaOperator(TestSpark.sf0001).queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p) // exec node prints without the Exec suffix
+    assert(p.contains("hashpartitioning"), p)
+    assert(p.contains("Sort "), p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p)
+  }
+
+  test("rows with no earlier click get NULL asof_ts") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = Seq((10L, "2024-01-01 11:00:00"), (99L, "2024-01-01 09:00:00"))
+      .toDF("c_user", "s")
+      .withColumn("c_ts", to_timestamp($"s")).drop("s")
+    val out = graft.plans.AsOf.join(l, r, "user_id", "ts", "c_user", "c_ts")
+      .select("asof_ts").head
+    assert(out.isNullAt(0), "only later/foreign clicks -> NULL")
+  }
+}
