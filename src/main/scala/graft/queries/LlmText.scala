@@ -133,6 +133,32 @@ object LlmText extends QueryGroup {
         |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // token counting two ways: whitespace split vs a BPE-ish regex
+      // tokenizer ([a-z0-9]+ runs) — the per-doc token budget estimator
+      // a training-data pipeline runs before packing sequences
+      "q_text_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).as("ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .as("re"),
+          length(col("text")).as("chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws").cast(LongType)).as("n_ws_tokens"),
+          sum(col("re").cast(LongType)).as("n_re_tokens"),
+          sum(col("chars").cast(LongType)).as("n_chars"),
+          (sum(col("chars").cast(LongType)).cast(DoubleType)
+            / sum(col("re").cast(LongType))).as("chars_per_token"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang,
+        | SUM(len(string_split(text, ' ')))::BIGINT AS n_ws_tokens,
+        | SUM(len(regexp_extract_all(text, '[a-z0-9]+')))::BIGINT AS n_re_tokens,
+        | SUM(length(text))::BIGINT AS n_chars,
+        | CAST(SUM(length(text)) AS DOUBLE)
+        |   / SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       "q_dedup_simhash",
       (s, d) => {
         // md5 once per exploded token row; the aggregation boundary keeps
