@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB techniques that don't show up in the oracle queries:
+  * bucketed co-located joins (no shuffle), salted skew aggregation
+  * (same answer, spread keys), and partition-pruned reads. */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    val l = Tables.lineitem(spark, TestSpark.sf0001)
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == l.count(), "no rows lost by bucketing")
+    spark.sql("DROP TABLE orders_b")
+    spark.sql("DROP TABLE lineitem_b")
+  }
+
+  test("salted aggregation equals direct aggregation (skew pattern)") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val direct = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("s"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    // stage 1: spread each hot key over 16 salt buckets; stage 2: merge
+    val salted = ev
+      .withColumn("salt", (col("event_id") % 16).cast("int"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(14,2)")).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("s"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(salted == direct)
+  }
+
+  test("partitioned write enables partition pruning in the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, TestSpark.sf0001)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type")
+      || plan.contains("PartitionFilters: [(event_type"), plan)
+    val direct = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "click").count()
+    assert(pruned.count() == direct)
+  }
+}
