@@ -60,7 +60,8 @@ case class MinHashAgg(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.clone()) // don't alias the mutable buffer
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(NumHashes * 8)

@@ -73,6 +73,10 @@ case class AsOfJoinExec(
     val nFields = left.output.size
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // exec contract: emit UnsafeRow (downstream shuffles serialize it);
+      // consumers copy when they buffer, per Spark convention
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(output.map(_.dataType).toArray)
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var rHasHead = false
@@ -111,7 +115,7 @@ case class AsOfJoinExec(
             out(i) = lRow.get(i, left.output(i).dataType); i += 1
           }
           out(nFields) = if (matched) lastTs else null
-          InternalRow.fromSeq(out.toIndexedSeq)
+          proj(InternalRow.fromSeq(out.toIndexedSeq))
         }
       }
     }

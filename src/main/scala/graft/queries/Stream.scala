@@ -99,6 +99,8 @@ object Stream extends QueryGroup {
         // asserts; append-mode late-drop semantics are exercised
         // epoch-by-epoch in StreamingSpec (MemoryStream).
         val name = s"wm_${StreamNames.next()}"
+        // must not depend on another query having set this first
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = s.readStream.schema(Tables.eventsRawSchema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(d)

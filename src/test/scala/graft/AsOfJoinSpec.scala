@@ -36,6 +36,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(event_type)"), p)
   }
 
+  test("string columns survive downstream buffering (no row aliasing)") {
+    import spark.implicits._
+    val l = (1 to 200).map(i =>
+        (i.toLong, (i % 7).toLong, s"payload_$i",
+          new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      .toDF("event_id", "user_id", "tag", "ts")
+    val r = (1 to 50).map(i =>
+        ((i % 7).toLong, new java.sql.Timestamp(1700000000000L + i * 90000L)))
+      .toDF("c_user", "c_ts")
+    val out = graft.plans.AsOf.join(l, r, "user_id", "ts", "c_user", "c_ts")
+      .orderBy(col("event_id"))  // forces buffering above the operator
+      .collect()
+    assert(out.length == 200)
+    out.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getString(2) == s"payload_${i + 1}",
+        s"row $i: tag=${row.getString(2)} — aliased/corrupted buffer") }
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))
