@@ -233,6 +233,56 @@ object Llm extends QueryGroup {
       None),
 
     QueryDef(
+      // IVF ANN: coarse quantizer = 16 data-derived centroids (vec_id
+      // < 16 stands in for k-means output); every vector is assigned to
+      // its nearest centroid cell, queries probe their nprobe=6 nearest
+      // cells, exact cosine ranks only the probed candidates. At 100 TB
+      // the cell assignment is a partition key: each probe touches
+      // nprobe/ncells of the corpus. No-oracle (approximate);
+      // AnnLshSpec asserts recall + pruning.
+      "q_sim_ann_ivf",
+      (s, d) => {
+        graft.functions.FloatDot.register(s)
+        val emb = Tables.embeddings(s, d).withColumn("nrm", expr(l2Expr))
+        val cent = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val cos = expr("fdot(embedding, c_emb)") / (col("nrm") * col("c_nrm"))
+        def nearestCells(vs: org.apache.spark.sql.DataFrame, n: Int,
+            idCol: String, out: String) = {
+          val w = Window.partitionBy(col(idCol))
+            .orderBy(col("ccos").desc, col("cell").asc)
+          vs.crossJoin(broadcast(cent))
+            .withColumn("ccos", cos)
+            .withColumn("cr", row_number().over(w))
+            .filter(col("cr") <= n)
+            .select(col(idCol), col("cell").as(out))
+        }
+        val assign = nearestCells(emb, 1, "vec_id", "cell")
+        val probes = nearestCells(
+          emb.filter(col("vec_id") < 10), 6, "vec_id", "p_cell")
+          .select(col("vec_id").as("qid"), col("p_cell"))
+        val cand = broadcast(probes)
+          .join(assign, col("p_cell") === col("cell")
+            && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id")).distinct()
+        val q = emb.select(col("vec_id").as("qid"),
+          col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
+          .filter(col("qid") < 10)
+        val dot = expr("fdot(q_embedding, embedding)")
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        cand.join(broadcast(q), "qid").join(emb, "vec_id")
+          .withColumn("cos", dot / (col("q_nrm") * col("nrm")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("rank"),
+            round(col("cos"), 4).as("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    QueryDef(
       "q_knn_majority_label",
       (s, d) => {
         graft.functions.FloatDot.register(s)

@@ -17,4 +17,16 @@ class AnnLshSpec extends AnyFunSuite {
     info(s"recall@5 = $recall (${(exact intersect ann).size}/${exact.size})")
     assert(recall >= 0.5, s"recall $recall below 0.5 — LSH params degenerate")
   }
+
+  test("IVF ANN recall@5 with nprobe=6/16 cells on sf0.01") {
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_sim_ann_ivf")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall (${(exact intersect ivf).size}/${exact.size})")
+    // random vectors: cell membership is only weakly cos-correlated, so
+    // the bar is modest; on clustered real embeddings this approaches 1
+    assert(recall >= 0.3, s"recall $recall below 0.3 — IVF degenerate")
+  }
 }
