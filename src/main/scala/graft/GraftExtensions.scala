@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "autocal_transfos(f, pp, cdist, coeff) - explode calibration into transfos"),
       (exprs: Seq[Expression]) => AutocalTransfos(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
   }
 }

@@ -54,6 +54,28 @@ class AsOfJoinSpec extends AnyFunSuite {
         s"row $i: tag=${row.getString(2)} — aliased/corrupted buffer") }
   }
 
+  test("PushFilterThroughAsOf restores parquet pushdown above the join") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val filtered = graft.plans.AsOf
+      .join(p, c, "user_id", "ts", "c_user", "c_ts")
+      .filter(col("event_id") < 100) // left-side-only predicate ON TOP
+    val plan = filtered.queryExecution.executedPlan.toString
+    // the predicate must reach the left scan below the custom operator
+    assert(plan.contains("LessThan(event_id,100)"),
+      s"filter not pushed through AsOfJoin:\n$plan")
+    // and equal the filter-below-join formulation
+    val below = graft.plans.AsOf
+      .join(p.filter(col("event_id") < 100), c,
+        "user_id", "ts", "c_user", "c_ts")
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    assert(filtered.orderBy(col("event_id")).collect()
+      .map(_.toString).toSeq == below)
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))
