@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => AutocalTransfos(exprs)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    e.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOf)
   }
 }

@@ -16,9 +16,11 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
-    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughAsOf)) {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ PushFilterThroughAsOf
+    Seq(PushFilterThroughAsOf, PruneColumnsThroughAsOf).foreach { rule =>
+      if (!spark.experimental.extraOptimizations.contains(rule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ rule
+      }
     }
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed

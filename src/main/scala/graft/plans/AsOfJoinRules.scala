@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule: push left-side predicates through AsOfJoin.
@@ -28,5 +28,36 @@ object PushFilterThroughAsOf extends Rule[LogicalPlan] {
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+}
+
+/** Optimizer rule: column pruning through AsOfJoin.
+  *
+  * Catalyst's ColumnPruning stops at a custom node, so both inputs scan
+  * every column. Two prunes are safe:
+  *  - right side, unconditionally: the exec reads only the right user and
+  *    time expressions (nothing else ever surfaces in the output);
+  *  - left side, under a Project: keep only the attributes the projection
+  *    or the join keys reference.
+  * The inserted Projects sit above the file relations at the end of
+  * optimization, so physical planning narrows the parquet ReadSchema —
+  * on a wide table this is the difference between scanning 2 columns
+  * and scanning all of them.
+  */
+object PruneColumnsThroughAsOf extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoin) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        j.leftUser.references ++ j.leftTime.references
+      val keptLeft = j.left.output.filter(needed.contains)
+      if (keptLeft.size < j.left.output.size)
+        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
+      else p
+    case j: AsOfJoin =>
+      val neededRight = j.rightUser.references ++ j.rightTime.references
+      val keptRight = j.right.output.filter(neededRight.contains)
+      if (keptRight.size < j.right.output.size)
+        j.copy(right = Project(keptRight, j.right))
+      else j
   }
 }

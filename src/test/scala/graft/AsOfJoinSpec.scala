@@ -76,6 +76,29 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(_.toString).toSeq == below)
   }
 
+  test("PruneColumnsThroughAsOf narrows both scans to referenced columns") {
+    // full-width events on BOTH sides — no manual select before the join
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val r = ev.withColumnRenamed("user_id", "c_user")
+      .withColumnRenamed("ts", "c_ts")
+    val narrow = graft.plans.AsOf.join(ev, r, "user_id", "ts", "c_user", "c_ts")
+      .select(col("event_id"), col("asof_ts")) // left prune trigger
+    val plan = narrow.queryExecution.executedPlan.toString
+    // neither scan may read the wide columns: right is pruned to its join
+    // keys unconditionally, left to {event_id, user_id, ts} by the Project
+    assert(!plan.contains("props"), s"props survived pruning:\n$plan")
+    assert(!plan.contains("value"), s"value survived pruning:\n$plan")
+    // and the pruned plan returns the same rows as pre-projected inputs
+    val pre = graft.plans.AsOf.join(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        ev.select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        "user_id", "ts", "c_user", "c_ts")
+      .select(col("event_id"), col("asof_ts"))
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    assert(narrow.orderBy(col("event_id")).collect()
+      .map(_.toString).toSeq == pre)
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))
