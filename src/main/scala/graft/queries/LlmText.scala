@@ -241,6 +241,65 @@ object LlmText extends QueryGroup {
       Some("""SELECT lang, COUNT(*)::BIGINT AS n_docs,
         | SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
         | MAX(octet_length(encode(text)))::BIGINT AS max_bytes
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // deterministic train/val/test split by content-independent hash of
+      // the document key — the reproducible-split primitive every training
+      // pipeline needs (no RNG, stable across reruns and engines)
+      "q_sample_hash_split",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket", expr(
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 10"))
+        .withColumn("split",
+          when(col("bucket") <= 7, lit("train"))
+            .when(col("bucket") === 8, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast(LongType)).as("n_chars_total"))
+        .orderBy(col("lang"), col("split")),
+      Some("""SELECT lang,
+        | CASE WHEN bucket <= 7 THEN 'train'
+        |      WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+        | COUNT(*)::BIGINT AS n_docs,
+        | SUM(n_chars)::BIGINT AS n_chars_total
+        |FROM (SELECT lang, n_chars,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER % 10
+        |          AS bucket
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // sequence packing: assign docs (ordered by doc_id within lang) to
+      // fixed 2048-token context windows by cumulative starting offset —
+      // the deterministic batch/chunk layout a sequence packer produces.
+      // Window cumsum shuffles once on lang; integer math end to end.
+      "q_pack_sequences",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id", expr("(cum - n_tok) div 2048"))
+          .groupBy(col("lang"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("tokens"),
+            round(sum(col("n_tok")).cast(DoubleType) / 2048, 4).as("fill"))
+          .orderBy(col("lang"), col("pack_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |         len(string_split(text, ' '))::BIGINT AS n_tok
+        |       FROM documents),
+        |c AS (SELECT lang, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, ((cum - n_tok) // 2048)::BIGINT AS pack_id,
+        |  COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tokens,
+        |  ROUND(SUM(n_tok)::DOUBLE / 2048, 4) AS fill
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
