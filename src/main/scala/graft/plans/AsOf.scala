@@ -5,12 +5,17 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
 /** User-facing surface for the native as-of join. */
 object AsOf {
 
-  /** left-as-of join: every `left` row + `asof_ts` = greatest `right`
-    * time strictly earlier within the same user key (NULL if none).
+  /** left-as-of join: every `left` row + `asof_ts` from the same user
+    * key (NULL if none) — direction "backward" (default): greatest
+    * strictly-earlier right time; "forward": smallest strictly-later;
+    * "nearest": closer of the two, ties backward.
     * Key columns must be LONG, time columns TIMESTAMP. */
   def join(left: DataFrame, right: DataFrame,
       leftUserCol: String, leftTimeCol: String,
-      rightUserCol: String, rightTimeCol: String): DataFrame = {
+      rightUserCol: String, rightTimeCol: String,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"unknown as-of direction: $direction")
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -31,6 +36,6 @@ object AsOf {
           s"column $name not in ${plan.output.map(_.name)}"))
     GraftPlanBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftUserCol), attr(lPlan, leftTimeCol),
-      attr(rPlan, rightUserCol), attr(rPlan, rightTimeCol)))
+      attr(rPlan, rightUserCol), attr(rPlan, rightTimeCol), direction))
   }
 }

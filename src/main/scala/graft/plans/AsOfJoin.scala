@@ -32,6 +32,9 @@ case class AsOfJoin(
     leftTime: Expression,
     rightUser: Expression,
     rightTime: Expression,
+    // "backward" (latest strictly-earlier), "forward" (earliest
+    // strictly-later) or "nearest" (closer of the two, ties backward)
+    direction: String = "backward",
     // constructor param (not a body val) so the exprId survives plan
     // copies during analysis/optimization
     asOfOutput: AttributeReference =
@@ -52,6 +55,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightUser: Expression,
     rightTime: Expression,
+    direction: String,
     asOfAttr: AttributeReference) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ asOfAttr
@@ -72,6 +76,9 @@ case class AsOfJoinExec(
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val nFields = left.output.size
 
+    val wantFwd = direction == "forward" || direction == "nearest"
+    val wantBwd = direction == "backward" || direction == "nearest"
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // exec contract: emit UnsafeRow (downstream shuffles serialize it);
       // consumers copy when they buffer, per Spark convention
@@ -80,9 +87,15 @@ case class AsOfJoinExec(
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var rHasHead = false
+        // consumed-side history for the backward candidate: lastTs is the
+        // max consumed ts of lastUser; lastTsPrev the max strictly below
+        // it (needed because forward/nearest also consume rt == t rows,
+        // which are backward candidates only for LATER left rows)
         private var lastUser = 0L
         private var lastTs = 0L
+        private var lastTsPrev = 0L
         private var hasLast = false
+        private var hasPrev = false
 
         private def advanceRight(): Unit = {
           if (rIter.hasNext) { rHead = rIter.next(); rHasHead = true }
@@ -90,31 +103,61 @@ case class AsOfJoinExec(
         }
         advanceRight()
 
+        private def record(u: Long, rt: Long): Unit = {
+          if (!hasLast || lastUser != u) {
+            lastUser = u; lastTs = rt; hasLast = true; hasPrev = false
+          } else if (rt > lastTs) {
+            lastTsPrev = lastTs; hasPrev = true; lastTs = rt
+          }
+        }
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val u = lUser.eval(lRow).asInstanceOf[Long]
           val t = lTime.eval(lRow).asInstanceOf[Long]
-          // consume right rows ordered before (u, t); remember the last
-          // strictly-earlier ts belonging to user u
+          // consume right rows ordered before (u, t): always rt < t, and
+          // for forward/nearest also rt == t (excluded from both
+          // candidates — the bounds are strict on both sides)
           var continue = rHasHead
           while (continue) {
             val ru = rUser.eval(rHead).asInstanceOf[Long]
             val rt = rTime.eval(rHead).asInstanceOf[Long]
-            if (ru < u || (ru == u && rt < t)) {
-              if (ru == u) { lastUser = u; lastTs = rt; hasLast = true }
+            if (ru < u || (ru == u && (rt < t || (wantFwd && rt == t)))) {
+              if (ru == u) record(u, rt)
               advanceRight()
               continue = rHasHead
             } else continue = false
           }
-          val matched = hasLast && lastUser == u
+          // backward: greatest consumed ts of u strictly below t
+          val hasBwd = wantBwd && hasLast && lastUser == u &&
+            (lastTs < t || (hasPrev && lastTsPrev < t))
+          val bwdTs = if (lastTs < t) lastTs else lastTsPrev
+          // forward: the unconsumed head, iff it belongs to u (its ts is
+          // strictly greater than t by the loop bound)
+          var hasFwd = false
+          var fwdTs = 0L
+          if (wantFwd && rHasHead &&
+              rUser.eval(rHead).asInstanceOf[Long] == u) {
+            hasFwd = true; fwdTs = rTime.eval(rHead).asInstanceOf[Long]
+          }
+          val asOf: Any = direction match {
+            case "backward" => if (hasBwd) bwdTs else null
+            case "forward" => if (hasFwd) fwdTs else null
+            case _ => // nearest; ties go backward
+              if (hasBwd && hasFwd) {
+                if (t - bwdTs <= fwdTs - t) bwdTs else fwdTs
+              } else if (hasBwd) bwdTs
+              else if (hasFwd) fwdTs
+              else null
+          }
           val out = new Array[Any](nFields + 1)
           var i = 0
           while (i < nFields) {
             out(i) = lRow.get(i, left.output(i).dataType); i += 1
           }
-          out(nFields) = if (matched) lastTs else null
+          out(nFields) = asOf
           proj(InternalRow.fromSeq(out.toIndexedSeq))
         }
       }
@@ -131,7 +174,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftUser, j.leftTime, j.rightUser, j.rightTime, j.asOfOutput) :: Nil
+        j.leftUser, j.leftTime, j.rightUser, j.rightTime,
+        j.direction, j.asOfOutput) :: Nil
     case _ => Nil
   }
 }

@@ -99,6 +99,70 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(_.toString).toSeq == pre)
   }
 
+  test("forward direction equals the declarative min-later formulation") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val native = graft.plans.AsOf
+      .join(p, c, "user_id", "ts", "c_user", "c_ts", "forward")
+      .select(col("event_id"), col("asof_ts"))
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    val declarative = p
+      .join(c, col("user_id") === col("c_user") && col("c_ts") > col("ts"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(min(col("c_ts")).as("asof_ts"))
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    assert(native == declarative)
+  }
+
+  test("nearest picks the closer side; ties and bounds are strict") {
+    import spark.implicits._
+    def ts(s: String) = s"2024-01-01 $s:00"
+    val l = Seq(
+        (1L, 10L, ts("10:00")), // bwd 09:00 (60m) vs fwd 10:30 (30m) -> fwd
+        (2L, 20L, ts("10:00")), // bwd 09:30 vs fwd 10:30 tie -> backward
+        (3L, 30L, ts("10:00"))) // only an equal-ts row -> NULL (strict)
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = Seq(
+        (10L, ts("09:00")), (10L, ts("10:30")),
+        (20L, ts("09:30")), (20L, ts("10:30")),
+        (30L, ts("10:00")))
+      .toDF("c_user", "s")
+      .withColumn("c_ts", to_timestamp($"s")).drop("s")
+    val out = graft.plans.AsOf
+      .join(l, r, "user_id", "ts", "c_user", "c_ts", "nearest")
+      .select(col("event_id"), col("asof_ts"))
+      .orderBy(col("event_id")).collect()
+    assert(out(0).getTimestamp(1).toString.startsWith("2024-01-01 10:30"))
+    assert(out(1).getTimestamp(1).toString.startsWith("2024-01-01 09:30"))
+    assert(out(2).isNullAt(1), "equal-ts right row must not match (strict)")
+  }
+
+  test("forward consuming an equal-ts row keeps it as a later backward candidate") {
+    import spark.implicits._
+    def ts(s: String) = s"2024-01-01 $s:00"
+    // user 10: left rows at 10:00 then 11:00; right rows at 10:00, 12:00.
+    // nearest at 10:00 -> 12:00 (equal row excluded); at 11:00 the 10:00
+    // row (consumed while processing the first left row) must still win
+    // as the backward candidate (60m) over forward 12:00 (60m tie -> bwd)
+    val l = Seq((1L, 10L, ts("10:00")), (2L, 10L, ts("11:00")))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = Seq((10L, ts("10:00")), (10L, ts("12:00")))
+      .toDF("c_user", "s")
+      .withColumn("c_ts", to_timestamp($"s")).drop("s")
+    val out = graft.plans.AsOf
+      .join(l, r, "user_id", "ts", "c_user", "c_ts", "nearest")
+      .select(col("event_id"), col("asof_ts"))
+      .orderBy(col("event_id")).collect()
+    assert(out(0).getTimestamp(1).toString.startsWith("2024-01-01 12:00"))
+    assert(out(1).getTimestamp(1).toString.startsWith("2024-01-01 10:00"))
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))
