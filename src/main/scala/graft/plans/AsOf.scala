@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
 
 /** User-facing surface for the native as-of join. */
 object AsOf {
@@ -9,7 +10,12 @@ object AsOf {
     * key (NULL if none) — direction "backward" (default): greatest
     * strictly-earlier right time; "forward": smallest strictly-later;
     * "nearest": closer of the two, ties backward.
-    * Key columns must be LONG, time columns TIMESTAMP. */
+    * Key columns must be LONG, time columns TIMESTAMP.
+    *
+    * Wrapping the right side in `functions.broadcast(...)` selects the
+    * broadcast build: the small side ships to every executor as a sorted
+    * per-key index and the big probe side keeps its partitioning — no
+    * shuffle or sort of the left input at all. */
   def join(left: DataFrame, right: DataFrame,
       leftUserCol: String, leftTimeCol: String,
       rightUserCol: String, rightTimeCol: String,
@@ -28,7 +34,14 @@ object AsOf {
       }
     }
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // a broadcast() hint on the right input selects the broadcast build;
+    // strip the hint node (it is not a Catalyst Join, so the stock
+    // EliminateResolvedHint would only warn and drop it later)
+    val (rPlan, bcast) = right.queryExecution.analyzed match {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+        (h.child, true)
+      case other => (other, false)
+    }
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) =
       plan.output.find(_.name == name).getOrElse(
@@ -36,6 +49,7 @@ object AsOf {
           s"column $name not in ${plan.output.map(_.name)}"))
     GraftPlanBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftUserCol), attr(lPlan, leftTimeCol),
-      attr(rPlan, rightUserCol), attr(rPlan, rightTimeCol), direction))
+      attr(rPlan, rightUserCol), attr(rPlan, rightTimeCol), direction,
+      broadcastRight = bcast))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.TimestampType
 
@@ -35,6 +35,9 @@ case class AsOfJoin(
     // "backward" (latest strictly-earlier), "forward" (earliest
     // strictly-later) or "nearest" (closer of the two, ties backward)
     direction: String = "backward",
+    // broadcast the right side as a sorted per-key index instead of
+    // co-partitioning both sides (probe keeps its partitioning)
+    broadcastRight: Boolean = false,
     // constructor param (not a body val) so the exprId survives plan
     // copies during analysis/optimization
     asOfOutput: AttributeReference =
@@ -168,10 +171,108 @@ case class AsOfJoinExec(
       l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
 }
 
-/** Planner strategy: logical AsOfJoin -> AsOfJoinExec. Injected via
-  * GraftExtensions (injectPlannerStrategy). */
+/** Broadcast build of the as-of join: the right side ships whole to
+  * every executor (BroadcastDistribution), is indexed once per task into
+  * sorted per-key time arrays, and each left row binary-searches it.
+  * The probe side keeps its partitioning — no shuffle, no sort of the
+  * big side, the same trade BroadcastHashJoin makes for equi joins. */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftUser: Expression,
+    leftTime: Expression,
+    rightUser: Expression,
+    rightTime: Expression,
+    direction: String,
+    asOfAttr: AttributeReference) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ asOfAttr
+  override def producedAttributes: AttributeSet = AttributeSet(asOfAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rUser = BindReferences.bindReference(rightUser, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val lUserU = leftUser
+    val lTimeU = leftTime
+    val nFields = left.output.size
+    val dir = direction
+    val bcRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val lUser = BindReferences.bindReference(lUserU, left.output)
+      val lTime = BindReferences.bindReference(lTimeU, left.output)
+      // build the per-key sorted index once per task from the broadcast
+      val index = new java.util.HashMap[Long, Array[Long]]()
+      val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      bcRows.value.foreach { row =>
+        val u = rUser.eval(row).asInstanceOf[Long]
+        val t = rTime.eval(row).asInstanceOf[Long]
+        var buf = tmp.get(u)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          tmp.put(u, buf)
+        }
+        buf += t
+      }
+      tmp.forEach { (u, buf) =>
+        val arr = buf.toArray; java.util.Arrays.sort(arr); index.put(u, arr)
+      }
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(output.map(_.dataType).toArray)
+      lIter.map { lRow =>
+        val u = lUser.eval(lRow).asInstanceOf[Long]
+        val t = lTime.eval(lRow).asInstanceOf[Long]
+        val ts = index.get(u)
+        var asOf: Any = null
+        if (ts != null) {
+          // ip = first position with ts(i) >= t
+          var ip = java.util.Arrays.binarySearch(ts, t)
+          if (ip < 0) ip = -ip - 1
+          else { while (ip > 0 && ts(ip - 1) == t) ip -= 1 }
+          val hasBwd = ip > 0
+          // first position strictly greater than t
+          var fp = ip
+          while (fp < ts.length && ts(fp) == t) fp += 1
+          val hasFwd = fp < ts.length
+          asOf = dir match {
+            case "backward" => if (hasBwd) ts(ip - 1) else null
+            case "forward" => if (hasFwd) ts(fp) else null
+            case _ =>
+              if (hasBwd && hasFwd) {
+                if (t - ts(ip - 1) <= ts(fp) - t) ts(ip - 1) else ts(fp)
+              } else if (hasBwd) ts(ip - 1)
+              else if (hasFwd) ts(fp)
+              else null
+          }
+        }
+        val out = new Array[Any](nFields + 1)
+        var i = 0
+        while (i < nFields) {
+          out(i) = lRow.get(i, left.output(i).dataType); i += 1
+        }
+        out(nFields) = asOf
+        proj(InternalRow.fromSeq(out.toIndexedSeq))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+/** Planner strategy: logical AsOfJoin -> AsOfJoinExec (co-partitioned
+  * merge) or BroadcastAsOfJoinExec (broadcast() hint on the right).
+  * Injected via GraftExtensions (injectPlannerStrategy). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoin if j.broadcastRight =>
+      BroadcastAsOfJoinExec(planLater(j.left), planLater(j.right),
+        j.leftUser, j.leftTime, j.rightUser, j.rightTime,
+        j.direction, j.asOfOutput) :: Nil
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
         j.leftUser, j.leftTime, j.rightUser, j.rightTime,

@@ -163,6 +163,40 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(1).getTimestamp(1).toString.startsWith("2024-01-01 10:00"))
   }
 
+  test("broadcast build equals the co-partitioned merge in all directions") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val shuffled = graft.plans.AsOf
+        .join(p, c, "user_id", "ts", "c_user", "c_ts", dir)
+        .orderBy(col("event_id")).collect().map(_.toString).toSeq
+      val bcast = graft.plans.AsOf
+        .join(p, broadcast(c), "user_id", "ts", "c_user", "c_ts", dir)
+        .orderBy(col("event_id")).collect().map(_.toString).toSeq
+      assert(bcast == shuffled, s"direction=$dir")
+    }
+  }
+
+  test("broadcast build plans without shuffling or sorting the probe side") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val plan = graft.plans.AsOf
+      .join(p, broadcast(c), "user_id", "ts", "c_user", "c_ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("hashpartitioning"),
+      s"probe side must keep its partitioning:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"broadcast build needs no sort on either side:\n$plan")
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))
