@@ -171,15 +171,54 @@ object LlmText extends QueryGroup {
           .agg(collect_list(col("h")).as("hs"))
           .withColumn("sig", expr(simhashExpr))
           .select(col("doc_id"), col("lang"), col("sig"))
-        val a = sigs.select(col("doc_id").as("a"), col("lang"),
-          col("sig").as("sig_a"))
-        val b = sigs.select(col("doc_id").as("b"), col("lang").as("lang_b"),
-          col("sig").as("sig_b"))
-        a.join(b, col("lang") === col("lang_b") && col("a") < col("b"))
-          .withColumn("hamming",
-            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-          .filter(col("hamming") <= 14)
-          .select(col("a"), col("b"), col("hamming"))
+        // Candidate generation is a band equi-join, not a per-lang pair
+        // join (the round-1 scale-killer: one near-cartesian task per
+        // language). Split the 60-bit signature into 15 bands of 4 bits;
+        // by pigeonhole, hamming(x, y) <= 14 forces at least one band to
+        // match exactly, so the (lang, band, bits) equi-join + hamming
+        // post-filter returns the IDENTICAL result set while shuffling
+        // on a 15*16-way key. Two tricks keep it one pass:
+        //  - sigs (5000 rows x 24 B at sf0.1) is persisted, so the
+        //    md5-per-token sketch pass — the dominant cost — runs once
+        //    instead of once per join side;
+        //  - each pair is emitted only from its FIRST matching band:
+        //    x = nibble-nonzero mask of sig_a^sig_b, and the join keeps
+        //    a row iff every nibble below `band` is nonzero — pure long
+        //    arithmetic (codegen-friendly), so no dedup shuffle over the
+        //    multi-band match multiplicity is needed.
+        val sigsP = sigs.persist()
+        val bands = sigsP.select(col("doc_id"), col("lang"), col("sig"),
+          explode(expr(
+            """transform(sequence(0, 14),
+              | b -> struct(b AS band,
+              |   (shiftright(sig, 4*b) & 15) AS bits))""".stripMargin))
+            .as("bb"))
+          .select(col("doc_id"), col("lang"), col("sig"),
+            col("bb.band").as("band"), col("bb.bits").as("bits"))
+        val a = bands.select(col("doc_id").as("a"), col("lang"),
+          col("band"), col("bits"), col("sig").as("sig_a"))
+        val b = bands.select(col("doc_id").as("b"),
+          col("lang").as("lang_b"), col("band").as("band_b"),
+          col("bits").as("bits_b"), col("sig").as("sig_b"))
+        // nonzero-nibble mask: bit 4j of x is set iff nibble j of the
+        // sig xor is nonzero; first-match iff all nibbles below band
+        // are nonzero iff (x & lowmask) = lowmask
+        val firstBand = expr(
+          """(((sig_a ^ sig_b) | shiftright(sig_a ^ sig_b, 1)
+            |  | shiftright(sig_a ^ sig_b, 2) | shiftright(sig_a ^ sig_b, 3))
+            | & 76861433640456465
+            | & (shiftleft(cast(1 as bigint), 4 * band) - 1))
+            |= (76861433640456465
+            |   & (shiftleft(cast(1 as bigint), 4 * band) - 1))"""
+            .stripMargin)
+        a.join(b,
+            col("lang") === col("lang_b") && col("band") === col("band_b")
+              && col("bits") === col("bits_b") && col("a") < col("b")
+              && bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 14
+              && firstBand)
+          .select(col("a"), col("b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+              .cast(IntegerType).as("hamming"))
           .orderBy(col("a"), col("b"))
       },
       Some("""WITH sigs AS (
@@ -199,6 +238,13 @@ object LlmText extends QueryGroup {
         |ORDER BY a, b""".stripMargin)),
 
     QueryDef(
+      // EXACT small-scale twin of the approximate paths — deliberately
+      // NOT a 100 TB plan. At threshold cos >= 0.4 no LSH/IVF prefilter
+      // is recall-safe (a 0.4-cos pair can land in any pair of coarse
+      // cells), so the exact answer requires the per-label pair join
+      // below, O(n^2/labels). This is the embedding analogue of
+      // q_dedup_near_jaccard vs q_dedup_minhash_lsh: use THIS to
+      // validate, and q_sim_ann_lsh / q_sim_ann_ivf as the scale path.
       "q_dedup_embcos",
       (s, d) => {
         graft.functions.FloatDot.register(s)
