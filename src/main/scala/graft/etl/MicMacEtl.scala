@@ -32,6 +32,13 @@ object MicMacEtl {
 
   // ---------------------------------------------------------------- autocal
 
+  // Distortion models (SURVEY §1.3(a) `CalibDistortion`): MicMac
+  // calibrations carry one of several models. ModRad (pure radial:
+  // center + r^3/r^5/r^7 coefficients) and ModPhgrStd (radial part +
+  // decentric P1/P2 + affine b1/b2 — the "Photogrammetric Standard"
+  // model) are schematized; any other child of CalibDistortion parses
+  // to all-null and FAILS the A8 assert below, loudly, instead of
+  // emitting a half-parsed calibration.
   val autocalSchema: StructType = StructType(Seq(
     StructField("CalibrationInternConique", StructType(Seq(
       StructField("KnownConv", StringType),
@@ -41,10 +48,20 @@ object MicMacEtl {
       StructField("CalibDistortion", StructType(Seq(
         StructField("ModRad", StructType(Seq(
           StructField("CDist", StringType),
-          StructField("CoeffDist", ArrayType(DoubleType)))))))))))))
+          StructField("CoeffDist", ArrayType(DoubleType))))),
+        StructField("ModPhgrStd", StructType(Seq(
+          StructField("RadialePart", StructType(Seq(
+            StructField("CDist", StringType),
+            StructField("CoeffDist", ArrayType(DoubleType))))),
+          StructField("P1", DoubleType),
+          StructField("P2", DoubleType),
+          StructField("b1", DoubleType),
+          StructField("b2", DoubleType))))))))))))
 
-  /** one calibration file -> (sensor, referentials, transfos) */
-  def importAutocal(spark: SparkSession, glob: String): Map[String, DataFrame] = {
+  /** one calibration file -> (sensor, referentials, transfos, transfotrees) */
+  def importAutocal(spark: SparkSession, glob: String,
+      validityStart: Option[String] = None,
+      validityEnd: Option[String] = None): Map[String, DataFrame] = {
     AutocalTransfos.register(spark)
     val parsed = spark.read.option("wholetext", "true").text(glob)
       .withColumn("file", input_file_name())
@@ -53,12 +70,25 @@ object MicMacEtl {
       .select(col("file"),
         col("c.F").as("focal"), vec(col("c.PP")).as("pp"),
         vec(col("c.SzIm")).as("sz_im"),
-        vec(col("c.CalibDistortion.ModRad.CDist")).as("cdist"),
-        col("c.CalibDistortion.ModRad.CoeffDist").as("coeff"))
-    // A8: mandatory tags
+        col("c.CalibDistortion").as("dist"))
+      .withColumn("dist_model",
+        when(col("dist.ModRad").isNotNull, lit("poly_radial"))
+          .when(col("dist.ModPhgrStd").isNotNull, lit("phgr_std")))
+      .withColumn("dist_params",
+        when(col("dist.ModRad").isNotNull,
+          concat(vec(col("dist.ModRad.CDist")),
+            col("dist.ModRad.CoeffDist")))
+          .otherwise(concat(
+            vec(col("dist.ModPhgrStd.RadialePart.CDist")),
+            col("dist.ModPhgrStd.RadialePart.CoeffDist"),
+            array(col("dist.ModPhgrStd.P1"), col("dist.ModPhgrStd.P2"),
+              col("dist.ModPhgrStd.b1"), col("dist.ModPhgrStd.b2")))))
+    // A8: mandatory tags + known distortion model
     val checked = parsed.filter(
       assert_true(col("focal").isNotNull && size(col("pp")) === 2
         && size(col("sz_im")) === 2).isNull)
+      .filter(assert_true(col("dist_model").isNotNull,
+        concat(lit("unknown CalibDistortion model in "), col("file"))).isNull)
     val sensors = checked.select(col("file"),
       lit("camera").as("sensor_type"),
       map_from_arrays(array(lit("image_size")), array(col("sz_im")))
@@ -66,10 +96,12 @@ object MicMacEtl {
     val referentials = checked.select(col("file"), explode(array(
       lit("camera"), lit("rawImage"), lit("undistortedImage")))
       .as("referential"))
-    val transfos = checked.select(col("file"),
-      expr("autocal_transfos(focal, pp, cdist, coeff)"))
+    val transfos = withValidity(checked.select(col("file"),
+      expr("autocal_transfos(focal, pp, dist_model, dist_params)")),
+      validityStart, validityEnd)
     Map("sensors" -> sensors, "referentials" -> referentials,
-      "transfos" -> transfos)
+      "transfos" -> transfos,
+      "transfotrees" -> transfoTree(transfos, col("transfo_name")))
   }
 
   // ---------------------------------------------------------------- blinis
@@ -88,7 +120,9 @@ object MicMacEtl {
 
   /** one rig file -> base + per-camera referentials with affine mat4x3
     * transfos ([R|t] row-major, 12 doubles — blinis.py A3/A4 analog) */
-  def importBlinis(spark: SparkSession, glob: String): Map[String, DataFrame] = {
+  def importBlinis(spark: SparkSession, glob: String,
+      validityStart: Option[String] = None,
+      validityEnd: Option[String] = None): Map[String, DataFrame] = {
     val parsed = spark.read.option("wholetext", "true").text(glob)
       .withColumn("file", input_file_name())
       .withColumn("x", from_xml(col("value"), blinisSchema))
@@ -104,95 +138,184 @@ object MicMacEtl {
       col("r1"), slice(col("t"), 1, 1),
       col("r2"), slice(col("t"), 2, 1),
       col("r3"), slice(col("t"), 3, 1))
-    val transfos = parsed.select(col("file"), col("rig"), col("cam"),
-      lit("affine_mat4x3").as("transfo_type"), mat43.as("mat4x3"))
+    val transfos = withValidity(
+      parsed.select(col("file"), col("rig"), col("cam"),
+        lit("affine_mat4x3").as("transfo_type"), mat43.as("mat4x3")),
+      validityStart, validityEnd)
     val referentials = parsed.select(col("file"), col("rig"), col("cam"))
       .unionByName(parsed.select(col("file"), col("rig"),
         lit("base").as("cam")).distinct())
     val sensors = parsed.select(col("file"), col("rig")).distinct()
       .withColumn("sensor_type", lit("group"))
     Map("sensors" -> sensors, "referentials" -> referentials,
-      "transfos" -> transfos)
+      "transfos" -> transfos,
+      "transfotrees" -> transfoTree(transfos, col("cam")))
   }
 
   // --------------------------------------------------------------- orimatis
 
-  val orimatisSchema: StructType = StructType(Seq(
-    StructField("version", StringType),
-    StructField("geometry", StructType(Seq(
-      StructField("intrinseque", StructType(Seq(
-        StructField("sensor", StructType(Seq(
-          StructField("name", StringType),
-          StructField("image_size", StructType(Seq(
-            StructField("width", IntegerType),
-            StructField("height", IntegerType)))),
-          StructField("ppa", StructType(Seq(
-            StructField("c", DoubleType),
-            StructField("l", DoubleType),
-            StructField("focale", DoubleType)))))))))),
-      StructField("extrinseque", StructType(Seq(
-        StructField("systeme", StringType),
-        StructField("sommet", StructType(Seq(
-          StructField("easting", DoubleType),
-          StructField("northing", DoubleType),
-          StructField("altitude", DoubleType)))),
-        StructField("rotation", StructType(Seq(
-          StructField("Image2Ground", BooleanType),
-          StructField("quaternion", StructType(Seq(
-            StructField("x", DoubleType), StructField("y", DoubleType),
-            StructField("z", DoubleType), StructField("w", DoubleType)))))))))))))))
+  // Both orimatis flavors (SURVEY §1.3(a): `conique`/`spherique`) and
+  // both pose encodings ("rotation as matrix or quaternion"). conique
+  // carries its intrinsics under <sensor> (ppa + focale); spherique is
+  // a panoramic camera: no focal — pixel->angle mapping from the ppa
+  // and the lambda/phi angular frame. The rotation block carries either
+  // a <quaternion> or a row-major <mat3d> (l1/l2/l3 rows).
+  val orimatisSchema: StructType = {
+    val ppaConique = StructType(Seq(
+      StructField("c", DoubleType),
+      StructField("l", DoubleType),
+      StructField("focale", DoubleType)))
+    val imageSize = StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    StructType(Seq(
+      StructField("version", StringType),
+      StructField("geometry", StructType(Seq(
+        StructField("intrinseque", StructType(Seq(
+          StructField("sensor", StructType(Seq(
+            StructField("name", StringType),
+            StructField("image_size", imageSize),
+            StructField("ppa", ppaConique)))),
+          StructField("spherique", StructType(Seq(
+            StructField("name", StringType),
+            StructField("image_size", imageSize),
+            StructField("ppa", StructType(Seq(
+              StructField("c", DoubleType),
+              StructField("l", DoubleType)))),
+            StructField("frame", StructType(Seq(
+              StructField("lambda_min", DoubleType),
+              StructField("lambda_max", DoubleType),
+              StructField("phi_min", DoubleType),
+              StructField("phi_max", DoubleType)))))))))),
+        StructField("extrinseque", StructType(Seq(
+          StructField("systeme", StringType),
+          StructField("sommet", StructType(Seq(
+            StructField("easting", DoubleType),
+            StructField("northing", DoubleType),
+            StructField("altitude", DoubleType)))),
+          StructField("rotation", StructType(Seq(
+            StructField("Image2Ground", BooleanType),
+            StructField("quaternion", StructType(Seq(
+              StructField("x", DoubleType), StructField("y", DoubleType),
+              StructField("z", DoubleType), StructField("w", DoubleType)))),
+            StructField("mat3d", StructType(Seq(
+              StructField("l1", StringType),
+              StructField("l2", StringType),
+              StructField("l3", StringType)))))))))))))))
+  }
 
-  /** one orientation file -> pose (quaternion->mat3x3) + intrinsics */
-  def importOrimatis(spark: SparkSession, glob: String): Map[String, DataFrame] = {
+  /** one orientation file -> pose (quaternion|matrix -> mat4x3) +
+    * flavor-specific intrinsics (conique pinhole | spherique angular) */
+  def importOrimatis(spark: SparkSession, glob: String,
+      validityStart: Option[String] = None,
+      validityEnd: Option[String] = None): Map[String, DataFrame] = {
     val parsed = spark.read.option("wholetext", "true").text(glob)
       .withColumn("file", input_file_name())
       .withColumn("x", from_xml(col("value"), orimatisSchema))
       .select(col("file"),
-        col("x.geometry.intrinseque.sensor.name").as("sensor_name"),
-        col("x.geometry.intrinseque.sensor.image_size.width").as("width"),
-        col("x.geometry.intrinseque.sensor.image_size.height").as("height"),
-        col("x.geometry.intrinseque.sensor.ppa.c").as("ppa_c"),
-        col("x.geometry.intrinseque.sensor.ppa.l").as("ppa_l"),
-        col("x.geometry.intrinseque.sensor.ppa.focale").as("focal"),
+        col("x.geometry.intrinseque.sensor").as("con"),
+        col("x.geometry.intrinseque.spherique").as("sph"),
         col("x.geometry.extrinseque.systeme").as("srid_name"),
         col("x.geometry.extrinseque.sommet.easting").as("px"),
         col("x.geometry.extrinseque.sommet.northing").as("py"),
         col("x.geometry.extrinseque.sommet.altitude").as("pz"),
-        col("x.geometry.extrinseque.rotation.quaternion.x").as("qx"),
-        col("x.geometry.extrinseque.rotation.quaternion.y").as("qy"),
-        col("x.geometry.extrinseque.rotation.quaternion.z").as("qz"),
-        col("x.geometry.extrinseque.rotation.quaternion.w").as("qw"))
+        col("x.geometry.extrinseque.rotation.quaternion").as("quat"),
+        col("x.geometry.extrinseque.rotation.mat3d").as("mat"))
+      .withColumn("flavor",
+        when(col("con").isNotNull, lit("conique"))
+          .when(col("sph").isNotNull, lit("spherique")))
+      .withColumn("sensor_name",
+        coalesce(col("con.name"), col("sph.name")))
+      .withColumn("width",
+        coalesce(col("con.image_size.width"), col("sph.image_size.width")))
+      .withColumn("height",
+        coalesce(col("con.image_size.height"), col("sph.image_size.height")))
+      .withColumn("ppa_c", coalesce(col("con.ppa.c"), col("sph.ppa.c")))
+      .withColumn("ppa_l", coalesce(col("con.ppa.l"), col("sph.ppa.l")))
+    // A8: exactly one intrinsics flavor, at least one pose encoding
+    val checked = parsed
+      .filter(assert_true(col("flavor").isNotNull,
+        concat(lit("unknown intrinseque flavor in "), col("file"))).isNull)
+      .filter(assert_true(col("quat").isNotNull || col("mat").isNotNull,
+        concat(lit("missing rotation (quaternion|mat3d) in "), col("file")))
+        .isNull)
     // quaternion -> rotation matrix, row-major (orimatis.py A3 analog),
-    // pure column arithmetic — codegen'd, no UDF
-    def q(n: String) = col(n)
-    val r = Seq(
-      lit(1) - lit(2) * (q("qy") * q("qy") + q("qz") * q("qz")),
-      lit(2) * (q("qx") * q("qy") - q("qz") * q("qw")),
-      lit(2) * (q("qx") * q("qz") + q("qy") * q("qw")),
-      lit(2) * (q("qx") * q("qy") + q("qz") * q("qw")),
-      lit(1) - lit(2) * (q("qx") * q("qx") + q("qz") * q("qz")),
-      lit(2) * (q("qy") * q("qz") - q("qx") * q("qw")),
-      lit(2) * (q("qx") * q("qz") - q("qy") * q("qw")),
-      lit(2) * (q("qy") * q("qz") + q("qx") * q("qw")),
-      lit(1) - lit(2) * (q("qx") * q("qx") + q("qy") * q("qy")))
-    val pose = parsed.withColumn("mat4x3", array(
+    // pure column arithmetic — codegen'd, no UDF; matrix poses pass
+    // straight through (quaternion wins when both are present)
+    def q(n: String) = col("quat").getField(n)
+    val rq = Seq(
+      lit(1) - lit(2) * (q("y") * q("y") + q("z") * q("z")),
+      lit(2) * (q("x") * q("y") - q("z") * q("w")),
+      lit(2) * (q("x") * q("z") + q("y") * q("w")),
+      lit(2) * (q("x") * q("y") + q("z") * q("w")),
+      lit(1) - lit(2) * (q("x") * q("x") + q("z") * q("z")),
+      lit(2) * (q("y") * q("z") - q("x") * q("w")),
+      lit(2) * (q("x") * q("z") - q("y") * q("w")),
+      lit(2) * (q("y") * q("z") + q("x") * q("w")),
+      lit(1) - lit(2) * (q("x") * q("x") + q("y") * q("y")))
+    def m(row: Int, i: Int) =
+      element_at(vec(col("mat").getField(s"l$row")), i + 1)
+    val r = (0 until 9).map(k =>
+      when(col("quat").isNotNull, rq(k)).otherwise(m(k / 3 + 1, k % 3)))
+    val pose = checked.withColumn("mat4x3", array(
       r(0), r(1), r(2), col("px"),
       r(3), r(4), r(5), col("py"),
       r(6), r(7), r(8), col("pz")))
-    val transfos = pose.select(col("file"), col("sensor_name"),
-      lit("affine_mat4x3").as("transfo_type"), col("srid_name"),
-      col("mat4x3"))
-      .unionByName(pose.select(col("file"), col("sensor_name"),
-        lit("projective_pinhole").as("transfo_type"), col("srid_name"),
-        array(col("focal"), col("ppa_c"), col("ppa_l")).as("mat4x3")))
-    val sensors = parsed.select(col("file"), col("sensor_name"),
-      lit("camera").as("sensor_type"), col("width"), col("height"))
-    val referentials = parsed.select(col("file"), col("sensor_name"),
+    // intrinsics transfo: pinhole for conique; angular (ppa + lambda/phi
+    // frame) for spherique — same 5-column transfo shape either way
+    val transfos = withValidity(
+      pose.select(col("file"), col("sensor_name"),
+        lit("affine_mat4x3").as("transfo_type"), col("srid_name"),
+        col("mat4x3"))
+        .unionByName(pose.filter(col("flavor") === "conique")
+          .select(col("file"), col("sensor_name"),
+            lit("projective_pinhole").as("transfo_type"), col("srid_name"),
+            array(col("con.ppa.focale"), col("ppa_c"), col("ppa_l"))
+              .as("mat4x3")))
+        .unionByName(pose.filter(col("flavor") === "spherique")
+          .select(col("file"), col("sensor_name"),
+            lit("spherical").as("transfo_type"), col("srid_name"),
+            array(col("ppa_c"), col("ppa_l"),
+              col("sph.frame.lambda_min"), col("sph.frame.lambda_max"),
+              col("sph.frame.phi_min"), col("sph.frame.phi_max"))
+              .as("mat4x3"))),
+      validityStart, validityEnd)
+    val sensors = checked.select(col("file"), col("sensor_name"),
+      lit("camera").as("sensor_type"), col("flavor"),
+      col("width"), col("height"))
+    val referentials = checked.select(col("file"), col("sensor_name"),
       explode(array(lit("world"), lit("camera"), lit("image")))
         .as("referential"))
     Map("sensors" -> sensors, "referentials" -> referentials,
-      "transfos" -> transfos)
+      "transfos" -> transfos,
+      "transfotrees" -> transfoTree(transfos, col("transfo_type")))
   }
+
+  // ------------------------------------- validity windows + transfo trees
+
+  /** transfo validity window (cli.py validity-date flags analog): every
+    * transfo carries [validity_start, validity_end); a null bound means
+    * open-ended. Stored as TimestampType (session tz UTC per SURVEY
+    * §1.3 type mapping). */
+  def withValidity(transfos: DataFrame,
+      start: Option[String], end: Option[String]): DataFrame = {
+    def bound(v: Option[String]) = v.map(s => to_timestamp(lit(s)))
+      .getOrElse(lit(null).cast(TimestampType))
+    transfos.withColumn("validity_start", bound(start))
+      .withColumn("validity_end", bound(end))
+  }
+
+  /** transfo_tree (SURVEY §1.3(b)): one tree per imported file — a
+    * consistent snapshot naming the set of transfos that entered
+    * together. Membership is the sorted set of natural transfo names,
+    * so re-importing the same file reproduces the identical tree row
+    * (the get_or_create idempotence contract extends to trees). */
+  def transfoTree(transfos: DataFrame, transfoName: Column): DataFrame =
+    transfos.groupBy(col("file"))
+      .agg(sort_array(collect_set(transfoName)).as("transfos"))
+      .select(col("file"),
+        regexp_extract(col("file"), "([^/]+)$", 1).as("tree_name"),
+        col("transfos"))
 
   // ------------------------------------------------- surrogate keys + upsert
 
@@ -228,8 +351,8 @@ case class AutocalTransfos(children: Seq[Expression])
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val focal = children(0).eval(input).asInstanceOf[Double]
     val pp = children(1).eval(input).asInstanceOf[ArrayData].toDoubleArray()
-    val cdist = children(2).eval(input).asInstanceOf[ArrayData].toDoubleArray()
-    val coeff = children(3).eval(input).asInstanceOf[ArrayData].toDoubleArray()
+    val distType = children(2).eval(input).asInstanceOf[UTF8String].toString
+    val dparams = children(3).eval(input).asInstanceOf[ArrayData].toDoubleArray()
     def row(n: String, t: String, s: String, g: String, p: Array[Double]) =
       InternalRow(UTF8String.fromString(n), UTF8String.fromString(t),
         UTF8String.fromString(s), UTF8String.fromString(g),
@@ -237,8 +360,7 @@ case class AutocalTransfos(children: Seq[Expression])
     Seq(
       row("projection", "projective_pinhole", "camera", "idealImage",
         Array(focal, pp(0), pp(1))),
-      row("distortion", "poly_radial", "idealImage", "rawImage",
-        cdist ++ coeff),
+      row("distortion", distType, "idealImage", "rawImage", dparams),
       row("pixel", "affine_mat3x2", "rawImage", "image",
         Array(1, 0, 0, 0, 1, 0)))
   }

@@ -177,17 +177,18 @@ object LlmText extends QueryGroup {
         // by pigeonhole, hamming(x, y) <= 14 forces at least one band to
         // match exactly, so the (lang, band, bits) equi-join + hamming
         // post-filter returns the IDENTICAL result set while shuffling
-        // on a 15*16-way key. Two tricks keep it one pass:
-        //  - sigs (5000 rows x 24 B at sf0.1) is persisted, so the
-        //    md5-per-token sketch pass — the dominant cost — runs once
-        //    instead of once per join side;
+        // on a 15*16-way key. Two tricks keep it cheap:
+        //  - both join sides derive from the same `bands` subplan, so
+        //    AQE ReusedExchange runs the md5-per-token sketch pass once
+        //    (measured round 1/2: an explicit persist() here is 3-5x
+        //    SLOWER — cache build runs outside whole-stage codegen and
+        //    blocks shuffle-stage reuse — so there is deliberately none);
         //  - each pair is emitted only from its FIRST matching band:
         //    x = nibble-nonzero mask of sig_a^sig_b, and the join keeps
         //    a row iff every nibble below `band` is nonzero — pure long
         //    arithmetic (codegen-friendly), so no dedup shuffle over the
         //    multi-band match multiplicity is needed.
-        val sigsP = sigs.persist()
-        val bands = sigsP.select(col("doc_id"), col("lang"), col("sig"),
+        val bands = sigs.select(col("doc_id"), col("lang"), col("sig"),
           explode(expr(
             """transform(sequence(0, 14),
               | b -> struct(b AS band,

@@ -98,7 +98,11 @@ object Stream extends QueryGroup {
         // must equal q_stream_tumbling's counts — which the oracle
         // asserts; append-mode late-drop semantics are exercised
         // epoch-by-epoch in StreamingSpec (MemoryStream).
-        val name = s"wm_${StreamNames.next()}"
+        // fixed sink name, dropped before each run: repeated invocations
+        // (Verify + Bench run every query twice) must not accumulate
+        // full result tables in the shared session's memory
+        val name = "wm_late_sink"
+        s.catalog.dropTempView(name)
         // must not depend on another query having set this first
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = s.readStream.schema(Tables.eventsRawSchema)

@@ -21,8 +21,20 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("native as-of join equals the declarative formulation (sf0.01)") {
-    val declarative = SparkEntry.queries("q_join_asof")(spark, TestSpark.sf001)
-      .collect().map(_.toString).toSeq
+    // the declarative arm is built HERE, not via SparkEntry.queries
+    // (q_join_asof itself runs the operator since r2, so referencing it
+    // would compare the operator against itself — ADVICE r2)
+    val ev = Tables.events(spark, TestSpark.sf001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val declarative = p
+      .join(c, col("user_id") === col("c_user") && col("c_ts") < col("ts"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(max(col("c_ts")).as("asof_ts"))
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
     val native = viaOperator(TestSpark.sf001)
       .collect().map(_.toString).toSeq
     assert(native == declarative)

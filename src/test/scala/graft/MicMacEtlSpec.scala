@@ -56,6 +56,109 @@ class MicMacEtlSpec extends AnyFunSuite {
     assert(out("referentials").count() == 3)
   }
 
+  test("autocal: ModPhgrStd distortion -> phgr_std transfo with P1/P2/b1/b2") {
+    val out = graft.etl.MicMacEtl.importAutocal(spark, s"$res/autocal_phgrstd.xml")
+    val ts = out("transfos").collect()
+      .map(r => r.getString(1) -> (r.getString(2), r.getSeq[Double](5))).toMap
+    assert(ts("distortion")._1 == "phgr_std")
+    // params = radial CDist ++ CoeffDist ++ [P1, P2, b1, b2]
+    assert(ts("distortion")._2 == Seq(1536.0, 1024.0,
+      -0.000125, 0.0000000375, 0.0000015, -0.0000025, 0.00012, -0.00034))
+    // pinhole unchanged across distortion models
+    assert(ts("projection")._2 == Seq(3041.5, 1523.4, 1011.25))
+  }
+
+  test("autocal: unknown CalibDistortion model fails loudly (A8)") {
+    val out = graft.etl.MicMacEtl
+      .importAutocal(spark, s"$res/autocal_unknown_model.xml")
+    val e = intercept[Throwable] { out("transfos").collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unknown CalibDistortion model")),
+      s"expected the A8 assert, got: $e")
+  }
+
+  test("orimatis: matrix-rotation pose equals the quaternion encoding") {
+    val out = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_matrix.xml")
+    val ts = out("transfos").collect()
+      .map(r => r.getString(2) -> r.getSeq[Double](4)).toMap
+    // mat3d rows are the same R = 90° about z the quaternion sample uses
+    val exp = Seq(
+      0.0, -1.0, 0.0, 651200.25,
+      1.0, 0.0, 0.0, 6861500.5,
+      0.0, 0.0, 1.0, 120.75)
+    ts("affine_mat4x3").zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"${ts("affine_mat4x3")} vs $exp") }
+    assert(ts("projective_pinhole") == Seq(3050.25, 1536.5, 1024.5))
+  }
+
+  test("orimatis: spherique flavor -> angular intrinsics, no pinhole") {
+    val out = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_spherique.xml")
+    val ts = out("transfos").collect()
+      .map(r => r.getString(2) -> r.getSeq[Double](4)).toMap
+    assert(ts.keySet == Set("affine_mat4x3", "spherical"),
+      "spherique emits pose + spherical intrinsics, never a pinhole")
+    // identity quaternion -> R = I with the sommet translation
+    val exp = Seq(
+      1.0, 0.0, 0.0, 650000.5,
+      0.0, 1.0, 0.0, 6860000.25,
+      0.0, 0.0, 1.0, 55.5)
+    ts("affine_mat4x3").zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // ppa + full-sphere lambda/phi frame
+    assert(ts("spherical")(0) == 4096.0 && ts("spherical")(1) == 2048.0)
+    assert(math.abs(ts("spherical")(2) + math.Pi) < 1e-12)
+    assert(math.abs(ts("spherical")(5) - math.Pi / 2) < 1e-12)
+    val sensors = out("sensors").collect()
+    assert(sensors.length == 1 && sensors(0).getString(3) == "spherique")
+    assert(out("referentials").count() == 3)
+  }
+
+  test("transfo validity windows: bounds set when given, open when not") {
+    val bounded = graft.etl.MicMacEtl.importAutocal(
+        spark, s"$res/autocal_sample.xml",
+        validityStart = Some("2024-01-01 00:00:00"),
+        validityEnd = Some("2025-01-01 00:00:00"))("transfos")
+    assert(bounded.schema("validity_start").dataType
+      == org.apache.spark.sql.types.TimestampType)
+    val r = bounded.select("validity_start", "validity_end").head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-01"))
+    assert(r.getTimestamp(1).toString.startsWith("2025-01-01"))
+    val open = graft.etl.MicMacEtl
+      .importAutocal(spark, s"$res/autocal_sample.xml")("transfos")
+      .select("validity_start", "validity_end").head
+    assert(open.isNullAt(0) && open.isNullAt(1), "null bounds = open window")
+  }
+
+  test("transfo_tree: one tree per file; membership stable across re-import") {
+    val out = graft.etl.MicMacEtl.importAutocal(spark, s"$res/autocal_sample.xml")
+    val tree1 = out("transfotrees").collect()
+    assert(tree1.length == 1)
+    assert(tree1(0).getString(1) == "autocal_sample.xml")
+    assert(tree1(0).getSeq[String](2) == Seq("distortion", "pixel", "projection"))
+    // idempotent re-import: get_or_create on the natural transfo key,
+    // then rebuilding the tree, must not change membership or add rows
+    val t = out("transfos")
+    val again = graft.etl.MicMacEtl
+      .getOrCreate(t, t, Seq("file", "transfo_name"))
+    assert(again.count() == t.count(), "re-import must not duplicate transfos")
+    val tree2 = graft.etl.MicMacEtl
+      .transfoTree(again, col("transfo_name")).collect()
+    assert(tree2.map(_.toString).sorted.toSeq
+      == tree1.map(_.toString).sorted.toSeq)
+    // blinis + orimatis emit trees too (per-camera / per-type membership)
+    val bl = graft.etl.MicMacEtl
+      .importBlinis(spark, s"$res/blinis_sample.xml")("transfotrees").collect()
+    assert(bl.length == 1 && bl(0).getSeq[String](2) == Seq("cam_00", "cam_01"))
+    val or = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_sample.xml")("transfotrees")
+      .collect()
+    assert(or.length == 1
+      && or(0).getSeq[String](2) == Seq("affine_mat4x3", "projective_pinhole"))
+  }
+
   test("get_or_create upsert is idempotent and key-stable (A5/A6)") {
     import spark.implicits._
     val existing = Seq(("s1", 1), ("s2", 2)).toDF("name", "id")
