@@ -142,37 +142,24 @@ object Llm extends QueryGroup {
           .select(col("doc_id"), col("lang"),
             col("bs.band").as("band"), col("bs.sig").as("sig"))
         // Hot-bucket guard (ADVICE r2): a skewed band signature (many
-        // near-identical / empty docs) would make the nested-transform
-        // pair expansion below materialize O(k^2) structs in ONE row —
-        // an OOM hazard at 100 TB. Buckets up to MaxBucket expand
-        // in-row (bounded ~1 MiB per row); larger buckets fall back to
-        // a streamed equi-self-join on the bucket key, which emits the
-        // identical pair set without the single-row blowup. Both
-        // branches derive from the one bucket aggregation (exchange
-        // reuse), so no extra pass over the sketches.
-        val maxBucket = 256
-        val buckets = bands
+        // near-identical / empty docs) would make a single-row
+        // flatten(transform(...)) pair expansion materialize O(k^2)
+        // structs in ONE row — an OOM hazard at 100 TB. Instead the
+        // expansion streams through two chained generators: posexplode
+        // emits one row per (bucket, i) carrying the O(k) ids array,
+        // and a second explode over slice(ids, i+2, ...) emits the
+        // (ids[i], ids[j>i]) pairs directly. Per-row memory stays O(k)
+        // for any bucket size while the emitted pair set is unchanged
+        // (ids sorted => a < b by construction), with no extra pass
+        // over the bucket aggregation and no self-join.
+        val cand = bands
           .groupBy(col("lang"), col("band"), col("sig"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
           .filter(size(col("ids")) > 1)
-        val smallPairs = buckets.filter(size(col("ids")) <= maxBucket)
-          .select(explode(expr(
-            """flatten(transform(sequence(0, size(ids) - 2), i ->
-              | transform(slice(ids, i + 2, size(ids) - i - 1),
-              |   x -> struct(ids[i] AS a, x AS b))))""".stripMargin))
-            .as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"))
-        val hot = buckets.filter(size(col("ids")) > maxBucket)
-          .select(col("lang"), col("band"), col("sig"),
-            explode(col("ids")).as("id"))
-        val hotPairs = hot
-          .select(col("lang"), col("band"), col("sig"), col("id").as("a"))
-          .join(hot.select(col("lang").as("l2"), col("band").as("b2"),
-              col("sig").as("s2"), col("id").as("b")),
-            col("lang") === col("l2") && col("band") === col("b2")
-              && col("sig") === col("s2") && col("a") < col("b"))
-          .select(col("a"), col("b"))
-        val cand = smallPairs.union(hotPairs).distinct()
+          .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+          .select(col("a"), explode(
+            expr("slice(ids, i + 2, size(ids) - i - 1)")).as("b"))
+          .distinct()
         val mhA = sketches.select(col("doc_id").as("a"), col("mh").as("mha"))
         val mhB = sketches.select(col("doc_id").as("b"), col("mh").as("mhb"))
         cand.join(mhA, "a").join(mhB, "b")
