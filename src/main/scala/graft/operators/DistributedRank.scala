@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed two-pass global ranking (VERDICT r1 #9 / r2 #6: the
+  * window family's 100x scale answer).
+  *
+  * `Window.orderBy` with no partition key funnels every row through ONE
+  * task — semantically exact and harmless on a dimension table (which
+  * is why q_win_ntile_pctrank keeps it), but a scale-killer on a fact
+  * table. This operator computes the same NTILE / PERCENT_RANK / global
+  * row number with no single-task global sort:
+  *
+  *   1. range-repartition on the sort key, so partitions are globally
+  *      ordered BETWEEN themselves (Spark samples split points);
+  *   2. count rows per range partition — one row per PARTITION, not per
+  *      data row — and prefix-sum the counts into partition start
+  *      offsets (a window over at most `parts` rows);
+  *   3. broadcast-join the offsets back onto the ranged data by
+  *      partition id; partition offset + local row_number is then the
+  *      exact global row number, computed independently per partition.
+  *
+  * Both passes hang off the SAME range exchange, so AQE ReusedExchange
+  * sorts/shuffles the input once — no cache, no driver collect (the
+  * two-job `zipWithIndex` idiom this replaces needs both).
+  *
+  * The sort key must be a TOTAL order (append a unique tiebreaker, as
+  * the declared contract's `(c_acctbal, c_custkey)` does). Under a
+  * total order rank == row_number, which makes NTILE and PERCENT_RANK
+  * exact; with ties the caller must layer a per-key min on top.
+  */
+object DistributedRank {
+
+  /** Adds `_gr_rank` (global 1-based row number, bigint), `nt`
+    * (NTILE(`numBuckets`), int) and `pct` (PERCENT_RANK, double) to
+    * `df`, ordered by `sortCols`. Intermediate `_gr_*` helper columns
+    * are dropped; `_gr_rank` is kept for callers that want the raw
+    * rank.
+    */
+  def withRankCols(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
+      parts: Int = 32): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+    // Pass 1: per-partition counts -> start offsets. <= `parts` rows, so
+    // the orderBy-without-partition window here is metadata-sized.
+    val wOff = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("_gr_pid"))
+      .agg(count(lit(1)).as("_gr_cnt"))
+      .select(col("_gr_pid"),
+        coalesce(sum(col("_gr_cnt")).over(wOff), lit(0L)).as("_gr_off"),
+        sum(col("_gr_cnt")).over(Window.partitionBy()).as("_gr_total"))
+    // Pass 2: local row_number per range partition + broadcast offset.
+    val wLocal = Window.partitionBy(col("_gr_pid")).orderBy(sortCols: _*)
+    val q = expr("_gr_total div " + numBuckets)
+    val r = expr("_gr_total % " + numBuckets)
+    // NTILE semantics: the first (total mod n) buckets hold one extra
+    // row. When total < n, r = total and the first branch covers every
+    // rank with bucket size q+1 = 1 (the ELSE's q=0 divisor is never
+    // evaluated — CASE short-circuits).
+    val nt = when(col("_gr_rank") <= r * (q + lit(1L)),
+        expr(s"(_gr_rank - 1) div (_gr_total div $numBuckets + 1)") + lit(1L))
+      .otherwise(r + expr(
+        s"""(_gr_rank - (_gr_total % $numBuckets)
+           |  * (_gr_total div $numBuckets + 1) - 1)
+           | div (_gr_total div $numBuckets)""".stripMargin) + lit(1L))
+    val pct = when(col("_gr_total") > 1,
+        (col("_gr_rank") - 1).cast("double") / (col("_gr_total") - 1))
+      .otherwise(lit(0.0))
+    ranged
+      .join(broadcast(offsets), Seq("_gr_pid"))
+      .withColumn("_gr_rank", col("_gr_off") + row_number().over(wLocal))
+      .withColumn("nt", nt.cast("int"))
+      .withColumn("pct", pct)
+      .drop("_gr_pid", "_gr_off", "_gr_total")
+  }
+}

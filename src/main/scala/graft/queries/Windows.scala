@@ -113,6 +113,9 @@ object Windows extends QueryGroup {
         |FROM documents ORDER BY lang, n_chars, doc_id""".stripMargin)),
 
     QueryDef(
+      // Single-task global window: semantically what an unpartitioned
+      // NTILE/PERCENT_RANK means, kept for the tiny-dimension case. The
+      // scale path for the same semantics is q_win_ntile_distributed.
       "q_win_ntile_pctrank",
       (s, d) => {
         val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
@@ -122,10 +125,27 @@ object Windows extends QueryGroup {
             percent_rank().over(w).as("pct"))
           .orderBy(col("c_custkey"))
       },
-      Some("""SELECT c_custkey, c_acctbal,
-        | NTILE(4) OVER w AS nt, PERCENT_RANK() OVER w AS pct
-        |FROM customer
-        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_custkey""".stripMargin))
+      Some(ntileOracle)),
+
+    QueryDef(
+      // Same contract as q_win_ntile_pctrank (identical oracle SQL) but
+      // computed by the two-pass distributed ranker — range partition +
+      // offset broadcast — with no single-task sort of the data.
+      "q_win_ntile_distributed",
+      (s, d) => {
+        graft.operators.DistributedRank.withRankCols(
+            Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+            Seq(col("c_acctbal"), col("c_custkey")), numBuckets = 4)
+          .select(col("c_custkey"), col("c_acctbal"), col("nt"), col("pct"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(ntileOracle))
   )
+
+  private val ntileOracle =
+    """SELECT c_custkey, c_acctbal,
+      | NTILE(4) OVER w AS nt, PERCENT_RANK() OVER w AS pct
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
 }

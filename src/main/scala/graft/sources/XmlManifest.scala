@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+/** One fetched XML file: the same (path, content) shape `wholetext`
+  * produces, so downstream `from_xml` parsing is source-agnostic.
+  */
+final case class XmlFile(path: String, length: Long, xml: String)
+
+/** Scale-out XML ingestion (SURVEY §2A/A1; VERDICT r2 #8).
+  *
+  * The `wholetext` path used by the ETL importers is correct but
+  * driver-bound at 100 TB: `spark.read` materializes the file listing
+  * on the DRIVER (InMemoryFileIndex), and a billion small orientation
+  * files OOM the driver before a single byte of XML is read.
+  *
+  * This source inverts that: the file listing is DATA, not driver
+  * state. A manifest — a Dataset of paths, typically a parquet column
+  * produced by whatever wrote the files, or built once by a recursive
+  * lister running AS A JOB — is partitioned across executors, and each
+  * task opens its paths directly against the FileSystem API. The
+  * driver never holds more than the manifest's query plan.
+  *
+  *   manifest (Dataset[String], N paths)
+  *     -> repartition(parts)             // balance fetch work
+  *     -> mapPartitions(open + read)     // executor-side IO
+  *     -> DataFrame[path, length, xml]   // feed MicMacEtl.parse*
+  *
+  * Properties a 1000-executor cluster needs, and local[n] verifies:
+  *  - listing cost is O(manifest rows / parallelism) per task, O(1) on
+  *    the driver — no InMemoryFileIndex;
+  *  - fetch is embarrassingly parallel; stragglers are bounded by
+  *    `parts` times mean file size, not by directory layout;
+  *  - the Hadoop conf travels once per executor via the standard
+  *    SerializableConfiguration broadcast wrapper, so S3/HDFS creds
+  *    and tuning reach every task;
+  *  - unreadable paths fail the task loudly (A8 posture: bad input is
+  *    an error, not a silent drop).
+  *
+  * When file count dwarfs byte count (millions of ~KiB orientation
+  * files), the long-term answer is packing into container files and
+  * reading those with a splittable format; this source is the bridge
+  * that needs no re-layout of the input.
+  */
+object XmlManifest {
+
+  /** Fetch every path in `manifest` executor-side. */
+  def readXml(spark: SparkSession, manifest: Dataset[String],
+      parts: Int = 32): DataFrame = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val bc = spark.sparkContext.broadcast(hconf)
+    manifest.repartition(parts).mapPartitions { paths =>
+      val conf: Configuration = bc.value.value
+      paths.map { p =>
+        val path = new Path(p)
+        val fs = path.getFileSystem(conf)
+        val status = fs.getFileStatus(path)
+        val in = fs.open(path)
+        try {
+          val buf = new Array[Byte](status.getLen.toInt)
+          in.readFully(0, buf)
+          XmlFile(p, status.getLen, new String(buf, "UTF-8"))
+        } finally in.close()
+      }
+    }.toDF()
+  }
+
+  /** Convenience: a manifest from a text file of newline-separated
+    * paths (itself read distributed — one small file of paths unlocks
+    * any number of data files).
+    */
+  def fromPathsFile(spark: SparkSession, pathsFile: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(pathsFile).filter(_.nonEmpty)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-pass distributed ranker must equal the single-window
+  * NTILE/PERCENT_RANK formulation exactly, including the uneven-bucket
+  * and fewer-rows-than-buckets edges, while range-partitioning the data
+  * instead of funneling it through one task.
+  */
+class DistributedRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def viaWindow(n: Int) = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, TestSpark.sf001)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(n).over(w).as("nt"), percent_rank().over(w).as("pct"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def viaDistributed(n: Int, parts: Int) =
+    graft.operators.DistributedRank.withRankCols(
+        Tables.customer(spark, TestSpark.sf001)
+          .select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal"), col("c_custkey")), numBuckets = n,
+        parts = parts)
+      .select(col("c_custkey"), col("c_acctbal"), col("nt"), col("pct"))
+      .orderBy(col("c_custkey"))
+
+  test("distributed rank equals the global window (sf0.01, ntile 4)") {
+    val expected = viaWindow(4).collect().map(_.toString).toSeq
+    val got = viaDistributed(4, parts = 8).collect().map(_.toString).toSeq
+    assert(got == expected)
+  }
+
+  test("uneven buckets: ntile 7 over 1500 rows (1500 = 7*214 + 2)") {
+    val expected = viaWindow(7).collect().map(_.toString).toSeq
+    val got = viaDistributed(7, parts = 8).collect().map(_.toString).toSeq
+    assert(got == expected)
+  }
+
+  test("fewer rows than buckets and the single-row pct edge") {
+    import spark.implicits._
+    val tiny = Seq((3, 10.0), (1, 30.0), (2, 20.0))
+      .toDF("c_custkey", "c_acctbal")
+    val got = graft.operators.DistributedRank.withRankCols(tiny,
+        Seq(col("c_acctbal"), col("c_custkey")), numBuckets = 4, parts = 4)
+      .select(col("c_custkey"), col("nt"), col("pct"), col("_gr_rank"))
+      .orderBy(col("_gr_rank")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    // 3 rows into 4 buckets: each of the first 3 buckets gets one row
+    assert(got.toSeq == Seq((3, 1, 0.0, 1L), (2, 2, 0.5, 2L),
+      (1, 3, 1.0, 3L)))
+    val one = graft.operators.DistributedRank.withRankCols(
+        Seq((1, 1.0)).toDF("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal")), numBuckets = 4, parts = 4)
+      .select(col("nt"), col("pct")).collect().head
+    assert(one.getInt(0) == 1 && one.getDouble(1) == 0.0)
+  }
+
+  test("plan range-partitions the data — no single-task sort of rows") {
+    val plan = viaDistributed(4, parts = 8).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    // the only unpartitioned window must be over the per-partition
+    // counts (8 rows), never over the data: the data-side window
+    // carries the _gr_pid partition spec
+    assert(plan.contains("windowspecdefinition(_gr_pid"),
+      s"expected pid-partitioned data window in:\n$plan")
+  }
+}
