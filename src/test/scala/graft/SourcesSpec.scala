@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -42,7 +43,12 @@ class SourcesSpec extends AnyFunSuite {
       .load("src/test/resources/micmac/*.xml")
     val rows = df.select(col("path"), length(col("content")).as("len"))
       .collect()
-    assert(rows.length == 3)
+    // count derived from the fixture dir, not hardcoded: new golden
+    // XMLs must not break the source test
+    val expected = Files.list(java.nio.file.Paths.get(
+        "src/test/resources/micmac")).iterator().asScala
+      .count(_.toString.endsWith(".xml"))
+    assert(rows.length == expected && expected >= 3)
     assert(rows.forall(_.getInt(1) > 100))
   }
 }
