@@ -23,7 +23,16 @@ object LlmText extends QueryGroup {
   private val tokHash60 =
     "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
 
-  /** 60-bit SimHash over precomputed token hashes (nested HOFs). */
+  /** 60-bit SimHash over precomputed token hashes (nested HOFs).
+    *
+    * Measured r3 (Scratch profile, sf0.1, local[4]): this sketch pass is
+    * 0.55 s warm for 5 k docs / 270 k tokens — NOT the query's cost. A
+    * single-pass SWAR rewrite (60 packed counters in 15 bigints, one
+    * aggregate of long arithmetic) was tried and measured SLOWER
+    * (16.6 s vs 10.6 s whole-query): interpreted named_struct
+    * construction per token loses to 60 cache-friendly passes over a
+    * small primitive array. Keep this form.
+    */
   private val simhashExpr =
     """aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
       | acc + if(
@@ -177,7 +186,7 @@ object LlmText extends QueryGroup {
         // by pigeonhole, hamming(x, y) <= 14 forces at least one band to
         // match exactly, so the (lang, band, bits) equi-join + hamming
         // post-filter returns the IDENTICAL result set while shuffling
-        // on a 15*16-way key. Two tricks keep it cheap:
+        // on a 15*16-way key. Three tricks keep it cheap:
         //  - both join sides derive from the same `bands` subplan, so
         //    AQE ReusedExchange runs the md5-per-token sketch pass once
         //    (measured round 1/2: an explicit persist() here is 3-5x
@@ -187,7 +196,18 @@ object LlmText extends QueryGroup {
         //    x = nibble-nonzero mask of sig_a^sig_b, and the join keeps
         //    a row iff every nibble below `band` is nonzero — pure long
         //    arithmetic (codegen-friendly), so no dedup shuffle over the
-        //    multi-band match multiplicity is needed.
+        //    multi-band match multiplicity is needed;
+        //  - the join is hinted SHUFFLE_HASH (r3, Scratch-measured 4.7 s
+        //    vs 9.0 s for sort-merge at sf0.1): the data is dense in
+        //    sig space (552 k qualifying pairs from 5 k docs), so the
+        //    join streams ~10 M key-matched candidates; hashing one
+        //    side per partition beats sorting BOTH exploded sides.
+        //    Scale-safe, unlike a broadcast: the build side is one
+        //    shuffle partition of the (lang, band, bits) key — bounded
+        //    by the 15*16-per-lang fan-out — not the whole corpus.
+        //    (A 5x12-bit multi-probe key (79 masks, <=2-error groups)
+        //    was also measured: 3.5x fewer candidates but no wall-clock
+        //    win — probe generation ate the gain; not adopted.)
         val bands = sigs.select(col("doc_id"), col("lang"), col("sig"),
           explode(expr(
             """transform(sequence(0, 14),
@@ -212,7 +232,7 @@ object LlmText extends QueryGroup {
             |= (76861433640456465
             |   & (shiftleft(cast(1 as bigint), 4 * band) - 1))"""
             .stripMargin)
-        a.join(b,
+        a.join(b.hint("shuffle_hash"),
             col("lang") === col("lang_b") && col("band") === col("band_b")
               && col("bits") === col("bits_b") && col("a") < col("b")
               && bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= 14
