@@ -73,4 +73,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dense-key dedup joins use shuffled hash, not sort-merge or broadcast") {
+    // r3 measured: sorting both exploded sides costs ~2x on these dense
+    // candidate keys, and a broadcast would pin the wrong 100 TB plan
+    // (the build side grows with the corpus). Guard the SHUFFLE_HASH
+    // choice for both queries.
+    for (q <- Seq("q_dedup_simhash", "q_dedup_near_jaccard")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+    // the only join in simhash is the candidate join itself, so there
+    // nothing may broadcast either (near_jaccard's tiny per-doc size
+    // lookups legitimately do)
+    assert(!plan("q_dedup_simhash").contains("BroadcastHashJoin"))
+  }
 }
