@@ -183,6 +183,63 @@ object Joins extends QueryGroup {
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
     QueryDef(
+      // forward direction of the same native operator (added r3 so all
+      // three directions are oracle-checked, not just AsOfJoinSpec'd):
+      // smallest strictly-later click per purchase, same single
+      // co-partitioned linear merge.
+      "q_join_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.plans.AsOf.join(p, c, "p_user", "p_ts", "c_user", "c_ts",
+            direction = "forward")
+          .select(col("event_id"), col("asof_ts").as("next_click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, MIN(c.ts) AS next_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts > p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
+
+    QueryDef(
+      // nearest direction: the closer of (greatest strictly-earlier,
+      // smallest strictly-later), ties resolved backward; clicks at
+      // exactly the purchase time are excluded on both sides. The
+      // oracle ranks each purchase's candidate clicks by absolute
+      // time distance with a backward tiebreak.
+      "q_join_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.plans.AsOf.join(p, c, "p_user", "p_ts", "c_user", "c_ts",
+            direction = "nearest")
+          .select(col("event_id"), col("asof_ts").as("nearest_click_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.event_id, c.ts AS c_ts,
+        |    ABS(epoch_us(c.ts) - epoch_us(p.ts)) AS d,
+        |    CASE WHEN c.ts < p.ts THEN 1 ELSE 0 END AS bwd
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.ts <> p.ts)
+        |SELECT event_id, c_ts AS nearest_click_ts FROM (
+        |  SELECT event_id, c_ts,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id
+        |                       ORDER BY d ASC, bwd DESC) AS rn
+        |  FROM cand)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    QueryDef(
       "q_join_range_band",
       (s, d) => {
         val ev = Tables.events(s, d)
