@@ -60,6 +60,10 @@ object XmlManifest {
         val path = new Path(p)
         val fs = path.getFileSystem(conf)
         val status = fs.getFileStatus(path)
+        // orientation XMLs are KBs; a >2 GiB file is corrupt input and
+        // must fail loudly, not silently truncate through toInt
+        require(status.getLen <= Int.MaxValue,
+          s"XML file too large for single-doc read: $p (${status.getLen} B)")
         val in = fs.open(path)
         try {
           val buf = new Array[Byte](status.getLen.toInt)
