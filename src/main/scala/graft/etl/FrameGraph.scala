@@ -1,0 +1,97 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Frame-graph traversal: compose affine transfos along referential
+  * paths (SURVEY §1.3 "frame graph (referentials+transfos) → plain
+  * DataFrames nodes/edges; traversals = self-joins"; upstream li3ds
+  * datastore capability [unverified — empty reference mount]).
+  *
+  * The li3ds datastore is a graph: referentials are nodes (world, rig
+  * base, camera, image frames) and transfos are edges carrying an
+  * `affine_mat4x3` — 12 doubles, row-major [R|t] — mapping coordinates
+  * from the source referential into the target. A user's first query
+  * after import is "give me the world→image transform for this
+  * sensor", i.e. chain the matrices along the path, restricted to one
+  * `transfo_tree` snapshot so the answer is consistent.
+  *
+  * Spark-first shape: the path walk is a bounded sequence of equi-joins
+  * (frontier.dst == edges.src) — one per hop, not a driver loop over
+  * collected rows — and the matrix product is pure column arithmetic
+  * (codegen'd, no UDF). Frame graphs are structurally shallow
+  * (world→rig→camera→rawImage is 3 hops), so `maxHops` is a small
+  * constant; the joins shuffle on referential names, or broadcast when
+  * the edge table is dimension-sized — metadata-scale either way, even
+  * when the fact tables are 100 TB.
+  */
+object FrameGraph {
+
+  /** Affine composition `outer ∘ inner` (apply `inner` first):
+    * out.R = outer.R · inner.R, out.t = outer.R · inner.t + outer.t.
+    * Both operands are array<double> length-12 row-major [R|t]. Element
+    * order is fixed (left-to-right sum of three products, translation
+    * added last) so results are reproducible bit-for-bit — the DuckDB
+    * oracle mirrors the same expression shape.
+    */
+  def compose(outer: Column, inner: Column): Column = {
+    def e(m: Column, i: Int, j: Int): Column = element_at(m, i * 4 + j + 1)
+    val cells = for { i <- 0 until 3; j <- 0 until 4 } yield {
+      val s = (0 until 3).map(k => e(outer, i, k) * e(inner, k, j))
+        .reduceLeft(_ + _)
+      if (j == 3) s + e(outer, i, 3) else s
+    }
+    array(cells: _*)
+  }
+
+  /** Restrict `transfos` to the membership of one `transfo_tree`
+    * snapshot (tree rows as emitted by `MicMacEtl.transfoTree`: one row
+    * per file with the sorted set of member transfo names). The result
+    * is a consistent edge set: composing inside it can never mix two
+    * import generations.
+    */
+  def snapshot(transfos: DataFrame, transfotrees: DataFrame,
+      treeName: String, nameCol: String): DataFrame = {
+    val members = transfotrees
+      .filter(col("tree_name") === treeName)
+      .select(explode(col("transfos")).as("_fg_member"))
+    transfos.join(members, col(nameCol) === col("_fg_member"), "left_semi")
+  }
+
+  /** All composed transfos from `from` to `to` in at most `maxHops`
+    * edge traversals. `edges` must expose `srcCol`/`dstCol` (referential
+    * names/ids) and `matCol` (length-12 array<double>). Output: one row
+    * per path that reaches `to`, with columns
+    * (srcCol, dstCol, hops, matCol).
+    *
+    * Composition associates as edge_h ∘ (edge_{h-1} ∘ (… ∘ edge_1)) —
+    * the frontier accumulates from the path start outward — and the
+    * oracle mirrors that association, so float results are reproducible.
+    * On a DAG with a unique path (the frame-tree case) this returns
+    * exactly one row.
+    */
+  def composePath(edges: DataFrame, from: Column, to: Column,
+      maxHops: Int = 8, srcCol: String = "src", dstCol: String = "dst",
+      matCol: String = "mat4x3"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val base = edges.select(col(srcCol).as("_fg_src"),
+      col(dstCol).as("_fg_dst"), col(matCol).as("_fg_mat"))
+    val step = edges.select(col(srcCol).as("_e_src"),
+      col(dstCol).as("_e_dst"), col(matCol).as("_e_mat"))
+    var frontier = base.filter(col("_fg_src") === from)
+      .withColumn("hops", lit(1))
+    var reached = frontier.filter(col("_fg_dst") === to)
+    for (h <- 2 to maxHops) {
+      // frontier rows already at `to` are terminal (frame paths end at
+      // the requested referential); everything else extends one hop
+      frontier = frontier.filter(col("_fg_dst") =!= to)
+        .join(step, col("_fg_dst") === col("_e_src"))
+        .select(col("_fg_src"), col("_e_dst").as("_fg_dst"),
+          compose(col("_e_mat"), col("_fg_mat")).as("_fg_mat"))
+        .withColumn("hops", lit(h))
+      reached = reached.unionByName(frontier.filter(col("_fg_dst") === to))
+    }
+    reached.select(col("_fg_src").as(srcCol), col("_fg_dst").as(dstCol),
+      col("hops"), col("_fg_mat").as(matCol))
+  }
+}

@@ -319,10 +319,34 @@ object MicMacEtl {
 
   // ------------------------------------------------- surrogate keys + upsert
 
-  /** A6: deterministic surrogate ids over the natural key */
+  /** A6: deterministic surrogate ids over the natural key.
+    *
+    * Fine on a post-distinct dimension (the declared case): the global
+    * window funnels only the dimension through one task. For a
+    * high-cardinality natural key use [[withSurrogateIdsAtScale]].
+    */
   def withSurrogateIds(df: DataFrame, naturalKey: Seq[String]): DataFrame =
     df.withColumn("id", dense_rank().over(
       Window.orderBy(naturalKey.map(col): _*)))
+
+  /** A6 at 100 TB: the same deterministic id assignment (dense ids in
+    * natural-key order, duplicates share an id) with NO single-task
+    * global sort. The distinct natural keys — already unique, so
+    * DistributedRank's total-order precondition holds — are globally
+    * numbered by the two-pass range-partitioned ranker, then joined
+    * back on the key (an equi-join that shuffles on the key, or
+    * broadcasts when the dimension is small). Ids are bigint: a
+    * high-cardinality key can exceed Int range.
+    */
+  def withSurrogateIdsAtScale(df: DataFrame, naturalKey: Seq[String],
+      parts: Int = 32): DataFrame = {
+    val keyCols = naturalKey.map(col)
+    val ids = graft.operators.DistributedRank
+      .withRankCols(df.select(keyCols: _*).distinct(), keyCols,
+        numBuckets = 1, parts = parts)
+      .select(keyCols :+ col("_gr_rank").as("id"): _*)
+    df.join(ids, naturalKey)
+  }
 
   /** A5 get_or_create: rows of `staging` whose natural key is absent from
     * `existing` are appended; matched rows reuse the existing id. */

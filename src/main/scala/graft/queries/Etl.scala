@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** ETL analogs of the reference's import pipeline (SURVEY §2A A5/A6 →
   * §2B q_etl_*): deterministic surrogate keys (the batch analog of the
@@ -18,7 +19,61 @@ import org.apache.spark.sql.functions._
   */
 object Etl extends QueryGroup {
 
+  /** DuckDB mirror of FrameGraph.compose: same cell order, same
+    * left-to-right three-product sum with the translation added last,
+    * so the float results are bit-identical to the Spark side. */
+  private def sqlCompose(a: String, b: String): String =
+    (for { i <- 0 until 3; j <- 0 until 4 } yield {
+      val s = (0 until 3)
+        .map(k => s"$a[${i * 4 + k + 1}]*$b[${k * 4 + j + 1}]")
+        .mkString(" + ")
+      if (j == 3) s"$s + $a[${i * 4 + 4}]" else s
+    }).mkString("[", ",\n ", "]")
+
+  /** Synthetic frame-graph edge k -> k+1 for nation key k: R swaps x/y
+    * on even k (identity on odd), t = (k+1, 2(k+1), 3(k+1)) — integer
+    * values, so matrix products are float-exact on both engines. */
+  private val sqlEdgeMat: String = {
+    def sw(a: String, b: String) =
+      s"CASE WHEN n_nationkey % 2 = 0 THEN $a ELSE $b END"
+    s"""[${sw("0.0", "1.0")}, ${sw("1.0", "0.0")}, 0.0, CAST(n_nationkey + 1 AS DOUBLE),
+       | ${sw("1.0", "0.0")}, ${sw("0.0", "1.0")}, 0.0, CAST(n_nationkey + 1 AS DOUBLE)*2,
+       | 0.0, 0.0, 1.0, CAST(n_nationkey + 1 AS DOUBLE)*3]""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // Frame-graph traversal (SURVEY §1.3: traversals = self-joins):
+      // chain affine_mat4x3 edges 0->1->2->3->4 built from nation keys
+      // and emit the composed world->leaf matrix, one row per cell.
+      "q_graph_compose_path",
+      (s, d) => {
+        val k = col("n_nationkey")
+        val kd = (k + 1).cast(DoubleType)
+        val even = k % 2 === 0
+        def sw(a: Double, b: Double) = when(even, lit(a)).otherwise(lit(b))
+        val edges = Tables.nation(s, d).select(
+          k.as("src"), (k + 1).as("dst"),
+          array(
+            sw(0, 1), sw(1, 0), lit(0d), kd,
+            sw(1, 0), sw(0, 1), lit(0d), kd * 2,
+            lit(0d), lit(0d), lit(1d), kd * 3).as("mat4x3"))
+        graft.etl.FrameGraph.composePath(edges, lit(0), lit(4), maxHops = 4)
+          .select(posexplode(col("mat4x3")))
+          .toDF("idx", "val")
+          .orderBy(col("idx"))
+      },
+      Some(s"""WITH e AS (SELECT n_nationkey AS k, $sqlEdgeMat AS m
+        |            FROM nation WHERE n_nationkey < 4),
+        |c1 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
+        |       FROM e a, e b WHERE a.k = 0 AND b.k = 1),
+        |c2 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
+        |       FROM c1 a, e b WHERE b.k = 2),
+        |c3 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
+        |       FROM c2 a, e b WHERE b.k = 3)
+        |SELECT CAST(t.idx AS INTEGER) AS idx, c3.m[CAST(t.idx AS INTEGER) + 1] AS val
+        |FROM c3 CROSS JOIN range(12) t(idx) ORDER BY idx""".stripMargin)),
 
     QueryDef(
       "q_etl_surrogate_keys",

@@ -131,6 +131,9 @@ object Windows extends QueryGroup {
       // Same contract as q_win_ntile_pctrank (identical oracle SQL) but
       // computed by the two-pass distributed ranker — range partition +
       // offset broadcast — with no single-task sort of the data.
+      // (c_acctbal, c_custkey) is a TOTAL order — c_custkey is unique —
+      // which DistributedRank requires: with duplicate sort keys its
+      // row_number-based rank diverges from rank() under ties.
       "q_win_ntile_distributed",
       (s, d) => {
         graft.operators.DistributedRank.withRankCols(

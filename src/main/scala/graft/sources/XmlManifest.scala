@@ -42,14 +42,26 @@ final case class XmlFile(path: String, length: Long, xml: String)
   *
   * When file count dwarfs byte count (millions of ~KiB orientation
   * files), the long-term answer is packing into container files and
-  * reading those with a splittable format; this source is the bridge
-  * that needs no re-layout of the input.
+  * reading those with a splittable format — implemented below as
+  * [[XmlManifest.pack]]/[[XmlManifest.readPacked]]; this source is the
+  * bridge that needs no re-layout of the input.
   */
 object XmlManifest {
 
-  /** Fetch every path in `manifest` executor-side. */
+  /** Largest admissible single XML document. Orientation XMLs are KBs;
+    * anything near array-max is corrupt input, and admitting sizes up
+    * to Int.MaxValue would OOM inside the array allocation (HotSpot
+    * caps arrays below Int.MaxValue) instead of failing the loud
+    * require — and several ~2 GiB buffers across concurrent tasks
+    * would blow the executor heap first anyway. */
+  val DefaultMaxBytes: Long = 256L << 20
+
+  /** Fetch every path in `manifest` executor-side. Files larger than
+    * `maxBytes` fail the task loudly (A8 posture). */
   def readXml(spark: SparkSession, manifest: Dataset[String],
-      parts: Int = 32): DataFrame = {
+      parts: Int = 32, maxBytes: Long = DefaultMaxBytes): DataFrame = {
+    require(maxBytes > 0 && maxBytes <= Int.MaxValue - 8,
+      s"maxBytes must fit a JVM array: $maxBytes")
     import spark.implicits._
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -60,10 +72,9 @@ object XmlManifest {
         val path = new Path(p)
         val fs = path.getFileSystem(conf)
         val status = fs.getFileStatus(path)
-        // orientation XMLs are KBs; a >2 GiB file is corrupt input and
-        // must fail loudly, not silently truncate through toInt
-        require(status.getLen <= Int.MaxValue,
-          s"XML file too large for single-doc read: $p (${status.getLen} B)")
+        require(status.getLen <= maxBytes,
+          s"XML file too large for single-doc read: $p "
+            + s"(${status.getLen} B > $maxBytes B)")
         val in = fs.open(path)
         try {
           val buf = new Array[Byte](status.getLen.toInt)
@@ -73,6 +84,25 @@ object XmlManifest {
       }
     }.toDF()
   }
+
+  /** Container packing — the long-term layout when file COUNT dwarfs
+    * byte count (millions of ~KiB orientation files): run the manifest
+    * fetch ONCE as a packing job and land the documents in splittable
+    * parquet containers of (path, length, xml). After that, every
+    * consumer reads the containers with the ordinary parquet scan —
+    * vectorized, splittable, no per-file FileSystem round-trips, and
+    * the driver lists O(containers) instead of O(documents). The
+    * packed table is schema-identical to [[readXml]]'s output, so the
+    * parse path downstream is source-agnostic.
+    */
+  def pack(spark: SparkSession, manifest: Dataset[String], outDir: String,
+      parts: Int = 32, maxBytes: Long = DefaultMaxBytes): Unit =
+    readXml(spark, manifest, parts, maxBytes)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Read a packed container dir back as the (path, length, xml) shape. */
+  def readPacked(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 
   /** Convenience: a manifest from a text file of newline-separated
     * paths (itself read distributed — one small file of paths unlocks

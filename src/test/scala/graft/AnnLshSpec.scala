@@ -15,7 +15,18 @@ class AnnLshSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect ann).size.toDouble / exact.size
     info(s"recall@5 = $recall (${(exact intersect ann).size}/${exact.size})")
-    assert(recall >= 0.5, s"recall $recall below 0.5 — LSH params degenerate")
+    assert(recall >= 0.85, s"recall $recall below 0.85 — LSH params degenerate")
+  }
+
+  test("LSH buckets prune: per-query candidates stay below the corpus") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.embeddings(spark, TestSpark.sf001).count()
+    val perQ = graft.queries.AnnLsh.candidates(spark, TestSpark.sf001)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    info(s"max candidates per query = $perQ of corpus $corpus")
+    assert(perQ < corpus,
+      s"LSH degenerated to brute force: $perQ candidates of $corpus corpus")
   }
 
   test("IVF ANN recall@5 with nprobe=6/16 cells on sf0.01") {

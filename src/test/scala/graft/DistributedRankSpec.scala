@@ -60,6 +60,46 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(one.getInt(0) == 1 && one.getDouble(1) == 0.0)
   }
 
+  test("surrogate ids at scale equal the window form, duplicates share ids") {
+    val df = Tables.events(spark, TestSpark.sf001)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val win = graft.etl.MicMacEtl
+      .withSurrogateIds(df, Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("id").cast("long"))
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    val dist = graft.etl.MicMacEtl
+      .withSurrogateIdsAtScale(df, Seq("event_type"), parts = 8)
+      .select(col("event_id"), col("event_type"), col("id"))
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    assert(dist == win)
+  }
+
+  test("at-scale surrogate ids carry no single-task sort (high-card key)") {
+    val plan = graft.etl.MicMacEtl
+      .withSurrogateIdsAtScale(
+        Tables.events(spark, TestSpark.sf001).select(col("event_id")),
+        Seq("event_id"), parts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    assert(plan.contains("windowspecdefinition(_gr_pid"),
+      s"expected pid-partitioned data window in:\n$plan")
+  }
+
+  test("offset pass reuses the range exchange (executed plan pins reuse)") {
+    val df = viaDistributed(4, parts = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // correctness of the offset join requires both consumers to observe
+    // the SAME range partition boundaries: either the final adaptive
+    // plan shows an explicit ReusedExchange/stage reuse, or there is
+    // exactly one range exchange in the executed plan
+    val rangeExchanges = "Exchange rangepartitioning".r
+      .findAllIn(plan).length
+    assert(plan.contains("ReusedExchange") || rangeExchanges == 1,
+      s"range exchange not reused (found $rangeExchanges):\n$plan")
+  }
+
   test("plan range-partitions the data — no single-task sort of rows") {
     val plan = viaDistributed(4, parts = 8).queryExecution
       .executedPlan.toString

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frame-graph traversal (SURVEY §1.3): composing affine_mat4x3
+  * transfos along a referential path over the golden-fixture imports,
+  * against hand-computed matrices. */
+class FrameGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val res = "src/test/resources/micmac"
+
+  /** world -> base (orimatis pose: Rz90 + sommet translation) plus
+    * base -> cam_00 / cam_01 (blinis rig arms). */
+  private lazy val edges = {
+    val pose = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_sample.xml")("transfos")
+      .filter(col("transfo_type") === "affine_mat4x3")
+      .select(lit("world").as("src"), lit("base").as("dst"), col("mat4x3"))
+    val rig = graft.etl.MicMacEtl
+      .importBlinis(spark, s"$res/blinis_sample.xml")("transfos")
+      .select(lit("base").as("src"), col("cam").as("dst"), col("mat4x3"))
+    pose.unionByName(rig)
+  }
+
+  test("2-hop world->cam_01 composes pose then rig arm") {
+    val rows = graft.etl.FrameGraph
+      .composePath(edges, lit("world"), lit("cam_01"), maxHops = 3)
+      .collect()
+    assert(rows.length == 1, "unique path in a frame tree")
+    assert(rows(0).getInt(2) == 2)
+    // R = Rcam01 * Rz90 = Rz180; t = Rcam01 * t_pose + t_cam01
+    val exp = Seq(
+      -1.0, 0.0, 0.0, -6861501.0,
+      0.0, -1.0, 0.0, 651200.5,
+      0.0, 0.0, 1.0, 122.25)
+    val got = rows(0).getSeq[Double](3)
+    got.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$got vs $exp") }
+  }
+
+  test("2-hop world->cam_00 keeps the rotation, shifts the translation") {
+    val got = graft.etl.FrameGraph
+      .composePath(edges, lit("world"), lit("cam_00"), maxHops = 3)
+      .collect()(0).getSeq[Double](3)
+    // cam_00 arm is identity R with t=(0.1,0.2,0.3): R stays Rz90
+    val exp = Seq(
+      0.0, -1.0, 0.0, 651200.35,
+      1.0, 0.0, 0.0, 6861500.7,
+      0.0, 0.0, 1.0, 121.05)
+    got.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$got vs $exp") }
+  }
+
+  test("1-hop path returns the edge matrix unchanged") {
+    val rows = graft.etl.FrameGraph
+      .composePath(edges, lit("base"), lit("cam_00"), maxHops = 3)
+      .collect()
+    assert(rows.length == 1 && rows(0).getInt(2) == 1)
+    assert(rows(0).getSeq[Double](3) == Seq(
+      1.0, 0.0, 0.0, 0.1,
+      0.0, 1.0, 0.0, 0.2,
+      0.0, 0.0, 1.0, 0.3))
+  }
+
+  test("unreachable target yields no rows within maxHops") {
+    assert(graft.etl.FrameGraph
+      .composePath(edges, lit("cam_00"), lit("world"), maxHops = 4)
+      .count() == 0)
+  }
+
+  test("snapshot restricts edges to one transfo_tree's membership") {
+    val out = graft.etl.MicMacEtl
+      .importBlinis(spark, s"$res/blinis_sample.xml")
+    val full = graft.etl.FrameGraph.snapshot(
+      out("transfos"), out("transfotrees"), "blinis_sample.xml", "cam")
+    assert(full.count() == 2)
+    assert(graft.etl.FrameGraph.snapshot(
+      out("transfos"), out("transfotrees"), "no_such_tree", "cam")
+      .count() == 0)
+    // a pruned snapshot excludes the non-member edge
+    import spark.implicits._
+    val pruned = Seq(("blinis_sample.xml", Seq("cam_00")))
+      .toDF("tree_name", "transfos")
+    val one = graft.etl.FrameGraph
+      .snapshot(out("transfos"), pruned, "blinis_sample.xml", "cam")
+    assert(one.select("cam").collect().map(_.getString(0)).toSeq
+      == Seq("cam_00"))
+  }
+}

@@ -45,6 +45,46 @@ class XmlManifestSpec extends AnyFunSuite {
     } finally Files.delete(pathsFile)
   }
 
+  test("packed containers are row-equivalent to the manifest fetch") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("xml_pack").toString
+    try {
+      graft.sources.XmlManifest.pack(spark, fixtures.toDS(), outDir, parts = 3)
+      val direct = graft.sources.XmlManifest
+        .readXml(spark, fixtures.toDS(), parts = 3)
+        .collect().map(_.toString).sorted.toSeq
+      val packed = graft.sources.XmlManifest.readPacked(spark, outDir)
+        .collect().map(_.toString).sorted.toSeq
+      assert(packed == direct)
+      // containers are few splittable files, not one-per-document
+      val parquetFiles = Files.list(Paths.get(outDir)).iterator().asScala
+        .count(_.toString.endsWith(".parquet"))
+      assert(parquetFiles > 0 && parquetFiles <= 3)
+    } finally {
+      import scala.util.Try
+      Files.walk(Paths.get(outDir)).iterator().asScala.toSeq.reverse
+        .foreach(p => Try(Files.delete(p)))
+    }
+  }
+
+  test("oversized files fail loudly with the descriptive message") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      graft.sources.XmlManifest
+        .readXml(spark, fixtures.take(1).toDS(), parts = 1, maxBytes = 10L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("XML file too large")),
+      s"expected the loud oversize require, got: $e")
+    // the guard itself refuses un-allocatable bounds up front
+    intercept[IllegalArgumentException] {
+      graft.sources.XmlManifest
+        .readXml(spark, fixtures.toDS(), maxBytes = Int.MaxValue.toLong)
+    }
+  }
+
   test("fetched XML feeds the same from_xml parse path as wholetext") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
