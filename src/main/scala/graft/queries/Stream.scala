@@ -105,18 +105,36 @@ object Stream extends QueryGroup {
         s.catalog.dropTempView(name)
         // must not depend on another query having set this first
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = s.readStream.schema(Tables.eventsRawSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(d)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        val q = raw
-          .withWatermark("ts", "30 minutes")
-          .groupBy(window(col("ts"), "1 hour").getField("start")
-            .as("win_start"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(name).start()
-        try q.processAllAvailable() finally q.stop()
+        // streaming-specific tuning, scoped to the stream and restored
+        // after (r3 "What's wrong" #2 — the 3.7 s was stream overhead,
+        // not data): (a) the stateful exchange pays per-state-partition
+        // fixed cost per micro-batch — 8 partitions carry a 3.4k-group
+        // aggregation with headroom; (b) the trailing no-data batch
+        // re-emits the ENTIRE complete-mode result a second time just
+        // to advance the watermark nothing is waiting on.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val raw = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val q = raw
+            .withWatermark("ts", "30 minutes")
+            .groupBy(window(col("ts"), "1 hour").getField("start")
+              .as("win_start"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
         s.table(name).orderBy(col("win_start"), col("event_type"))
       },
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
