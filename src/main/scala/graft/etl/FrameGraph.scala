@@ -94,4 +94,38 @@ object FrameGraph {
     reached.select(col("_fg_src").as(srcCol), col("_fg_dst").as(dstCol),
       col("hops"), col("_fg_mat").as(matCol))
   }
+
+  /** Composed transfos from `root` to EVERY referential reachable in at
+    * most `maxHops` — the batch shape: one pass materializes the whole
+    * pose table (world→rig, world→camera, world→image for every sensor)
+    * instead of one composePath call per target. Output: one row per
+    * (reached node, path) with columns (dstCol, hops, matCol).
+    *
+    * Same bounded-self-join structure as [[composePath]]; each hop is
+    * one equi-join on the referential key, so the plan is `maxHops`
+    * joins regardless of how many sensors the edge table carries.
+    */
+  def composeFromRoot(edges: DataFrame, root: Column, maxHops: Int = 8,
+      srcCol: String = "src", dstCol: String = "dst",
+      matCol: String = "mat4x3"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val step = edges.select(col(srcCol).as("_e_src"),
+      col(dstCol).as("_e_dst"), col(matCol).as("_e_mat"))
+    var frontier = edges
+      .select(col(srcCol).as("_fg_src"), col(dstCol).as("_fg_dst"),
+        col(matCol).as("_fg_mat"))
+      .filter(col("_fg_src") === root)
+      .withColumn("hops", lit(1))
+    var acc = frontier
+    for (h <- 2 to maxHops) {
+      frontier = frontier
+        .join(step, col("_fg_dst") === col("_e_src"))
+        .select(col("_fg_src"), col("_e_dst").as("_fg_dst"),
+          compose(col("_e_mat"), col("_fg_mat")).as("_fg_mat"))
+        .withColumn("hops", lit(h))
+      acc = acc.unionByName(frontier)
+    }
+    acc.select(col("_fg_dst").as(dstCol), col("hops"),
+      col("_fg_mat").as(matCol))
+  }
 }

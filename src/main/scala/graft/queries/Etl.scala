@@ -41,6 +41,51 @@ object Etl extends QueryGroup {
        | 0.0, 0.0, 1.0, CAST(n_nationkey + 1 AS DOUBLE)*3]""".stripMargin
   }
 
+  /** the same edge set on the Spark side */
+  private def graphEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val k = col("n_nationkey")
+    val kd = (k + 1).cast(DoubleType)
+    val even = k % 2 === 0
+    def sw(a: Double, b: Double) = when(even, lit(a)).otherwise(lit(b))
+    Tables.nation(s, d).select(
+      k.as("src"), (k + 1).as("dst"),
+      array(
+        sw(0, 1), sw(1, 0), lit(0d), kd,
+        sw(1, 0), sw(0, 1), lit(0d), kd * 2,
+        lit(0d), lit(0d), lit(1d), kd * 3).as("mat4x3"))
+  }
+
+  private lazy val oraclePathSql = Some(
+    s"""WITH e AS (SELECT n_nationkey AS k, $sqlEdgeMat AS m
+      |            FROM nation WHERE n_nationkey < 4),
+      |c1 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
+      |       FROM e a, e b WHERE a.k = 0 AND b.k = 1),
+      |c2 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
+      |       FROM c1 a, e b WHERE b.k = 2),
+      |c3 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
+      |       FROM c2 a, e b WHERE b.k = 3)
+      |SELECT CAST(t.idx AS INTEGER) AS idx, c3.m[CAST(t.idx AS INTEGER) + 1] AS val
+      |FROM c3 CROSS JOIN range(12) t(idx) ORDER BY idx""".stripMargin)
+
+  /** chain CTEs c1..c6 (path 0->h), same association as composeFromRoot */
+  private lazy val oracleTreeSql = Some {
+    val chain = (2 to 6).map(h =>
+      s"""c$h AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
+         |       FROM c${h - 1} a, e b WHERE b.k = ${h - 1})""".stripMargin)
+      .mkString(",\n")
+    val union = (1 to 6)
+      .map(h => s"SELECT $h AS dst, $h AS hops, m FROM c$h")
+      .mkString("\n   UNION ALL ")
+    s"""WITH e AS (SELECT n_nationkey AS k, $sqlEdgeMat AS m
+      |            FROM nation WHERE n_nationkey < 6),
+      |c1 AS (SELECT m FROM e WHERE k = 0),
+      |$chain,
+      |u AS ($union)
+      |SELECT CAST(dst AS INTEGER) AS dst, CAST(hops AS INTEGER) AS hops,
+      |  m[4] AS tx, m[8] AS ty, m[12] AS tz
+      |FROM u ORDER BY dst""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -49,31 +94,29 @@ object Etl extends QueryGroup {
       // and emit the composed world->leaf matrix, one row per cell.
       "q_graph_compose_path",
       (s, d) => {
-        val k = col("n_nationkey")
-        val kd = (k + 1).cast(DoubleType)
-        val even = k % 2 === 0
-        def sw(a: Double, b: Double) = when(even, lit(a)).otherwise(lit(b))
-        val edges = Tables.nation(s, d).select(
-          k.as("src"), (k + 1).as("dst"),
-          array(
-            sw(0, 1), sw(1, 0), lit(0d), kd,
-            sw(1, 0), sw(0, 1), lit(0d), kd * 2,
-            lit(0d), lit(0d), lit(1d), kd * 3).as("mat4x3"))
-        graft.etl.FrameGraph.composePath(edges, lit(0), lit(4), maxHops = 4)
+        graft.etl.FrameGraph
+          .composePath(graphEdges(s, d), lit(0), lit(4), maxHops = 4)
           .select(posexplode(col("mat4x3")))
           .toDF("idx", "val")
           .orderBy(col("idx"))
       },
-      Some(s"""WITH e AS (SELECT n_nationkey AS k, $sqlEdgeMat AS m
-        |            FROM nation WHERE n_nationkey < 4),
-        |c1 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
-        |       FROM e a, e b WHERE a.k = 0 AND b.k = 1),
-        |c2 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
-        |       FROM c1 a, e b WHERE b.k = 2),
-        |c3 AS (SELECT ${sqlCompose("b.m", "a.m")} AS m
-        |       FROM c2 a, e b WHERE b.k = 3)
-        |SELECT CAST(t.idx AS INTEGER) AS idx, c3.m[CAST(t.idx AS INTEGER) + 1] AS val
-        |FROM c3 CROSS JOIN range(12) t(idx) ORDER BY idx""".stripMargin)),
+      oraclePathSql),
+
+    QueryDef(
+      // Batch frame-graph traversal: one pass composes root->every
+      // reachable node (the full pose table), emitting each node's
+      // composed translation column.
+      "q_graph_compose_tree",
+      (s, d) => {
+        graft.etl.FrameGraph
+          .composeFromRoot(graphEdges(s, d), lit(0), maxHops = 6)
+          .select(col("dst").cast("int").as("dst"), col("hops"),
+            element_at(col("mat4x3"), 4).as("tx"),
+            element_at(col("mat4x3"), 8).as("ty"),
+            element_at(col("mat4x3"), 12).as("tz"))
+          .orderBy(col("dst"))
+      },
+      oracleTreeSql),
 
     QueryDef(
       "q_etl_surrogate_keys",

@@ -63,6 +63,24 @@ class FrameGraphSpec extends AnyFunSuite {
       0.0, 0.0, 1.0, 0.3))
   }
 
+  test("composeFromRoot materializes the whole pose table in one pass") {
+    val rows = graft.etl.FrameGraph
+      .composeFromRoot(edges, lit("world"), maxHops = 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getSeq[Double](2)))
+      .toMap
+    assert(rows.keySet == Set("base", "cam_00", "cam_01"))
+    assert(rows("base")._1 == 1 && rows("cam_00")._1 == 2
+      && rows("cam_01")._1 == 2)
+    // world->cam_01 must equal the composePath answer
+    val exp = Seq(
+      -1.0, 0.0, 0.0, -6861501.0,
+      0.0, -1.0, 0.0, 651200.5,
+      0.0, 0.0, 1.0, 122.25)
+    rows("cam_01")._2.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6) }
+  }
+
   test("unreachable target yields no rows within maxHops") {
     assert(graft.etl.FrameGraph
       .composePath(edges, lit("cam_00"), lit("world"), maxHops = 4)
