@@ -40,7 +40,29 @@ object DistributedRank {
     * rank.
     */
   def withRankCols(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 32): DataFrame =
+    ranked(df, sortCols, numBuckets, parts).drop("_gr_total")
+
+  /** Exact under DUPLICATE sort keys: `_gr_rank` and `pct` follow
+    * `rank()` / `percent_rank()` window semantics (equal keys share the
+    * min row number) instead of silently diverging. One extra window
+    * partitioned BY the sort key — shuffles on the key, still no
+    * global single-task sort. `nt` stays row_number-based within a tie
+    * group, exactly as window NTILE is.
+    */
+  def withRankColsTieSafe(df: DataFrame, sortCols: Seq[Column],
+      numBuckets: Int, parts: Int = 32): DataFrame = {
+    val wKey = Window.partitionBy(sortCols: _*)
+    ranked(df, sortCols, numBuckets, parts)
+      .withColumn("_gr_rank", min(col("_gr_rank")).over(wKey))
+      .withColumn("pct", when(col("_gr_total") > 1,
+          (col("_gr_rank") - 1).cast("double") / (col("_gr_total") - 1))
+        .otherwise(lit(0.0)))
+      .drop("_gr_total")
+  }
+
+  private def ranked(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
+      parts: Int): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_gr_pid", spark_partition_id())
@@ -75,6 +97,6 @@ object DistributedRank {
       .withColumn("_gr_rank", col("_gr_off") + row_number().over(wLocal))
       .withColumn("nt", nt.cast("int"))
       .withColumn("pct", pct)
-      .drop("_gr_pid", "_gr_off", "_gr_total")
+      .drop("_gr_pid", "_gr_off")
   }
 }

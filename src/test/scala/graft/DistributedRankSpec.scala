@@ -86,6 +86,26 @@ class DistributedRankSpec extends AnyFunSuite {
       s"expected pid-partitioned data window in:\n$plan")
   }
 
+  test("tie-safe variant matches rank()/percent_rank() on duplicate keys") {
+    import spark.implicits._
+    // only 3 distinct acctbal values over 12 rows: heavy ties
+    val dup = (1 to 12).map(i => (i, (i % 3) * 10.0))
+      .toDF("c_custkey", "c_acctbal")
+    val w = Window.orderBy(col("c_acctbal"))
+    val expected = dup
+      .select(col("c_custkey"), rank().over(w).cast("long").as("r"),
+        percent_rank().over(w).as("pct"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val got = graft.operators.DistributedRank
+      .withRankColsTieSafe(dup, Seq(col("c_acctbal")), numBuckets = 4,
+        parts = 4)
+      .select(col("c_custkey"), col("_gr_rank"), col("pct"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == expected)
+  }
+
   test("offset pass reuses the range exchange (executed plan pins reuse)") {
     val df = viaDistributed(4, parts = 8)
     df.collect()
