@@ -72,14 +72,21 @@ object FrameGraph {
     */
   def composePath(edges: DataFrame, from: Column, to: Column,
       maxHops: Int = 8, srcCol: String = "src", dstCol: String = "dst",
-      matCol: String = "mat4x3"): DataFrame = {
+      matCol: String = "mat4x3",
+      broadcastEdges: Boolean = true): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val base = edges.select(col(srcCol).as("_fg_src"),
       col(dstCol).as("_fg_dst"), col(matCol).as("_fg_mat"))
-    val step = edges.select(col(srcCol).as("_e_src"),
-      col(dstCol).as("_e_dst"), col(matCol).as("_e_mat"))
+    val step = stepSide(edges, srcCol, dstCol, matCol, broadcastEdges)
+    // each frontier is consumed TWICE (the reached/terminal filter and
+    // the next hop's join); with broadcast hop joins there is no stage
+    // boundary, so without the explicit exchange hop h would recompute
+    // the whole h-join prefix — O(maxHops²) recomputation. The tiny
+    // repartition materializes each frontier once and ReusedExchange
+    // serves both consumers.
     var frontier = base.filter(col("_fg_src") === from)
       .withColumn("hops", lit(1))
+      .repartition(col("_fg_dst"))
     var reached = frontier.filter(col("_fg_dst") === to)
     for (h <- 2 to maxHops) {
       // frontier rows already at `to` are terminal (frame paths end at
@@ -89,10 +96,23 @@ object FrameGraph {
         .select(col("_fg_src"), col("_e_dst").as("_fg_dst"),
           compose(col("_e_mat"), col("_fg_mat")).as("_fg_mat"))
         .withColumn("hops", lit(h))
+        .repartition(col("_fg_dst"))
       reached = reached.unionByName(frontier.filter(col("_fg_dst") === to))
     }
     reached.select(col("_fg_src").as(srcCol), col("_fg_dst").as(dstCol),
       col("hops"), col("_fg_mat").as(matCol))
+  }
+
+  /** A frame graph is metadata — dimension-sized next to the fact
+    * tables it orients — so the per-hop join defaults to broadcasting
+    * the edge side: the frontier never shuffles, and the one broadcast
+    * exchange is reused across every hop. Pass
+    * `broadcastEdges = false` for an edge table too large to ship. */
+  private def stepSide(edges: DataFrame, srcCol: String, dstCol: String,
+      matCol: String, broadcastEdges: Boolean): DataFrame = {
+    val step = edges.select(col(srcCol).as("_e_src"),
+      col(dstCol).as("_e_dst"), col(matCol).as("_e_mat"))
+    if (broadcastEdges) broadcast(step) else step
   }
 
   /** Composed transfos from `root` to EVERY referential reachable in at
@@ -107,15 +127,19 @@ object FrameGraph {
     */
   def composeFromRoot(edges: DataFrame, root: Column, maxHops: Int = 8,
       srcCol: String = "src", dstCol: String = "dst",
-      matCol: String = "mat4x3"): DataFrame = {
+      matCol: String = "mat4x3",
+      broadcastEdges: Boolean = true): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
-    val step = edges.select(col(srcCol).as("_e_src"),
-      col(dstCol).as("_e_dst"), col(matCol).as("_e_mat"))
+    val step = stepSide(edges, srcCol, dstCol, matCol, broadcastEdges)
+    // see composePath: the explicit per-hop exchange lets the union
+    // branch and the next hop's join REUSE each frontier instead of
+    // recomputing the whole prefix chain per output depth
     var frontier = edges
       .select(col(srcCol).as("_fg_src"), col(dstCol).as("_fg_dst"),
         col(matCol).as("_fg_mat"))
       .filter(col("_fg_src") === root)
       .withColumn("hops", lit(1))
+      .repartition(col("_fg_dst"))
     var acc = frontier
     for (h <- 2 to maxHops) {
       frontier = frontier
@@ -123,6 +147,7 @@ object FrameGraph {
         .select(col("_fg_src"), col("_e_dst").as("_fg_dst"),
           compose(col("_e_mat"), col("_fg_mat")).as("_fg_mat"))
         .withColumn("hops", lit(h))
+        .repartition(col("_fg_dst"))
       acc = acc.unionByName(frontier)
     }
     acc.select(col("_fg_dst").as(dstCol), col("hops"),

@@ -18,12 +18,6 @@ import org.apache.spark.sql.types._
   * size/slide = 2 buckets, which the oracle reproduces by explicit
   * 2-copy expansion.
   */
-/** unique memory-sink names across repeated invocations (Verify+Bench) */
-private[queries] object StreamNames {
-  private val c = new java.util.concurrent.atomic.AtomicLong(0)
-  def next(): Long = c.incrementAndGet()
-}
-
 object Stream extends QueryGroup {
 
   private val us30min = 30L * 60 * 1000 * 1000

@@ -87,6 +87,16 @@ class FrameGraphSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("per-hop joins broadcast the edge side — frontier never shuffles") {
+    val plan = graft.etl.FrameGraph
+      .composeFromRoot(edges, lit("world"), maxHops = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast hop joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"frontier must not shuffle:\n$plan")
+  }
+
   test("snapshot restricts edges to one transfo_tree's membership") {
     val out = graft.etl.MicMacEtl
       .importBlinis(spark, s"$res/blinis_sample.xml")
