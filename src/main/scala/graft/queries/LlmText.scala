@@ -338,6 +338,67 @@ object LlmText extends QueryGroup {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      // benchmark decontamination: which eval-split documents share a
+      // 5-token shingle with ANY train-split document (same lang)? The
+      // contamination check every training pipeline runs before
+      // holding out an eval set. Inverted-index shape: explode
+      // shingle hashes, semi-join on (lang, shingle) — shuffles on the
+      // shingle hash, never doc × doc.
+      "q_text_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 10"))
+          .select(col("doc_id"), col("lang"), col("bucket"),
+            split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 5)
+        val sh = docs.select(col("doc_id"), col("lang"), col("bucket"),
+          explode(expr(
+            """transform(sequence(0, size(w)-5),
+              | i -> md5(concat_ws('_', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))"""
+              .stripMargin)).as("sh"))
+        val train = sh.filter(col("bucket") <= 7)
+          .select(col("lang"), col("sh")).distinct()
+        val contaminated = sh.filter(col("bucket") >= 8)
+          .join(train, Seq("lang", "sh"), "left_semi")
+          .select(col("lang"), col("doc_id")).distinct()
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_cont"))
+        docs.filter(col("bucket") >= 8)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_eval"))
+          .join(contaminated, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_eval"),
+            coalesce(col("n_cont"), lit(0L)).as("n_contaminated"),
+            round(coalesce(col("n_cont"), lit(0L)).cast(DoubleType)
+              / col("n_eval"), 4).as("rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH w AS (SELECT doc_id, lang,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER % 10
+        |           AS bucket,
+        |         string_split(text, ' ') AS w
+        |       FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT doc_id, lang, bucket,
+        |         unnest(list_transform(range(1, len(w)-3),
+        |           i -> md5(w[i]||'_'||w[i+1]||'_'||w[i+2]||'_'||w[i+3]||'_'||w[i+4])))
+        |           AS sh
+        |       FROM w),
+        |train AS (SELECT DISTINCT lang, sh FROM sh WHERE bucket <= 7),
+        |cont AS (SELECT lang, COUNT(*)::BIGINT AS n_cont
+        |         FROM (SELECT DISTINCT e.lang, e.doc_id
+        |               FROM sh e JOIN train t
+        |                 ON e.lang = t.lang AND e.sh = t.sh
+        |               WHERE e.bucket >= 8)
+        |         GROUP BY lang),
+        |ev AS (SELECT lang, COUNT(*)::BIGINT AS n_eval
+        |       FROM w WHERE bucket >= 8 GROUP BY lang)
+        |SELECT ev.lang, ev.n_eval,
+        |  COALESCE(cont.n_cont, 0)::BIGINT AS n_contaminated,
+        |  ROUND(COALESCE(cont.n_cont, 0)::DOUBLE / ev.n_eval, 4) AS rate
+        |FROM ev LEFT JOIN cont USING (lang)
+        |ORDER BY ev.lang""".stripMargin)),
+
+    QueryDef(
       // sequence packing: assign docs (ordered by doc_id within lang) to
       // fixed 2048-token context windows by cumulative starting offset —
       // the deterministic batch/chunk layout a sequence packer produces.
