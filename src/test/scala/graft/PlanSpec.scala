@@ -89,4 +89,11 @@ class PlanSpec extends AnyFunSuite {
     // lookups legitimately do)
     assert(!plan("q_dedup_simhash").contains("BroadcastHashJoin"))
   }
+
+  test("q_text_decontaminate joins on the shingle key, never doc x doc") {
+    val p = plan("q_text_decontaminate")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
 }

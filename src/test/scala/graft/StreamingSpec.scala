@@ -66,6 +66,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKeys == dd)
   }
 
+  test("watermark query restores the session confs it scopes to the stream") {
+    val s = spark
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    SparkEntry.queries("q_stream_watermark_late")(s, TestSpark.sf0001).count()
+    assert(s.conf.get("spark.sql.shuffle.partitions") == before,
+      "stream-scoped shuffle.partitions leaked into the shared session")
+  }
+
   test("q_stream_watermark_late (complete replay) equals batch tumbling") {
     val streamed = SparkEntry.queries("q_stream_watermark_late")(
       spark, TestSpark.sf0001).collect().map(_.toString).toSeq
