@@ -44,6 +44,29 @@ object FrameGraph {
     array(cells: _*)
   }
 
+  /** Canonical (src, dst, mat4x3) edges from the blinis importer
+    * output: one arm per camera, nodes namespaced by rig name so
+    * several rigs coexist in one graph without collisions.
+    */
+  def blinisEdges(transfos: DataFrame): DataFrame =
+    transfos.select(
+      concat(col("rig"), lit("/base")).as("src"),
+      concat(col("rig"), lit("/"), col("cam")).as("dst"),
+      col("mat4x3"))
+
+  /** Canonical pose edges from the orimatis importer output:
+    * world -> <sensor> carrying the [R|t] pose. Only the affine pose
+    * arm composes — the pinhole/spherical intrinsics rows carry
+    * non-affine parameter vectors and are filtered out. Align `dst`
+    * names with the rig graph (e.g. rename to `<rig>/base`) before
+    * unioning with [[blinisEdges]].
+    */
+  def orimatisPoseEdges(transfos: DataFrame,
+      world: String = "world"): DataFrame =
+    transfos.filter(col("transfo_type") === "affine_mat4x3")
+      .select(lit(world).as("src"), col("sensor_name").as("dst"),
+        col("mat4x3"))
+
   /** Restrict `transfos` to the membership of one `transfo_tree`
     * snapshot (tree rows as emitted by `MicMacEtl.transfoTree`: one row
     * per file with the sorted set of member transfo names). The result

@@ -97,6 +97,32 @@ class FrameGraphSpec extends AnyFunSuite {
       s"frontier must not shuffle:\n$plan")
   }
 
+  test("importer-output adapters wire pose and rig arms into one graph") {
+    val rig = graft.etl.MicMacEtl
+      .importBlinis(spark, s"$res/blinis_sample.xml")("transfos")
+    val pose = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_sample.xml")("transfos")
+    // align the pose target onto the rig's base node, then traverse
+    val rigBase = graft.etl.FrameGraph.blinisEdges(rig)
+      .select(col("src")).limit(1).collect()(0).getString(0)
+    val graph = graft.etl.FrameGraph
+      .orimatisPoseEdges(pose)
+      .withColumn("dst", lit(rigBase))
+      .unionByName(graft.etl.FrameGraph.blinisEdges(rig))
+    val out = graft.etl.FrameGraph
+      .composePath(graph, lit("world"),
+        lit(rigBase.stripSuffix("/base") + "/cam_01"), maxHops = 3)
+      .collect()
+    assert(out.length == 1 && out(0).getInt(2) == 2)
+    // same hand-computed world->cam_01 matrix as the manual-edge test
+    val exp = Seq(
+      -1.0, 0.0, 0.0, -6861501.0,
+      0.0, -1.0, 0.0, 651200.5,
+      0.0, 0.0, 1.0, 122.25)
+    out(0).getSeq[Double](3).zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6) }
+  }
+
   test("snapshot restricts edges to one transfo_tree's membership") {
     val out = graft.etl.MicMacEtl
       .importBlinis(spark, s"$res/blinis_sample.xml")
