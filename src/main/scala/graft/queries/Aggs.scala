@@ -168,6 +168,22 @@ object Aggs extends QueryGroup {
       (s, d) => Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts")),
+      None),
+
+    QueryDef(
+      // mergeable quantile sketch (the second sketch family member
+      // next to HLL): per return flag, approx p25/p50/p75/p99 of
+      // extended price. At 100 TB this is THE percentiles plan — the
+      // sketch is fixed-size and map-side combinable where an exact
+      // percentile needs a per-group sort. No-oracle (approximate);
+      // AggSpec bounds the rank error against the exact quantiles.
+      "q_agg_approx_quantile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(1000))
+          .as("approx_q"))
+        .orderBy(col("l_returnflag")),
       None)
   )
 }

@@ -25,6 +25,27 @@ class AggSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("approx quantiles within 1% rank error of exact (sf0.01)") {
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val approx = SparkEntry.queries("q_agg_approx_quantile")(
+        spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+    approx.foreach { case (flag, vals) =>
+      val sorted = li.filter(col("l_returnflag") === flag)
+        .select(col("l_extendedprice")).orderBy(col("l_extendedprice"))
+        .collect().map(_.getDouble(0))
+      qs.zip(vals).foreach { case (q, v) =>
+        // rank error: the approx value's position must be within 1% of
+        // the requested rank (percentile_approx accuracy=1000 => 1/1000)
+        val lo = sorted.count(_ < v).toDouble / sorted.length
+        val hi = sorted.count(_ <= v).toDouble / sorted.length
+        assert(q >= lo - 0.01 && q <= hi + 0.01,
+          s"$flag q$q: value $v sits at rank [$lo,$hi]")
+      }
+    }
+  }
+
   test("upsert-dedup is idempotent: re-staging changes nothing") {
     val once = SparkEntry.queries("q_etl_upsert_dedup")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq

@@ -60,6 +60,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("affine compose: identity laws and associativity (exact on ints)") {
+    import spark.implicits._
+    val id = Seq(1d, 0d, 0d, 0d, 0d, 1d, 0d, 0d, 0d, 0d, 1d, 0d)
+    val matGen: Gen[List[Double]] =
+      Gen.listOfN(12, Gen.chooseNum(-3, 3).map(_.toDouble))
+    cases(Gen.zip(matGen, matGen, matGen)).foreach { case (a, b, c) =>
+      val df = Seq((a, b, c, id)).toDF("a", "b", "c", "id")
+      def fg = graft.etl.FrameGraph
+      val r = df.select(
+        fg.compose(col("id"), col("a")).as("li"),
+        fg.compose(col("a"), col("id")).as("ri"),
+        fg.compose(fg.compose(col("a"), col("b")), col("c")).as("ab_c"),
+        fg.compose(col("a"), fg.compose(col("b"), col("c"))).as("a_bc"))
+        .collect()(0)
+      assert(r.getSeq[Double](0) == a, "identity ∘ a = a")
+      assert(r.getSeq[Double](1) == a, "a ∘ identity = a")
+      // integer-valued entries: float products are exact, so
+      // associativity must hold bit-for-bit
+      assert(r.getSeq[Double](2) == r.getSeq[Double](3),
+        s"(a∘b)∘c != a∘(b∘c) for $a $b $c")
+    }
+  }
+
   test("minhash signature of a superset is elementwise <= (unsigned)") {
     import spark.implicits._
     graft.functions.MinHash.register(spark)
