@@ -96,35 +96,42 @@ object FrameGraph {
   def composePath(edges: DataFrame, from: Column, to: Column,
       maxHops: Int = 8, srcCol: String = "src", dstCol: String = "dst",
       matCol: String = "mat4x3",
-      broadcastEdges: Boolean = true): DataFrame = {
+      broadcastEdges: Boolean = true,
+      materializeFrontiers: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val base = edges.select(col(srcCol).as("_fg_src"),
       col(dstCol).as("_fg_dst"), col(matCol).as("_fg_mat"))
     val step = stepSide(edges, srcCol, dstCol, matCol, broadcastEdges)
-    // each frontier is consumed TWICE (the reached/terminal filter and
-    // the next hop's join); with broadcast hop joins there is no stage
-    // boundary, so without the explicit exchange hop h would recompute
-    // the whole h-join prefix — O(maxHops²) recomputation. The tiny
-    // repartition materializes each frontier once and ReusedExchange
-    // serves both consumers.
-    var frontier = base.filter(col("_fg_src") === from)
-      .withColumn("hops", lit(1))
-      .repartition(col("_fg_dst"))
+    var frontier = materialize(base.filter(col("_fg_src") === from)
+      .withColumn("hops", lit(1)), materializeFrontiers)
     var reached = frontier.filter(col("_fg_dst") === to)
     for (h <- 2 to maxHops) {
       // frontier rows already at `to` are terminal (frame paths end at
       // the requested referential); everything else extends one hop
-      frontier = frontier.filter(col("_fg_dst") =!= to)
+      frontier = materialize(frontier.filter(col("_fg_dst") =!= to)
         .join(step, col("_fg_dst") === col("_e_src"))
         .select(col("_fg_src"), col("_e_dst").as("_fg_dst"),
           compose(col("_e_mat"), col("_fg_mat")).as("_fg_mat"))
-        .withColumn("hops", lit(h))
-        .repartition(col("_fg_dst"))
+        .withColumn("hops", lit(h)), materializeFrontiers)
       reached = reached.unionByName(frontier.filter(col("_fg_dst") === to))
     }
     reached.select(col("_fg_src").as(srcCol), col("_fg_dst").as(dstCol),
       col("hops"), col("_fg_mat").as(matCol))
   }
+
+  /** Each frontier is consumed TWICE: by the terminal/output filter and
+    * by the next hop's join. With broadcast hop joins there is no stage
+    * boundary between hops, so Spark recomputes the whole h-join prefix
+    * for the depth-h output — O(maxHops²) prefix recomputation, but
+    * each prefix is ONE fused codegen stage over the (small) frontier.
+    * For a metadata-sized graph that recompute is cheaper than paying a
+    * shuffle per hop, so the default inserts no exchange. When the
+    * frontier is itself large (millions of per-image pose rows), pass
+    * `materializeFrontiers = true`: the tiny repartition below becomes
+    * a stage boundary, each frontier is computed once, and
+    * ReusedExchange serves both consumers. */
+  private def materialize(frontier: DataFrame, on: Boolean): DataFrame =
+    if (on) frontier.repartition(col("_fg_dst")) else frontier
 
   /** A frame graph is metadata — dimension-sized next to the fact
     * tables it orients — so the per-hop join defaults to broadcasting
@@ -151,26 +158,23 @@ object FrameGraph {
   def composeFromRoot(edges: DataFrame, root: Column, maxHops: Int = 8,
       srcCol: String = "src", dstCol: String = "dst",
       matCol: String = "mat4x3",
-      broadcastEdges: Boolean = true): DataFrame = {
+      broadcastEdges: Boolean = true,
+      materializeFrontiers: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val step = stepSide(edges, srcCol, dstCol, matCol, broadcastEdges)
-    // see composePath: the explicit per-hop exchange lets the union
-    // branch and the next hop's join REUSE each frontier instead of
-    // recomputing the whole prefix chain per output depth
-    var frontier = edges
+    // frontier reuse-vs-recompute tradeoff: see [[materialize]]
+    var frontier = materialize(edges
       .select(col(srcCol).as("_fg_src"), col(dstCol).as("_fg_dst"),
         col(matCol).as("_fg_mat"))
       .filter(col("_fg_src") === root)
-      .withColumn("hops", lit(1))
-      .repartition(col("_fg_dst"))
+      .withColumn("hops", lit(1)), materializeFrontiers)
     var acc = frontier
     for (h <- 2 to maxHops) {
-      frontier = frontier
+      frontier = materialize(frontier
         .join(step, col("_fg_dst") === col("_e_src"))
         .select(col("_fg_src"), col("_e_dst").as("_fg_dst"),
           compose(col("_e_mat"), col("_fg_mat")).as("_fg_mat"))
-        .withColumn("hops", lit(h))
-        .repartition(col("_fg_dst"))
+        .withColumn("hops", lit(h)), materializeFrontiers)
       acc = acc.unionByName(frontier)
     }
     acc.select(col("_fg_dst").as(dstCol), col("hops"),

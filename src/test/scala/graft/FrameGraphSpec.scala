@@ -81,6 +81,14 @@ class FrameGraphSpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-6) }
   }
 
+  test("materialized-frontier variant returns identical rows") {
+    def rows(m: Boolean) = graft.etl.FrameGraph
+      .composeFromRoot(edges, lit("world"), maxHops = 3,
+        materializeFrontiers = m)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(m = true) == rows(m = false))
+  }
+
   test("unreachable target yields no rows within maxHops") {
     assert(graft.etl.FrameGraph
       .composePath(edges, lit("cam_00"), lit("world"), maxHops = 4)
