@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.etl.AutocalTransfos
-import graft.functions.{FloatDot, MinHashAgg}
+import graft.functions.{FloatDot, LshSignatures, MinHashAgg}
+import graft.queries.AnnLsh
 
 /** Spark-native packaging of graft's custom Catalyst surfaces
   * (SURVEY §4.2): install once via
@@ -17,6 +18,7 @@ import graft.functions.{FloatDot, MinHashAgg}
   *  - fdot(array<float>, array<float>): codegen'd fused dot product
   *  - minhash128(bigint): 128-permutation MinHash sketch aggregate
   *  - autocal_transfos(...): calibration -> transfo-rows Generator
+  *  - lsh_sigs(array<float>): fused 16-table hyperplane LSH signatures
   *
   * Query code still self-registers defensively (createOrReplace is
   * idempotent) so the driver's plain SparkSession works unchanged.
@@ -35,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("autocal_transfos",
         "autocal_transfos(f, pp, cdist, coeff) - explode calibration into transfos"),
       (exprs: Seq[Expression]) => AutocalTransfos(exprs)))
+    e.injectFunction((FunctionIdentifier("lsh_sigs"),
+      info("lsh_sigs",
+        "lsh_sigs(embedding) - per-table random-hyperplane LSH signatures"),
+      (exprs: Seq[Expression]) =>
+        LshSignatures(exprs.head, AnnLsh.hyperplanes, AnnLsh.bits)))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     e.injectOptimizerRule(_ => graft.plans.PruneColumnsThroughAsOf)

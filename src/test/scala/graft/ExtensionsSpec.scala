@@ -29,6 +29,11 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM (SELECT xxhash64(x) AS h FROM VALUES ('a'), ('b') AS t(x))"""
           .stripMargin).head.getSeq[Long](0)
       assert(mh.length == 128)
+      val sigs = s.sql(
+        """SELECT lsh_sigs(array_repeat(cast(0.5 as float), 64)) AS sigs""")
+        .head.getSeq[Int](0)
+      assert(sigs.length == graft.queries.AnnLsh.tables)
+      assert(sigs.forall(v => v >= 0 && v < (1 << graft.queries.AnnLsh.bits)))
     } finally {
       // restore the shared session; don't stop the JVM-wide SparkContext
       SparkSession.setDefaultSession(prev)
