@@ -58,7 +58,14 @@ object Bench {
       name -> (math.min(t1, t2), t1, t2, e1.orElse(e2))
     }
     def jesc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        // \s+ normalization upstream misses non-whitespace control
+        // chars (ANSI escapes, backspace) that would corrupt the JSON
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }
     def jmap(sel: ((Double, Double, Double, Option[String])) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
         .mkString("{", ",", "}")

@@ -3,6 +3,9 @@ import org.apache.spark.sql.SparkSession
 object Prof {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("PROF_CPUS", "4")
+    // doubles as the shuffle-partition count, so local[*] syntax is out
+    require(cpus.nonEmpty && cpus.forall(_.isDigit),
+      s"PROF_CPUS must be a plain integer, got '$cpus'")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone","UTC")

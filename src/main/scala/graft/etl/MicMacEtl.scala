@@ -341,11 +341,20 @@ object MicMacEtl {
   def withSurrogateIdsAtScale(df: DataFrame, naturalKey: Seq[String],
       parts: Int = 32): DataFrame = {
     val keyCols = naturalKey.map(col)
+    // match the window form's semantics exactly: a pre-existing `id`
+    // column is replaced (withColumn semantics), and NULL natural keys
+    // get an id like any other key value (dense_rank sorts them first)
+    // — hence the null-SAFE join below; a plain equi-join would
+    // silently drop every NULL-keyed row
+    val base = if (naturalKey.contains("id")) df else df.drop("id")
     val ids = graft.operators.DistributedRank
-      .withRankCols(df.select(keyCols: _*).distinct(), keyCols,
+      .withRankCols(base.select(keyCols: _*).distinct(), keyCols,
         numBuckets = 1, parts = parts)
-      .select(keyCols :+ col("_gr_rank").as("id"): _*)
-    df.join(ids, naturalKey)
+      .select(naturalKey.map(k => col(k).as("_sid_" + k))
+        :+ col("_gr_rank").as("id"): _*)
+    val cond = naturalKey.map(k => base(k) <=> col("_sid_" + k))
+      .reduce(_ && _)
+    base.join(ids, cond).drop(naturalKey.map("_sid_" + _): _*)
   }
 
   /** A5 get_or_create: rows of `staging` whose natural key is absent from

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -17,7 +17,14 @@ import org.apache.spark.sql.types._
   * Expression, not a new operator.
   */
 case class FloatDot(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  // session-exposed SQL surface: coerce/reject non-float arrays at
+  // analysis time — getFloat over an unsafe double array would return
+  // garbage silently
+  // (AbstractDataType is private[sql]; the inferred Seq[ArrayType]
+  // conforms covariantly)
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def dataType: DataType = DoubleType
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -22,7 +22,12 @@ import org.apache.spark.sql.types._
   * table t's `bits`-bit sign signature.
   */
 case class LshSignatures(child: Expression, planes: Array[Array[Double]],
-    bits: Int) extends UnaryExpression {
+    bits: Int) extends UnaryExpression with ImplicitCastInputTypes {
+
+  // the session-exposed SQL surface must reject (or coerce) non-float
+  // arrays at ANALYSIS time: reading an unsafe double array through
+  // getFloat would return plausible-but-wrong signatures with no error
+  override def inputTypes = Seq(ArrayType(FloatType))
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -74,6 +74,22 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(dist == win)
   }
 
+  test("at-scale surrogate ids keep NULL keys and replace a prior id") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")),
+        (4L, None), (5L, Some("a")))
+      .toDF("row_id", "k").withColumn("id", lit(-1))
+    val win = graft.etl.MicMacEtl.withSurrogateIds(df, Seq("k"))
+      .select(col("row_id"), col("id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = graft.etl.MicMacEtl
+      .withSurrogateIdsAtScale(df, Seq("k"), parts = 4)
+      .select(col("row_id"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.size == 5, "NULL-keyed rows must not be dropped")
+    assert(dist == win, s"window=$win at-scale=$dist")
+  }
+
   test("at-scale surrogate ids carry no single-task sort (high-card key)") {
     val plan = graft.etl.MicMacEtl
       .withSurrogateIdsAtScale(
