@@ -162,6 +162,34 @@ object Etl extends QueryGroup {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      // A7 sink breadth beside JDBC: a JSON-lines sink + schema-on-read
+      // source round trip. Integral/string columns only — text formats
+      // round-trip those exactly; floats would drift. The explicit read
+      // schema keeps types deterministic (no sampling inference).
+      "q_etl_json_roundtrip",
+      (s, d) => {
+        val out = "/tmp/graft_json_sink"
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .write.mode("overwrite").json(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        s.read.schema(schema).json(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        | SUM(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       "q_etl_jdbc_sink",
       (s, d) => {
         // reference A7: POST to REST->PostgreSQL; here: real JDBC round
