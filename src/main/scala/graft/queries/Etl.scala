@@ -162,6 +162,35 @@ object Etl extends QueryGroup {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      // The 100 TB layout pattern made concrete: write partitioned by a
+      // low-cardinality column, read back with a partition-column
+      // filter, and let the file source prune to the one matching
+      // directory — the scan never lists, opens, or decodes the other
+      // partitions' files (PlanSpec pins PartitionFilters). Parquet is
+      // binary-exact on round trip, so the decimal-sum parity trick
+      // gives a hashable double.
+      "q_etl_partitioned_sink",
+      (s, d) => {
+        val out = "/tmp/graft_part_sink"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_linestatus"), col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")
+                .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    QueryDef(
       // A7 sink breadth beside JDBC: a JSON-lines sink + schema-on-read
       // source round trip. Integral/string columns only — text formats
       // round-trip those exactly; floats would drift. The explicit read

@@ -69,6 +69,48 @@ object Llm extends QueryGroup {
     * fold: sequential double accumulation) */
   private val l2Expr = "sqrt(fdot(embedding, embedding))"
 
+  /** Near-duplicate pairs (a, b, jac) with 3-gram Jaccard >= 0.6 —
+    * shared by q_dedup_near_jaccard (reports the pairs) and
+    * q_dedup_cluster (closes them transitively). The jac column is the
+    * raw double ratio; callers round for display AFTER the threshold
+    * filter so both consumers cut on the identical value. */
+  private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """array_distinct(transform(sequence(0, size(w)-3),
+          | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
+        .as("s"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // join on a 64-bit shingle hash, not the string — smaller shuffle
+    // rows and cheaper equality at scale (collisions only shrink the
+    // intersection estimate by ~n²/2^64 — negligible)
+    val hashed = sh.select(col("doc_id"), col("lang"),
+      xxhash64(col("s")).as("s"))
+    val a = hashed.select(col("doc_id").as("a"), col("lang"), col("s"))
+    val b = hashed.select(col("doc_id").as("b"),
+      col("lang").as("lang_b"), col("s").as("s_b"))
+    // SHUFFLE_HASH (r3): same Scratch-measured result as the simhash
+    // band join — shingle keys are dense, so sort-merge pays to sort
+    // both exploded sides before enumerating shared-shingle pairs;
+    // hashing one shuffle-partition-sized side is ~2x cheaper and
+    // equally scale-safe (no broadcast, build side bounded by the
+    // per-partition shingle slice).
+    val inter = a.join(b.hint("shuffle_hash"),
+        col("lang") === col("lang_b") && col("s") === col("s_b")
+          && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+    val jac = col("i").cast(DoubleType) /
+      (col("sza") + col("szb") - col("i"))
+    inter
+      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .filter(jac >= 0.6)
+      .select(col("a"), col("b"), jac.as("jac"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -90,43 +132,9 @@ object Llm extends QueryGroup {
 
     QueryDef(
       "q_dedup_near_jaccard",
-      (s, d) => {
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            split(col("text"), " ").as("w"))
-          .filter(size(col("w")) >= 3)
-          .select(col("doc_id"), col("lang"), explode(expr(
-            """array_distinct(transform(sequence(0, size(w)-3),
-              | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
-            .as("s"))
-        val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        // join on a 64-bit shingle hash, not the string — smaller shuffle
-        // rows and cheaper equality at scale (collisions only shrink the
-        // intersection estimate by ~n²/2^64 — negligible)
-        val hashed = sh.select(col("doc_id"), col("lang"),
-          xxhash64(col("s")).as("s"))
-        val a = hashed.select(col("doc_id").as("a"), col("lang"), col("s"))
-        val b = hashed.select(col("doc_id").as("b"),
-          col("lang").as("lang_b"), col("s").as("s_b"))
-        // SHUFFLE_HASH (r3): same Scratch-measured result as the simhash
-        // band join — shingle keys are dense, so sort-merge pays to sort
-        // both exploded sides before enumerating shared-shingle pairs;
-        // hashing one shuffle-partition-sized side is ~2x cheaper and
-        // equally scale-safe (no broadcast, build side bounded by the
-        // per-partition shingle slice).
-        val inter = a.join(b.hint("shuffle_hash"),
-            col("lang") === col("lang_b") && col("s") === col("s_b")
-              && col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-        val jac = col("i").cast(DoubleType) /
-          (col("sza") + col("szb") - col("i"))
-        inter
-          .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-          .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-          .filter(jac >= 0.6)
-          .select(col("a"), col("b"), round(jac, 4).as("jac"))
-          .orderBy(col("a"), col("b"))
-      },
+      (s, d) => nearDupPairs(s, d)
+        .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+        .orderBy(col("a"), col("b")),
       Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
         |           FROM documents),
         |sh AS (SELECT DISTINCT doc_id, lang,
@@ -145,6 +153,50 @@ object Llm extends QueryGroup {
         |JOIN sz sb ON sb.doc_id = b
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6
         |ORDER BY a, b""".stripMargin)),
+
+    QueryDef(
+      // The dedup ENDGAME: pairs -> transitive clusters -> one canonical
+      // doc (the min id) per cluster. Spark side iterates min-label
+      // propagation (operators/ConnectedComponents.scala — per-sweep
+      // shuffle join + mergeable min agg, lineage checkpointed); the
+      // oracle closes the same edge set with a recursive reachability
+      // CTE. Cluster count and sizes are iteration-order-free, so the
+      // hash compare is exact.
+      "q_dedup_cluster",
+      (s, d) => {
+        val comp = graft.operators.ConnectedComponents.label(
+          nearDupPairs(s, d).select(col("a"), col("b")))
+        comp.groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("comp").as("cluster_rep"), col("n_docs"),
+            (col("n_docs") - 1).as("n_removed"))
+          .orderBy(col("cluster_rep"))
+      },
+      Some("""WITH RECURSIVE
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |      FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |         unnest(list_transform(range(1, len(w)-1),
+        |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sz sa ON sa.doc_id = a
+        |          JOIN sz sb ON sb.doc_id = b
+        |          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |          UNION
+        |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u, MIN(v) AS comp FROM reach GROUP BY u)
+        |SELECT comp AS cluster_rep, COUNT(*)::BIGINT AS n_docs,
+        |  (COUNT(*) - 1)::BIGINT AS n_removed
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef(
       "q_dedup_minhash_lsh",

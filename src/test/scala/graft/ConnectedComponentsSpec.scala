@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Min-label propagation must produce the exact transitive closure —
+  * including the worst case for this algorithm (a long chain, one hop
+  * of progress per sweep) — and fail loudly instead of spinning when
+  * the sweep budget is exceeded.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def cc(edges: Seq[(Long, Long)], maxIter: Int = 25) = {
+    import spark.implicits._
+    graft.operators.ConnectedComponents
+      .label(edges.toDF("u", "v"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two separate components get their own min labels") {
+    val got = cc(Seq((5L, 3L), (3L, 9L), (20L, 21L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("a chain propagates the min across every hop") {
+    // 10 <- 11 <- ... <- 17: diameter 7, needs multiple sweeps
+    val chain = (10L until 17L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.keySet == (10L to 17L).toSet)
+    assert(got.values.toSet == Set(10L))
+  }
+
+  test("a triangle merged with a chain collapses to one component") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)))
+    assert(got == (1L to 5L).map(_ -> 1L).toMap)
+  }
+
+  test("exceeding the sweep budget fails loudly, not silently") {
+    val chain = (0L until 6L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException](cc(chain, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("labels never leave the JVM via the driver: output is a plan") {
+    // label() returns a DataFrame, not collected rows — downstream
+    // grouping stays distributed. Sanity: cluster the sf0.001 near-dup
+    // pairs end to end through the declared query.
+    val out = graft.SparkEntry.queries("q_dedup_cluster")(
+      spark, TestSpark.sf001)
+    val rows = out.collect()
+    assert(rows.nonEmpty) // sf0.01 has known near-dup pairs — not vacuous
+    // every cluster has >= 2 docs (singletons never enter the pair graph)
+    assert(rows.forall(_.getLong(1) >= 2L))
+    // n_removed is always size - 1
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) - 1L))
+  }
+}

@@ -96,4 +96,14 @@ class PlanSpec extends AnyFunSuite {
       && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("q_etl_partitioned_sink prunes to the one matching partition") {
+    val p = plan("q_etl_partitioned_sink")
+    // the filter lands on the partition column, so the scan prunes
+    // directories instead of decoding + filtering rows
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    assert(p.contains("= R)"), p)
+    // and l_returnflag is a directory, not a data column: never read
+    assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_linestatus:string,l_returnflag"), p)
+  }
 }
