@@ -9,7 +9,8 @@ object SparkEntry {
   /** All declared operator groups; each QueryDef carries its Spark plan
     * and (when SQL-expressible) the DuckDB oracle SQL. */
   def groups: Seq[QueryGroup] = Seq(
-    Scans, SetsSorts, Joins, Aggs, Windows, Funcs, Stream, Etl, Llm, LlmText
+    Scans, SetsSorts, Joins, Aggs, Windows, Funcs, Stream, Etl, Llm,
+    LlmText, Pipeline
   )
 
   private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)

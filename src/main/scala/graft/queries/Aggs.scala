@@ -171,6 +171,28 @@ object Aggs extends QueryGroup {
       None),
 
     QueryDef(
+      // fixed-width histogram — the data-profiling primitive run before
+      // choosing filter thresholds on a new corpus. Bucketing is pure
+      // integer-exact math (floor of an IEEE division by a power-of-two
+      // friendly width), so bucket assignment cannot drift between
+      // engines; per-bucket means use the decimal-sum parity trick. One
+      // shuffle on (segment, bucket) — bounded key space at any scale.
+      "q_agg_histogram",
+      (s, d) => Tables.customer(s, d)
+        .withColumn("bucket",
+          floor(col("c_acctbal") / 500).cast(IntegerType))
+        .groupBy(col("c_mktsegment"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast(DecimalType(14, 2)))
+            .cast(DoubleType) / count(lit(1)), 4).as("avg_bal"))
+        .orderBy(col("c_mktsegment"), col("bucket")),
+      Some("""SELECT c_mktsegment, FLOOR(c_acctbal / 500)::INTEGER AS bucket,
+        | COUNT(*)::BIGINT AS n,
+        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+        |   / COUNT(*), 4) AS avg_bal
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       // mergeable quantile sketch (the second sketch family member
       // next to HLL): per return flag, approx p25/p50/p75/p99 of
       // extended price. At 100 TB this is THE percentiles plan — the

@@ -219,6 +219,36 @@ object Etl extends QueryGroup {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // SCD2 validity-window construction — the batch form of the
+      // reference's transfo validity windows (each transfo row carries
+      // [valid_start, valid_end); a new import closes the prior row).
+      // Turn the event log into type-2 dimension rows: each (user,
+      // event) opens an interval that the user's next event closes;
+      // the last interval stays open (is_current). One shuffle on
+      // user_id; the window is a per-key linear pass — scales with
+      // keys, no global sort.
+      "q_etl_scd2",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(w))
+          .select(col("user_id"), col("event_id"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("value"), col("valid_to").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, ts AS valid_from,
+        | LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS valid_to,
+        | value,
+        | (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   IS NULL) AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin)),
+
+    QueryDef(
       "q_etl_jdbc_sink",
       (s, d) => {
         // reference A7: POST to REST->PostgreSQL; here: real JDBC round

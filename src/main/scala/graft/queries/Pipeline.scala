@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators beyond the dedup/similarity core
+  * (task brief: "the operations a large-scale training-data pipeline
+  * would need"): corpus rebalancing by stratified deterministic
+  * sampling, Gopher-style repetition filtering, and TF-IDF salient
+  * terms. All three shuffle on bounded keys (lang / token / doc_id),
+  * never doc x doc, and every score is exact integer-ratio arithmetic
+  * so the DuckDB oracle hash-matches bit-for-bit.
+  */
+object Pipeline extends QueryGroup {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      // Corpus rebalancing: downsample every language to the smallest
+      // language's document count using a deterministic content-free
+      // hash gate (no RNG — rerunning the pipeline, or running it on
+      // another engine, keeps the same documents). The per-lang rates
+      // are a 5-row aggregate broadcast back onto the corpus, so the
+      // only full-data pass is a hash + integer compare per row: at
+      // 100 TB this is a map-only filter after a metadata-sized agg.
+      // Keep iff u * n_lang < 65536 * n_min, where u is the first 16
+      // md5 bits of doc_id — pure BIGINT math, expectation n_min kept
+      // per language.
+      "q_sample_stratified",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val target = counts.agg(min(col("n_lang")).as("n_min"))
+        val gated = docs
+          .join(broadcast(counts), Seq("lang"))
+          .crossJoin(broadcast(target))
+          .withColumn("u", expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"))
+          .withColumn("keep", col("u") * col("n_lang") < lit(65536L) * col("n_min"))
+        gated.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            round(sum(when(col("keep"), 1L).otherwise(0L)).cast(DoubleType)
+              / count(lit(1)), 4).as("kept_rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH counts AS (SELECT lang, COUNT(*)::BIGINT AS n_lang
+        |                FROM documents GROUP BY lang),
+        |target AS (SELECT MIN(n_lang)::BIGINT AS n_min FROM counts),
+        |gated AS (SELECT d.lang,
+        |            (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT
+        |               * c.n_lang < 65536 * t.n_min) AS keep
+        |          FROM documents d
+        |          JOIN counts c USING (lang) CROSS JOIN target t)
+        |SELECT lang, COUNT(*)::BIGINT AS n_total,
+        |  SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+        |    AS kept_rate
+        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // Gopher-style repetition quality filter: flag documents whose
+      // most frequent word exceeds 10% of tokens, or whose duplicate
+      // word-bigram fraction exceeds 20%. Both signals shuffle on
+      // (doc_id, gram) — the inverted-index shape — and reduce to one
+      // row per doc before the per-lang rollup; fractions are exact
+      // BIGINT ratios so the flags are engine-independent.
+      "q_text_repetition",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        val topw = tok.groupBy(col("doc_id"), col("lang"), col("tok"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(max(col("n")).as("max_tok"), sum(col("n")).as("n_tok"))
+        val big = docs
+          .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+            .as("bg"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("bg")).as("n_dist_bg"),
+            count(lit(1)).as("n_bg"))
+        topw.join(big, Seq("doc_id"), "left")
+          .withColumn("top_frac",
+            col("max_tok").cast(DoubleType) / col("n_tok"))
+          .withColumn("dup_bg_frac",
+            coalesce((col("n_bg") - col("n_dist_bg")).cast(DoubleType)
+              / col("n_bg"), lit(0.0)))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("top_frac") > 0.1, 1L).otherwise(0L))
+              .as("n_flag_top"),
+            sum(when(col("dup_bg_frac") > 0.2, 1L).otherwise(0L))
+              .as("n_flag_dup"),
+            round(max(col("top_frac")), 4).as("max_top_frac"),
+            round(max(col("dup_bg_frac")), 4).as("max_dup_frac"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents),
+        |topw AS (SELECT doc_id, lang, MAX(n)::BIGINT AS max_tok,
+        |           SUM(n)::BIGINT AS n_tok
+        |         FROM (SELECT doc_id, lang, tok, COUNT(*) AS n
+        |               FROM tok GROUP BY 1, 2, 3)
+        |         GROUP BY 1, 2),
+        |big AS (SELECT doc_id,
+        |          COUNT(DISTINCT bg)::BIGINT AS n_dist_bg,
+        |          COUNT(*)::BIGINT AS n_bg
+        |        FROM (SELECT doc_id,
+        |                unnest(list_transform(range(1, len(w)),
+        |                  i -> w[i] || ' ' || w[i+1])) AS bg
+        |              FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |                    FROM documents)
+        |              WHERE len(w) >= 2)
+        |        GROUP BY doc_id),
+        |j AS (SELECT t.lang,
+        |        t.max_tok::DOUBLE / t.n_tok AS top_frac,
+        |        COALESCE((b.n_bg - b.n_dist_bg)::DOUBLE / b.n_bg, 0.0)
+        |          AS dup_bg_frac
+        |      FROM topw t LEFT JOIN big b USING (doc_id))
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(CASE WHEN top_frac > 0.1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_flag_top,
+        |  SUM(CASE WHEN dup_bg_frac > 0.2 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_flag_dup,
+        |  ROUND(MAX(top_frac), 4) AS max_top_frac,
+        |  ROUND(MAX(dup_bg_frac), 4) AS max_dup_frac
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // Salient terms per language: tf = term count within the lang
+      // slice, df = corpus-wide document frequency, score = tf * N / df
+      // (the unsmoothed multiplicative idf variant — chosen over
+      // tf*ln(N/df) because tf*N and df are exact BIGINTs, so the one
+      // double division is bit-identical on both engines and the
+      // ranking cannot drift on a libm ulp). Shuffles on (lang, token)
+      // and token — vocabulary-keyed, never doc x doc; top-10 per lang
+      // is a bounded window over the vocab aggregate.
+      "q_tfidf_topterms",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        val tf = tok.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tok.select(col("doc_id"), col("tok")).distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("n_docs")).cast(DoubleType) / col("df"))
+        scored
+          .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("score").desc, col("tok").asc)))
+          .filter(col("r") <= 10)
+          .select(col("lang"), col("r"), col("tok"), col("tf"), col("df"),
+            round(col("score"), 4).as("score"))
+          .orderBy(col("lang"), col("r"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents),
+        |tf AS (SELECT lang, tok, COUNT(*)::BIGINT AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*)::BIGINT AS df
+        |       FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+        |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        |scored AS (SELECT tf.lang, tf.tok, tf.tf, df.df,
+        |             (tf.tf * n.n_docs)::DOUBLE / df.df AS score
+        |           FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT lang, r::INTEGER AS r, tok, tf, df, ROUND(score, 4) AS score
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY score DESC, tok ASC) AS r
+        |      FROM scored)
+        |WHERE r <= 10 ORDER BY lang, r""".stripMargin))
+  )
+}

@@ -136,6 +136,70 @@ object Stream extends QueryGroup {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      // Custom streaming state via flatMapGroupsWithState (the brief's
+      // KeyValueGroupedDataset state primitive, not expressible as a
+      // built-in windowed agg): a per-user running (event count, value
+      // sum) accumulator carried in the state store across micro-
+      // batches, emitting the updated totals each batch. Values sum as
+      // exact cents (BIGINT) inside the state so accumulation order
+      // cannot change the answer. State is O(users) and partitioned by
+      // the group key — the 100 TB path is the same plan with state in
+      // RocksDB. Emissions are cumulative per user, so the final state
+      // = the emission with the highest count (max-struct below), which
+      // makes the drained sink deterministic under any batching; the
+      // oracle is the plain batch GROUP BY.
+      "q_stream_stateful",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val name = "stateful_sink"
+        s.catalog.dropTempView(name)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val rows = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .select(col("user_id"),
+              expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
+                .as("cents"))
+            .as[(Long, Long)]
+          val updated = rows.groupByKey(_._1)
+            .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+              OutputMode.Update, GroupStateTimeout.NoTimeout) {
+              (user: Long, it: Iterator[(Long, Long)],
+               state: GroupState[(Long, Long)]) =>
+                var (n, cents) = state.getOption.getOrElse((0L, 0L))
+                it.foreach { r => n += 1; cents += r._2 }
+                state.update((n, cents))
+                Iterator((user, n, cents))
+            }
+            .toDF("user_id", "n_events", "cents")
+          val q = updated.writeStream.outputMode("update")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        s.table(name)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("cents"))).as("fin"))
+          .select(col("user_id"), col("fin.n_events").as("n_events"),
+            (col("fin.cents").cast(DoubleType) / 100).as("sum_val"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*)::BIGINT AS n_events,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |   AS DOUBLE) / 100 AS sum_val
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
       "q_stream_dedup",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))

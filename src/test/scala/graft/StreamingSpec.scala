@@ -74,6 +74,54 @@ class StreamingSpec extends AnyFunSuite {
       "stream-scoped shuffle.partitions leaked into the shared session")
   }
 
+  test("flatMapGroupsWithState accumulates per-key state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val q = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { r => n += 1; cents += r._2 }
+          state.update((n, cents))
+          Iterator((user, n, cents))
+      }
+      .toDF("user_id", "n_events", "cents")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("fmgws_spec").start()
+    try {
+      ms.addData((1L, 100L), (1L, 50L), (2L, 10L))
+      q.processAllAvailable()
+      ms.addData((1L, 25L))              // batch 2: state must carry over
+      q.processAllAvailable()
+      val byBatchOrder = spark.table("fmgws_spec")
+        .as[(Long, Long, Long)].collect().toSeq
+      // user 1 emitted twice — (2, 150) after batch 1, (3, 175) after
+      // batch 2 (proof the state store carried (2, 150) across batches)
+      assert(byBatchOrder.filter(_._1 == 1L).toSet
+        == Set((1L, 2L, 150L), (1L, 3L, 175L)), s"got $byBatchOrder")
+      assert(byBatchOrder.filter(_._1 == 2L) == Seq((2L, 1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("q_stream_stateful equals the batch per-user aggregate (sf0.001)") {
+    val streamed = SparkEntry.queries("q_stream_stateful")(
+      spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("cast(cast(value as decimal(14,2)) * 100 as bigint)"))
+          .cast("double") / 100).as("sum_val"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch)
+  }
+
   test("q_stream_watermark_late (complete replay) equals batch tumbling") {
     val streamed = SparkEntry.queries("q_stream_watermark_late")(
       spark, TestSpark.sf0001).collect().map(_.toString).toSeq
