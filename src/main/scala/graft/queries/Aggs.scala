@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -206,6 +207,40 @@ object Aggs extends QueryGroup {
           array(lit(0.25), lit(0.5), lit(0.75), lit(0.99)), lit(1000))
           .as("approx_q"))
         .orderBy(col("l_returnflag")),
+      None),
+
+    QueryDef(
+      // Heavy hitters via count-min sketch (added r4) — completes the
+      // sketch trio (HLL distinct, quantile, frequency): one 32 KiB
+      // mergeable sketch per language absorbs every token occurrence in
+      // a single partial+final pass, then the exact per-lang top-5
+      // tokens (a bounded window over the vocab agg, kept exact here so
+      // the estimate error is visible in the result) are looked up in
+      // the sketch. At 100 TB the exact vocab agg is the part that gets
+      // dropped and the sketch alone answers point frequency queries
+      // with O(langs) state. Deterministic for fixed seeds/data, but
+      // sketch internals are engine-specific -> no DuckDB oracle;
+      // CountMinSpec asserts est >= exact and est <= exact + eps*N on
+      // every probed token.
+      "q_agg_topk_cms",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+        val sketches = tok.groupBy(col("lang"))
+          .agg(graft.functions.CountMin.cms(col("tok")).as("sk"),
+            count(lit(1)).as("n_tok"))
+        val top = tok.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("n_exact"))
+          .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_exact").desc, col("tok").asc)))
+          .filter(col("r") <= 5)
+        top.join(broadcast(sketches), Seq("lang"))
+          .select(col("lang"), col("r"), col("tok"), col("n_exact"),
+            graft.functions.CountMin.cmsEstimate(col("sk"), col("tok"))
+              .as("n_est"), col("n_tok"))
+          .orderBy(col("lang"), col("r"))
+      },
       None)
   )
 }

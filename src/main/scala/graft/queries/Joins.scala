@@ -240,6 +240,87 @@ object Joins extends QueryGroup {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
 
     QueryDef(
+      // Skew mitigation made explicit (added r4): the same orders x
+      // lineitem equi-join executed through a 16-way salt — the fact
+      // side derives a salt from columns OUTSIDE the join key (so a hot
+      // orderkey's rows spread over 16 shuffle partitions) and the
+      // build side replicates each row across all 16 salt values; the
+      // join key becomes (key, salt) and the aggregate is unchanged.
+      // The oracle is the plain unsalted join: salting is an execution
+      // strategy, never a semantics change. At 100 TB this is the
+      // manual fallback when AQE skew-join can't split (e.g. a
+      // build-side hot key joined below a window), so it earns a
+      // first-class oracle-checked entry rather than a prose note.
+      "q_join_skew_salted",
+      (s, d) => {
+        val salts = 16
+        val fact = Tables.lineitem(s, d)
+          .withColumn("salt",
+            pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        val build = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            explode(sequence(lit(0L), lit(salts - 1L))).as("o_salt"))
+        fact.join(build,
+            col("l_orderkey") === col("o_orderkey")
+              && col("salt") === col("o_salt"), "inner")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(14, 2))
+              * (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+              .cast(DoubleType).as("rev"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    QueryDef(
+      // Bucketed co-located join (added r4): both sides are written as
+      // bucketed tables on the join key (8 buckets, sorted within
+      // bucket), then joined — the scan's HashPartitioning satisfies
+      // the join's distribution requirement so NEITHER side shuffles
+      // (PlanSpec pins zero Exchange below the join). This is the
+      // pre-partitioning answer for a fact table joined repeatedly on
+      // the same key at 100 TB: pay the layout once at write time,
+      // never again per query. The oracle is the plain join — bucketing
+      // is pure physical layout.
+      "q_join_bucketed",
+      (s, d) => {
+        // a fresh session's in-memory catalog has no entry for a table
+        // whose warehouse directory survived an earlier JVM, and
+        // overwrite then refuses the "new" table's dirty location —
+        // drop both the catalog entry and the directory first
+        def reset(table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), table)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        reset("graft_bucketed_orders")
+        reset("graft_bucketed_customer")
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_bucketed_orders")
+        Tables.customer(s, d).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_bucketed_customer")
+        s.table("graft_bucketed_orders")
+          .join(s.table("graft_bucketed_customer"),
+            col("o_custkey") === col("c_custkey"), "inner")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
       "q_join_range_band",
       (s, d) => {
         val ev = Tables.events(s, d)

@@ -290,6 +290,74 @@ object Llm extends QueryGroup {
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
 
     QueryDef(
+      // Int8-style symmetric quantization (added r4) — the memory/IO
+      // lever for vector search at 100 TB: each 64-dim float vector
+      // becomes 64 small ints (scale = 127/max|x|, round-half-up as
+      // floor(x*scale + 0.5) — floor is engine-exact where round()
+      // half-way conventions are not), so a scoring pass reads ~8x
+      // fewer bytes and the dot product is exact BIGINT arithmetic.
+      // The score divides IEEE doubles derived from those ints, so the
+      // ranking is bit-identical on both engines: unlike the
+      // recall-gated ANN paths this is oracle-checked — quantization
+      // here is a compression choice with its own exact contract, and
+      // QuantizedSimSpec separately gates recall@5 against the
+      // float-exact top-k.
+      "q_sim_quantized",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .withColumn("scale", expr(
+            "127.0D / cast(array_max(transform(embedding, x -> abs(x))) as double)"))
+          .withColumn("qv", expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * scale + 0.5D) as bigint))"))
+          .withColumn("n2", expr("aggregate(qv, 0L, (acc, v) -> acc + v * v)"))
+          .select(col("vec_id"), col("qv"), col("n2"))
+        val q = emb.select(col("vec_id").as("qid"), col("qv").as("q_qv"),
+          col("n2").as("q_n2")).filter(col("qid") < 10)
+        val idot = expr(
+          "aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("qcos").desc, col("vec_id").asc)
+        broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+          .withColumn("idot", idot)
+          .withColumn("qcos", col("idot").cast(DoubleType)
+            / (sqrt(col("q_n2").cast(DoubleType))
+              * sqrt(col("n2").cast(DoubleType))))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("rank"), col("idot"),
+            round(col("qcos"), 4).as("qcos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * (127.0 / CAST(list_max(list_transform(embedding,
+        |           y -> abs(y))) AS DOUBLE)) + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, qv,
+        |        CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
+        |          AS n2
+        |      FROM e),
+        |q AS (SELECT vec_id AS qid, qv AS q_qv, n2 AS q_n2
+        |      FROM n WHERE vec_id < 10),
+        |c AS (SELECT q.qid, n.vec_id,
+        |        CAST(list_sum(list_transform(range(1, len(q.q_qv) + 1),
+        |          i -> q.q_qv[i] * n.qv[i])) AS BIGINT) AS idot,
+        |        q.q_n2 AS q_n2, n.n2 AS n2
+        |      FROM q JOIN n ON n.vec_id != q.qid),
+        |sc AS (SELECT qid, vec_id, idot,
+        |         CAST(idot AS DOUBLE)
+        |           / (sqrt(CAST(q_n2 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE)))
+        |           AS qcos
+        |       FROM c)
+        |SELECT qid, vec_id, rank, idot, ROUND(qcos, 4) AS qcos
+        |FROM (SELECT qid, vec_id, idot, qcos,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY qcos DESC, vec_id ASC) AS rank
+        |      FROM sc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)),
+
+    QueryDef(
       // ANN: 16 random-hyperplane LSH tables x 4 bits, signatures from
       // the fused codegen'd LshSignatures expression. Each vector lands
       // in 16 buckets; candidates share a bucket with the query in at

@@ -134,6 +134,53 @@ object Pipeline extends QueryGroup {
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // Boilerplate/stopword detection (added r4): tokens whose
+      // document frequency within a language reaches 50% of that
+      // language's docs are boilerplate candidates — the df test is an
+      // exact integer compare (2*df >= n_docs), and the reported
+      // coverage (share of ALL token occurrences that boilerplate
+      // tokens account for) is one BIGINT ratio per lang. Shuffles on
+      // (lang, token) — vocabulary-keyed, the same inverted-index
+      // shape as the tf-idf op, never doc x doc; the per-lang doc
+      // counts are a 5-row broadcast.
+      "q_text_boilerplate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        val nDocs = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val vocab = tok.groupBy(col("lang"), col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("occ"))
+          .join(broadcast(nDocs), Seq("lang"))
+          .withColumn("boiler", col("df") * 2 >= col("n_docs"))
+        vocab.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_vocab"),
+            sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+            round(sum(when(col("boiler"), col("occ")).otherwise(0L))
+              .cast(DoubleType) / sum(col("occ")), 4).as("coverage"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents),
+        |nd AS (SELECT lang, COUNT(*)::BIGINT AS n_docs
+        |       FROM documents GROUP BY lang),
+        |vocab AS (SELECT t.lang, t.tok,
+        |            COUNT(DISTINCT t.doc_id)::BIGINT AS df,
+        |            COUNT(*)::BIGINT AS occ,
+        |            ANY_VALUE(nd.n_docs) AS n_docs
+        |          FROM tok t JOIN nd USING (lang)
+        |          GROUP BY t.lang, t.tok)
+        |SELECT lang, COUNT(*)::BIGINT AS n_vocab,
+        |  SUM(CASE WHEN df * 2 >= n_docs THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_boiler,
+        |  ROUND(SUM(CASE WHEN df * 2 >= n_docs THEN occ ELSE 0 END)::DOUBLE
+        |    / SUM(occ), 4) AS coverage
+        |FROM vocab GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       // Salient terms per language: tf = term count within the lang
       // slice, df = corpus-wide document frequency, score = tf * N / df
       // (the unsmoothed multiplicative idf variant — chosen over

@@ -200,6 +200,63 @@ object Stream extends QueryGroup {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     QueryDef(
+      // TRUE stream-stream join (added r4) — the remaining Structured
+      // Streaming join surface: two file-source streams over the same
+      // event log (clicks / purchases), each with its own watermark,
+      // joined on user_id within a 5-minute event-time band. The band
+      // condition on BOTH event-time columns is what lets the state
+      // store evict rows once the watermark passes (without it the
+      // join state grows forever — the 100 TB failure mode); with a
+      // complete one-batch replay nothing is evicted early, so the
+      // drained sink must equal the batch band join, which is exactly
+      // what the oracle checks (q_join_range_band's shape, per-user
+      // counts).
+      "q_stream_stream_join",
+      (s, d) => {
+        val name = "ss_join_sink"
+        s.catalog.dropTempView(name)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          def src() = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val clicks = src().filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "30 minutes")
+          val buys = src().filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", "30 minutes")
+          val q = clicks.join(buys,
+              col("c_user") === col("p_user")
+                && col("p_ts") > col("c_ts")
+                && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+              "inner")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        s.table(name)
+          .groupBy(col("c_user").as("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT c.user_id, COUNT(*)::BIGINT AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
+    QueryDef(
       "q_stream_dedup",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))

@@ -97,6 +97,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("bucketed join co-locates: no Exchange anywhere below the join") {
+    import org.apache.spark.sql.functions.col
+    // run the query once so the bucketed tables exist in the catalog
+    SparkEntry.queries("q_join_bucketed")(spark, TestSpark.sf0001).collect()
+    // the join-only plan: both scans expose HashPartitioning(8) from the
+    // bucket layout, so the planner must not insert a shuffle on either
+    // side — the whole point of paying for bucketing at write time. At
+    // this toy sf the dim fits the broadcast threshold (which would
+    // bypass bucketing entirely), so pin the 100 TB shape where neither
+    // side broadcasts.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bucketed_orders")
+        .join(spark.table("graft_bucketed_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_join_skew_salted replicates the build side, not the fact side") {
+    val p = plan("q_join_skew_salted")
+    // the salt explode (Generate) must sit on the orders side; lineitem
+    // flows through with a per-row salt projection only
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_etl_partitioned_sink prunes to the one matching partition") {
     val p = plan("q_etl_partitioned_sink")
     // the filter lands on the partition column, so the scan prunes

@@ -44,6 +44,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join drops late rows once the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("p_ts", "p_user").withWatermark("p_ts", "10 minutes")
+    val q = c.join(b, $"c_user" === $"p_user" && $"p_ts" > $"c_ts"
+        && $"p_ts" <= $"c_ts" + expr("INTERVAL 5 MINUTES"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_spec").start()
+    try {
+      // epoch 1: click + in-band purchase -> one joined pair
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L))
+      buys.addData((ts("2024-01-01 10:02:00"), 1L))
+      q.processAllAvailable()
+      // epoch 2: both streams far ahead -> watermark passes 11:50,
+      // the 10:00 click's join state is evictable
+      clicks.addData((ts("2024-01-01 12:00:00"), 9L))
+      buys.addData((ts("2024-01-01 12:00:01"), 8L))
+      q.processAllAvailable()
+      // epoch 3: a LATE purchase that would have matched the 10:00
+      // click -> dropped, no second pair
+      buys.addData((ts("2024-01-01 10:03:00"), 1L))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_spec").count()
+      assert(pairs == 1,
+        s"late purchase must not join against evicted state, got $pairs")
+    } finally q.stop()
+  }
+
   test("gaps-and-islands sessionization equals session_window (sf0.001)") {
     val batch = SparkEntry.queries("q_stream_session")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
