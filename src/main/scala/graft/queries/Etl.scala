@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** ETL analogs of the reference's import pipeline (SURVEY §2A A5/A6 →
   * §2B q_etl_*): deterministic surrogate keys (the batch analog of the
@@ -217,6 +217,71 @@ object Etl extends QueryGroup {
       Some("""SELECT lang, COUNT(*)::BIGINT AS n_docs,
         | SUM(n_chars)::BIGINT AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // CSV sink round trip (added r4, beside JDBC / JSON lines /
+      // partitioned parquet): integral/string columns only — CSV is a
+      // text format, so the round trip is exact for those and the
+      // read-back aggregate must hash-match the source-table oracle.
+      // Explicit schema on read (never inferSchema — FIXTURES.md rule).
+      "q_etl_csv_roundtrip",
+      (s, d) => {
+        val out = "/tmp/graft_csv_sink"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("l_linenumber",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("l_returnflag",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema).option("header", "true").csv(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_linenumber").cast("long")).as("sum_line"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        | SUM(l_linenumber)::BIGINT AS sum_line
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      // Small-file compaction (added r4): the operational sibling of
+      // XmlManifest's container-packing answer — a 64-way fragmented
+      // parquet directory is rewritten into <= 4 splittable files with
+      // coalesce (a partition-merging NARROW dependency: no shuffle, no
+      // re-sort, each output task concatenates input splits). The
+      // require() makes the physical contract loud; the oracle checks
+      // the data survived the rewrite bit-for-bit (per-status counts +
+      // decimal-exact sums against the source table). At 100 TB this
+      // job is what keeps scan task counts proportional to bytes, not
+      // to historical write patterns.
+      "q_etl_compaction",
+      (s, d) => {
+        val small = "/tmp/graft_compact_in"
+        val out = "/tmp/graft_compact_out"
+        Tables.orders(s, d).repartition(64)
+          .write.mode("overwrite").parquet(small)
+        s.read.schema(Tables.ordersSchema).parquet(small)
+          .coalesce(4).write.mode("overwrite").parquet(out)
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val nFiles = fs.listStatus(p)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        require(nFiles > 0 && nFiles <= 4,
+          s"compaction must emit <= 4 data files, wrote $nFiles")
+        s.read.schema(Tables.ordersSchema).parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
       // SCD2 validity-window construction — the batch form of the

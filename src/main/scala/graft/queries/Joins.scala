@@ -257,9 +257,16 @@ object Joins extends QueryGroup {
         val fact = Tables.lineitem(s, d)
           .withColumn("salt",
             pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+        // SHUFFLE_HASH, not broadcast: the planner sizes the build side
+        // before the x16 Generate and would happily broadcast 2.4M
+        // replicated rows — which defeats the very premise of salting
+        // (a build side small enough to broadcast has no skew problem)
+        // and measures ~2x slower here. PlanSpec pins the no-broadcast
+        // shape.
         val build = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_orderpriority"),
             explode(sequence(lit(0L), lit(salts - 1L))).as("o_salt"))
+          .hint("SHUFFLE_HASH")
         fact.join(build,
             col("l_orderkey") === col("o_orderkey")
               && col("salt") === col("o_salt"), "inner")

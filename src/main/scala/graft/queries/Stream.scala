@@ -257,6 +257,56 @@ object Stream extends QueryGroup {
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
 
     QueryDef(
+      // Programmable sink via foreachBatch (added r4): the escape hatch
+      // for sinks Structured Streaming has no native writer for (JDBC
+      // upserts, multi-table fan-out). Each micro-batch's DataFrame is
+      // written as parquet by ordinary batch code keyed on batchId —
+      // batchId is what makes retries idempotent in a real pipeline.
+      // The drained directory is read back with an explicit schema and
+      // aggregated; a complete replay writes every event exactly once,
+      // so the oracle is the plain batch aggregate in exact cents.
+      "q_stream_foreachbatch",
+      (s, d) => {
+        val out = "/tmp/graft_fb_sink"
+        val p = new org.apache.hadoop.fs.Path(out)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val rows = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .select(col("event_type"),
+              expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
+                .as("cents"))
+          val q = rows.writeStream
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              df.write.mode("append").parquet(s"$out/b$id"): Unit
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        val sunk = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cents",
+            org.apache.spark.sql.types.LongType)))
+        s.read.schema(sunk).parquet(s"$out/*")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("cents")).cast(DoubleType) / 100).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |   AS DOUBLE) / 100 AS sum_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_stream_dedup",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))

@@ -128,6 +128,38 @@ object Windows extends QueryGroup {
       Some(ntileOracle)),
 
     QueryDef(
+      // Value window functions (added r4): first_value / nth_value over
+      // the cumulative frame and last_value over the whole partition —
+      // the remaining analytic-function family beside lag/lead. Values
+      // are picked, never summed, so doubles pass through exactly on
+      // both engines. One shuffle on user_id, linear per key.
+      "q_win_value_funcs",
+      (s, d) => {
+        val cum = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            first(col("value")).over(cum).as("first_val"),
+            nth_value(col("value"), 2).over(cum).as("second_val"),
+            last(col("value")).over(full).as("final_val"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""SELECT user_id, ts, event_id,
+        | FIRST_VALUE(value) OVER cum AS first_val,
+        | NTH_VALUE(value, 2) OVER cum AS second_val,
+        | LAST_VALUE(value) OVER tot AS final_val
+        |FROM events
+        |WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |tot AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    QueryDef(
       // Same contract as q_win_ntile_pctrank (identical oracle SQL) but
       // computed by the two-pass distributed ranker — range partition +
       // offset broadcast — with no single-task sort of the data.

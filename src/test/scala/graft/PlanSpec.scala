@@ -119,12 +119,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("q_join_skew_salted replicates the build side, not the fact side") {
+  test("q_join_skew_salted replicates the build side and never broadcasts") {
     val p = plan("q_join_skew_salted")
     // the salt explode (Generate) must sit on the orders side; lineitem
     // flows through with a per-row salt projection only
     assert(p.contains("Generate explode"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // a broadcast of the x16-replicated build would contradict the
+    // technique's premise (broadcastable build => no skew problem) —
+    // the join must shuffle on (key, salt)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("q_etl_partitioned_sink prunes to the one matching partition") {
