@@ -284,6 +284,67 @@ object Etl extends QueryGroup {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
+      // Typed Dataset lane in batch (added r4): groupByKey +
+      // flatMapGroups with case-class-free tuple Encoders — the
+      // sorted-iterator-per-key shape for per-key logic that outgrows
+      // window functions (multi-pass state machines, custom emission).
+      // Semantics = q_stream_session's 30-min gaps-and-islands, reduced
+      // to per-user (session count, largest session), so the oracle is
+      // the same SQL formulation aggregated one level further. The
+      // per-key buffer is session-history-sized (events per user), the
+      // group shuffle is the same one hash shuffle as the window form;
+      // at extreme per-key cardinality the answer is secondary sort
+      // (sortWithinPartitions) — noted, not needed for user-keyed logs.
+      "q_etl_typed_sessions",
+      (s, d) => {
+        import s.implicits._
+        val us30 = 30L * 60 * 1000 * 1000
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+          .as[(Long, Long, Long)]
+        ev.groupByKey(_._1)
+          .flatMapGroups { (user: Long, it: Iterator[(Long, Long, Long)]) =>
+            val rows = it.toArray.sortBy(r => (r._2, r._3))
+            var sessions = 0L
+            var maxLen = 0L
+            var cur = 0L
+            var prev = Long.MinValue
+            rows.foreach { r =>
+              if (prev == Long.MinValue || r._2 - prev > us30) {
+                sessions += 1
+                if (cur > maxLen) maxLen = cur
+                cur = 0
+              }
+              cur += 1
+              prev = r._2
+            }
+            if (cur > maxLen) maxLen = cur
+            Iterator((user, sessions, maxLen))
+          }
+          .toDF("user_id", "n_sessions", "max_session_events")
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+        | MAX(n)::BIGINT AS max_session_events
+        |FROM (SELECT user_id, sid, COUNT(*) AS n
+        |      FROM (SELECT user_id, ts,
+        |              SUM(brk) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS sid
+        |            FROM (SELECT user_id, ts, event_id,
+        |                    CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) IS NULL
+        |                         OR epoch_us(ts) - epoch_us(LAG(ts)
+        |                           OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id)) > 1800000000
+        |                         THEN 1 ELSE 0 END AS brk
+        |                  FROM events))
+        |      GROUP BY user_id, sid)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
       // SCD2 validity-window construction — the batch form of the
       // reference's transfo validity windows (each transfo row carries
       // [valid_start, valid_end); a new import closes the prior row).

@@ -328,6 +328,41 @@ object Joins extends QueryGroup {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     QueryDef(
+      // Bloom-prefiltered join (added r4): the manual form of runtime
+      // row-level filtering (what Spark's runtime bloom / DPP inject
+      // automatically when statistics allow). A fixed-size bloom filter
+      // is built from the selective dim's keys by treeAggregate
+      // (stat.bloomFilter — ~60 KiB regardless of key count), broadcast,
+      // and applied to the fact scan BEFORE the shuffle, so at 100 TB
+      // the join only shuffles the ~1/5 of fact rows that can match.
+      // Blooms never false-negative, so the exact semi-join afterwards
+      // removes only false positives — semantics stay exactly the
+      // dim-filtered join, which is what the oracle checks.
+      "q_join_bloom_prefilter",
+      (s, d) => {
+        val keys = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bloom = keys.stat.bloomFilter("c_custkey", 50000, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val mightContain = udf((k: Long) => bc.value.mightContain(k))
+        Tables.orders(s, d)
+          .filter(mightContain(col("o_custkey")))
+          .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
       "q_join_range_band",
       (s, d) => {
         val ev = Tables.events(s, d)

@@ -75,6 +75,19 @@ object Llm extends QueryGroup {
     * raw double ratio; callers round for display AFTER the threshold
     * filter so both consumers cut on the identical value. */
   private[queries] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val jac = col("i").cast(DoubleType) /
+      (col("sza") + col("szb") - col("i"))
+    shingleIntersections(s, d)
+      .filter(jac >= 0.6)
+      .select(col("a"), col("b"), jac.as("jac"))
+  }
+
+  /** Shared-shingle pair intersections (a, b, i, sza, szb) for every
+    * same-lang doc pair with at least one common 3-gram — the common
+    * inverted-index core under q_dedup_near_jaccard / q_dedup_cluster
+    * (Jaccard cut) and q_dedup_containment (containment cut). */
+  private[queries] def shingleIntersections(
+      s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         split(col("text"), " ").as("w"))
@@ -98,17 +111,12 @@ object Llm extends QueryGroup {
     // hashing one shuffle-partition-sized side is ~2x cheaper and
     // equally scale-safe (no broadcast, build side bounded by the
     // per-partition shingle slice).
-    val inter = a.join(b.hint("shuffle_hash"),
+    a.join(b.hint("shuffle_hash"),
         col("lang") === col("lang_b") && col("s") === col("s_b")
           && col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-    val jac = col("i").cast(DoubleType) /
-      (col("sza") + col("szb") - col("i"))
-    inter
       .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
       .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-      .filter(jac >= 0.6)
-      .select(col("a"), col("b"), jac.as("jac"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -152,6 +160,43 @@ object Llm extends QueryGroup {
         |JOIN sz sa ON sa.doc_id = a
         |JOIN sz sb ON sb.doc_id = b
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6
+        |ORDER BY a, b""".stripMargin)),
+
+    QueryDef(
+      // Containment dedup (added r4): the asymmetric twin of Jaccard —
+      // containment(A in B) = |A∩B| / |A| catches a short doc quoted or
+      // embedded inside a longer one, which Jaccard misses because the
+      // union in its denominator grows with the longer doc. Pairs are
+      // flagged on max containment = i / least(|A|, |B|) >= 0.7 (one
+      // BIGINT ratio). Same inverted-index core as q_dedup_near_jaccard
+      // (shared shingleIntersections — one shuffle on the shingle hash,
+      // never doc x doc); only the final cut differs.
+      "q_dedup_containment",
+      (s, d) => {
+        val cont = col("i").cast(DoubleType) / least(col("sza"), col("szb"))
+        shingleIntersections(s, d)
+          .filter(cont >= 0.7)
+          .select(col("a"), col("b"), col("i"),
+            round(cont, 4).as("containment"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |         unnest(list_transform(range(1, len(w)-1),
+        |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a, b, i,
+        |  ROUND(i::DOUBLE / LEAST(sa.sz, sb.sz), 4) AS containment
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a
+        |JOIN sz sb ON sb.doc_id = b
+        |WHERE i::DOUBLE / LEAST(sa.sz, sb.sz) >= 0.7
         |ORDER BY a, b""".stripMargin)),
 
     QueryDef(

@@ -49,6 +49,29 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("bloom prefilter keeps every matching row and prunes most others") {
+    val keys = Tables.customer(spark, TestSpark.sf001)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = keys.stat.bloomFilter("c_custkey", 50000, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    val orders = Tables.orders(spark, TestSpark.sf001)
+    val total = orders.count()
+    val prefiltered = orders.filter(mightContain(col("o_custkey")))
+    val kept = prefiltered.count()
+    val exact = orders
+      .join(keys, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    val exactAfterBloom = prefiltered
+      .join(keys, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(exactAfterBloom == exact,
+      "bloom must never drop a matching row (no false negatives)")
+    // ~1/5 of customers are BUILDING; with fpp 0.01 the prefilter should
+    // pass well under half the fact rows
+    assert(kept < total / 2,
+      s"prefilter kept $kept of $total rows — bloom is not selective")
+  }
+
   test("partitioned write enables partition pruning in the scan") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables.events(spark, TestSpark.sf0001)
