@@ -311,6 +311,47 @@ object LlmText extends QueryGroup {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // End-to-end multimodal pipeline (added r4): runs the REAL
+      // graft.multimodal plumbing — media table (opaque payload + typed
+      // metadata) -> resize metadata -> per-partition decode +
+      // feature-extract (mapPartitions, codec init once per partition;
+      // the codec itself is the declared deterministic stub — no media
+      // libs in this environment) -> every-7th frame sampling -> join.
+      // The oracle hash-checks every integer-exact quantity that
+      // crosses the pipeline: n_bytes comes OUT of the mapPartitions
+      // decode rows, sampled-frame counts out of the metadata explode;
+      // the float feature vectors themselves are gated in
+      // MultimodalSpec (deterministic stub, partition-count invariant).
+      "q_multimodal_pipeline",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val media = Multimodal.resizeMeta(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)), 224, 224)
+        val feats = Multimodal.extractFeatures(media)
+        val frames = Multimodal.sampleFrames(media, everyK = 7)
+          .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
+        feats.join(frames, "media_id")
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_media"),
+            sum(col("n_bytes").cast(LongType)).as("sum_bytes"),
+            sum(col("n_sampled")).as("n_sampled"),
+            round(sum(col("n_sampled")).cast(DoubleType)
+              / count(lit(1)), 4).as("avg_sampled"))
+          .orderBy(col("kind"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+        |         CASE (doc_id % 3) WHEN 0 THEN 'image'
+        |           WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         octet_length(encode(text))::BIGINT AS n_bytes,
+        |         ((n_chars % 100 + 1 + 6) // 7)::BIGINT AS n_sampled
+        |       FROM documents)
+        |SELECT kind, COUNT(*)::BIGINT AS n_media,
+        |  SUM(n_bytes)::BIGINT AS sum_bytes,
+        |  SUM(n_sampled)::BIGINT AS n_sampled,
+        |  ROUND(SUM(n_sampled)::DOUBLE / COUNT(*), 4) AS avg_sampled
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    QueryDef(
       // deterministic train/val/test split by content-independent hash of
       // the document key — the reproducible-split primitive every training
       // pipeline needs (no RNG, stable across reruns and engines)

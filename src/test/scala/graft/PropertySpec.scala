@@ -83,6 +83,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment dominates jaccard on the real corpus (sf0.01)") {
+    // containment = i/min(|A|,|B|) >= jaccard = i/|A∪B| for every pair,
+    // so (a) any reported jaccard pair also found by containment must
+    // carry containment >= its jaccard, and (b) every pair with
+    // jaccard >= the containment threshold MUST appear in the
+    // containment output — a cross-operator consistency law on the two
+    // engine outputs, not on a re-derivation of the formulas.
+    val jac = SparkEntry.queries("q_dedup_near_jaccard")(
+      spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cont = SparkEntry.queries("q_dedup_containment")(
+      spark, TestSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(jac.nonEmpty && cont.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      if (j >= 0.7)
+        assert(cont.contains(pair),
+          s"$pair has jaccard $j >= 0.7 but no containment entry")
+      cont.get(pair).foreach(c =>
+        assert(c >= j - 1e-4, s"$pair containment $c below jaccard $j"))
+    }
+  }
+
+  test("salted join equals the plain join for any salt count") {
+    import spark.implicits._
+    val factGen: Gen[List[(Long, Long)]] = Gen.listOfN(80,
+      Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(0L, 100L)))
+    val dimGen: Gen[List[(Long, String)]] = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(1L, 10L), Gen.oneOf("x", "y", "z")))
+    cases(Gen.zip(factGen, dimGen), 4).foreach { case (fs, ds) =>
+      val fact = fs.toDF("k", "v")
+      val dim = ds.toDF("dk", "tag").dropDuplicates("dk")
+      val plain = fact.join(dim, $"k" === $"dk")
+        .groupBy($"tag").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .collect().map(_.toString).sorted.toSeq
+      for (salts <- Seq(1, 3, 16)) {
+        val salted = fact
+          .withColumn("salt", pmod(xxhash64($"k", $"v"), lit(salts)))
+          .join(dim.select($"dk", $"tag",
+              explode(sequence(lit(0L), lit(salts - 1L))).as("dsalt")),
+            $"k" === $"dk" && $"salt" === $"dsalt")
+          .groupBy($"tag").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+          .collect().map(_.toString).sorted.toSeq
+        assert(salted == plain, s"salts=$salts diverged")
+      }
+    }
+  }
+
   test("minhash signature of a superset is elementwise <= (unsigned)") {
     import spark.implicits._
     graft.functions.MinHash.register(spark)
