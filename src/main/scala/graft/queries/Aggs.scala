@@ -210,6 +210,31 @@ object Aggs extends QueryGroup {
       None),
 
     QueryDef(
+      // Sketch RE-aggregation (added r4) — the pattern that makes
+      // sketches pay at 100 TB: a per-(day, event_type) DataSketches
+      // HLL of user ids is computed ONCE over the raw data, and every
+      // coarser distinct-count question afterwards (here: distinct
+      // users per event_type across the whole month) is answered by
+      // MERGING those fixed-size sketches — hll_union_agg never touches
+      // raw rows again. This is what approx_count_distinct alone cannot
+      // do: its sketch is consumed inside one query, while these are
+      // storable, reusable aggregates. No DuckDB oracle (DataSketches
+      // binary form); AggSpec gates the merged estimate against the
+      // exact distinct count.
+      "q_agg_hll_reaggregate",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("date_trunc('day', ts)").as("day"),
+            col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("est_users"), count(lit(1)).as("n_days"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    QueryDef(
       // Heavy hitters via count-min sketch (added r4) — completes the
       // sketch trio (HLL distinct, quantile, frequency): one 32 KiB
       // mergeable sketch per language absorbs every token occurrence in

@@ -248,6 +248,36 @@ object Etl extends QueryGroup {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      // ORC sink round trip (added r4) — fifth sink format beside
+      // JDBC / JSON lines / CSV / partitioned parquet: ORC is the
+      // other columnar container a warehouse migration meets, and the
+      // write -> explicit-schema read -> aggregate loop proves the
+      // type mapping survives it (integral/string columns, exact).
+      "q_etl_orc_roundtrip",
+      (s, d) => {
+        val out = "/tmp/graft_orc_sink"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").orc(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType)))
+        s.read.schema(schema).orc(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*)::BIGINT AS n_docs,
+        | SUM(n_chars)::BIGINT AS sum_chars, MAX(doc_id)::BIGINT AS max_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef(
       // Small-file compaction (added r4): the operational sibling of
       // XmlManifest's container-packing answer — a 64-way fragmented
       // parquet directory is rewritten into <= 4 splittable files with

@@ -25,6 +25,22 @@ class AggSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("merged daily HLL sketches estimate distinct users within 5%") {
+    val merged = SparkEntry.queries("q_agg_hll_reaggregate")(
+        spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, TestSpark.sf001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    exact.foreach { case (et, ex) =>
+      val est = merged(et).toDouble
+      assert(math.abs(est - ex) / ex < 0.05,
+        s"$et: merged-sketch estimate $est vs exact $ex")
+    }
+  }
+
   test("approx quantiles within 1% rank error of exact (sf0.01)") {
     val qs = Seq(0.25, 0.5, 0.75, 0.99)
     val approx = SparkEntry.queries("q_agg_approx_quantile")(

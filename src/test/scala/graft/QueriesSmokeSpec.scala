@@ -24,7 +24,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // §2B declared-no-oracle set (ScalaTest-covered instead)
     assert(noOracle == Set("q_agg_approx_hll", "q_agg_approx_quantile",
-      "q_agg_topk_cms", "q_dedup_minhash_lsh", "q_sim_ann_lsh",
-      "q_sim_ann_ivf"))
+      "q_agg_hll_reaggregate", "q_agg_topk_cms", "q_dedup_minhash_lsh",
+      "q_sim_ann_lsh", "q_sim_ann_ivf"))
   }
 }

@@ -49,6 +49,43 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // the automatic counterpart to q_join_skew_salted: when one key
+    // dominates a shuffle partition, AQE's OptimizeSkewedJoin splits
+    // that partition into subtasks at runtime — no salting code. Toy
+    // thresholds make the 30k-row hot key register as skewed.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // v is hash-scrambled so the hot partition's shuffle BYTES are
+      // genuinely large (an all-constant column compresses to nothing
+      // and would dodge the byte-based skew detector)
+      val fact = (1 to 100).flatMap { k =>
+        val n = if (k == 1) 30000 else 30
+        (0 until n).map(i =>
+          (k.toLong, math.floorMod(i * 0x9e3779b97f4a7c15L, 1000003L)))
+      }.toDF("k", "v").repartition(7)
+      val dim = (1 to 100).map(k => (k.toLong, s"tag_$k")).toDF("dk", "tag")
+      val joined = fact.join(dim, $"k" === $"dk")
+        .groupBy($"tag").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum == 30000 + 99 * 30)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloom prefilter keeps every matching row and prunes most others") {
     val keys = Tables.customer(spark, TestSpark.sf001)
       .filter(col("c_mktsegment") === "BUILDING")
