@@ -314,6 +314,50 @@ object Etl extends QueryGroup {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
+      // Dynamic partition overwrite (added r4): the incremental-refresh
+      // primitive — a daily pipeline rewrites ONLY the partitions
+      // present in the incoming batch, leaving every other partition's
+      // files untouched (no read-modify-write of the whole table, no
+      // full-table lock). Here the 'R' partition is replaced with a
+      // recomputed subset while A and N keep their original bytes; the
+      // oracle is the equivalent union. partitionOverwriteMode=dynamic
+      // is set per-write via option(), not session-wide.
+      "q_etl_partition_overwrite",
+      (s, d) => {
+        val dir = "/tmp/graft_dyn_overwrite"
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"),
+            col("l_returnflag"))
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+        li.filter(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 0)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("l_returnflag").parquet(dir)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("l_quantity",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("l_linestatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("l_returnflag",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema).parquet(dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(12, 2)))
+              .cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM (SELECT * FROM lineitem WHERE l_returnflag != 'R'
+        |      UNION ALL
+        |      SELECT * FROM lineitem
+        |      WHERE l_returnflag = 'R' AND l_orderkey % 2 = 0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       // Typed Dataset lane in batch (added r4): groupByKey +
       // flatMapGroups with case-class-free tuple Encoders — the
       // sorted-iterator-per-key shape for per-key logic that outgrows
