@@ -106,6 +106,13 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
+  /** Column subset of a table schema, in the given order — the single
+    * source of truth for sink round-trip read-back schemas (inline
+    * StructType copies would silently diverge if a fixture type ever
+    * changed). */
+  def subSchema(tableName: String, names: String*): StructType =
+    StructType(names.map(schemas(tableName)(_)))
+
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")

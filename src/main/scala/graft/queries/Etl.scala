@@ -201,13 +201,8 @@ object Etl extends QueryGroup {
         Tables.documents(s, d).select(col("doc_id"), col("lang"),
             col("n_chars").cast("long").as("n_chars"))
           .write.mode("overwrite").json(out)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("lang",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_chars",
-            org.apache.spark.sql.types.LongType)))
+        val schema = Tables.subSchema("documents",
+          "doc_id", "lang", "n_chars")
         s.read.schema(schema).json(out)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
@@ -230,13 +225,10 @@ object Etl extends QueryGroup {
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
           .write.mode("overwrite").option("header", "true").csv(out)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("l_orderkey",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("l_linenumber",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("l_returnflag",
-            org.apache.spark.sql.types.StringType)))
+        // CSV read-back is positional under a user schema: the name
+        // order here must match the written select order
+        val schema = Tables.subSchema("lineitem",
+          "l_orderkey", "l_linenumber", "l_returnflag")
         s.read.schema(schema).option("header", "true").csv(out)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
@@ -259,13 +251,8 @@ object Etl extends QueryGroup {
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
           .write.mode("overwrite").orc(out)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("source",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_chars",
-            org.apache.spark.sql.types.LongType)))
+        val schema = Tables.subSchema("documents",
+          "doc_id", "source", "n_chars")
         s.read.schema(schema).orc(out)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -333,15 +320,9 @@ object Etl extends QueryGroup {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("l_returnflag").parquet(dir)
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("l_orderkey",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("l_quantity",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("l_linestatus",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("l_returnflag",
-            org.apache.spark.sql.types.StringType)))
+        // the partition column (l_returnflag) stays last in the schema
+        val schema = Tables.subSchema("lineitem",
+          "l_orderkey", "l_quantity", "l_linestatus", "l_returnflag")
         s.read.schema(schema).parquet(dir)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"),

@@ -283,7 +283,10 @@ object Stream extends QueryGroup {
                 .as("cents"))
           val q = rows.writeStream
             .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-              df.write.mode("append").parquet(s"$out/b$id"): Unit
+              // overwrite-by-batchId IS the idempotence: a retried
+              // micro-batch replaces its own directory instead of
+              // appending the same rows twice
+              df.write.mode("overwrite").parquet(s"$out/b$id"): Unit
             }
             .start()
           try q.processAllAvailable() finally q.stop()

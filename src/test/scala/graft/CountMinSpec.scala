@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Count-min sketch gates (q_agg_topk_cms, declared no-oracle): the CMS
@@ -26,6 +27,21 @@ class CountMinSpec extends AnyFunSuite {
         s"${r.getAs[String]("tok")}: est $est exceeds exact $exact " +
           s"+ eps*N (${(eps * n).toLong}) — sketch too collided")
     }
+  }
+
+  test("SQL-registered cms/cms_estimate agree with the Column forms") {
+    import spark.implicits._
+    graft.functions.CountMin.register(spark)
+    val df = Seq("a", "b", "a", "c", "a", "b").toDF("t")
+    df.createOrReplaceTempView("cms_probe")
+    val viaSql = spark.sql(
+      "SELECT cms_estimate(cms(t), 'a') AS e FROM cms_probe")
+      .head().getLong(0)
+    val viaColumn = df.agg(graft.functions.CountMin.cmsEstimate(
+        graft.functions.CountMin.cms(col("t")), lit("a")).as("e"))
+      .head().getLong(0)
+    assert(viaSql == viaColumn && viaSql >= 3,
+      s"sql=$viaSql column=$viaColumn (exact count of 'a' is 3)")
   }
 
   test("merging partial sketches equals the single-pass sketch") {
