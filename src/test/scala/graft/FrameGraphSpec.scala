@@ -131,6 +131,23 @@ class FrameGraphSpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-6) }
   }
 
+  test("validateTree passes a clean forest and flags each fault kind") {
+    import spark.implicits._
+    val clean = (0L until 6L).map(k => (k, k + 1)).toDF("src", "dst")
+    assert(graft.etl.FrameGraph.validateTree(clean).count() == 0,
+      "a plain chain is a valid tree")
+    // a second root's subtree is still a forest
+    val forest = clean.unionByName(Seq((100L, 101L), (100L, 102L))
+      .toDF("src", "dst"))
+    assert(graft.etl.FrameGraph.validateTree(forest).count() == 0,
+      "two parents FROM one node (fan-out) is fine; two parents INTO one is not")
+    val faulty = clean.unionByName(Seq((3L, 1L), (7L, 7L)).toDF("src", "dst"))
+    val v = graft.etl.FrameGraph.validateTree(faulty)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(v == Set(("multi_parent", 1L), ("self_loop", 7L),
+      ("cycle", 1L), ("cycle", 2L), ("cycle", 3L), ("cycle", 7L)), v)
+  }
+
   test("snapshot restricts edges to one transfo_tree's membership") {
     val out = graft.etl.MicMacEtl
       .importBlinis(spark, s"$res/blinis_sample.xml")
