@@ -16,6 +16,39 @@ object Scans extends QueryGroup {
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
+      // SQL-text lane (added r4): every other declared query drives the
+      // DataFrame API; the reference's actual users speak SQL to the
+      // datastore, so the spark.sql(...) parser surface is part of
+      // "could switch and run every query they run today". Temp views
+      // over the table loaders + one multi-join aggregate in pure SQL
+      // text; Catalyst plans it identically to the DataFrame form
+      // (broadcast dims and all), which is the point.
+      "q_sql_text",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.region(s, d).createOrReplaceTempView("v_region")
+        s.sql("""SELECT r_name, o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM v_orders
+          |JOIN v_customer ON o_custkey = c_custkey
+          |JOIN v_nation ON c_nationkey = n_nationkey
+          |JOIN v_region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, o_orderstatus
+          |ORDER BY r_name, o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT r_name, o_orderstatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_orderstatus
+        |ORDER BY r_name, o_orderstatus""".stripMargin)),
+
+    QueryDef(
       "q_scan_project_filter",
       (s, d) => {
         val li = Tables.lineitem(s, d)

@@ -128,6 +128,28 @@ object Windows extends QueryGroup {
       Some(ntileOracle)),
 
     QueryDef(
+      // cume_dist (added r4): completes the distribution trio beside
+      // ntile and percent_rank — and unlike those two (kept global for
+      // the tiny-dimension contract), this one is partitioned by a real
+      // key, the shape distribution functions take at scale. The
+      // (c_acctbal, c_custkey) order is total, so cume_dist =
+      // row_number / partition_count — one exact integer division on
+      // both engines.
+      "q_win_cume_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+        | ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal, c_custkey), 4) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef(
       // Value window functions (added r4): first_value / nth_value over
       // the cumulative frame and last_value over the whole partition —
       // the remaining analytic-function family beside lag/lead. Values
