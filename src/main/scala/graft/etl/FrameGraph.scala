@@ -184,39 +184,53 @@ object FrameGraph {
   /** Tree-consistency validation of a snapshot's edge set — the check a
     * datastore import runs before trusting composePath results. A
     * transfo_tree snapshot must be a forest: every referential has at
-    * most one parent and no referential can reach itself. Returns one
-    * (kind, node) row per violation:
+    * most one parent, exactly one edge per (src, dst), and no
+    * referential can reach itself. Returns one (kind, node) row per
+    * violation, `node` in the edge columns' OWN type (the real frame
+    * graphs are string-keyed — 'world', 'rig/base' — so no numeric
+    * cast may touch the keys):
     *  - `multi_parent`: a dst with more than one distinct src,
+    *  - `duplicate_edge`: a (src, dst) pair appearing more than once
+    *    (a double import — composePath would emit duplicate pose rows),
     *  - `self_loop`: an edge src == dst,
     *  - `cycle`: a node that reaches itself within `maxHops` (includes
     *    self-loops at hop 1 — a self-loop is also a cycle).
     * Empty result = consistent. Reachability is the same bounded
-    * hop-join walk as [[composeFromRoot]] without matrices; a frame
-    * graph is metadata-sized, so maxHops joins over it are trivial
-    * next to the facts.
+    * hop-join walk as [[composeFromRoot]] without matrices, with the
+    * frontier deduplicated per hop: validation runs on possibly-CORRUPT
+    * graphs, where undeduplicated path enumeration would multiply by
+    * the branching factor every hop — distinct (origin, cur) pairs
+    * bound the frontier to V² whatever the fault.
     */
   def validateTree(edges: DataFrame, maxHops: Int = 8,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
-    val e = edges.select(col(srcCol).cast("long").as("_v_src"),
-      col(dstCol).cast("long").as("_v_dst"))
+    val e = edges.select(col(srcCol).as("_v_src"), col(dstCol).as("_v_dst"))
     val multi = e.groupBy(col("_v_dst"))
       .agg(countDistinct(col("_v_src")).as("_v_n"))
       .filter(col("_v_n") > 1)
       .select(lit("multi_parent").as("kind"), col("_v_dst").as("node"))
+    val dup = e.groupBy(col("_v_src"), col("_v_dst"))
+      .agg(count(lit(1)).as("_v_n"))
+      .filter(col("_v_n") > 1)
+      .select(lit("duplicate_edge").as("kind"), col("_v_dst").as("node"))
     val selfLoop = e.filter(col("_v_src") === col("_v_dst"))
       .select(lit("self_loop").as("kind"), col("_v_src").as("node"))
+      .distinct()
     val step = e.select(col("_v_src").as("_s_src"), col("_v_dst").as("_s_dst"))
-    var frontier = e.select(col("_v_src").as("origin"), col("_v_dst").as("cur"))
+      .distinct()
+    var frontier = step
+      .select(col("_s_src").as("origin"), col("_s_dst").as("cur"))
     var hits = frontier.filter(col("origin") === col("cur"))
     for (_ <- 2 to maxHops) {
       frontier = frontier
         .join(broadcast(step), col("cur") === col("_s_src"))
         .select(col("origin"), col("_s_dst").as("cur"))
+        .distinct()
       hits = hits.unionByName(frontier.filter(col("origin") === col("cur")))
     }
     val cycles = hits
       .select(lit("cycle").as("kind"), col("origin").as("node")).distinct()
-    multi.unionByName(selfLoop).unionByName(cycles)
+    multi.unionByName(dup).unionByName(selfLoop).unionByName(cycles)
   }
 }

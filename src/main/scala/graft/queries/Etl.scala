@@ -122,16 +122,18 @@ object Etl extends QueryGroup {
       // Tree-consistency validation (added r4): the check an import
       // runs before trusting composePath — a transfo_tree snapshot
       // must be a forest. The edge set is the clean nation-key chain
-      // 0->1->...->6 plus two injected faults: a back edge 3 -> 1
+      // 0->1->...->6 plus three injected faults: a back edge 3 -> 1
       // (which makes node 1 multi-parented AND closes the 1->2->3->1
-      // cycle) and a self-loop 7 -> 7. Expected violations exactly:
-      // multi_parent(1), self_loop(7), cycle(1,2,3,7).
+      // cycle), a self-loop 7 -> 7, and a doubled edge 5 -> 6 (the
+      // re-import failure mode). Expected violations exactly:
+      // multi_parent(1), duplicate_edge(6), self_loop(7),
+      // cycle(1,2,3,7).
       "q_graph_tree_validate",
       (s, d) => {
         val k = col("n_nationkey")
         val clean = Tables.nation(s, d).filter(k < 6)
           .select(k.cast("long").as("src"), (k + 1).cast("long").as("dst"))
-        val faults = s.createDataFrame(Seq((3L, 1L), (7L, 7L)))
+        val faults = s.createDataFrame(Seq((3L, 1L), (7L, 7L), (5L, 6L)))
           .toDF("src", "dst")
         graft.etl.FrameGraph
           .validateTree(clean.unionByName(faults), maxHops = 8)
@@ -141,18 +143,23 @@ object Etl extends QueryGroup {
         |eg AS (SELECT n_nationkey::BIGINT AS src,
         |         (n_nationkey + 1)::BIGINT AS dst
         |       FROM nation WHERE n_nationkey < 6
-        |       UNION ALL SELECT 3, 1 UNION ALL SELECT 7, 7),
+        |       UNION ALL SELECT 3, 1 UNION ALL SELECT 7, 7
+        |       UNION ALL SELECT 5, 6),
         |mp AS (SELECT 'multi_parent' AS kind, dst AS node FROM eg
         |       GROUP BY dst HAVING COUNT(DISTINCT src) > 1),
-        |sl AS (SELECT 'self_loop' AS kind, src AS node FROM eg
+        |de AS (SELECT 'duplicate_edge' AS kind, dst AS node FROM eg
+        |       GROUP BY src, dst HAVING COUNT(*) > 1),
+        |sl AS (SELECT DISTINCT 'self_loop' AS kind, src AS node FROM eg
         |       WHERE src = dst),
-        |reach AS (SELECT src AS origin, dst AS cur, 1 AS h FROM eg
-        |          UNION ALL
+        |ed AS (SELECT DISTINCT src, dst FROM eg),
+        |reach AS (SELECT src AS origin, dst AS cur, 1 AS h FROM ed
+        |          UNION
         |          SELECT r.origin, e.dst, r.h + 1
-        |          FROM reach r JOIN eg e ON e.src = r.cur WHERE r.h < 8),
+        |          FROM reach r JOIN ed e ON e.src = r.cur WHERE r.h < 8),
         |cy AS (SELECT DISTINCT 'cycle' AS kind, origin AS node
         |       FROM reach WHERE origin = cur)
         |SELECT kind, node FROM (SELECT * FROM mp
+        |  UNION ALL SELECT * FROM de
         |  UNION ALL SELECT * FROM sl
         |  UNION ALL SELECT * FROM cy)
         |ORDER BY kind, node""".stripMargin)),

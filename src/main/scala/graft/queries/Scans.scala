@@ -25,19 +25,24 @@ object Scans extends QueryGroup {
       // (broadcast dims and all), which is the point.
       "q_sql_text",
       (s, d) => {
-        Tables.customer(s, d).createOrReplaceTempView("v_customer")
-        Tables.orders(s, d).createOrReplaceTempView("v_orders")
-        Tables.nation(s, d).createOrReplaceTempView("v_nation")
-        Tables.region(s, d).createOrReplaceTempView("v_region")
-        s.sql("""SELECT r_name, o_orderstatus, COUNT(*) AS n,
+        // hermetic: spark.sql analyzes eagerly, so the views can be
+        // dropped before returning — no session-global names leak out
+        // of this builder into later queries on the shared session
+        Tables.customer(s, d).createOrReplaceTempView("q_sql_customer")
+        Tables.orders(s, d).createOrReplaceTempView("q_sql_orders")
+        Tables.nation(s, d).createOrReplaceTempView("q_sql_nation")
+        Tables.region(s, d).createOrReplaceTempView("q_sql_region")
+        try s.sql("""SELECT r_name, o_orderstatus, COUNT(*) AS n,
           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |    AS sum_price
-          |FROM v_orders
-          |JOIN v_customer ON o_custkey = c_custkey
-          |JOIN v_nation ON c_nationkey = n_nationkey
-          |JOIN v_region ON n_regionkey = r_regionkey
+          |FROM q_sql_orders
+          |JOIN q_sql_customer ON o_custkey = c_custkey
+          |JOIN q_sql_nation ON c_nationkey = n_nationkey
+          |JOIN q_sql_region ON n_regionkey = r_regionkey
           |GROUP BY r_name, o_orderstatus
           |ORDER BY r_name, o_orderstatus""".stripMargin)
+        finally Seq("q_sql_customer", "q_sql_orders", "q_sql_nation",
+          "q_sql_region").foreach(s.catalog.dropTempView(_))
       },
       Some("""SELECT r_name, o_orderstatus, COUNT(*)::BIGINT AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -141,11 +141,27 @@ class FrameGraphSpec extends AnyFunSuite {
       .toDF("src", "dst"))
     assert(graft.etl.FrameGraph.validateTree(forest).count() == 0,
       "two parents FROM one node (fan-out) is fine; two parents INTO one is not")
-    val faulty = clean.unionByName(Seq((3L, 1L), (7L, 7L)).toDF("src", "dst"))
+    val faulty = clean.unionByName(
+      Seq((3L, 1L), (7L, 7L), (5L, 6L)).toDF("src", "dst"))
     val v = graft.etl.FrameGraph.validateTree(faulty)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(v == Set(("multi_parent", 1L), ("self_loop", 7L),
+    assert(v == Set(("multi_parent", 1L), ("duplicate_edge", 6L),
+      ("self_loop", 7L),
       ("cycle", 1L), ("cycle", 2L), ("cycle", 3L), ("cycle", 7L)), v)
+  }
+
+  test("validateTree works on the real string-keyed frame graphs") {
+    import spark.implicits._
+    // the datastore's actual referential keys are strings ('world',
+    // 'rig/base', sensor names) — validation must never cast them
+    val clean = Seq(("world", "rig/base"), ("rig/base", "cam_00"),
+      ("rig/base", "cam_01")).toDF("src", "dst")
+    assert(graft.etl.FrameGraph.validateTree(clean).count() == 0)
+    val doubled = clean.unionByName(
+      Seq(("world", "rig/base")).toDF("src", "dst"))
+    val v = graft.etl.FrameGraph.validateTree(doubled)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(v == Set(("duplicate_edge", "rig/base")), v)
   }
 
   test("snapshot restricts edges to one transfo_tree's membership") {
