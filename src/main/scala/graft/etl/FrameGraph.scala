@@ -203,7 +203,8 @@ object FrameGraph {
     * bound the frontier to V² whatever the fault.
     */
   def validateTree(edges: DataFrame, maxHops: Int = 8,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      broadcastEdges: Boolean = true): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
     val e = edges.select(col(srcCol).as("_v_src"), col(dstCol).as("_v_dst"))
     val multi = e.groupBy(col("_v_dst"))
@@ -217,14 +218,21 @@ object FrameGraph {
     val selfLoop = e.filter(col("_v_src") === col("_v_dst"))
       .select(lit("self_loop").as("kind"), col("_v_src").as("node"))
       .distinct()
-    val step = e.select(col("_v_src").as("_s_src"), col("_v_dst").as("_s_dst"))
+    // same edge-side broadcast policy as composePath/composeFromRoot:
+    // frame graphs are metadata-sized so shipping the deduplicated edge
+    // set per hop is the default, but a caller validating an edge table
+    // too large to collect must be able to opt into a shuffle join
+    // instead of OOMing the driver (ADVICE r4)
+    val dedupEdges = e
+      .select(col("_v_src").as("_s_src"), col("_v_dst").as("_s_dst"))
       .distinct()
-    var frontier = step
+    val step = if (broadcastEdges) broadcast(dedupEdges) else dedupEdges
+    var frontier = dedupEdges
       .select(col("_s_src").as("origin"), col("_s_dst").as("cur"))
     var hits = frontier.filter(col("origin") === col("cur"))
     for (_ <- 2 to maxHops) {
       frontier = frontier
-        .join(broadcast(step), col("cur") === col("_s_src"))
+        .join(step, col("cur") === col("_s_src"))
         .select(col("origin"), col("_s_dst").as("cur"))
         .distinct()
       hits = hits.unionByName(frontier.filter(col("origin") === col("cur")))

@@ -38,6 +38,10 @@ object CountMin {
     new Aggregator[String, Array[Long], Array[Long]] {
       override def zero: Array[Long] = new Array[Long](depth * width)
       override def reduce(b: Array[Long], key: String): Array[Long] = {
+        // NULL keys are a no-op, matching COUNT(col) semantics — the
+        // registered SQL surface accepts arbitrary columns, so a null
+        // must not NPE the task (ADVICE r4)
+        if (key eq null) return b
         var r = 0
         while (r < depth) { b(cell(r, key)) += 1; r += 1 }
         b

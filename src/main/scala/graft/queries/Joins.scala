@@ -242,8 +242,9 @@ object Joins extends QueryGroup {
     QueryDef(
       // Skew mitigation made explicit (added r4): the same orders x
       // lineitem equi-join executed through a 16-way salt — the fact
-      // side derives a salt from columns OUTSIDE the join key (so a hot
-      // orderkey's rows spread over 16 shuffle partitions) and the
+      // side hashes (l_orderkey, l_linenumber); the salt only needs to
+      // VARY WITHIN a join key, and l_linenumber does exactly that, so
+      // a hot orderkey's rows spread over 16 shuffle partitions. The
       // build side replicates each row across all 16 salt values; the
       // join key becomes (key, salt) and the aggregate is unchanged.
       // The oracle is the plain unsalted join: salting is an execution

@@ -350,6 +350,12 @@ object Llm extends QueryGroup {
       "q_sim_quantized",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+          // an all-zero embedding has no direction: scale below would be
+          // 127/0 and the two engines disagree on the fallout (Spark
+          // NaN-casts to 0, DuckDB errors) — exclude zero-norm vectors
+          // up front, mirrored in the oracle (ADVICE r4)
+          .filter(expr(
+            "cast(array_max(transform(embedding, x -> abs(x))) as double) > 0D"))
           .withColumn("scale", expr(
             "127.0D / cast(array_max(transform(embedding, x -> abs(x))) as double)"))
           .withColumn("qv", expr(
@@ -378,7 +384,9 @@ object Llm extends QueryGroup {
         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
         |      * (127.0 / CAST(list_max(list_transform(embedding,
         |           y -> abs(y))) AS DOUBLE)) + 0.5) AS BIGINT)) AS qv
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE CAST(list_max(list_transform(embedding, y -> abs(y)))
+        |          AS DOUBLE) > 0),
         |n AS (SELECT vec_id, qv,
         |        CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT)
         |          AS n2

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.GroupState
+
+/** Timeout-driven sessionization state function (SURVEY §2B
+  * q_stream_stateful_timeout) — shared by the contract query and the
+  * StreamingSpec epoch proof so the tested function IS the shipped one.
+  *
+  * State per user = the one open session `(start_us, last_us, n)`.
+  * Arriving events are gap-split in exact unix micros: a gap > 30 min
+  * closes the current session (emitted immediately); the survivor goes
+  * back into the state store with an event-time timeout at
+  * `last_event + 30 min`. When the watermark passes that point Spark
+  * invokes the function with `hasTimedOut` and NO input rows — the
+  * session seals itself, which is what distinguishes this operator from
+  * an accumulate-only flatMapGroupsWithState. State is O(users),
+  * partitioned by the group key; at 100 TB the same plan runs with the
+  * state store on RocksDB.
+  */
+object SessionTimeout {
+
+  val gapUs: Long = 30L * 60 * 1000 * 1000
+
+  private def us(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** flatMapGroupsWithState body: emits `(user_id, start_us, n)` for
+    * every CLOSED session (gap-closed now, or timeout-sealed). */
+  def update(user: Long, it: Iterator[(Long, java.sql.Timestamp)],
+      state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] =
+    if (state.hasTimedOut) {
+      // watermark passed last_event + gap: sealed — emit and clear
+      val (start, _, n) = state.get
+      state.remove()
+      Iterator((user, start, n))
+    } else {
+      val incoming = it.map(r => us(r._2)).toArray.sorted
+      val closed =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var cur = state.getOption
+      incoming.foreach { t =>
+        cur = cur match {
+          case Some((st, la, n)) if t - la <= gapUs => Some((st, t, n + 1))
+          case Some((st, _, n)) => closed += ((user, st, n)); Some((t, t, 1L))
+          case None => Some((t, t, 1L))
+        }
+      }
+      val (st, la, n) = cur.get
+      state.update((st, la, n))
+      state.setTimeoutTimestamp(la / 1000L + gapUs / 1000L)
+      closed.iterator
+    }
+}

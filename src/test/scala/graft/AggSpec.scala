@@ -43,17 +43,20 @@ class AggSpec extends AnyFunSuite {
 
   test("approx quantiles within 1% rank error of exact (sf0.01)") {
     val qs = Seq(0.25, 0.5, 0.75, 0.99)
-    val approx = SparkEntry.queries("q_agg_approx_quantile")(
+    // exploded shape: one (l_returnflag, q_idx, q_val) row per quantile
+    val rows = SparkEntry.queries("q_agg_approx_quantile")(
         spark, TestSpark.sf001)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.map(_._2).toSet == qs.indices.toSet)
     val li = Tables.lineitem(spark, TestSpark.sf001)
-    approx.foreach { case (flag, vals) =>
+    rows.groupBy(_._1).foreach { case (flag, perFlag) =>
       val sorted = li.filter(col("l_returnflag") === flag)
         .select(col("l_extendedprice")).orderBy(col("l_extendedprice"))
         .collect().map(_.getDouble(0))
-      qs.zip(vals).foreach { case (q, v) =>
+      perFlag.foreach { case (_, idx, v) =>
         // rank error: the approx value's position must be within 1% of
         // the requested rank (percentile_approx accuracy=1000 => 1/1000)
+        val q = qs(idx)
         val lo = sorted.count(_ < v).toDouble / sorted.length
         val hi = sorted.count(_ <= v).toDouble / sorted.length
         assert(q >= lo - 0.01 && q <= hi + 0.01,

@@ -132,6 +132,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_sql_subquery decorrelates EXISTS/NOT EXISTS into semi/anti joins") {
+    val p = plan("q_sql_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_win_ntile_pctrank carries no single-task global sort") {
+    // VERDICT r4 #2: the contract query now routes through
+    // DistributedRank. The data must flow through a RANGE exchange and
+    // a window partitioned by _gr_pid; the only unpartitioned window
+    // may be the per-partition offset prefix-sum (<= `parts` rows).
+    val p = plan("q_win_ntile_pctrank")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(_gr_pid"), p)
+    // an unpartitioned ntile/percent_rank window over the DATA would
+    // show the acctbal sort key inside an un-keyed window spec
+    assert(!p.contains("windowspecdefinition(c_acctbal"), p)
+  }
+
   test("q_etl_partitioned_sink prunes to the one matching partition") {
     val p = plan("q_etl_partitioned_sink")
     // the filter lands on the partition column, so the scan prunes

@@ -75,6 +75,85 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits the null row only after the " +
+      "watermark seals it, and evicts the state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user")
+      .withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("p_ts", "p_user")
+      .withWatermark("p_ts", "10 minutes")
+    val q = c.join(b, $"c_user" === $"p_user" && $"p_ts" > $"c_ts"
+        && $"p_ts" <= $"c_ts" + expr("INTERVAL 5 MINUTES"), "leftOuter")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer_spec").start()
+    def user2Rows() = spark.table("ssj_outer_spec")
+      .filter($"c_user" === 2L)
+      .select($"p_user").collect().map(r => Option(r.get(0))).toSeq
+    try {
+      // epoch 1: user 1 matched pair, user 2 click with no purchase
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 2L))
+      buys.addData((ts("2024-01-01 10:02:00"), 1L))
+      q.processAllAvailable()
+      // the match emits immediately; the unmatched click must NOT —
+      // a purchase inside its band could still arrive
+      assert(spark.table("ssj_outer_spec").filter($"c_user" === 1L)
+        .count() == 1)
+      assert(user2Rows().isEmpty,
+        "outer row emitted before the watermark sealed the band")
+      // epoch 2: both streams far ahead -> watermark passes the band
+      clicks.addData((ts("2024-01-01 12:00:00"), 8L))
+      buys.addData((ts("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      assert(user2Rows() == Seq(None),
+        "sealed unmatched click must emit exactly one null-extended row")
+      // epoch 3: a LATE in-band purchase for user 2 -> state already
+      // evicted, no retroactive join, no second row
+      buys.addData((ts("2024-01-01 10:03:00"), 2L))
+      q.processAllAvailable()
+      assert(user2Rows() == Seq(None),
+        "evicted click state must not retro-join a late purchase")
+    } finally q.stop()
+  }
+
+  test("EventTimeTimeout seals an idle user's session with no new input " +
+      "for that key") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = ms.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        graft.streaming.SessionTimeout.update)
+      .toDF("user_id", "start_us", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_to_spec").start()
+    def emitted() = spark.table("session_to_spec")
+      .as[(Long, Long, Long)].collect().toSet
+    try {
+      // epoch 1: user 1's burst — an open session, nothing emitted
+      ms.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "open session must not emit early")
+      // epoch 2: only user 2 speaks, far ahead -> watermark passes
+      // user 1's timeout (10:35) and the state SEALS ITSELF: the
+      // session emits although user 1 contributed no new row
+      ms.addData((2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val us1000 = ts("2024-01-01 10:00:00").toInstant.getEpochSecond * 1000000L
+      assert(emitted() == Set((1L, us1000, 2L)),
+        s"idle user's session must close via timeout, got ${emitted()}")
+    } finally q.stop()
+  }
+
   test("gaps-and-islands sessionization equals session_window (sf0.001)") {
     val batch = SparkEntry.queries("q_stream_session")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
