@@ -53,7 +53,7 @@ object ConnectedComponents {
       require(iter < maxIter,
         s"connected components did not converge in $maxIter sweeps — " +
           "graph diameter exceeds the near-dup-cluster assumption; " +
-          "raise maxIter or switch to large-star/small-star")
+          "raise maxIter or use labelStar (rounds ~ log n, not diameter)")
       // min label among each node's neighbours, then keep the smaller
       // of (own, neighbourhood) — nodes with no improving neighbour
       // keep their label via the left join.
@@ -71,5 +71,82 @@ object ConnectedComponents {
       iter += 1
     }
     labels
+  }
+
+  /** Same contract as [[label]] — (node, comp=min reachable id) — via
+    * the alternating large-star / small-star algorithm (public
+    * MapReduce literature: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", 2014). Rounds grow with ~log n, NOT with
+    * graph diameter: each large-star hangs every node's
+    * larger-than-hub neighbours directly off the neighbourhood
+    * minimum, each small-star re-points a hub and its smaller
+    * neighbours at their minimum, and the alternation provably
+    * preserves connectivity while flattening every component into a
+    * star whose centre is the component minimum. This is the chain-
+    * shaped-graph answer [[label]]'s scaladoc promises: min-label
+    * propagation pays one sweep per hop of diameter, which a 100 TB
+    * web-graph-shaped edge set can make unbounded; star contraction
+    * pays ~log n rounds whatever the shape.
+    *
+    * Per round: two grouped min aggregates (map-side combinable) and
+    * two shuffle-hash joins on node ids, all on the edge set — no
+    * driver data path; the convergence probe is an EXACT set compare
+    * (count + except-count, both metadata-sized jobs), not a hash
+    * heuristic. Edges stay in canonical (lo, hi) orientation so the
+    * set fixpoint — every component a star — is well-defined.
+    */
+  def labelStar(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val e0 = edges.select(col(edges.columns(0)).cast("long").as("u"),
+      col(edges.columns(1)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val allNodes = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+    var cur = e0
+      .select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      require(iter < maxIter,
+        s"star contraction did not converge in $maxIter rounds — " +
+          "~log2(n) rounds expected; raise maxIter")
+      // ---- large-star: for every node u, hang each LARGER neighbour
+      // off m = min(N(u) ∪ {u}). m < v always, so (m, v) is canonical.
+      val sym = cur.select(col("lo").as("u"), col("hi").as("v"))
+        .union(cur.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins.hint("shuffle_hash"), Seq("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+      // ---- small-star: per hub (hi side), re-point the hub and all
+      // its smaller neighbours at their minimum. m <= lo < hi, so both
+      // emitted edges are canonical; (m, m) self-pairs are dropped.
+      val minsS = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = large
+        .join(minsS.hint("shuffle_hash"), Seq("hi"))
+        .select(explode(array(
+          struct(col("m").as("a"), col("lo").as("b")),
+          struct(col("m").as("a"), col("hi").as("b")))).as("p"))
+        .select(col("p.a").as("lo"), col("p.b").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      converged = next.count() == cur.count() &&
+        next.except(cur).count() == 0
+      cur = next
+      iter += 1
+    }
+    // fixpoint: every component is a star (comp_min, v) — read labels
+    // off the spokes; star centres (and only they) label themselves
+    val spokes = cur.groupBy(col("hi")).agg(min(col("lo")).as("comp"))
+      .select(col("hi").as("node"), col("comp"))
+    allNodes.join(spokes, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("comp"), col("node")).as("comp"))
   }
 }

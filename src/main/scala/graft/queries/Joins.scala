@@ -381,6 +381,44 @@ object Joins extends QueryGroup {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
+    QueryDef(
+      // The band join's SCALE path (added r5): q_join_range_band joins
+      // on user_id alone and filters the 5-min band per key-pair — at
+      // 100 TB a hot user with k clicks and m purchases compares k×m
+      // pairs. Binning time into band-width buckets turns the interval
+      // predicate into an EQUI key: a qualifying purchase (p_ts in
+      // (c_ts, c_ts+5min]) can only live in the click's own bucket or
+      // the next one, so each click is exploded into exactly those 2
+      // bucket keys and the join runs on (user_id, bucket) — per-key
+      // work is bounded by bucket occupancy, not by a user's whole
+      // history. The residual band filter keeps semantics exact, and
+      // the two click copies carry DISTINCT buckets, so no pair can
+      // match twice. Identical oracle as q_join_range_band: binning is
+      // an execution strategy, never a semantics change.
+      "q_join_range_band_binned",
+      (s, d) => {
+        val bandUs = 5L * 60 * 1000000
+        val ev = Tables.events(s, d)
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"),
+            explode(array(expr(s"unix_micros(ts) div $bandUs"),
+              expr(s"unix_micros(ts) div $bandUs + 1"))).as("bucket"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            expr(s"unix_micros(ts) div $bandUs").as("p_bucket"))
+        c.join(p, col("user_id") === col("p_user")
+            && col("bucket") === col("p_bucket")
+            && col("p_ts") > col("c_ts")
+            && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT c.user_id, COUNT(*)::BIGINT AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
   )
 }

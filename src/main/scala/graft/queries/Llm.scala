@@ -82,6 +82,46 @@ object Llm extends QueryGroup {
       .select(col("a"), col("b"), jac.as("jac"))
   }
 
+  /** Shared tail of the two cluster queries: component labels ->
+    * (cluster_rep, n_docs, n_removed), representative = min doc id. */
+  private def clusterSummary(comp: DataFrame): DataFrame =
+    comp.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("comp").as("cluster_rep"), col("n_docs"),
+        (col("n_docs") - 1).as("n_removed"))
+      .orderBy(col("cluster_rep"))
+
+  /** One oracle for BOTH cluster queries (min-label and star
+    * contraction): the recursive reachability CTE over the same
+    * shingle-Jaccard edge set — the algorithm choice must not be
+    * observable in the result. */
+  private val clusterOracle =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, lang,
+      |         unnest(list_transform(range(1, len(w)-1),
+      |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+      |       FROM t WHERE len(w) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      |          FROM sh a JOIN sh b
+      |            ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT a, b FROM inter
+      |          JOIN sz sa ON sa.doc_id = a
+      |          JOIN sz sb ON sb.doc_id = b
+      |          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6),
+      |edges AS (SELECT a AS u, b AS v FROM pairs
+      |          UNION ALL SELECT b, a FROM pairs),
+      |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+      |          UNION
+      |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |comp AS (SELECT u, MIN(v) AS comp FROM reach GROUP BY u)
+      |SELECT comp AS cluster_rep, COUNT(*)::BIGINT AS n_docs,
+      |  (COUNT(*) - 1)::BIGINT AS n_removed
+      |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared-shingle pair intersections (a, b, i, sza, szb) for every
     * same-lang doc pair with at least one common 3-gram — the common
     * inverted-index core under q_dedup_near_jaccard / q_dedup_cluster
@@ -208,40 +248,22 @@ object Llm extends QueryGroup {
       // CTE. Cluster count and sizes are iteration-order-free, so the
       // hash compare is exact.
       "q_dedup_cluster",
-      (s, d) => {
-        val comp = graft.operators.ConnectedComponents.label(
-          nearDupPairs(s, d).select(col("a"), col("b")))
-        comp.groupBy(col("comp"))
-          .agg(count(lit(1)).as("n_docs"))
-          .select(col("comp").as("cluster_rep"), col("n_docs"),
-            (col("n_docs") - 1).as("n_removed"))
-          .orderBy(col("cluster_rep"))
-      },
-      Some("""WITH RECURSIVE
-        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
-        |      FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, lang,
-        |         unnest(list_transform(range(1, len(w)-1),
-        |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
-        |       FROM t WHERE len(w) >= 3),
-        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
-        |          FROM sh a JOIN sh b
-        |            ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT a, b FROM inter
-        |          JOIN sz sa ON sa.doc_id = a
-        |          JOIN sz sb ON sb.doc_id = b
-        |          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6),
-        |edges AS (SELECT a AS u, b AS v FROM pairs
-        |          UNION ALL SELECT b, a FROM pairs),
-        |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
-        |          UNION
-        |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-        |comp AS (SELECT u, MIN(v) AS comp FROM reach GROUP BY u)
-        |SELECT comp AS cluster_rep, COUNT(*)::BIGINT AS n_docs,
-        |  (COUNT(*) - 1)::BIGINT AS n_removed
-        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
+      (s, d) => clusterSummary(graft.operators.ConnectedComponents.label(
+        nearDupPairs(s, d).select(col("a"), col("b")))),
+      Some(clusterOracle)),
+
+    QueryDef(
+      // Same endgame, diameter-proof plan (added r5): the alternating
+      // large-star / small-star contraction (operators/
+      // ConnectedComponents.labelStar) closes the identical edge set in
+      // ~log n rounds instead of one sweep per hop of diameter — the
+      // upgrade the min-label scaladoc promised for chain-shaped
+      // graphs. Identical oracle as q_dedup_cluster: which algorithm
+      // walked the graph must be invisible in the answer.
+      "q_dedup_cluster_star",
+      (s, d) => clusterSummary(graft.operators.ConnectedComponents
+        .labelStar(nearDupPairs(s, d).select(col("a"), col("b")))),
+      Some(clusterOracle)),
 
     QueryDef(
       "q_dedup_minhash_lsh",

@@ -42,6 +42,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  private def ccStar(edges: Seq[(Long, Long)], maxIter: Int = 15) = {
+    import spark.implicits._
+    graft.operators.ConnectedComponents
+      .labelStar(edges.toDF("u", "v"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction matches min-label propagation on every shape") {
+    val graphs = Seq(
+      Seq((5L, 3L), (3L, 9L), (20L, 21L)),                  // two comps
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)), // tri+chain
+      Seq((2L, 4L), (1L, 4L), (1L, 3L)),                     // min mid-path
+      Seq((7L, 9L), (9L, 2L), (2L, 11L), (5L, 6L), (6L, 5L)) // dup edge
+    )
+    graphs.foreach { g =>
+      assert(ccStar(g) == cc(g), s"star != min-label on $g")
+    }
+  }
+
+  test("star contraction closes a 64-hop chain inside its log-round budget") {
+    // diameter 63: min-label propagation would need 63 sweeps (far past
+    // its default budget of 25); star contraction must finish in <= 15
+    // rounds — THE diameter-independence claim, pinned.
+    val chain = (100L until 163L).map(i => (i, i + 1))
+    val got = ccStar(chain) // default maxIter = 15 IS the assertion
+    assert(got.keySet == (100L to 163L).toSet)
+    assert(got.values.toSet == Set(100L))
+  }
+
+  test("star contraction fails loudly when the round budget is exceeded") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException](ccStar(chain, maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("labels never leave the JVM via the driver: output is a plan") {
     // label() returns a DataFrame, not collected rows — downstream
     // grouping stays distributed. Sanity: cluster the sf0.001 near-dup

@@ -132,6 +132,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_join_range_band_binned joins on (user, bucket) — no nested loop") {
+    val p = plan("q_join_range_band_binned")
+    // the 2-bucket explode must sit on the click side, and the join
+    // must be a hash/merge join whose keys include the bucket — the
+    // band predicate is only a residual filter, never the join driver
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+    assert(p.contains("bucket"), p)
+  }
+
   test("q_sql_subquery decorrelates EXISTS/NOT EXISTS into semi/anti joins") {
     val p = plan("q_sql_subquery")
     assert(p.contains("LeftSemi"), p)
