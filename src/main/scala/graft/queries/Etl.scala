@@ -311,6 +311,41 @@ object Etl extends QueryGroup {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     QueryDef(
+      // DataSource V2 connector round trip (added r5): the engine's own
+      // pluggable source (graft.sources.GraftLines), not a built-in
+      // format. The write path runs task-parallel DataWriters with
+      // truncate-on-overwrite; the read path is the part the query
+      // proves: the >30 / <> 'N' predicates are PUSHED (the source
+      // evaluates them exactly inside each file reader and Spark drops
+      // its own copy — PlanSpec pins pushedFilters + no residual
+      // Filter), and l_orderkey is written but never read (column
+      // pruning skips its conversion entirely). One InputPartition per
+      // written file keeps read parallelism equal to write parallelism
+      // — the property that matters when 1000 executors wrote the data.
+      "q_source_dsv2",
+      (s, d) => {
+        val out = "/tmp/graft_gl_sink"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+          .write.format("graftlines").mode("overwrite").save(out)
+        s.read.format("graftlines").load(out)
+          .filter(col("l_quantity") > 30.0 && col("l_returnflag") =!= "N")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_linenumber").cast("long")).as("sum_line"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        | SUM(l_linenumber)::BIGINT AS sum_line,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity > 30.0 AND l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
       // Small-file compaction (added r4): the operational sibling of
       // XmlManifest's container-packing answer — a 64-way fragmented
       // parquet directory is rewritten into <= 4 splittable files with

@@ -469,6 +469,125 @@ object LlmText extends QueryGroup {
         |SELECT lang, ((cum - n_tok) // 2048)::BIGINT AS pack_id,
         |  COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS tokens,
         |  ROUND(SUM(n_tok)::DOUBLE / 2048, 4) AS fill
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // PII redaction (added r5): the scrub pass every training-data
+      // pipeline runs before release — emails, then dotted IPv4s, then
+      // phone-shaped digit runs, masked in that order so earlier masks
+      // cannot be re-matched by later patterns. The synthetic corpus
+      // carries no PII, so each doc gets a deterministic PII tail
+      // derived from doc_id (same synthesize-from-keys pattern as the
+      // frame-graph queries) — masking is then verifiable to the
+      // character. Patterns stay in the Java∩RE2 common subset so the
+      // DuckDB mirror ('g' flag — DuckDB replaces first-only by
+      // default) matches to the byte. Pure narrow map + one lang
+      // aggregate: no shuffle before the groupBy, codegen end to end.
+      "q_text_pii_scrub",
+      (s, d) => {
+        val raw = Tables.documents(s, d)
+          .withColumn("raw", expr(
+            """concat(text, ' contact user', cast(doc_id as string),
+              |'@example.com or +1-555-',
+              |lpad(cast(doc_id % 10000 as string), 4, '0'),
+              |' from 10.', cast(doc_id % 256 as string), '.',
+              |cast((doc_id * 7) % 256 as string), '.9')""".stripMargin
+              .replace("\n", "")))
+        val scrubbed = raw.withColumn("scrub",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"),
+                "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+              "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+            "\\+?\\d[\\d-]{6,}\\d", "<PHONE>"))
+        scrubbed.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("scrub"))).as("sum_chars"),
+            sum(length(col("raw")) - length(col("scrub")))
+              .as("chars_redacted"),
+            sum((length(col("scrub"))
+              - length(replace(col("scrub"), lit("<EMAIL>"), lit(""))))
+              / 7).cast(LongType).as("n_emails"),
+            sum((length(col("scrub"))
+              - length(replace(col("scrub"), lit("<IP>"), lit("")))) / 4)
+              .cast(LongType).as("n_ips"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH r AS (SELECT lang,
+        |  text || ' contact user' || doc_id::VARCHAR
+        |    || '@example.com or +1-555-'
+        |    || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+        |    || ' from 10.' || (doc_id % 256)::VARCHAR || '.'
+        |    || ((doc_id * 7) % 256)::VARCHAR || '.9' AS raw
+        |  FROM documents),
+        |sc AS (SELECT lang, raw,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d-]{6,}\d', '<PHONE>', 'g') AS scrub
+        |  FROM r)
+        |SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(len(scrub))::BIGINT AS sum_chars,
+        |  SUM(len(raw) - len(scrub))::BIGINT AS chars_redacted,
+        |  SUM((len(scrub) - len(replace(scrub, '<EMAIL>', ''))) // 7)::BIGINT
+        |    AS n_emails,
+        |  SUM((len(scrub) - len(replace(scrub, '<IP>', ''))) // 4)::BIGINT
+        |    AS n_ips
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // URL canonicalization dedup (added r5): crawl dedup's first
+      // line of defense — scheme / www / query-string / fragment are
+      // presentation, not identity, so the canonical key is
+      // lower(host + path) and the keeper per key is the longest doc
+      // (ties to the lowest doc_id). Synthetic URLs derive from doc_id
+      // with deliberate collisions (40 hosts × 7 paths) and per-doc
+      // tracking params that the canonicalizer must strip. One
+      // max-struct aggregate — single shuffle on the canonical key, no
+      // window, no self-join; the DuckDB mirror states the same pick
+      // as a window rank.
+      "q_dedup_url",
+      (s, d) => {
+        val urls = Tables.documents(s, d)
+          .withColumn("url", expr(
+            """concat('https://', if(doc_id % 3 = 0, 'www.', ''),
+              |'site', cast(doc_id % 40 as string), '.com/page/',
+              |cast(doc_id % 7 as string),
+              |if(doc_id % 2 = 0,
+              |   concat('?utm_source=feed&ref=', cast(doc_id as string)),
+              |   ''))""".stripMargin.replace("\n", "")))
+        urls
+          .withColumn("canonical", lower(regexp_extract(col("url"),
+            "^https?://(?:www\\.)?([^?#]+)", 1)))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_urls"),
+            max(struct(col("n_chars"), (-col("doc_id")).as("neg_id")))
+              .as("best"))
+          .select(col("canonical"), col("n_urls"),
+            (-col("best.neg_id")).as("kept_doc"),
+            col("best.n_chars").as("kept_chars"))
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        |      || 'site' || (doc_id % 40)::VARCHAR || '.com/page/'
+        |      || (doc_id % 7)::VARCHAR
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN '?utm_source=feed&ref=' || doc_id::VARCHAR
+        |           ELSE '' END,
+        |    '^https?://(?:www\.)?([^?#]+)', 1)) AS canonical
+        |  FROM documents),
+        |r AS (SELECT canonical, doc_id, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY canonical
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |        COUNT(*) OVER (PARTITION BY canonical) AS n_urls
+        |      FROM u)
+        |SELECT canonical, n_urls::BIGINT AS n_urls,
+        |  doc_id::BIGINT AS kept_doc, n_chars::BIGINT AS kept_chars
+        |FROM r WHERE rn = 1 ORDER BY canonical""".stripMargin))
   )
 }

@@ -200,6 +200,73 @@ object Stream extends QueryGroup {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     QueryDef(
+      // transformWithState (added r5) — the Spark 4 arbitrary-state API
+      // beside q_stream_stateful's flatMapGroupsWithState: state as
+      // NAMED primitives (ValueState here) the engine can back with
+      // RocksDB, TTL and schema-evolve on a live checkpoint. The
+      // provider class is scoped to this query (transformWithState
+      // requires the RocksDB state store) and restored after; the
+      // processor itself lives in streaming.RunningTotals, shared with
+      // the StreamingSpec epoch proof. Cumulative emissions per key
+      // make the drained sink deterministic under any batching (final
+      // state = max-n emission); the oracle is the plain batch GROUP BY
+      // in exact cents plus the min/max event micros carried through
+      // the state.
+      "q_stream_transform_state",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val name = "tws_sink"
+        s.catalog.dropTempView(name)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.get(provKey)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
+          + "state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val rows = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            // raw ts is int64 nanos; state carries exact unix micros
+            .select(col("user_id"), expr("ts div 1000").as("us"),
+              expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
+                .as("cents"))
+            .as[(Long, Long, Long)]
+          val updated = rows.groupByKey(_._1)
+            .transformWithState(new graft.streaming.RunningTotals,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_events", "cents", "min_us", "max_us")
+          val q = updated.writeStream.outputMode("update")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set(provKey, prevProv)
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        s.table(name)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("cents"), col("min_us"),
+            col("max_us"))).as("fin"))
+          .select(col("user_id"), col("fin.n_events").as("n_events"),
+            (col("fin.cents").cast(DoubleType) / 100).as("sum_val"),
+            col("fin.min_us").as("min_us"), col("fin.max_us").as("max_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*)::BIGINT AS n_events,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |   AS DOUBLE) / 100 AS sum_val,
+        | MIN(epoch_us(ts))::BIGINT AS min_us,
+        | MAX(epoch_us(ts))::BIGINT AS max_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef(
       // TRUE stream-stream join (added r4) — the remaining Structured
       // Streaming join surface: two file-source streams over the same
       // event log (clicks / purchases), each with its own watermark,

@@ -1,0 +1,542 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** `graftlines` — a complete DataSource V2 connector (SURVEY §2A/A1
+  * growth surface: the engine's own pluggable source, not just consumers
+  * of built-in formats).
+  *
+  * The format itself is deliberately trivial — a directory of UTF-8
+  * text files, each starting with a `name:type` header line, rows
+  * tab-separated with C-style escapes and `\N` for NULL — because the
+  * point is the CONNECTOR contract, the part a user switching engines
+  * actually touches:
+  *
+  *  - **Filter pushdown** ([[SupportsPushDownFilters]]): comparison /
+  *    null / IN / boolean-combinator predicates on atomic columns are
+  *    accepted and evaluated EXACTLY inside the reader (Spark removes
+  *    them from the post-scan Filter, so the contract is exactness, not
+  *    best-effort); anything else (LIKE family, date/timestamp
+  *    literals, NaN literals) is declined and stays a residual Spark
+  *    filter — partial pushdown done honestly.
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
+  *    reader converts only required ∪ filter-referenced fields; pruned
+  *    columns are never materialized.
+  *  - **Distributed read**: one [[InputPartition]] per data file, so
+  *    read parallelism equals write parallelism; each task opens its
+  *    file straight against the Hadoop FileSystem API (conf travels
+  *    via the standard [[SerializableConfiguration]]).
+  *  - **Distributed write** ([[BatchWrite]]): per-task writers land
+  *    task-unique files; `mode("overwrite")` plans
+  *    OverwriteByExpression(true) which this builder satisfies via
+  *    [[SupportsTruncate]]. Job abort deletes the files named in the
+  *    commit messages.
+  *
+  * Production upgrades, documented not faked: a block-splittable
+  * container (this text format splits per-file only), vectorized
+  * columnar batches (this reader is row-based `InternalRow`), and a
+  * staged rename commit protocol (this writer commits by task-unique
+  * naming, which is atomic enough for a single writer per path but not
+  * for concurrent jobs).
+  */
+class GraftLines extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlines"
+
+  /** Writes pass the DataFrame schema straight in (no inference on an
+    * output dir that may not exist yet). */
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftLines.readHeaderSchema(GraftLines.pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GlTable(properties.get("path"), schema)
+}
+
+object GraftLines {
+  val Ext = ".gl"
+
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graftlines requires a path")
+    p
+  }
+
+  /** Schema from the header of the first data file (one driver-side
+    * directory listing — the same cost every path-based source pays). */
+  private[sources] def readHeaderSchema(dir: String): StructType = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    val files = listDataFiles(dir, conf)
+    require(files.nonEmpty, s"graftlines: no $Ext files under $dir")
+    val in = fs.open(new Path(files.head))
+    val br = new BufferedReader(new InputStreamReader(in, UTF_8))
+    try parseHeader(br.readLine(), files.head) finally br.close()
+  }
+
+  private[sources] def listDataFiles(
+      dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(Ext)
+        && st.getLen > 0)
+      .map(_.getPath.toString).sorted
+  }
+
+  private[sources] def typeToken(dt: DataType): String = dt match {
+    case IntegerType => "int"
+    case LongType => "long"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BooleanType => "bool"
+    case DateType => "date"
+    case TimestampType => "ts"
+    case other => throw new IllegalArgumentException(
+      s"graftlines cannot store type ${other.catalogString}")
+  }
+
+  private[sources] def tokenType(tok: String, where: String): DataType =
+    tok match {
+      case "int" => IntegerType
+      case "long" => LongType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "bool" => BooleanType
+      case "date" => DateType
+      case "ts" => TimestampType
+      case other => throw new IllegalArgumentException(
+        s"graftlines: unknown type token '$other' in $where")
+    }
+
+  private[sources] def header(schema: StructType): String =
+    schema.fields.map(f => s"${f.name}:${typeToken(f.dataType)}")
+      .mkString("\t")
+
+  private[sources] def parseHeader(line: String, where: String): StructType = {
+    require(line != null && line.nonEmpty, s"graftlines: empty header in $where")
+    StructType(line.split('\t').toIndexedSeq.map { cell =>
+      val i = cell.lastIndexOf(':')
+      require(i > 0, s"graftlines: bad header cell '$cell' in $where")
+      StructField(cell.substring(0, i),
+        tokenType(cell.substring(i + 1), where))
+    })
+  }
+
+  /** Escapes are what make raw split-on-tab / split-on-newline exact:
+    * a data field never contains a literal tab, newline, CR or lone
+    * backslash. `\N` as the ENTIRE field means NULL (any type). */
+  private[sources] def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private[sources] def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => sb.append('\\'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case other => sb.append(c).append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse one field to its JVM-comparison value (String for strings —
+    * UTF8String conversion happens only at row emission). */
+  private[sources] def parseCell(raw: String, dt: DataType): Any = {
+    if (raw == "\\N") return null
+    dt match {
+      case IntegerType | DateType => java.lang.Integer.valueOf(raw)
+      case LongType | TimestampType => java.lang.Long.valueOf(raw)
+      case DoubleType => java.lang.Double.valueOf(raw)
+      case BooleanType => java.lang.Boolean.valueOf(raw)
+      case StringType => unescape(raw)
+      case other => throw new IllegalStateException(other.toString)
+    }
+  }
+}
+
+/** Which V1 filters the source accepts for pushdown, and their exact
+  * executor-side evaluation. Accepted ⇒ Spark drops its own copy, so
+  * the semantics here must match Spark's to the bit: that is why
+  * date/timestamp literals and NaN/−0.0 doubles are declined (residual)
+  * rather than approximated.
+  */
+private[sources] object GlFilters {
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case Or(l, r) => supported(schema, l) && supported(schema, r)
+    case Not(c) => supported(schema, c)
+    case IsNull(a) => atomic(schema, a)
+    case IsNotNull(a) => atomic(schema, a)
+    case EqualTo(a, v) => litOk(schema, a, v)
+    case GreaterThan(a, v) => litOk(schema, a, v)
+    case GreaterThanOrEqual(a, v) => litOk(schema, a, v)
+    case LessThan(a, v) => litOk(schema, a, v)
+    case LessThanOrEqual(a, v) => litOk(schema, a, v)
+    case In(a, vs) => vs.nonEmpty && vs.forall(v => litOk(schema, a, v))
+    case _ => false
+  }
+
+  private def field(schema: StructType, a: String): Option[StructField] =
+    schema.fields.find(_.name == a) // flat schemas only; nested refs decline
+
+  private def atomic(schema: StructType, a: String): Boolean =
+    field(schema, a).exists(f => f.dataType match {
+      case IntegerType | LongType | DoubleType | StringType | BooleanType =>
+        true
+      case _ => false
+    })
+
+  private def litOk(schema: StructType, a: String, v: Any): Boolean =
+    atomic(schema, a) && (v match {
+      case null => false
+      // NaN ordering/equality differs between Spark SQL and plain
+      // java compares — decline, Spark keeps the residual. (-0.0 is
+      // exact here: cmp uses primitive == first, so -0.0 = 0.0 holds.)
+      case d: java.lang.Double => !d.isNaN
+      case _: java.lang.Float => false // float col type unsupported anyway
+      case _: Number | _: String | _: java.lang.Boolean => true
+      case _: UTF8String => true
+      case _ => false // dates, timestamps, decimals, binaries: residual
+    })
+
+  def references(f: Filter): Seq[String] = f.references.toSeq
+
+  /** Exact evaluation over parsed values. `get` yields the JVM value of
+    * a column for the current row (null ⇒ SQL NULL ⇒ comparisons are
+    * false, Is[Not]Null sees it). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case Not(c) => !eval(c, get)
+    case IsNull(a) => get(a) == null
+    case IsNotNull(a) => get(a) != null
+    case EqualTo(a, v) => withVal(get(a))(cmp(_, v) == 0)
+    case GreaterThan(a, v) => withVal(get(a))(cmp(_, v) > 0)
+    case GreaterThanOrEqual(a, v) => withVal(get(a))(cmp(_, v) >= 0)
+    case LessThan(a, v) => withVal(get(a))(cmp(_, v) < 0)
+    case LessThanOrEqual(a, v) => withVal(get(a))(cmp(_, v) <= 0)
+    case In(a, vs) => withVal(get(a))(x => vs.exists(cmp(x, _) == 0))
+    case other => throw new IllegalStateException(s"unpushable: $other")
+  }
+
+  private def withVal(x: Any)(p: Any => Boolean): Boolean =
+    x != null && p(x)
+
+  private def cmp(colVal: Any, lit: Any): Int = colVal match {
+    case i: java.lang.Integer =>
+      java.lang.Long.compare(i.longValue(), num(lit).longValue())
+    case l: java.lang.Long =>
+      java.lang.Long.compare(l.longValue(), num(lit).longValue())
+    case d: java.lang.Double =>
+      val x = d.doubleValue(); val y = num(lit).doubleValue()
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    case s: String => s.compareTo(lit.toString)
+    case b: java.lang.Boolean =>
+      java.lang.Boolean.compare(b, lit.asInstanceOf[java.lang.Boolean])
+    case other => throw new IllegalStateException(
+      s"uncomparable column value: $other")
+  }
+
+  private def num(lit: Any): Number = lit.asInstanceOf[Number]
+}
+
+private[sources] class GlTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  require(path != null && path.nonEmpty, "graftlines requires a path")
+
+  override def name(): String = s"graftlines `$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GlScanBuilder(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GlWriteBuilder(path, info.schema())
+}
+
+private[sources] class GlScanBuilder(path: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(GlFilters.supported(schema, _))
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = GlScan(path, required, pushed)
+}
+
+/** Public (not `private[sources]`) so plan tests can reach into
+  * BatchScanExec and assert on `pushed`/`readSchema` directly. */
+case class GlScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftLines path=$path, " +
+      s"ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    GraftLines.listDataFiles(path, conf)
+      .map(GlInputPartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    GlReaderFactory(required, pushed, conf)
+  }
+}
+
+private[sources] case class GlInputPartition(file: String)
+    extends InputPartition
+
+private[sources] case class GlReaderFactory(required: StructType,
+    pushed: Array[Filter], conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GlReader(p.asInstanceOf[GlInputPartition].file, required, pushed,
+      conf.value)
+}
+
+/** Row-based file reader: parses only required ∪ filter-referenced
+  * columns, applies pushed filters BEFORE building the output row. Each
+  * file's own header is the authority for its column order (files from
+  * different writes may legally order columns differently). */
+private[sources] class GlReader(file: String, required: StructType,
+    pushed: Array[Filter], conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val path = new Path(file)
+  private val br = new BufferedReader(new InputStreamReader(
+    path.getFileSystem(conf).open(path), UTF_8), 1 << 16)
+
+  private val fileSchema = GraftLines.parseHeader(br.readLine(), file)
+  private val filterRefs: Set[String] =
+    pushed.flatMap(GlFilters.references).toSet
+  private val needed: Set[String] =
+    required.fieldNames.toSet ++ filterRefs
+
+  // per file-column: parse it at all? (pruning = skipping conversion)
+  private val parseCol: Array[Boolean] =
+    fileSchema.fields.map(f => needed.contains(f.name))
+  private val fileTypes: Array[DataType] = fileSchema.fields.map(_.dataType)
+  private val colPos: Map[String, Int] =
+    fileSchema.fieldNames.zipWithIndex.toMap
+
+  // loud contract: every needed column must exist with the asked type
+  needed.foreach { n =>
+    val i = colPos.getOrElse(n, throw new IllegalArgumentException(
+      s"graftlines: column '$n' missing from $file"))
+    required.fields.find(_.name == n).foreach { rf =>
+      require(rf.dataType == fileTypes(i),
+        s"graftlines: column '$n' is ${fileTypes(i).catalogString} in "
+          + s"$file, query expects ${rf.dataType.catalogString}")
+    }
+  }
+
+  private val requiredPos: Array[Int] = required.fieldNames.map(colPos)
+  private val requiredIsString: Array[Boolean] =
+    required.fields.map(_.dataType == StringType)
+  private val getter: String => Any = { // for filter eval
+    val pos = filterRefs.iterator.map(n => n -> colPos(n)).toMap
+    n => parsed(pos(n))
+  }
+
+  private var parsed: Array[Any] = _
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = br.readLine()
+    while (line != null) {
+      // limit -1: a trailing empty-string field must survive the split;
+      // escapes guarantee tab/newline exactness
+      val cells = line.split("\t", -1)
+      require(cells.length == fileTypes.length,
+        s"graftlines: row with ${cells.length} cells, "
+          + s"header has ${fileTypes.length} ($file)")
+      parsed = new Array[Any](fileTypes.length)
+      var i = 0
+      while (i < cells.length) {
+        if (parseCol(i)) parsed(i) = GraftLines.parseCell(cells(i), fileTypes(i))
+        i += 1
+      }
+      if (pushed.forall(GlFilters.eval(_, getter))) {
+        val out = new Array[Any](requiredPos.length)
+        var j = 0
+        while (j < requiredPos.length) {
+          val v = parsed(requiredPos(j))
+          out(j) = if (v != null && requiredIsString(j))
+            UTF8String.fromString(v.asInstanceOf[String]) else v
+          j += 1
+        }
+        current = new GenericInternalRow(out)
+        return true
+      }
+      line = br.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = br.close()
+}
+
+private[sources] class GlWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new GlWrite(path, schema, doTruncate)
+}
+
+private[sources] class GlWrite(path: String, schema: StructType,
+    truncate: Boolean) extends Write with BatchWrite {
+  // validate the schema is storable BEFORE launching tasks
+  GraftLines.header(schema)
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncate) // single-writer overwrite: clear before tasks launch
+      GraftLines.listDataFiles(path, conf)
+        .foreach(f => fs.delete(new Path(f), false))
+    fs.mkdirs(dir)
+    GlWriterFactory(path, schema, new SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.collect { case GlCommitted(Some(f)) =>
+      fs.delete(new Path(f), false)
+    }
+  }
+}
+
+private[sources] case class GlCommitted(file: Option[String])
+    extends WriterCommitMessage
+
+private[sources] case class GlWriterFactory(path: String, schema: StructType,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GlWriter(path, schema, partitionId, taskId, conf.value)
+}
+
+/** Task-side writer: lazily creates `part-<pid>-<taskId>.gl` on first
+  * row (empty partitions land no file), task-unique names keep
+  * concurrent speculative attempts from colliding on content (last
+  * close wins per name; attempt id is folded into taskId by Spark). */
+private[sources] class GlWriter(dir: String, schema: StructType,
+    partitionId: Int, taskId: Long,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val file = new Path(dir,
+    f"part-$partitionId%05d-$taskId${GraftLines.Ext}")
+  private var out: OutputStreamWriter = _
+  private val types = schema.fields.map(_.dataType)
+
+  private def ensureOpen(): Unit = if (out == null) {
+    out = new OutputStreamWriter(
+      file.getFileSystem(conf).create(file, true), UTF_8)
+    out.write(GraftLines.header(schema))
+    out.write('\n')
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append('\t')
+      if (row.isNullAt(i)) sb.append("\\N")
+      else types(i) match {
+        case IntegerType | DateType => sb.append(row.getInt(i))
+        case LongType | TimestampType => sb.append(row.getLong(i))
+        case DoubleType => sb.append(row.getDouble(i)) // shortest repr round-trips
+        case BooleanType => sb.append(row.getBoolean(i))
+        case StringType =>
+          sb.append(GraftLines.escape(row.getUTF8String(i).toString))
+        case other => throw new IllegalStateException(other.toString)
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    GlCommitted(if (out != null) Some(file.toString) else None)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); file.getFileSystem(conf).delete(file, false) }
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GlScan
+
+/** The DSv2 connector contract (sources/GraftLines.scala): exact
+  * round trip across every storable type incl. hostile strings,
+  * honest partial pushdown (accepted filters leave no residual;
+  * declined ones do and stay correct), column pruning, read
+  * parallelism = written files, truncate-on-overwrite.
+  */
+class GraftLinesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_gl_spec"
+
+  // sparkPlan, not executedPlan: AQE wraps shuffling plans in
+  // AdaptiveSparkPlanExec whose collect() does not descend; pushdown
+  // and pruning are decided at planning time so sparkPlan is authoritative
+  private def glScan(df: org.apache.spark.sql.DataFrame): GlScan =
+    df.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[GlScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("round trip is exact for all types, nulls, and hostile strings") {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType), StructField("l", LongType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("dt", DateType),
+      StructField("ts", TimestampType)))
+    val rows = Seq(
+      Row(1, 10L, 1.5, "plain", true,
+        Date.valueOf("2024-01-31"), Timestamp.valueOf("2024-01-31 12:34:56.789")),
+      Row(2, -3L, -0.0, "tab\there \\ back\nnewline\rcr", false,
+        Date.valueOf("1969-12-31"), Timestamp.valueOf("1969-12-31 23:59:59")),
+      Row(3, Long.MaxValue, 1.0e-300, "\\N looks null but is not", true,
+        null, null),
+      Row(null, null, null, null, null, null, null),
+      Row(5, 0L, 4.9e-324, "", false, // min subnormal + empty string
+        Date.valueOf("2024-02-29"), Timestamp.valueOf("2024-02-29 00:00:00")))
+    // a TRAILING empty-string field must survive the line split
+    val tailRows = Seq(Row(1L, ""), Row(2L, "x"))
+    val tailSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val tdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(tailRows, 1), tailSchema)
+    tdf.write.format("graftlines").mode("overwrite").save(s"$dir/tail")
+    assert(spark.read.format("graftlines").load(s"$dir/tail")
+      .collect().map(_.toString).sorted.toSeq
+      == tailRows.map(_.toString).sorted)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    df.write.format("graftlines").mode("overwrite").save(s"$dir/types")
+    val back = spark.read.format("graftlines").load(s"$dir/types")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.collect().map(_.toString).sorted.toSeq
+      == rows.map(_.toString).sorted)
+  }
+
+  test("supported filters are pushed with no residual and stay exact") {
+    Tables.lineitem(spark, TestSpark.sf0001)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+      .write.format("graftlines").mode("overwrite").save(s"$dir/li")
+    val base = spark.read.format("graftlines").load(s"$dir/li")
+    val filtered = base.filter($"l_quantity" > 30.0 && $"l_returnflag" =!= "N")
+
+    val scan = glScan(filtered)
+    val pushedStr = scan.pushed.mkString(";")
+    assert(pushedStr.contains("GreaterThan(l_quantity,30.0)"), pushedStr)
+    assert(pushedStr.contains("EqualTo(l_returnflag,N)"), pushedStr) // inside Not
+    // all four predicates (2 comparisons + 2 IsNotNull) accepted -> the
+    // physical plan keeps NO residual Filter node above the scan
+    assert(filtered.queryExecution.executedPlan
+      .collect { case f: FilterExec => f }.isEmpty,
+      filtered.queryExecution.executedPlan.toString)
+
+    val viaParquet = Tables.lineitem(spark, TestSpark.sf0001)
+      .filter($"l_quantity" > 30.0 && $"l_returnflag" =!= "N")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+    assert(filtered.collect().map(_.toString).sorted.toSeq
+      == viaParquet.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("unsupported predicates stay residual and remain correct") {
+    val base = spark.read.format("graftlines").load(s"$dir/li")
+    // LIKE translates to StringStartsWith which the source declines
+    val f = base.filter($"l_returnflag".startsWith("A") && $"l_quantity" <= 5.0)
+    val scan = glScan(f)
+    assert(scan.pushed.mkString(";").contains("LessThanOrEqual(l_quantity,5.0)"))
+    assert(!scan.pushed.mkString(";").contains("StringStartsWith"))
+    assert(f.queryExecution.executedPlan
+      .collect { case x: FilterExec => x }.nonEmpty)
+    val expect = Tables.lineitem(spark, TestSpark.sf0001)
+      .filter($"l_returnflag".startsWith("A") && $"l_quantity" <= 5.0).count()
+    assert(f.count() == expect && expect > 0)
+  }
+
+  test("column pruning reaches the scan's read schema") {
+    val base = spark.read.format("graftlines").load(s"$dir/li")
+    val narrow = base.groupBy($"l_returnflag").agg(sum($"l_quantity").as("q"))
+    val scan = glScan(narrow)
+    assert(scan.readSchema().fieldNames.toSet
+      == Set("l_returnflag", "l_quantity"), scan.readSchema().catalogString)
+  }
+
+  test("read parallelism equals written files; overwrite truncates") {
+    val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(4).write.format("graftlines").mode("overwrite")
+      .save(s"$dir/par")
+    val back = spark.read.format("graftlines").load(s"$dir/par")
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 1000)
+    // second, smaller overwrite must fully replace the first
+    (1 to 10).map(i => (i.toLong, "x")).toDF("k", "v")
+      .repartition(1).write.format("graftlines").mode("overwrite")
+      .save(s"$dir/par")
+    assert(spark.read.format("graftlines").load(s"$dir/par").count() == 10)
+  }
+
+  test("append mode adds files instead of truncating") {
+    (1 to 7).map(i => (i.toLong, "a")).toDF("k", "v")
+      .coalesce(1).write.format("graftlines").mode("overwrite")
+      .save(s"$dir/app")
+    (8 to 9).map(i => (i.toLong, "b")).toDF("k", "v")
+      .coalesce(1).write.format("graftlines").mode("append")
+      .save(s"$dir/app")
+    val back = spark.read.format("graftlines").load(s"$dir/app")
+    assert(back.count() == 9)
+    assert(back.rdd.getNumPartitions == 2) // one file per write
+  }
+
+  test("schema mismatch between query and file fails loudly") {
+    val err = intercept[Exception] {
+      spark.read.schema(StructType(Seq(StructField("k", StringType),
+          StructField("v", StringType))))
+        .format("graftlines").load(s"$dir/app").collect()
+    }
+    assert(err.getMessage != null)
+  }
+}

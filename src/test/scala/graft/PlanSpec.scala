@@ -172,4 +172,24 @@ class PlanSpec extends AnyFunSuite {
     // and l_returnflag is a directory, not a data column: never read
     assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_linestatus:string,l_returnflag"), p)
   }
+
+  test("q_source_dsv2 pushes its predicates into the custom source") {
+    // the DSv2 connector (sources/GraftLines.scala) must receive the
+    // comparison predicates (exact evaluation inside the reader, no
+    // residual Spark Filter) and a pruned read schema: l_orderkey is
+    // written but never converted on read
+    val df = SparkEntry.queries("q_source_dsv2")(spark, TestSpark.sf0001)
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.GlScan]
+    }.getOrElse(fail("q_source_dsv2 does not scan via the DSv2 connector"))
+    val pushed = scan.pushed.mkString(";")
+    assert(pushed.contains("GreaterThan(l_quantity,30.0)"), pushed)
+    assert(pushed.contains("Not(EqualTo(l_returnflag,N))"), pushed)
+    assert(!scan.readSchema().fieldNames.contains("l_orderkey"),
+      scan.readSchema().catalogString)
+    assert(df.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+      .isEmpty, df.queryExecution.sparkPlan.toString)
+  }
 }

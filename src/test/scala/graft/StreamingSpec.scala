@@ -241,4 +241,55 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(streamed == batch)
   }
+
+  test("RunningTotals carries ValueState across micro-batches (epochs)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
+      + "state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Long, Long)] // (user, us, cents)
+    val q = ms.toDS().groupByKey(_._1)
+      .transformWithState(new graft.streaming.RunningTotals,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n", "cents", "min_us", "max_us")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("tws_spec").start()
+    try {
+      // epoch 1: two rows for user 1, one for user 2
+      ms.addData((1L, 100L, 50L), (1L, 300L, 25L), (2L, 200L, 10L))
+      q.processAllAvailable()
+      // epoch 2: user 1 again — the emission must RESUME from stored
+      // state (n=3), not restart; user 2's state is untouched
+      ms.addData((1L, 50L, 5L))
+      q.processAllAvailable()
+      val out = spark.table("tws_spec")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(out == Set(
+        (1L, 2L, 75L, 100L, 300L), // epoch-1 cumulative for user 1
+        (2L, 1L, 10L, 200L, 200L), // epoch-1 user 2
+        (1L, 3L, 80L, 50L, 300L)), // epoch-2 resumes: min drops to 50
+        s"got $out")
+    } finally {
+      q.stop()
+      spark.conf.set(provKey, prevProv)
+    }
+  }
+
+  test("q_stream_transform_state equals the batch aggregate (sf0.001)") {
+    val streamed = SparkEntry.queries("q_stream_transform_state")(
+      spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(expr("cast(cast(value as decimal(14,2)) * 100 as bigint)"))
+          .cast("double") / 100).as("sum_val"),
+        min(unix_micros(col("ts"))).as("min_us"),
+        max(unix_micros(col("ts"))).as("max_us"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+  }
 }
