@@ -217,6 +217,32 @@ object Aggs extends QueryGroup {
       None),
 
     QueryDef(
+      // EXACT percentiles (added r5) — the oracle-carrying twin of
+      // q_agg_approx_quantile: Spark's percentile() and DuckDB's
+      // quantile_cont share the same definition (rank (n-1)*p, linear
+      // interpolation between neighbors), and l_quantity's integer-
+      // valued doubles make every interpolated midpoint an exact binary
+      // fraction — so the quartiles hash-match across engines. Scale
+      // posture stated, not hidden: exact percentile buffers each
+      // group's values (fine at 3 groups; per-group memory grows with
+      // group size) — at 100 TB-many groups the approx sketch above IS
+      // the plan, and this query is its small-group exactness anchor.
+      "q_agg_median",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS median,
+        | quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
       // Sketch RE-aggregation (added r4) — the pattern that makes
       // sketches pay at 100 TB: a per-(day, event_type) DataSketches
       // HLL of user ids is computed ONCE over the raw data, and every

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 
 /** ETL analogs of the reference's import pipeline (SURVEY §2A A5/A6 →
   * §2B q_etl_*): deterministic surrogate keys (the batch analog of the
@@ -344,6 +344,61 @@ object Etl extends QueryGroup {
         |FROM lineitem
         |WHERE l_quantity > 30.0 AND l_returnflag <> 'N'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      // Z-order layout (added r5): the multi-dimensional data-layout
+      // primitive — interleave the low 16 bits of customer key and
+      // order epoch-day into a Morton code, range-partition + sort the
+      // write on it. Files then cover compact z-ranges, so min/max
+      // stats prune scans filtered on EITHER dimension — the reason
+      // warehouses z-order 100 TB fact tables. The layout claim
+      // (disjoint per-file z-ranges) is pinned in ScaleTechniquesSpec;
+      // the oracle proves the relayout lost nothing AND that the
+      // Morton math itself is bit-identical (count / sum / min / max
+      // of z per status, decimal-exact price sums — all integer-exact).
+      "q_etl_zorder",
+      (s, d) => {
+        val out = "/tmp/graft_zorder_sink"
+        Tables.orders(s, d)
+          .withColumn("ck", expr("o_custkey & 65535"))
+          .withColumn("dy",
+            expr("(unix_micros(o_orderdate) div 86400000000) & 65535"))
+          .withColumn("z", expr(
+            """aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) ->
+              | acc + shiftleft((ck >> i) & 1, 2*i)
+              |     + shiftleft((dy >> i) & 1, 2*i + 1))""".stripMargin))
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("z"))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions(col("z"))
+          .write.mode("overwrite").parquet(out)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("z", LongType)))
+        s.read.schema(schema).parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("z")).as("sum_z"),
+            min(col("z")).as("min_z"),
+            max(col("z")).as("max_z"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH z AS (SELECT o_orderstatus, o_totalprice,
+        |  list_sum(list_transform(range(0, 16), i ->
+        |    ((((o_custkey & 65535) >> i) & 1) << (2*i))
+        |    + (((((epoch_us(o_orderdate) // 86400000000) & 65535) >> i) & 1)
+        |       << (2*i + 1))))::BIGINT AS z
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        |  SUM(z)::BIGINT AS sum_z, MIN(z)::BIGINT AS min_z,
+        |  MAX(z)::BIGINT AS max_z,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM z GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
       // Small-file compaction (added r4): the operational sibling of

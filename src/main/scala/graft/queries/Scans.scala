@@ -121,6 +121,44 @@ object Scans extends QueryGroup {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     QueryDef(
+      // SQL-text lane, window-function surface (added r5): ROW_NUMBER
+      // top-3-per-customer plus a decimal-exact running spend, both
+      // through the spark.sql parser. Catalyst plans the same two
+      // Window operators the DSL would (one shuffle on o_custkey
+      // serves both specs — same partition key); rn is cast BIGINT on
+      // both engines (Spark row_number is int, DuckDB's is bigint —
+      // the cast is the contract, not cosmetics).
+      "q_sql_window",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q_w_orders")
+        try s.sql("""SELECT o_custkey, o_orderkey,
+          |  CAST(rn AS BIGINT) AS rn, CAST(cum AS DOUBLE) AS cum_price
+          |FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+          |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM q_w_orders) t
+          |WHERE rn <= 3
+          |ORDER BY o_custkey, rn""".stripMargin)
+        finally s.catalog.dropTempView("q_w_orders")
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn::BIGINT AS rn,
+        |  CAST(cum AS DOUBLE) AS cum_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin)),
+
+    QueryDef(
       "q_scan_project_filter",
       (s, d) => {
         val li = Tables.lineitem(s, d)

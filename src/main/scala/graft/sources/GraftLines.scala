@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -301,10 +301,11 @@ private[sources] class GlTable(path: String, tableSchema: StructType)
 
 private[sources] class GlScanBuilder(path: String, schema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(GlFilters.supported(schema, _))
@@ -316,13 +317,23 @@ private[sources] class GlScanBuilder(path: String, schema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = GlScan(path, required, pushed)
+  /** Per-partition early stop. `isPartiallyPushed` stays at its default
+    * (true): each file reader stops after `limit` surviving rows, and
+    * Spark's own global Limit does the cross-partition cut — the only
+    * sound split for a multi-file scan. Catalyst only pushes a limit
+    * here when every filter between it and the scan was itself pushed,
+    * and pushed filters run in the reader BEFORE rows are counted, so
+    * limit-after-filter semantics hold exactly. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  override def build(): Scan = GlScan(path, required, pushed, limit)
 }
 
 /** Public (not `private[sources]`) so plan tests can reach into
   * BatchScanExec and assert on `pushed`/`readSchema` directly. */
 case class GlScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], pushedLimit: Option[Int] = None)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -330,7 +341,8 @@ case class GlScan(path: String, required: StructType,
   override def description(): String =
     s"GraftLines path=$path, " +
       s"ReadSchema: ${required.catalogString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedLimit: ${pushedLimit.getOrElse(-1)}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -341,7 +353,7 @@ case class GlScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    GlReaderFactory(required, pushed, conf)
+    GlReaderFactory(required, pushed, pushedLimit, conf)
   }
 }
 
@@ -349,11 +361,11 @@ private[sources] case class GlInputPartition(file: String)
     extends InputPartition
 
 private[sources] case class GlReaderFactory(required: StructType,
-    pushed: Array[Filter], conf: SerializableConfiguration)
-    extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Option[Int],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GlReader(p.asInstanceOf[GlInputPartition].file, required, pushed,
-      conf.value)
+      limit, conf.value)
 }
 
 /** Row-based file reader: parses only required ∪ filter-referenced
@@ -361,7 +373,8 @@ private[sources] case class GlReaderFactory(required: StructType,
   * file's own header is the authority for its column order (files from
   * different writes may legally order columns differently). */
 private[sources] class GlReader(file: String, required: StructType,
-    pushed: Array[Filter], conf: org.apache.hadoop.conf.Configuration)
+    pushed: Array[Filter], limit: Option[Int],
+    conf: org.apache.hadoop.conf.Configuration)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -402,8 +415,10 @@ private[sources] class GlReader(file: String, required: StructType,
 
   private var parsed: Array[Any] = _
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false // per-partition early stop
     var line = br.readLine()
     while (line != null) {
       // limit -1: a trailing empty-string field must survive the split;
@@ -428,6 +443,7 @@ private[sources] class GlReader(file: String, required: StructType,
           j += 1
         }
         current = new GenericInternalRow(out)
+        emitted += 1
         return true
       }
       line = br.readLine()

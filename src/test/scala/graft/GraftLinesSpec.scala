@@ -139,6 +139,19 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(back.rdd.getNumPartitions == 2) // one file per write
   }
 
+  test("limit is pushed per-partition; Spark keeps the global cut") {
+    val base = spark.read.format("graftlines").load(s"$dir/li")
+    val limited = base.filter($"l_quantity" > 30.0).limit(5)
+    val scan = limited.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[GlScan]
+    }.getOrElse(fail("no scan"))
+    assert(scan.pushedLimit.contains(5), scan.description())
+    assert(scan.pushed.nonEmpty) // filter pushed first, counted after
+    assert(limited.count() == 5)
+    // limit must count FILTERED rows: all 5 survivors satisfy the filter
+    assert(limited.collect().forall(_.getAs[Double]("l_quantity") > 30.0))
+  }
+
   test("schema mismatch between query and file fails loudly") {
     val err = intercept[Exception] {
       spark.read.schema(StructType(Seq(StructField("k", StringType),

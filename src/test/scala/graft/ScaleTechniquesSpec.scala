@@ -122,4 +122,26 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .filter(col("event_type") === "click").count()
     assert(pruned.count() == direct)
   }
+
+  test("z-order layout yields disjoint per-file z ranges (stats pruning)") {
+    // run the contract query (it writes the z-ordered layout) then
+    // check the LAYOUT claim the oracle can't see: each written file
+    // covers a z-range disjoint from every other file's, which is what
+    // lets parquet min/max stats prune scans on either interleaved
+    // dimension
+    SparkEntry.queries("q_etl_zorder")(spark, TestSpark.sf0001).collect()
+    val files = new java.io.File("/tmp/graft_zorder_sink").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1, "need multiple files to prove disjointness")
+    val ranges = files.flatMap { f =>
+      val r = spark.read.parquet(f).agg(min(col("z")), max(col("z"))).head()
+      if (r.isNullAt(0)) None // empty range partition at toy scale
+      else Some((r.getLong(0), r.getLong(1)))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping z ranges: $hi > $lo2 in ${ranges.toSeq}")
+      case _ =>
+    }
+  }
 }
