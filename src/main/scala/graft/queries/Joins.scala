@@ -419,6 +419,51 @@ object Joins extends QueryGroup {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 5 MINUTE
-        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
+    QueryDef(
+      // Fuzzy (edit-distance ≤ 1) self-join via deletion-neighborhood
+      // banding (added r5) — typo-tolerant matching without the w × w
+      // blowup: each vocabulary word emits itself plus its |w|
+      // single-character-deletion variants; two words within edit
+      // distance 1 (substitute, insert, or delete one char) ALWAYS
+      // share a variant, so candidates come from a plain equi join on
+      // the variant key and only candidates pay the exact levenshtein
+      // check (the SymSpell argument). The oracle states the SAME
+      // answer as the brute-force vocab × vocab levenshtein scan —
+      // affordable in DuckDB because the fixture vocabulary is tiny,
+      // which is exactly the point: the equi-join plan is the one that
+      // survives when the vocabulary doesn't fit a cross join.
+      // PlanSpec pins no-cartesian.
+      "q_join_fuzzy",
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) >= 3)
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        val variants = vocab.select(col("w"), col("n"),
+          explode(expr(
+            """array_union(array(w), transform(sequence(1, length(w)),
+              | i -> concat(substring(w, 1, i - 1),
+              |             substring(w, i + 1, length(w)))))""".stripMargin))
+            .as("v"))
+        val a = variants.select(col("w").as("w1"), col("n").as("n1"),
+          col("v"))
+        val b = variants.select(col("w").as("w2"), col("n").as("n2"),
+          col("v"))
+        a.join(b, Seq("v")).filter(col("w1") < col("w2"))
+          .select(col("w1"), col("w2"), col("n1"), col("n2")).distinct()
+          .filter(levenshtein(col("w1"), col("w2")) <= 1)
+          .orderBy(col("w1"), col("w2"))
+      },
+      Some("""WITH v AS (
+        |  SELECT w, COUNT(*)::BIGINT AS n FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents)
+        |  WHERE len(w) >= 3 GROUP BY w)
+        |SELECT a.w AS w1, b.w AS w2, a.n AS n1, b.n AS n2
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 1
+        |ORDER BY w1, w2""".stripMargin))
   )
 }

@@ -469,6 +469,73 @@ object Stream extends QueryGroup {
         |ORDER BY user_id, session_start""".stripMargin)),
 
     QueryDef(
+      // Timer-driven sessionization on transformWithState (added r5):
+      // the new-API twin of q_stream_stateful_timeout — SAME gap fold
+      // (streaming.SessionTimeout.fold, shared verbatim), same oracle,
+      // but the self-closing state is an explicit registerTimer /
+      // handleExpiredTimer pair over a named ValueState on the RocksDB
+      // provider, instead of GroupStateTimeout. Proves the two state
+      // APIs implement identical semantics — the receipt a pipeline
+      // migrating from flatMapGroupsWithState needs. No-data
+      // micro-batches stay ON: the drain batch advances the watermark
+      // that fires the sealing timers.
+      "q_stream_transform_timers",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val name = "tws_timer_sink"
+        s.catalog.dropTempView(name)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.get(provKey)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
+          + "state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val rows = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", "0 seconds")
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)]
+          val sessions = rows.groupByKey(_._1)
+            .transformWithState(new graft.streaming.SessionTimers,
+              TimeMode.EventTime(), OutputMode.Append())
+            .toDF("user_id", "start_us", "n")
+          val q = sessions.writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set(provKey, prevProv)
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        s.table(name)
+          .select(col("user_id"),
+            expr("timestamp_micros(start_us)").as("session_start"),
+            col("n"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |         COUNT(*)::BIGINT AS n
+        |  FROM (SELECT user_id, ts,
+        |          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |        FROM (SELECT user_id, ts, event_id,
+        |                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk
+        |              FROM events))
+        |  GROUP BY user_id, sid)
+        |SELECT user_id, session_start, n
+        |FROM sess
+        |WHERE (SELECT epoch_ms(MAX(ts)) FROM events)
+        |        > epoch_ms(session_end) + 1800000
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef(
       // Programmable sink via foreachBatch (added r4): the escape hatch
       // for sinks Structured Streaming has no native writer for (JDBC
       // upserts, multi-table fan-out). Each micro-batch's DataFrame is

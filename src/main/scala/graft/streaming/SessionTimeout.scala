@@ -21,9 +21,30 @@ object SessionTimeout {
 
   val gapUs: Long = 30L * 60 * 1000 * 1000
 
-  private def us(t: java.sql.Timestamp): Long = {
+  private[streaming] def us(t: java.sql.Timestamp): Long = {
     val i = t.toInstant
     i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** The pure gap-split fold, shared by BOTH state APIs (GroupState
+    * here, ValueState+timers in [[SessionTimers]]): feed sorted
+    * incoming event micros into the open session; a gap > 30 min
+    * closes it. Returns (closed sessions as (user, start_us, n), the
+    * surviving open session). `incoming` must be non-empty. */
+  private[streaming] def fold(user: Long, open: Option[(Long, Long, Long)],
+      incoming: Array[Long])
+      : (Seq[(Long, Long, Long)], (Long, Long, Long)) = {
+    val closed =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var cur = open
+    incoming.foreach { t =>
+      cur = cur match {
+        case Some((st, la, n)) if t - la <= gapUs => Some((st, t, n + 1))
+        case Some((st, _, n)) => closed += ((user, st, n)); Some((t, t, 1L))
+        case None => Some((t, t, 1L))
+      }
+    }
+    (closed.toSeq, cur.get)
   }
 
   /** flatMapGroupsWithState body: emits `(user_id, start_us, n)` for
@@ -37,17 +58,8 @@ object SessionTimeout {
       Iterator((user, start, n))
     } else {
       val incoming = it.map(r => us(r._2)).toArray.sorted
-      val closed =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      var cur = state.getOption
-      incoming.foreach { t =>
-        cur = cur match {
-          case Some((st, la, n)) if t - la <= gapUs => Some((st, t, n + 1))
-          case Some((st, _, n)) => closed += ((user, st, n)); Some((t, t, 1L))
-          case None => Some((t, t, 1L))
-        }
-      }
-      val (st, la, n) = cur.get
+      val (closed, cur) = fold(user, state.getOption, incoming)
+      val (st, la, n) = cur
       state.update((st, la, n))
       state.setTimeoutTimestamp(la / 1000L + gapUs / 1000L)
       closed.iterator

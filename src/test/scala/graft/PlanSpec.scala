@@ -173,6 +173,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_linestatus:string,l_returnflag"), p)
   }
 
+  test("q_join_fuzzy candidates come from an equi join, never w x w") {
+    val p = plan("q_join_fuzzy")
+    // the deletion-variant key must drive a hash/merge join; a plan
+    // that falls back to cartesian/BNLJ is the w x w blowup the
+    // banding exists to avoid
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("q_source_dsv2 pushes its predicates into the custom source") {
     // the DSv2 connector (sources/GraftLines.scala) must receive the
     // comparison predicates (exact evaluation inside the reader, no

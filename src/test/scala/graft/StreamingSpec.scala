@@ -154,6 +154,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SessionTimers seals an idle user's session via an event-time " +
+      "timer with no new input for that key") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val ctx = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
+      + "state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = ms.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.SessionTimers,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_us", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_timer_spec").start()
+    def emitted() = spark.table("tws_timer_spec")
+      .as[(Long, Long, Long)].collect().toSet
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "open session must not emit early")
+      // only user 2 speaks, far ahead -> the watermark passes user 1's
+      // timer (10:35) and handleExpiredTimer seals the idle session
+      ms.addData((2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val us1000 = ts("2024-01-01 10:00:00").toInstant.getEpochSecond * 1000000L
+      assert(emitted() == Set((1L, us1000, 2L)),
+        s"idle user's session must close via the timer, got ${emitted()}")
+      // user 1 returns: a FRESH session forms after the seal, and a
+      // later in-data gap closes it inline (fold path, not timer path)
+      ms.addData((1L, ts("2024-01-01 13:00:00")),
+        (1L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val us1300 = ts("2024-01-01 13:00:00").toInstant.getEpochSecond * 1000000L
+      assert(emitted().contains((1L, us1300, 1L)),
+        s"gap-closed resumed session must emit inline, got ${emitted()}")
+    } finally {
+      q.stop()
+      spark.conf.set(provKey, prevProv)
+    }
+  }
+
+  test("q_stream_transform_timers equals q_stream_stateful_timeout " +
+      "(both state APIs, sf0.001)") {
+    val timers = SparkEntry.queries("q_stream_transform_timers")(
+      spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    val fmgws = SparkEntry.queries("q_stream_stateful_timeout")(
+      spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    assert(timers == fmgws,
+      s"the two state APIs must seal identical session sets")
+  }
+
   test("gaps-and-islands sessionization equals session_window (sf0.001)") {
     val batch = SparkEntry.queries("q_stream_session")(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
