@@ -346,6 +346,39 @@ object Etl extends QueryGroup {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      // DSv2 AGGREGATE pushdown (added r5, beside q_source_dsv2's
+      // filter/prune/limit surface): count/min/max/count(col) are
+      // pushed into the graftlines source as a PARTIAL aggregation —
+      // each file reader emits one pre-aggregated row per group and
+      // Spark's final aggregate merges partitions. At 100 TB this is
+      // the difference between moving N rows and moving
+      // (groups × files) rows through the scan. Unsupported pieces
+      // (avg, min/max on strings — UTF-16 vs UTF8 ordering) decline
+      // the WHOLE aggregation honestly and the row scan stands
+      // (GraftLinesSpec pins both directions; PlanSpec pins the
+      // pushed shape here).
+      "q_source_dsv2_agg",
+      (s, d) => {
+        val out = "/tmp/graft_gl_agg_sink"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+          .write.format("graftlines").mode("overwrite").save(out)
+        s.read.format("graftlines").load(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            count(col("l_orderkey")).as("n_ok"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        | COUNT(l_orderkey)::BIGINT AS n_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
       // Z-order layout (added r5): the multi-dimensional data-layout
       // primitive — interleave the low 16 bits of customer key and
       // order epoch-day into a Morton code, range-partition + sort the

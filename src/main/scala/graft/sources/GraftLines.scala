@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -299,13 +300,24 @@ private[sources] class GlTable(path: String, tableSchema: StructType)
     new GlWriteBuilder(path, info.schema())
 }
 
+/** One pushed aggregate function: kind ∈ countstar|count|min|max,
+  * col None only for countstar. */
+private[sources] case class GlAggFunc(kind: String, col: Option[String])
+
+/** A pushed (partial) aggregation: per-partition pre-aggregation the
+  * source computes; Spark's final aggregate merges partitions. */
+private[sources] case class GlAggSpec(groupCols: Seq[String],
+    funcs: Seq[GlAggFunc])
+
 private[sources] class GlScanBuilder(path: String, schema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var agg: Option[GlAggSpec] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition(GlFilters.supported(schema, _))
@@ -326,23 +338,88 @@ private[sources] class GlScanBuilder(path: String, schema: StructType)
     * limit-after-filter semantics hold exactly. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  override def build(): Scan = GlScan(path, required, pushed, limit)
+  /** PARTIAL aggregate pushdown (supportCompletePushDown stays false):
+    * the scan emits one pre-aggregated row per (partition, group) and
+    * Spark's final aggregate merges them — the shape that turns a
+    * count/min/max over N rows into one row per file at the source.
+    * All-or-nothing: any untranslatable piece declines the whole
+    * aggregation and the ordinary row scan stands. Min/max on strings
+    * are declined deliberately — java String ordering is UTF-16
+    * code-unit order while Spark compares UTF8 bytes (code points);
+    * they differ on supplementary characters, and an exactness
+    * contract can't ride on "the data is probably ASCII". */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def ref(e: V2Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames()(0)).filter(n => schema.fieldNames.contains(n))
+      case _ => None
+    }
+    def ordered(n: String): Boolean =
+      schema.fields.find(_.name == n).exists(_.dataType match {
+        case IntegerType | LongType | DoubleType | DateType |
+             TimestampType => true
+        case _ => false
+      })
+    val groups = aggregation.groupByExpressions.toSeq.map(ref)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GlAggFunc("countstar", None))
+      case c: Count if !c.isDistinct =>
+        ref(c.column).map(n => GlAggFunc("count", Some(n)))
+      case m: Min =>
+        ref(m.column).filter(ordered).map(n => GlAggFunc("min", Some(n)))
+      case m: Max =>
+        ref(m.column).filter(ordered).map(n => GlAggFunc("max", Some(n)))
+      case _ => None // avg/sum/distinct/...: decline, keep the row scan
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    agg = Some(GlAggSpec(groups.map(_.get), funcs.map(_.get)))
+    true
+  }
+
+  override def build(): Scan = GlScan(path, required, pushed, limit, agg)
 }
 
 /** Public (not `private[sources]`) so plan tests can reach into
-  * BatchScanExec and assert on `pushed`/`readSchema` directly. */
+  * BatchScanExec and assert on `pushed`/`readSchema` directly.
+  *
+  * When `aggSpec` is set the scan's output IS the partial aggregation:
+  * group columns first (Spark zips them positionally), then one column
+  * per aggregate function (counts as long, min/max in the column's own
+  * type). `required` is the FULL table schema in that case — Spark
+  * builds the scan inside aggregate pushdown, before column pruning
+  * would run — and per-group state is O(groups) per file (documented:
+  * the same memory shape any partial hash aggregate has). */
 case class GlScan(path: String, required: StructType,
-    pushed: Array[Filter], pushedLimit: Option[Int] = None)
+    pushed: Array[Filter], pushedLimit: Option[Int] = None,
+    aggSpec: Option[GlAggSpec] = None)
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  private def fieldOf(n: String): StructField =
+    required.fields.find(_.name == n).getOrElse(throw
+      new IllegalStateException(s"graftlines: pushed agg references "
+        + s"'$n' outside the scan schema ${required.catalogString}"))
+
+  private[sources] def aggOutput(spec: GlAggSpec): StructType =
+    StructType(spec.groupCols.map(fieldOf) ++
+      spec.funcs.zipWithIndex.map { case (f, i) =>
+        f.kind match {
+          case "countstar" | "count" => StructField(s"agg_$i", LongType)
+          case _ => StructField(s"agg_$i", fieldOf(f.col.get).dataType)
+        }
+      })
+
+  override def readSchema(): StructType =
+    aggSpec.map(aggOutput).getOrElse(required)
+
   override def toBatch: Batch = this
 
   override def description(): String =
     s"GraftLines path=$path, " +
-      s"ReadSchema: ${required.catalogString}, " +
+      s"ReadSchema: ${readSchema().catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"PushedLimit: ${pushedLimit.getOrElse(-1)}"
+      s"PushedLimit: ${pushedLimit.getOrElse(-1)}, " +
+      s"PushedAggregation: ${aggSpec.getOrElse("none")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -353,7 +430,7 @@ case class GlScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    GlReaderFactory(required, pushed, pushedLimit, conf)
+    GlReaderFactory(required, pushed, pushedLimit, aggSpec, conf)
   }
 }
 
@@ -361,11 +438,16 @@ private[sources] case class GlInputPartition(file: String)
     extends InputPartition
 
 private[sources] case class GlReaderFactory(required: StructType,
-    pushed: Array[Filter], limit: Option[Int],
+    pushed: Array[Filter], limit: Option[Int], aggSpec: Option[GlAggSpec],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GlReader(p.asInstanceOf[GlInputPartition].file, required, pushed,
-      limit, conf.value)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[GlInputPartition].file
+    aggSpec match {
+      case Some(spec) => new GlAggReader(file, required, spec, pushed,
+        conf.value)
+      case None => new GlReader(file, required, pushed, limit, conf.value)
+    }
+  }
 }
 
 /** Row-based file reader: parses only required ∪ filter-referenced
@@ -453,6 +535,98 @@ private[sources] class GlReader(file: String, required: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = br.close()
+}
+
+/** Partial-aggregation reader: streams the file through the ordinary
+  * row reader (pushed filters apply BEFORE aggregation, matching
+  * aggregate-after-filter semantics) and hash-aggregates into
+  * per-group states, emitting one row per group at end-of-file. For a
+  * global aggregate (no group columns) exactly one partial row is
+  * emitted even for an empty partition, so a final COUNT over an empty
+  * table is 0, never null. */
+private[sources] class GlAggReader(file: String, tableSchema: StructType,
+    spec: GlAggSpec, pushed: Array[Filter],
+    conf: org.apache.hadoop.conf.Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val inputCols: Seq[String] =
+    (spec.groupCols ++ spec.funcs.flatMap(_.col)).distinct
+  private val inputSchema = StructType(inputCols.map(n =>
+    tableSchema.fields.find(_.name == n).getOrElse(throw
+      new IllegalArgumentException(
+        s"graftlines: aggregated column '$n' missing from table schema"))))
+  private val inner = new GlReader(file, inputSchema, pushed, None, conf)
+
+  private val pos: Map[String, Int] = inputCols.zipWithIndex.toMap
+  private val groupIdx: Array[Int] = spec.groupCols.map(pos).toArray
+  private val funcIdx: Array[Int] =
+    spec.funcs.map(f => f.col.map(pos).getOrElse(-1)).toArray
+  private val types: Array[DataType] = inputSchema.fields.map(_.dataType)
+
+  private def value(row: InternalRow, i: Int): Any =
+    if (row.isNullAt(i)) null
+    else types(i) match {
+      case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
+      case LongType | TimestampType => java.lang.Long.valueOf(row.getLong(i))
+      case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+      case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+      case StringType => row.getUTF8String(i)
+      case other => throw new IllegalStateException(other.toString)
+    }
+
+  /** Spark's min/max ordering for the types we accept: ints/longs
+    * natural, doubles via Double.compare (NaN greatest — same as
+    * Spark's Ordering[Double]). Strings never reach here (declined at
+    * pushAggregation). */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.compare(x, y) < 0
+    case _ => throw new IllegalStateException(s"unorderable: $a / $b")
+  }
+
+  private lazy val groups: Iterator[InternalRow] = {
+    val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]()
+    def fresh(): Array[Any] = spec.funcs.map { f =>
+      if (f.kind == "countstar" || f.kind == "count")
+        java.lang.Long.valueOf(0L): Any
+      else null
+    }.toArray
+    while (inner.next()) {
+      val row = inner.get()
+      val key: Seq[Any] = groupIdx.map(value(row, _)).toSeq
+      val st = m.getOrElseUpdate(key, fresh())
+      var j = 0
+      while (j < spec.funcs.length) {
+        spec.funcs(j).kind match {
+          case "countstar" =>
+            st(j) = java.lang.Long.valueOf(st(j).asInstanceOf[Long] + 1)
+          case "count" =>
+            if (value(row, funcIdx(j)) != null)
+              st(j) = java.lang.Long.valueOf(st(j).asInstanceOf[Long] + 1)
+          case "min" =>
+            val v = value(row, funcIdx(j))
+            if (v != null && (st(j) == null || lt(v, st(j)))) st(j) = v
+          case "max" =>
+            val v = value(row, funcIdx(j))
+            if (v != null && (st(j) == null || lt(st(j), v))) st(j) = v
+        }
+        j += 1
+      }
+    }
+    inner.close()
+    if (m.isEmpty && spec.groupCols.isEmpty) m.update(Seq.empty, fresh())
+    m.iterator.map { case (k, st) =>
+      new GenericInternalRow((k ++ st).toArray[Any])
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (groups.hasNext) { current = groups.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = () // inner closed at end of aggregation
 }
 
 private[sources] class GlWriteBuilder(path: String, schema: StructType)

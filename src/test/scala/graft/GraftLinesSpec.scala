@@ -152,6 +152,57 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(limited.collect().forall(_.getAs[Double]("l_quantity") > 30.0))
   }
 
+  test("count/min/max push down as a partial aggregation") {
+    val base = spark.read.format("graftlines").load(s"$dir/li")
+    val agged = base.filter($"l_returnflag" =!= "N")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("mn"),
+        max($"l_quantity").as("mx"))
+      .orderBy($"l_returnflag")
+    val scan = glScan(agged)
+    assert(scan.aggSpec.nonEmpty, scan.description())
+    assert(scan.readSchema().fields.length == 4, // group + 3 agg cols
+      scan.readSchema().catalogString)
+    val expect = Tables.lineitem(spark, TestSpark.sf0001)
+      .filter($"l_returnflag" =!= "N")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("mn"),
+        max($"l_quantity").as("mx"))
+      .orderBy($"l_returnflag")
+    assert(agged.collect().map(_.toString).toSeq
+      == expect.collect().map(_.toString).toSeq)
+  }
+
+  test("global count with an all-rejecting filter yields 0, not null") {
+    // the pushed filter rejects every row, so the partial-agg reader
+    // sees an empty stream; the mandatory one-partial-row-per-partition
+    // rule for global aggregates is what keeps the final COUNT at 0
+    val empty = s"$dir/empty"
+    (1L to 5L).toDF("k").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(empty)
+    val df = spark.read.format("graftlines").load(empty)
+      .filter($"k" > 100L).agg(count(lit(1)).as("n"))
+    assert(glScan(df).aggSpec.nonEmpty, glScan(df).description())
+    assert(df.head().getLong(0) == 0L)
+  }
+
+  test("unsupported aggregates decline and the row scan stays correct") {
+    val base = spark.read.format("graftlines").load(s"$dir/li")
+    // avg is not translatable for partial pushdown -> whole agg declined
+    val avgd = base.groupBy($"l_returnflag").agg(avg($"l_quantity").as("a"))
+    assert(glScan(avgd).aggSpec.isEmpty, glScan(avgd).description())
+    // min(string) must decline too (UTF-16 vs UTF8 ordering)
+    val mins = base.groupBy($"l_quantity").agg(min($"l_returnflag").as("m"))
+    assert(glScan(mins).aggSpec.isEmpty, glScan(mins).description())
+    val got = avgd.orderBy($"l_returnflag").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1000)))
+    val expect = Tables.lineitem(spark, TestSpark.sf0001)
+      .groupBy($"l_returnflag").agg(avg($"l_quantity").as("a"))
+      .orderBy($"l_returnflag").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 1000)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
   test("schema mismatch between query and file fails loudly") {
     val err = intercept[Exception] {
       spark.read.schema(StructType(Seq(StructField("k", StringType),

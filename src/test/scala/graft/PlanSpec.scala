@@ -183,6 +183,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("q_source_dsv2_agg pushes the aggregation into the custom source") {
+    val df = SparkEntry.queries("q_source_dsv2_agg")(spark, TestSpark.sf0001)
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.GlScan]
+    }.getOrElse(fail("no DSv2 scan in plan"))
+    assert(scan.aggSpec.nonEmpty, scan.description())
+    // scan output = group col + 4 agg cols, NOT the raw rows
+    assert(scan.readSchema().fields.length == 5,
+      scan.readSchema().catalogString)
+  }
+
   test("q_source_dsv2 pushes its predicates into the custom source") {
     // the DSv2 connector (sources/GraftLines.scala) must receive the
     // comparison predicates (exact evaluation inside the reader, no
