@@ -346,6 +346,74 @@ object Etl extends QueryGroup {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      // Manifest snapshots (added r5): reproducible versioned reads
+      // over an APPEND-ONLY file log, without a table format — the
+      // li3ds-datastore answer to "what did the table look like before
+      // yesterday's append?". Each commit appends data files and
+      // writes a manifest (the file list AS DATA, XmlManifest's
+      // listing-as-data posture); a snapshot read resolves ONLY its
+      // manifest's files, so later appends cannot leak in. The
+      // manifest is planner metadata — collecting it to the driver is
+      // what every real table format (Iceberg/Delta) does too; the
+      // DATA never moves through the driver. Oracle: version 1 must
+      // equal the pre-append subset, version 2 the full set — pinned
+      // per status with decimal-exact sums.
+      "q_etl_snapshot",
+      (s, d) => {
+        val base = "/tmp/graft_snap"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val orders = Tables.orders(s, d)
+        // commit 1: statuses F and O
+        orders.filter(col("o_orderstatus") =!= "P")
+          .write.mode("append").parquet(s"$base/data")
+        val v1Files = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$base/data")).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).sorted
+        s.createDataset(v1Files.toSeq)(org.apache.spark.sql.Encoders.STRING)
+          .coalesce(1).write.mode("overwrite").text(s"$base/manifest/v1")
+        // commit 2: append status P; manifest v2 = all files
+        orders.filter(col("o_orderstatus") === "P")
+          .write.mode("append").parquet(s"$base/data")
+        val v2Files = fs.listStatus(new org.apache.hadoop.fs.Path(
+            s"$base/data")).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).sorted
+        s.createDataset(v2Files.toSeq)(org.apache.spark.sql.Encoders.STRING)
+          .coalesce(1).write.mode("overwrite").text(s"$base/manifest/v2")
+        // snapshot reads: resolve each version strictly via its manifest
+        def snapshot(v: String) = {
+          val files = s.read.textFile(s"$base/manifest/$v")
+            .collect().toSeq // manifest = planner metadata, rows never
+          s.read.schema(Tables.ordersSchema).parquet(files: _*)
+        }
+        val agg1 = snapshot("v1").groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .withColumn("version", lit(1L))
+        val agg2 = snapshot("v2").groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .withColumn("version", lit(2L))
+        agg1.union(agg2)
+          .select(col("version"), col("o_orderstatus"), col("n"),
+            col("sum_price"))
+          .orderBy(col("version"), col("o_orderstatus"))
+      },
+      Some("""SELECT 1::BIGINT AS version, o_orderstatus,
+        | COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 2::BIGINT, o_orderstatus, COUNT(*)::BIGINT,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // DSv2 AGGREGATE pushdown (added r5, beside q_source_dsv2's
       // filter/prune/limit surface): count/min/max/count(col) are
       // pushed into the graftlines source as a PARTIAL aggregation —

@@ -539,6 +539,42 @@ object LlmText extends QueryGroup {
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // Token-commonality scoring (added r5): per doc, the average
+      // corpus frequency of its tokens — the exact-arithmetic cousin
+      // of LM-perplexity quality filtering (low commonality ≈ rare
+      // vocabulary ≈ either high-value or garbage; high ≈ boilerplate).
+      // Deliberately formulated in integers (sum of term frequencies,
+      // token count) so the oracle hash-matches where a log-prob score
+      // could drift by an ulp between libm implementations; the rounded
+      // ratio rides the proven round(x, 4) pattern. Inverted-index
+      // shape: tokens join the per-(lang, token) frequency table on the
+      // token key — never doc × doc, shuffles bounded by vocab size.
+      "q_text_commonality",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+        val freq = tok.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        tok.join(freq.hint("shuffle_hash"), Seq("lang", "tok"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tok"), sum(col("tf")).as("sum_tf"),
+            round(sum(col("tf")).cast(DoubleType) / count(lit(1)), 4)
+              .as("commonality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents),
+        |freq AS (SELECT lang, tok, COUNT(*)::BIGINT AS tf
+        |         FROM tok GROUP BY 1, 2)
+        |SELECT t.doc_id, t.lang, COUNT(*)::BIGINT AS n_tok,
+        |  SUM(f.tf)::BIGINT AS sum_tf,
+        |  ROUND(SUM(f.tf)::DOUBLE / COUNT(*), 4) AS commonality
+        |FROM tok t JOIN freq f ON t.lang = f.lang AND t.tok = f.tok
+        |GROUP BY 1, 2 ORDER BY t.doc_id""".stripMargin)),
+
+    QueryDef(
       // URL canonicalization dedup (added r5): crawl dedup's first
       // line of defense — scheme / www / query-string / fragment are
       // presentation, not identity, so the canonical key is
