@@ -684,6 +684,122 @@ object Etl extends QueryGroup {
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
         |FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    QueryDef(
+      // CDC MERGE (added r5): apply a keyed changelog (upserts +
+      // deletes, latest-wins by sequence number) onto a snapshot — the
+      // table-format merge primitive (Delta MERGE / Hudi upsert /
+      // "merge-on-read compaction") every incremental 100 TB pipeline
+      // runs daily. Changelog is derived deterministically from orders
+      // so both engines construct the identical input: seq 1 updates
+      // every key % 3 == 0 (+$1), seq 2 deletes every key % 9 == 0 —
+      // so deletes must WIN over the earlier update on the %9 keys,
+      // and %3 keys missing from the snapshot (%4 == 3) must INSERT.
+      // Plan: one max_by aggregate picks the latest change per key (no
+      // window/self-join), one left-anti keeps untouched snapshot rows,
+      // one union applies survivors — three key-partitioned shuffles,
+      // each linear in its input; money moves as exact BIGINT cents.
+      "q_etl_merge_cdc",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+        val target = base.filter(col("o_orderkey") % 4 =!= 3)
+        val upd = base.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+            col("o_orderstatus"), (col("cents") + 100).as("cents"))
+        val del = base.filter(col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+            col("o_orderstatus"), col("cents"))
+        val latest = upd.unionByName(del)
+          .groupBy(col("o_orderkey"))
+          .agg(max_by(
+            struct(col("op"), col("o_orderstatus"), col("cents")),
+            col("seq")).as("f"))
+          .select(col("o_orderkey"), col("f.op").as("op"),
+            col("f.o_orderstatus").as("o_orderstatus"),
+            col("f.cents").as("cents"))
+        val untouched = target.join(latest.select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_anti")
+        val applied = latest.filter(col("op") =!= "D").drop("op")
+        untouched.unionByName(applied)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |target AS (SELECT * FROM base WHERE o_orderkey % 4 != 3),
+        |chg AS (
+        |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_orderstatus,
+        |    cents + 100 AS cents FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2 AS seq, 'D' AS op, o_orderstatus, cents
+        |  FROM base WHERE o_orderkey % 9 = 0),
+        |latest AS (
+        |  SELECT o_orderkey, op, o_orderstatus, cents
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+        |          ORDER BY seq DESC) AS rn FROM chg)
+        |  WHERE rn = 1),
+        |merged AS (
+        |  SELECT t.o_orderkey, t.o_orderstatus, t.cents FROM target t
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l
+        |                    WHERE l.o_orderkey = t.o_orderkey)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, cents FROM latest
+        |  WHERE op != 'D')
+        |SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
+      // Schema evolution (added r5): a long-lived 100 TB table is
+      // written by v1 jobs for months before v2 adds a column — the
+      // reader must merge parquet footers across generations and
+      // null-fill the old files, or the table is unreadable without a
+      // full rewrite. Two generations land as partition directories
+      // (gen=1 without l_returnflag, gen=2 with it); the read uses
+      // mergeSchema — deliberately NOT an explicit schema, because
+      // footer merging IS the surface under test (the fixture tables
+      // keep their never-infer rule). v1 rows surface with a NULL
+      // l_returnflag, sentinel-coalesced per §2C; min/max of the
+      // discovered gen partition column prove both generations fed
+      // every group they should.
+      "q_etl_schema_evolution",
+      (s, d) => {
+        val dir = "/tmp/graft_schema_evo"
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_linenumber") <= 2)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").parquet(s"$dir/gen=1")
+        li.filter(col("l_linenumber") >= 3)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").parquet(s"$dir/gen=2")
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy(coalesce(col("l_returnflag"), lit("_v1")).as("flag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_qty"),
+            min(col("gen")).cast(LongType).as("min_gen"),
+            max(col("gen")).cast(LongType).as("max_gen"))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH u AS (
+        |  SELECT l_orderkey, l_quantity, NULL AS l_returnflag, 1 AS gen
+        |  FROM lineitem WHERE l_linenumber <= 2
+        |  UNION ALL
+        |  SELECT l_orderkey, l_quantity, l_returnflag, 2 AS gen
+        |  FROM lineitem WHERE l_linenumber >= 3)
+        |SELECT COALESCE(l_returnflag, '_v1') AS flag,
+        |  COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(gen)::BIGINT AS min_gen, MAX(gen)::BIGINT AS max_gen
+        |FROM u GROUP BY flag ORDER BY flag""".stripMargin))
   )
 }

@@ -84,6 +84,36 @@ object Stream extends QueryGroup {
         |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
     QueryDef(
+      // Native session_window (added r5) — the ENGINE's session operator
+      // in batch mode, beside q_stream_session's hand-rolled
+      // gaps-and-islands twin. Spark merges per-event intervals
+      // [ts, ts+gap) while they OVERLAP (strict <), so a gap of exactly
+      // 30 min starts a new session — one tick stricter than the lag
+      // formulation's `> 30 min` break; the oracle spells `>=` to state
+      // session_window's own semantics rather than reuse the other
+      // query's SQL. Physically this is one shuffle on user_id + a
+      // sort-based merge within partitions — the same plan shape the
+      // streaming session_window uses, which is why the batch form is
+      // the right scale rehearsal (no window-function global state).
+      "q_stream_session_native",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""SELECT user_id, MIN(ts) AS session_start, COUNT(*)::BIGINT AS n
+        |FROM (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM (SELECT user_id, ts, event_id,
+        |              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |                   THEN 1 ELSE 0 END AS brk
+        |            FROM events))
+        |GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    QueryDef(
       "q_stream_watermark_late",
       (s, d) => {
         // TRUE Structured Streaming run: file source -> watermark ->
@@ -604,6 +634,53 @@ object Stream extends QueryGroup {
         |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
         |                           ORDER BY ts, event_id) AS rn
         |      FROM events)
-        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin))
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef(
+      // TRUE streaming dedup (added r5): dropDuplicatesWithinWatermark —
+      // the bounded-state dedup the 100 TB stream needs. Plain streaming
+      // dropDuplicates keeps EVERY key forever (state grows with
+      // distinct keys seen since the epoch); the WithinWatermark form
+      // expires a key once the watermark passes its event time + delay,
+      // so state is O(keys active in the watermark window). The result
+      // projects ONLY the dedup key columns — which row of a duplicate
+      // group survives is batching-dependent, but its key columns are by
+      // definition identical, so the drained sink is deterministic: one
+      // row per distinct (user_id, event_type). A complete one-batch
+      // replay expires nothing mid-run, so re-emission after state
+      // eviction (legal for this operator) cannot occur and the oracle
+      // is exact DISTINCT. q_stream_dedup above stays the batch twin
+      // with a full row_number contract.
+      "q_stream_dedup_watermark",
+      (s, d) => {
+        val name = "dedup_wm_sink"
+        s.catalog.dropTempView(name)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val rows = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            .withWatermark("ts", "30 minutes")
+            .select(col("user_id"), col("event_type"), col("ts"))
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .select(col("user_id"), col("event_type"))
+          val q = rows.writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        s.table(name).orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin))
   )
 }
