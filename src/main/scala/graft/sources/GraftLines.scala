@@ -73,6 +73,14 @@ class GraftLines extends TableProvider with DataSourceRegister {
 
 object GraftLines {
   val Ext = ".gl"
+  /** Per-directory stats manifest (no `.gl` suffix — must never be
+    * listed as data). One line per (file, stats-eligible column):
+    * `baseName \t rows \t col \t nulls \t min \t max` with min/max in
+    * the cell text encoding (`\N` when the column is all-NULL in that
+    * file). The manifest is the file-skipping index — the role parquet
+    * footers / Iceberg manifests play: the driver reads ONE small file
+    * at plan time instead of opening N data files. */
+  val StatsName = "_graft_stats"
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -194,7 +202,61 @@ object GraftLines {
       case other => throw new IllegalStateException(other.toString)
     }
   }
+
+  /** Columns whose min/max may steer file skipping: exactly the types
+    * whose pushed-filter comparisons the reader evaluates with
+    * Spark-identical ordering. Strings are EXCLUDED on the same ground
+    * min/max string aggregates are declined — java UTF-16 order vs
+    * Spark UTF8-byte order diverge on supplementary characters, and a
+    * wrong skip is silent data loss, not a perf bug. Date/timestamp
+    * literals never push (GlFilters declines them), so their stats
+    * would be dead weight. */
+  private[sources] def statsEligible(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | BooleanType => true
+    case _ => false
+  }
+
+  private[sources] def statsPath(dir: String) = new Path(dir, StatsName)
+
+  /** Manifest read at plan time: baseName -> (rows, col -> (nulls, min,
+    * max)); min/max already parsed to comparison values (null = column
+    * all-NULL in that file). A missing/corrupt manifest means "no
+    * stats" — skipping is an optimization and must never be load-
+    * bearing, so any read problem degrades to scanning every file. */
+  private[sources] def readStats(dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      schema: StructType): Map[String, GlFileStats] = {
+    val p = statsPath(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val types = schema.fields.map(f => f.name -> f.dataType).toMap
+    val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+    try {
+      val byFile = scala.collection.mutable.Map[String, GlFileStats]()
+      var line = br.readLine()
+      while (line != null) {
+        line.split("\t", -1) match {
+          case Array(file, rows, col, nulls, mn, mx) =>
+            types.get(col).filter(statsEligible).foreach { dt =>
+              val st = byFile.getOrElseUpdate(file,
+                GlFileStats(rows.toLong,
+                  scala.collection.mutable.Map.empty))
+              st.cols(col) = GlColStats(nulls.toLong,
+                parseCell(mn, dt), parseCell(mx, dt))
+            }
+          case _ => () // unknown line shape: ignore, never fail the scan
+        }
+        line = br.readLine()
+      }
+      byFile.toMap
+    } catch { case _: Exception => Map.empty }
+    finally br.close()
+  }
 }
+
+private[sources] case class GlColStats(nulls: Long, min: Any, max: Any)
+private[sources] case class GlFileStats(rows: Long,
+    cols: scala.collection.mutable.Map[String, GlColStats])
 
 /** Which V1 filters the source accepts for pushdown, and their exact
   * executor-side evaluation. Accepted ⇒ Spark drops its own copy, so
@@ -264,6 +326,36 @@ private[sources] object GlFilters {
 
   private def withVal(x: Any)(p: Any => Boolean): Boolean =
     x != null && p(x)
+
+  /** Conservative file-level pruning: true ⇔ the file MAY hold a row
+    * matching `f`, judged from per-column (nulls, min, max). Any
+    * uncertainty — column missing from the manifest, a Not(...) — must
+    * answer true: a kept file only costs time, a wrongly skipped file
+    * loses rows. Note And maps to && (a matching row satisfies both
+    * sides, so both must be possible) and Or to ||; a column whose
+    * min/max are null is all-NULL in the file, so no comparison can
+    * match it there. */
+  def mayMatch(f: Filter, st: GlFileStats): Boolean = {
+    def col(a: String): Option[GlColStats] = st.cols.get(a)
+    def rng(a: String)(p: (Any, Any) => Boolean): Boolean =
+      col(a).forall(c => c.min != null && p(c.min, c.max))
+    f match {
+      case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+      case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
+      case Not(_) => true
+      case IsNull(a) => col(a).forall(_.nulls > 0)
+      case IsNotNull(a) => col(a).forall(c => st.rows > c.nulls)
+      case EqualTo(a, v) =>
+        rng(a)((mn, mx) => cmp(mn, v) <= 0 && cmp(mx, v) >= 0)
+      case GreaterThan(a, v) => rng(a)((_, mx) => cmp(mx, v) > 0)
+      case GreaterThanOrEqual(a, v) => rng(a)((_, mx) => cmp(mx, v) >= 0)
+      case LessThan(a, v) => rng(a)((mn, _) => cmp(mn, v) < 0)
+      case LessThanOrEqual(a, v) => rng(a)((mn, _) => cmp(mn, v) <= 0)
+      case In(a, vs) => rng(a)((mn, mx) =>
+        vs.exists(v => cmp(mn, v) <= 0 && cmp(mx, v) >= 0))
+      case _ => true
+    }
+  }
 
   private def cmp(colVal: Any, lit: Any): Int = colVal match {
     case i: java.lang.Integer =>
@@ -377,7 +469,8 @@ private[sources] class GlScanBuilder(path: String, schema: StructType)
     true
   }
 
-  override def build(): Scan = GlScan(path, required, pushed, limit, agg)
+  override def build(): Scan = GlScan(path, required, pushed, limit, agg,
+    schema)
 }
 
 /** Public (not `private[sources]`) so plan tests can reach into
@@ -392,8 +485,15 @@ private[sources] class GlScanBuilder(path: String, schema: StructType)
   * the same memory shape any partial hash aggregate has). */
 case class GlScan(path: String, required: StructType,
     pushed: Array[Filter], pushedLimit: Option[Int] = None,
-    aggSpec: Option[GlAggSpec] = None)
+    aggSpec: Option[GlAggSpec] = None,
+    tableSchema: StructType = new StructType())
     extends Scan with Batch {
+
+  /** Filter columns may be pruned out of `required` (Spark removes
+    * pushed filters from the plan before pruning), so stats typing uses
+    * the full table schema when the builder provided it. */
+  private def statsSchema: StructType =
+    if (tableSchema.fields.nonEmpty) tableSchema else required
 
   private def fieldOf(n: String): StructField =
     required.fields.find(_.name == n).getOrElse(throw
@@ -421,10 +521,24 @@ case class GlScan(path: String, required: StructType,
       s"PushedLimit: ${pushedLimit.getOrElse(-1)}, " +
       s"PushedAggregation: ${aggSpec.getOrElse("none")}"
 
+  /** File skipping happens HERE, at plan time: pushed filters are
+    * tested against the `_graft_stats` manifest (one driver-side read)
+    * and a file whose min/max prove it cannot hold a matching row never
+    * becomes a partition — no task, no open, no parse. Files absent
+    * from the manifest always scan (stats are an optimization, never a
+    * correctness dependency). The same pruning feeds aggregate-pushdown
+    * scans, since pushed filters apply before aggregation. */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    GraftLines.listDataFiles(path, conf)
-      .map(GlInputPartition(_): InputPartition).toArray
+    val files = GraftLines.listDataFiles(path, conf)
+    val kept = if (pushed.isEmpty) files else {
+      val stats = GraftLines.readStats(path, conf, statsSchema)
+      files.filter { f =>
+        val base = new Path(f).getName
+        stats.get(base).forall(st => pushed.forall(GlFilters.mayMatch(_, st)))
+      }
+    }
+    kept.map(GlInputPartition(_): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -648,25 +762,63 @@ private[sources] class GlWrite(path: String, schema: StructType,
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    if (truncate) // single-writer overwrite: clear before tasks launch
+    if (truncate) { // single-writer overwrite: clear before tasks launch
       GraftLines.listDataFiles(path, conf)
         .foreach(f => fs.delete(new Path(f), false))
+      fs.delete(GraftLines.statsPath(path), false) // stale stats must die
+    }
     fs.mkdirs(dir)
     GlWriterFactory(path, schema, new SerializableConfiguration(conf))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Job commit assembles the `_graft_stats` manifest from the
+    * per-task stats riding the commit messages — the driver writes one
+    * small index file; no task output is re-read. Appends merge with
+    * the existing manifest (its lines for files this write replaced
+    * are harmless: skipping only consults lines whose file is listed).
+    * Manifest write failures are swallowed — stats are an optimization
+    * and must never fail a committed write. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val newLines = messages.flatMap {
+      case GlCommitted(Some(f), lines) =>
+        val base = new Path(f).getName
+        lines.map(l => s"$base\t$l")
+      case _ => Nil
+    }
+    if (newLines.isEmpty) return
+    try {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val p = GraftLines.statsPath(path)
+      val fs = p.getFileSystem(conf)
+      // a re-used task file name replaces its old bytes, so its old
+      // manifest lines must not survive beside the new ones
+      val newNames = newLines.map(_.takeWhile(_ != '\t')).toSet
+      val existing: Seq[String] = if (truncate || !fs.exists(p)) Nil else {
+        val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+        try Iterator.continually(br.readLine()).takeWhile(_ != null)
+          .toList.filterNot(l => newNames.contains(l.takeWhile(_ != '\t')))
+        finally br.close()
+      }
+      val w = new OutputStreamWriter(fs.create(p, true), UTF_8)
+      try (existing ++ newLines).foreach { l => w.write(l); w.write('\n') }
+      finally w.close()
+    } catch { case _: Exception => () }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
-    messages.collect { case GlCommitted(Some(f)) =>
+    messages.collect { case GlCommitted(Some(f), _) =>
       fs.delete(new Path(f), false)
     }
   }
 }
 
-private[sources] case class GlCommitted(file: Option[String])
+/** `statsLines`: per-column manifest payloads for the task's file
+  * (`rows \t col \t nulls \t min \t max`, cell text encoding) — the
+  * file base name is prefixed by the job commit. */
+private[sources] case class GlCommitted(file: Option[String],
+    statsLines: Seq[String] = Nil)
     extends WriterCommitMessage
 
 private[sources] case class GlWriterFactory(path: String, schema: StructType,
