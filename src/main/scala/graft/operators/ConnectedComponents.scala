@@ -90,10 +90,17 @@ object ConnectedComponents {
     *
     * Per round: two grouped min aggregates (map-side combinable) and
     * two shuffle-hash joins on node ids, all on the edge set — no
-    * driver data path; the convergence probe is an EXACT set compare
-    * (count + except-count, both metadata-sized jobs), not a hash
-    * heuristic. Edges stay in canonical (lo, hi) orientation so the
-    * set fixpoint — every component a star — is well-defined.
+    * driver data path. The convergence probe is ONE map-side-combinable
+    * aggregate over the round's already-checkpointed output: a
+    * (count, bit_xor(h), bit_xor(rehash(h))) signature compared to
+    * the previous round's. Rows are distinct canonical pairs, so set
+    * equality and signature equality coincide up to a 128-bit-order
+    * hash collision — and a false "converged" would additionally need
+    * the colliding set to appear exactly at the fixpoint probe. The
+    * earlier count+except set compare cost two extra jobs per round
+    * (one a full shuffle); the signature costs one narrow agg.
+    * Edges stay in canonical (lo, hi) orientation so the set
+    * fixpoint — every component a star — is well-defined.
     */
   def labelStar(edges: DataFrame, maxIter: Int = 15): DataFrame = {
     val e0 = edges.select(col(edges.columns(0)).cast("long").as("u"),
@@ -102,11 +109,25 @@ object ConnectedComponents {
     val allNodes = e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node"))).distinct()
       .localCheckpoint()
+    // One-job set signature: rows are DISTINCT canonical pairs, so
+    // (count, xor of h, xor of rehash(h)) is an order-independent set
+    // witness — xor never overflows (sum would trip ANSI arithmetic)
+    // and the duplicate-cancellation weakness of xor needs duplicate
+    // rows, which distinct() forbids.
+    def sig(df: DataFrame): (Long, Long, Long) = {
+      val r = df.select(xxhash64(col("lo"), col("hi")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)"),
+          expr("bit_xor(xxhash64(h))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var cur = e0
       .select(least(col("u"), col("v")).as("lo"),
         greatest(col("u"), col("v")).as("hi"))
       .distinct()
       .localCheckpoint()
+    var curSig = sig(cur)
     var iter = 0
     var converged = false
     while (!converged) {
@@ -136,9 +157,10 @@ object ConnectedComponents {
         .filter(col("lo") =!= col("hi"))
         .distinct()
         .localCheckpoint()
-      converged = next.count() == cur.count() &&
-        next.except(cur).count() == 0
+      val nextSig = sig(next)
+      converged = nextSig == curSig
       cur = next
+      curSig = nextSig
       iter += 1
     }
     // fixpoint: every component is a star (comp_min, v) — read labels

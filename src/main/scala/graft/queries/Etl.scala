@@ -774,6 +774,13 @@ object Etl extends QueryGroup {
       "q_etl_schema_evolution",
       (s, d) => {
         val dir = "/tmp/graft_schema_evo"
+        // Clear the WHOLE table dir first: per-generation overwrite only
+        // replaces gen=1/gen=2, so a stale gen=N from an older run (or a
+        // crashed concurrent one) would otherwise pollute the mergeSchema
+        // read and change the answer.
+        val dirP = new org.apache.hadoop.fs.Path(dir)
+        val dfs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        dfs.delete(dirP, true)
         val li = Tables.lineitem(s, d)
         li.filter(col("l_linenumber") <= 2)
           .select(col("l_orderkey"), col("l_quantity"))

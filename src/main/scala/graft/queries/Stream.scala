@@ -655,6 +655,10 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "dedup_wm_sink"
         s.catalog.dropTempView(name)
+        // Intentionally NOT restored (unlike the two confs below):
+        // nanosAsLong is session-global by design — Tables.events sets
+        // it on every batch read of the same fixture, so restoring it
+        // here would just flap the flag between queries.
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(

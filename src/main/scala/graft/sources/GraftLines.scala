@@ -75,12 +75,20 @@ object GraftLines {
   val Ext = ".gl"
   /** Per-directory stats manifest (no `.gl` suffix — must never be
     * listed as data). One line per (file, stats-eligible column):
-    * `baseName \t rows \t col \t nulls \t min \t max` with min/max in
-    * the cell text encoding (`\N` when the column is all-NULL in that
-    * file). The manifest is the file-skipping index — the role parquet
-    * footers / Iceberg manifests play: the driver reads ONE small file
-    * at plan time instead of opening N data files. */
+    * `baseName \t rows \t col \t nulls \t min \t max \t ok` with
+    * min/max in the cell text encoding (`\N` when the column is
+    * all-NULL in that file) and a trailing sentinel field. The
+    * sentinel is per-line integrity: a line truncated mid-write would
+    * otherwise still parse — a numeric max `123456` cut to `12` is
+    * valid text with a silently wrong value, and a wrong skip is row
+    * loss, not a perf bug. Truncation can only hit the line's tail, so
+    * "last field == sentinel" rejects exactly the damaged lines while
+    * intact ones keep pruning. The manifest is the file-skipping
+    * index — the role parquet footers / Iceberg manifests play: the
+    * driver reads ONE small file at plan time instead of opening N
+    * data files. */
   val StatsName = "_graft_stats"
+  val StatsSentinel = "ok"
 
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -236,7 +244,7 @@ object GraftLines {
       var line = br.readLine()
       while (line != null) {
         line.split("\t", -1) match {
-          case Array(file, rows, col, nulls, mn, mx) =>
+          case Array(file, rows, col, nulls, mn, mx, StatsSentinel) =>
             types.get(col).filter(statsEligible).foreach { dt =>
               val st = byFile.getOrElseUpdate(file,
                 GlFileStats(rows.toLong,
@@ -244,7 +252,9 @@ object GraftLines {
               st.cols(col) = GlColStats(nulls.toLong,
                 parseCell(mn, dt), parseCell(mx, dt))
             }
-          case _ => () // unknown line shape: ignore, never fail the scan
+          // truncated (sentinel missing/cut) or unknown line shape:
+          // ignore the line, never fail or mis-skip the scan
+          case _ => ()
         }
         line = br.readLine()
       }
@@ -799,9 +809,19 @@ private[sources] class GlWrite(path: String, schema: StructType,
           .toList.filterNot(l => newNames.contains(l.takeWhile(_ != '\t')))
         finally br.close()
       }
-      val w = new OutputStreamWriter(fs.create(p, true), UTF_8)
+      // Rewrite via temp + rename, not in-place create: a crash
+      // mid-write (or a reader racing the rewrite) must see either the
+      // old complete manifest or the new one, never a half-written
+      // file. Rename is atomic on HDFS and the local FS; the
+      // delete-before-rename gap (rename onto an existing path is not
+      // portable) degrades a concurrent reader to "no stats", which is
+      // the designed fallback, not a wrong skip.
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
       try (existing ++ newLines).foreach { l => w.write(l); w.write('\n') }
       finally w.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
     } catch { case _: Exception => () }
   }
 
@@ -842,6 +862,31 @@ private[sources] class GlWriter(dir: String, schema: StructType,
   private var out: OutputStreamWriter = _
   private val types = schema.fields.map(_.dataType)
 
+  // Per-column stats for the `_graft_stats` manifest, accumulated as
+  // rows stream through (no second pass, no task-output re-read):
+  // (nulls, min, max) for stats-eligible columns only — the same type
+  // set whose pushed-filter comparisons the reader evaluates, so a
+  // min/max recorded here is always safe to prune with.
+  private val statsCols: Array[Int] =
+    types.indices.filter(i => GraftLines.statsEligible(types(i))).toArray
+  private var rowCount = 0L
+  private val nullCounts = new Array[Long](types.length)
+  private val mins = new Array[Any](types.length)
+  private val maxs = new Array[Any](types.length)
+
+  /** Same orderings GlFilters.cmp / GlAggReader use: ints/longs
+    * natural, doubles via Double.compare (NaN greatest — matches
+    * Spark; a NaN-polluted max only widens the kept range because
+    * NaN literals are never pushed), booleans false < true. */
+  private def less(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.compare(x, y) < 0
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+    case _ => throw new IllegalStateException(s"unorderable: $a / $b")
+  }
+
   private def ensureOpen(): Unit = if (out == null) {
     out = new OutputStreamWriter(
       file.getFileSystem(conf).create(file, true), UTF_8)
@@ -869,11 +914,38 @@ private[sources] class GlWriter(dir: String, schema: StructType,
     }
     sb.append('\n')
     out.write(sb.toString)
+    rowCount += 1
+    var s = 0
+    while (s < statsCols.length) {
+      val c = statsCols(s)
+      if (row.isNullAt(c)) nullCounts(c) += 1
+      else {
+        val v: Any = types(c) match {
+          case IntegerType => java.lang.Integer.valueOf(row.getInt(c))
+          case LongType => java.lang.Long.valueOf(row.getLong(c))
+          case DoubleType => java.lang.Double.valueOf(row.getDouble(c))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(c))
+          case other => throw new IllegalStateException(other.toString)
+        }
+        if (mins(c) == null || less(v, mins(c))) mins(c) = v
+        if (maxs(c) == null || less(maxs(c), v)) maxs(c) = v
+      }
+      s += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
-    GlCommitted(if (out != null) Some(file.toString) else None)
+    if (out == null) GlCommitted(None)
+    else {
+      val lines = statsCols.toSeq.map { c =>
+        val mn = if (mins(c) == null) "\\N" else mins(c).toString
+        val mx = if (maxs(c) == null) "\\N" else maxs(c).toString
+        s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}\t$mn\t$mx" +
+          s"\t${GraftLines.StatsSentinel}"
+      }
+      GlCommitted(Some(file.toString), lines)
+    }
   }
 
   override def abort(): Unit = {
