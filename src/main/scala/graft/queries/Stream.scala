@@ -426,6 +426,95 @@ object Stream extends QueryGroup {
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
 
     QueryDef(
+      // Stream-stream FULL outer join (added r6, VERDICT r5 missing #1)
+      // — the last cell of the join-surface matrix: BOTH sides
+      // null-extend once the watermark seals them, answering "clicks
+      // without a purchase AND purchases without a click" in one pass.
+      // Mechanics mirror q_stream_stream_join_outer (no-data batch ON —
+      // it advances the watermark that flushes the null-extended rows),
+      // with the seal cutoff now two-sided: a row is in-contract when
+      // COALESCE(c_ts, p_ts) <= MIN over both sides of max(side ts),
+      // minus 40 min. The anchor is the min of the PER-SIDE maxes, not
+      // the overall max: Spark's global watermark is min(click wm,
+      // purchase wm) and each side's wm rides ITS OWN max event time,
+      // so a side whose last event trails the other's by Δ drags every
+      // seal back by Δ — anchoring at the overall max left exactly the
+      // trailing Δ of rows unsealed (one row at sf0.01, caught by the
+      // oracle). From that anchor: matched rows coalesce to c_ts
+      // (c_ts < p_ts by the band); click-only rows seal once the
+      // watermark passes c_ts + 5 min (35-min bound, 5-min margin);
+      // purchase-only rows seal once the watermark passes p_ts — no
+      // click in [p_ts - 5 min, p_ts) can still arrive (30-min bound,
+      // 10-min margin). The cut is batch-side on the drained sink, as
+      // a broadcast scalar frame — filtering either STREAM would drag
+      // its watermark down and unseal in-contract rows (the r5 lesson,
+      // measured then). The oracle is the batch FULL JOIN with the
+      // identical COALESCE bound, so the contract covers exactly what
+      // the watermark has provably sealed.
+      "q_stream_stream_join_full",
+      (s, d) => {
+        val name = "ss_full_sink"
+        s.catalog.dropTempView(name)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val cutoff = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(max(unix_micros(col("ts"))).as("mx"))
+          .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
+        try {
+          def src() = s.readStream.schema(Tables.eventsRawSchema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(d)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val clicks = src().filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "30 minutes")
+          val buys = src().filter(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", "30 minutes")
+          val q = clicks.join(buys,
+              col("c_user") === col("p_user")
+                && col("p_ts") > col("c_ts")
+                && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+              "fullOuter")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
+        s.table(name)
+          .join(broadcast(cutoff),
+            coalesce(unix_micros(col("c_ts")), unix_micros(col("p_ts")))
+              <= col("cut_us"), "inner")
+          .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("c_user").isNotNull
+              && col("p_user").isNotNull, 1)).as("n_matched"),
+            count(when(col("p_user").isNull, 1)).as("n_click_only"),
+            count(when(col("c_user").isNull, 1)).as("n_buy_only"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+        | COUNT(*)::BIGINT AS n_rows,
+        | COUNT(CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL
+        |            THEN 1 END)::BIGINT AS n_matched,
+        | COUNT(CASE WHEN p.user_id IS NULL THEN 1 END)::BIGINT AS n_click_only,
+        | COUNT(CASE WHEN c.user_id IS NULL THEN 1 END)::BIGINT AS n_buy_only
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts > c.ts
+        |     AND p.ts <= c.ts + INTERVAL 5 MINUTE
+        |WHERE COALESCE(epoch_us(c.ts), epoch_us(p.ts))
+        |      <= (SELECT MIN(mx) FROM
+        |            (SELECT MAX(epoch_us(ts)) AS mx FROM events
+        |             WHERE event_type IN ('click', 'purchase')
+        |             GROUP BY event_type)) - 2400000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       // Stateful timeout sessionization (added r5, VERDICT r4 missing
       // #2): flatMapGroupsWithState + EventTimeTimeout — state that
       // CLOSES ITSELF. Each user's open session lives in the state

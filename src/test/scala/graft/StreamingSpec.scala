@@ -119,6 +119,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join null-extends BOTH sides on " +
+      "watermark passage, each exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user")
+      .withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().toDF("p_ts", "p_user")
+      .withWatermark("p_ts", "10 minutes")
+    val q = c.join(b, $"c_user" === $"p_user" && $"p_ts" > $"c_ts"
+        && $"p_ts" <= $"c_ts" + expr("INTERVAL 5 MINUTES"), "fullOuter")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_full_spec").start()
+    def rowsOf(filter: org.apache.spark.sql.Column) =
+      spark.table("ssj_full_spec").filter(filter)
+        .select($"c_user", $"p_user")
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    try {
+      // epoch 1: user 1 matched pair; user 2 click with no purchase;
+      // user 3 purchase with no click
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 2L))
+      buys.addData((ts("2024-01-01 10:02:00"), 1L),
+        (ts("2024-01-01 10:02:00"), 3L))
+      q.processAllAvailable()
+      // the match emits immediately; neither unmatched side may —
+      // a partner inside each band could still arrive
+      assert(rowsOf($"c_user" === 1L) == Seq((Some(1L), Some(1L))))
+      assert(rowsOf($"c_user" === 2L || $"p_user" === 3L).isEmpty,
+        "outer rows emitted before the watermark sealed their bands")
+      // epoch 2: both streams far ahead -> watermark passes both bands
+      clicks.addData((ts("2024-01-01 12:00:00"), 8L))
+      buys.addData((ts("2024-01-01 12:00:00"), 9L))
+      q.processAllAvailable()
+      assert(rowsOf($"c_user" === 2L) == Seq((Some(2L), None)),
+        "sealed unmatched CLICK must emit one null-extended row")
+      assert(rowsOf($"p_user" === 3L) == Seq((None, Some(3L))),
+        "sealed unmatched PURCHASE must emit one null-extended row")
+      // epoch 3: late partners for both -> state evicted on both sides,
+      // no retroactive joins, no second rows
+      buys.addData((ts("2024-01-01 10:03:00"), 2L))
+      clicks.addData((ts("2024-01-01 10:00:00"), 3L))
+      q.processAllAvailable()
+      assert(rowsOf($"c_user" === 2L || $"p_user" === 2L)
+        == Seq((Some(2L), None)),
+        "evicted click state must not retro-join a late purchase")
+      assert(rowsOf($"c_user" === 3L || $"p_user" === 3L)
+        == Seq((None, Some(3L))),
+        "evicted purchase state must not retro-join a late click")
+    } finally q.stop()
+  }
+
   test("EventTimeTimeout seals an idle user's session with no new input " +
       "for that key") {
     import spark.implicits._
