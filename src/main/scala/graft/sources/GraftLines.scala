@@ -13,9 +13,11 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Ex
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
@@ -49,12 +51,21 @@ import org.apache.spark.util.SerializableConfiguration
   *    [[SupportsTruncate]]. Job abort deletes the files named in the
   *    commit messages.
   *
+  *  - **Columnar read** ([[PartitionReaderFactory.supportColumnarReads]]):
+  *    ordinary scans emit `ColumnarBatch`es of reusable on-heap column
+  *    vectors — downstream operators consume vectors inside
+  *    whole-stage codegen instead of paying a virtual call per row.
+  *    Parsing itself stays line-wise (inherent to a text format).
+  *  - **File skipping**: writers accumulate per-file column stats into
+  *    the `_graft_stats` manifest; `planInputPartitions` prunes files
+  *    whose min/max prove no row can match the pushed filters.
+  *
   * Production upgrades, documented not faked: a block-splittable
-  * container (this text format splits per-file only), vectorized
-  * columnar batches (this reader is row-based `InternalRow`), and a
-  * staged rename commit protocol (this writer commits by task-unique
-  * naming, which is atomic enough for a single writer per path but not
-  * for concurrent jobs).
+  * container (this text format splits per-file only — a few giant
+  * files cap read parallelism at the file count) and a staged rename
+  * commit protocol (this writer commits by task-unique naming, which
+  * is atomic enough for a single writer per path but not for
+  * concurrent jobs).
   */
 class GraftLines extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlines"
@@ -572,6 +583,75 @@ private[sources] case class GlReaderFactory(required: StructType,
       case None => new GlReader(file, required, pushed, limit, conf.value)
     }
   }
+
+  /** Ordinary scans hand Spark [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+    * instead of one row at a time: downstream operators read straight
+    * out of column vectors inside whole-stage codegen (the scan shows
+    * up under a `ColumnarToRow` that is itself codegen'd) and the
+    * per-row iterator virtual-call tax disappears. Aggregate-pushdown
+    * scans stay row-based — they emit one pre-aggregated row per
+    * group, where batching buys nothing. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    aggSpec.isEmpty
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    require(aggSpec.isEmpty, "columnar read not offered for agg scans")
+    new GlColumnarReader(p.asInstanceOf[GlInputPartition].file, required,
+      pushed, limit, conf.value)
+  }
+}
+
+/** Columnar reader: wraps the row reader's parse/filter/prune logic
+  * and packs its output into reusable [[OnHeapColumnVector]]s,
+  * `batchSize` rows per [[ColumnarBatch]]. Parsing stays row-wise (the
+  * format is line-oriented — a text format cannot skip column bytes
+  * the way parquet column chunks can, which is exactly the documented
+  * reason a production format would be a columnar container); the win
+  * is downstream: one virtual call per BATCH instead of per row, and
+  * vector-at-a-time access for Spark's codegen'd consumers. */
+private[sources] class GlColumnarReader(file: String, required: StructType,
+    pushed: Array[Filter], limit: Option[Int],
+    conf: org.apache.hadoop.conf.Configuration, batchSize: Int = 4096)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val inner = new GlReader(file, required, pushed, limit, conf)
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(
+    vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+  private val types: Array[DataType] = required.fields.map(_.dataType)
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < batchSize && inner.next()) {
+      val row = inner.get()
+      var j = 0
+      while (j < types.length) {
+        if (row.isNullAt(j)) vectors(j).putNull(n)
+        else types(j) match {
+          case IntegerType | DateType => vectors(j).putInt(n, row.getInt(j))
+          case LongType | TimestampType =>
+            vectors(j).putLong(n, row.getLong(j))
+          case DoubleType => vectors(j).putDouble(n, row.getDouble(j))
+          case BooleanType => vectors(j).putBoolean(n, row.getBoolean(j))
+          case StringType =>
+            val b = row.getUTF8String(j).getBytes
+            vectors(j).putByteArray(n, b, 0, b.length)
+          case other => throw new IllegalStateException(other.toString)
+        }
+        j += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = { inner.close(); batch.close() }
 }
 
 /** Row-based file reader: parses only required ∪ filter-referenced

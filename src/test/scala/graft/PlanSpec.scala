@@ -214,4 +214,29 @@ class PlanSpec extends AnyFunSuite {
       .collect { case f: org.apache.spark.sql.execution.FilterExec => f }
       .isEmpty, df.queryExecution.sparkPlan.toString)
   }
+
+  test("graftlines ordinary scans are columnar; agg-pushdown scans are not") {
+    // ordinary read: the scan node must report columnar output and the
+    // executed plan must bridge it with ColumnarToRow (the codegen'd
+    // consumer). sparkPlan for the node (AQE's executedPlan wrapper
+    // does not descend), the post-run adaptive plan for the bridge
+    // (columnar transitions are inserted per-stage by AQE).
+    val df = SparkEntry.queries("q_source_dsv2")(spark, TestSpark.sf0001)
+    val scanExec = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no DSv2 scan in plan"))
+    assert(scanExec.supportsColumnar,
+      "ordinary graftlines scan must offer columnar batches")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString)
+    // aggregate-pushdown read: one pre-aggregated row per group — the
+    // scan must stay row-based
+    val agg = SparkEntry.queries("q_source_dsv2_agg")(spark, TestSpark.sf0001)
+    val aggScan = agg.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no DSv2 scan in agg plan"))
+    assert(!aggScan.supportsColumnar,
+      "agg-pushdown graftlines scan must stay row-based")
+  }
 }
