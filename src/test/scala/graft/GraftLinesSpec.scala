@@ -268,6 +268,69 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(wn.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("catalog round trip: create, insert, read, rename, drop") {
+    spark.conf.set("spark.sql.catalog.gl_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gl_test.warehouse", s"$dir/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gl_test.db1")
+    spark.sql("DROP TABLE IF EXISTS gl_test.db1.t1")
+    spark.sql("DROP TABLE IF EXISTS gl_test.db1.t1_renamed")
+    // CREATE: empty table is readable (schema from the catalog, not
+    // from a data file that does not exist yet)
+    spark.sql("CREATE TABLE gl_test.db1.t1 (k BIGINT, s STRING) USING graftlines")
+    assert(spark.table("gl_test.db1.t1").collect().isEmpty)
+    assert(spark.table("gl_test.db1.t1").schema.fieldNames.toSeq
+      == Seq("k", "s"))
+    // INSERT INTO appends; INSERT OVERWRITE truncates
+    spark.sql("INSERT INTO gl_test.db1.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gl_test.db1.t1 VALUES (3, 'c')")
+    assert(spark.table("gl_test.db1.t1").count() == 3)
+    spark.sql("INSERT OVERWRITE gl_test.db1.t1 VALUES (9, 'z')")
+    assert(spark.table("gl_test.db1.t1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+    // catalog-managed reads still push filters into the connector
+    val filtered = spark.table("gl_test.db1.t1").filter($"k" === 9L)
+    assert(glScan(filtered).pushed.nonEmpty)
+    // duplicate CREATE fails loudly; IF NOT EXISTS does not
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gl_test.db1.t1 (x INT) USING graftlines")
+    }
+    spark.sql(
+      "CREATE TABLE IF NOT EXISTS gl_test.db1.t1 (x INT) USING graftlines")
+    // SHOW TABLES sees it; RENAME moves it; DROP removes it
+    assert(spark.sql("SHOW TABLES IN gl_test.db1").collect()
+      .map(_.getString(1)).contains("t1"))
+    spark.sql("ALTER TABLE gl_test.db1.t1 RENAME TO db1.t1_renamed")
+    assert(spark.table("gl_test.db1.t1_renamed").count() == 1)
+    spark.sql("DROP TABLE gl_test.db1.t1_renamed")
+    intercept[Exception](spark.table("gl_test.db1.t1_renamed").collect())
+  }
+
+  test("catalog CTAS and saveAsTable land data atomically readable") {
+    spark.conf.set("spark.sql.catalog.gl_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gl_test.warehouse", s"$dir/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gl_test.db2")
+    spark.sql("DROP TABLE IF EXISTS gl_test.db2.ctas")
+    spark.sql("DROP TABLE IF EXISTS gl_test.db2.sat")
+    Seq((1L, 2.5), (2L, -1.0)).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("""CREATE TABLE gl_test.db2.ctas USING graftlines
+      AS SELECT * FROM ctas_src""")
+    assert(spark.table("gl_test.db2.ctas").orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 2.5), (2L, -1.0)))
+    // DataFrameWriterV2 route
+    Seq((7L, "w")).toDF("k", "s").writeTo("gl_test.db2.sat").create()
+    assert(spark.table("gl_test.db2.sat").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "w")))
+    // unstorable type is rejected at CREATE time, before any write
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE gl_test.db2.bad (d DECIMAL(10,2)) USING graftlines")
+    }
+    spark.sql("DROP TABLE gl_test.db2.ctas")
+    spark.sql("DROP TABLE gl_test.db2.sat")
+  }
+
   test("damaged manifest lines degrade to scanning, never to a wrong skip") {
     val p = s"$dir/statsdmg"
     Seq((5L, "keepme")).toDF("k", "s").coalesce(1)
