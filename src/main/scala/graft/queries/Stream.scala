@@ -132,14 +132,16 @@ object Stream extends QueryGroup {
         // streaming-specific tuning, scoped to the stream and restored
         // after (r3 "What's wrong" #2 — the 3.7 s was stream overhead,
         // not data): (a) the stateful exchange pays per-state-partition
-        // fixed cost per micro-batch — 8 partitions carry a 3.4k-group
-        // aggregation with headroom; (b) the trailing no-data batch
-        // re-emits the ENTIRE complete-mode result a second time just
-        // to advance the watermark nothing is waiting on.
+        // fixed cost per micro-batch — 4 partitions carry a 3.4k-group
+        // aggregation with headroom (r6 measured: partition count is
+        // noise next to the micro-batch machinery itself; production
+        // would size this to data volume); (b) the trailing no-data
+        // batch re-emits the ENTIRE complete-mode result a second time
+        // just to advance the watermark nothing is waiting on.
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
           val raw = s.readStream.schema(Tables.eventsRawSchema)
@@ -188,7 +190,7 @@ object Stream extends QueryGroup {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
           val rows = s.readStream.schema(Tables.eventsRawSchema)
@@ -256,7 +258,7 @@ object Stream extends QueryGroup {
           "spark.sql.streaming.noDataMicroBatches.enabled")
         s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
           + "state.RocksDBStateStoreProvider")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
           val rows = s.readStream.schema(Tables.eventsRawSchema)
@@ -316,7 +318,7 @@ object Stream extends QueryGroup {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
           def src() = s.readStream.schema(Tables.eventsRawSchema)
@@ -381,7 +383,7 @@ object Stream extends QueryGroup {
         s.catalog.dropTempView(name)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val cutoff = Tables.events(s, d)
           .agg((unix_micros(max(col("ts"))) - lit(2400000000L))
             .as("cut_us"))
@@ -457,7 +459,7 @@ object Stream extends QueryGroup {
         s.catalog.dropTempView(name)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         val cutoff = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
@@ -540,7 +542,7 @@ object Stream extends QueryGroup {
         s.catalog.dropTempView(name)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val rows = s.readStream.schema(Tables.eventsRawSchema)
             .option("pathGlobFilter", "events.parquet")
@@ -610,7 +612,7 @@ object Stream extends QueryGroup {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
           + "state.RocksDBStateStoreProvider")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val rows = s.readStream.schema(Tables.eventsRawSchema)
             .option("pathGlobFilter", "events.parquet")
@@ -671,7 +673,7 @@ object Stream extends QueryGroup {
         if (fs.exists(p)) fs.delete(p, true)
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           val rows = s.readStream.schema(Tables.eventsRawSchema)
             .option("pathGlobFilter", "events.parquet")
@@ -752,7 +754,7 @@ object Stream extends QueryGroup {
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
           val rows = s.readStream.schema(Tables.eventsRawSchema)
