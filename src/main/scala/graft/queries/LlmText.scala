@@ -624,6 +624,72 @@ object LlmText extends QueryGroup {
         |      FROM u)
         |SELECT canonical, n_urls::BIGINT AS n_urls,
         |  doc_id::BIGINT AS kept_doc, n_chars::BIGINT AS kept_chars
-        |FROM r WHERE rn = 1 ORDER BY canonical""".stripMargin))
+        |FROM r WHERE rn = 1 ORDER BY canonical""".stripMargin)),
+
+    QueryDef(
+      // Incremental corpus dedup (added r6): the production crawl shape
+      // — dedupe TODAY'S batch against YESTERDAY'S corpus without
+      // re-clustering the corpus. The split rides the established
+      // md5-bucket gate (buckets 0-7 = standing corpus, 8-9 = incoming
+      // batch); content identity is an 8-token-prefix fingerprint (the
+      // coarse first-line key crawl dedup uses before shingling — and
+      // the only key with real collisions in this duplicate-free
+      // synthetic corpus). Two stages, both exact integers: (1) batch
+      // rows whose (lang, fp) already exists in the corpus drop via
+      // LEFT ANTI on the fingerprint key — at 100 TB this shuffles on
+      // fp, never materializes corpus x batch, and the corpus side is
+      // a distinct() of keys only (bytes ∝ corpus keys, not corpus
+      // text); (2) intra-batch dedup keeps one doc per surviving fp
+      // (countDistinct). SHUFFLE_HASH because both sides are large at
+      // scale; the per-lang rollup is metadata-sized.
+      "q_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket", expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 10"))
+          .withColumn("fp",
+            md5(concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8))))
+        val corpus = docs.filter(col("bucket") <= 7)
+          .select(col("lang"), col("fp")).distinct()
+        val incoming = docs.filter(col("bucket") > 7)
+          .select(col("lang"), col("fp"))
+        val surv = incoming.join(
+          corpus.hint("shuffle_hash"), Seq("lang", "fp"), "left_anti")
+        val inAgg = incoming.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_incoming"))
+        val survAgg = surv.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_surv"),
+            countDistinct(col("fp")).as("n_distinct"))
+        inAgg.join(survAgg, Seq("lang"), "left")
+          .select(col("lang"), col("n_incoming"),
+            (col("n_incoming") - coalesce(col("n_surv"), lit(0L)))
+              .as("n_dup_corpus"),
+            (coalesce(col("n_surv"), lit(0L))
+              - coalesce(col("n_distinct"), lit(0L))).as("n_intra_dup"),
+            coalesce(col("n_distinct"), lit(0L)).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER % 10
+        |    AS bucket,
+        |  md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+        |    AS fp
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT lang, fp FROM d WHERE bucket <= 7),
+        |inc AS (SELECT lang, fp FROM d WHERE bucket > 7),
+        |surv AS (SELECT i.lang, i.fp FROM inc i
+        |         ANTI JOIN corpus c ON i.lang = c.lang AND i.fp = c.fp),
+        |ia AS (SELECT lang, COUNT(*)::BIGINT AS n_incoming
+        |       FROM inc GROUP BY 1),
+        |sa AS (SELECT lang, COUNT(*)::BIGINT AS n_surv,
+        |         COUNT(DISTINCT fp)::BIGINT AS n_distinct
+        |       FROM surv GROUP BY 1)
+        |SELECT ia.lang, ia.n_incoming,
+        |  (ia.n_incoming - COALESCE(sa.n_surv, 0))::BIGINT AS n_dup_corpus,
+        |  (COALESCE(sa.n_surv, 0) - COALESCE(sa.n_distinct, 0))::BIGINT
+        |    AS n_intra_dup,
+        |  COALESCE(sa.n_distinct, 0)::BIGINT AS n_kept
+        |FROM ia LEFT JOIN sa ON ia.lang = sa.lang
+        |ORDER BY ia.lang""".stripMargin))
   )
 }

@@ -225,6 +225,73 @@ object Pipeline extends QueryGroup {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
         |        ORDER BY score DESC, tok ASC) AS r
         |      FROM scored)
-        |WHERE r <= 10 ORDER BY lang, r""".stripMargin))
+        |WHERE r <= 10 ORDER BY lang, r""".stripMargin)),
+
+    QueryDef(
+      // Bigram-LM quality scoring (added r6): per-document
+      // cross-entropy under a per-language add-one-smoothed bigram
+      // model fit on the corpus itself — the classic cheap perplexity
+      // filter (KenLM-shaped, without the external model) that training
+      // pipelines run between the heuristic gates and the expensive
+      // classifiers. xent = -avg over the doc's bigrams of
+      // ln((c2+1)/(c1+V)): every count is an exact corpus BIGINT and
+      // the division is one IEEE op on identical inputs, so the ln-ulp
+      // caveat that pushed q_tfidf_topterms / q_text_commonality to
+      // integer arithmetic is contained here — ln feeds only a
+      // ROUND(x, 4) per-doc OUTPUT (drift ~1e-13, five sig-figs below
+      // the rounding step), never a cross-row ranking. Shuffle keys are
+      // (lang, w1[, w2]) — vocabulary-bounded, map-side combinable,
+      // never doc x doc; the per-lang vocab frame is a broadcast
+      // scalar row per language.
+      "q_text_perplexity",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(lower(col("text")), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+        val big = docs.select(col("doc_id"), col("lang"),
+            explode(expr(
+              "transform(sequence(0, size(w) - 2)," +
+                " i -> struct(w[i] as w1, w[i + 1] as w2))")).as("b"))
+          .select(col("doc_id"), col("lang"),
+            col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = big.groupBy(col("lang"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c2"))
+        val c1 = big.groupBy(col("lang"), col("w1"))
+          .agg(count(lit(1)).as("c1"))
+        val vocab = docs
+          .select(col("lang"), explode(col("w")).as("tok"))
+          .groupBy(col("lang")).agg(countDistinct(col("tok")).as("v"))
+        big.join(c2.hint("shuffle_hash"), Seq("lang", "w1", "w2"))
+          .join(c1.hint("shuffle_hash"), Seq("lang", "w1"))
+          .join(broadcast(vocab), Seq("lang"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(-avg(log((col("c2") + lit(1)).cast(DoubleType)
+              / (col("c1") + col("v")))), 4).as("xent"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (SELECT doc_id, lang,
+        |         string_split(lower(text), ' ') AS w
+        |       FROM documents
+        |       WHERE len(string_split(lower(text), ' ')) >= 2),
+        |big AS (SELECT doc_id, lang,
+        |          unnest(w[1:len(w) - 1]) AS w1,
+        |          unnest(w[2:len(w)]) AS w2
+        |        FROM docs),
+        |c2 AS (SELECT lang, w1, w2, COUNT(*)::BIGINT AS c2
+        |       FROM big GROUP BY 1, 2, 3),
+        |c1 AS (SELECT lang, w1, COUNT(*)::BIGINT AS c1
+        |       FROM big GROUP BY 1, 2),
+        |v AS (SELECT lang, COUNT(DISTINCT tok)::BIGINT AS v
+        |      FROM (SELECT lang, unnest(w) AS tok FROM docs)
+        |      GROUP BY 1)
+        |SELECT b.doc_id, b.lang, COUNT(*)::BIGINT AS n_bigrams,
+        |  ROUND(-AVG(LN((c2.c2 + 1.0) / (c1.c1 + v.v))), 4) AS xent
+        |FROM big b
+        |JOIN c2 ON b.lang = c2.lang AND b.w1 = c2.w1 AND b.w2 = c2.w2
+        |JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
+        |JOIN v ON b.lang = v.lang
+        |GROUP BY 1, 2 ORDER BY b.doc_id""".stripMargin))
   )
 }

@@ -239,4 +239,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!aggScan.supportsColumnar,
       "agg-pushdown graftlines scan must stay row-based")
   }
+
+  test("q_dedup_incremental anti-joins on the fingerprint key, never corpus x batch") {
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus side must reach the anti join as distinct keys, not
+    // full rows — a HashAggregate below the join's build side
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_text_perplexity shuffles on vocabulary keys, vocab frame broadcasts") {
+    val p = plan("q_text_perplexity")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the per-lang vocab row
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
