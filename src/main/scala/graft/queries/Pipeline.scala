@@ -61,6 +61,52 @@ object Pipeline extends QueryGroup {
         |FROM gated GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // PPS (probability-proportional-to-size) sampling (added r6):
+      // sample ~20 documents per language with inclusion probability
+      // proportional to the document's byte weight — the
+      // byte-budgeted cousin of q_sample_stratified, used when the
+      // training mix is specified in tokens/bytes rather than docs
+      // (big docs must not be undersampled per byte). Poisson-PPS
+      // gate: keep iff u * S < 65536 * k * w, where u is the first 16
+      // md5 bits of doc_id, w = n_chars, S = per-lang weight total —
+      // P(keep) = min(1, k*w/S), all BIGINT (u*S ≤ 2^16 * 2^46; at
+      // real corpus scale the same gate runs in DECIMAL(38,0)).
+      // Deterministic, content-free, engine-independent; the per-lang
+      // totals are a metadata-sized broadcast and the gate itself is a
+      // map-only pass — no shuffle touches the corpus rows.
+      "q_sample_pps",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("u", expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"))
+        val tot = docs.groupBy(col("lang"))
+          .agg(sum(col("n_chars")).as("s_w"), count(lit(1)).as("n_docs"))
+        docs.join(broadcast(tot), Seq("lang"))
+          .withColumn("keep",
+            col("u") * col("s_w") < lit(65536L) * lit(20L) * col("n_chars"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("s_w")).as("w_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("n_chars")).otherwise(0L))
+              .as("w_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT lang, n_chars,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS u
+        |       FROM documents),
+        |t AS (SELECT lang, SUM(n_chars)::BIGINT AS s_w,
+        |        COUNT(*)::BIGINT AS n_docs
+        |      FROM d GROUP BY 1)
+        |SELECT d.lang, MAX(t.n_docs)::BIGINT AS n_docs,
+        |  MAX(t.s_w)::BIGINT AS w_total,
+        |  SUM(CASE WHEN d.u * t.s_w < 65536 * 20 * d.n_chars
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  SUM(CASE WHEN d.u * t.s_w < 65536 * 20 * d.n_chars
+        |      THEN d.n_chars ELSE 0 END)::BIGINT AS w_kept
+        |FROM d JOIN t USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       // Gopher-style repetition quality filter: flag documents whose
       // most frequent word exceeds 10% of tokens, or whose duplicate
       // word-bigram fraction exceeds 20%. Both signals shuffle on
