@@ -657,10 +657,21 @@ private[sources] class GlColumnarReader(file: String, required: StructType,
 /** Row-based file reader: parses only required ∪ filter-referenced
   * columns, applies pushed filters BEFORE building the output row. Each
   * file's own header is the authority for its column order (files from
-  * different writes may legally order columns differently). */
+  * different writes may legally order columns differently).
+  *
+  * `nullFillMissing` is the schema-evolution switch: when the read
+  * comes through the CATALOG (whose `_graft_schema` is authoritative
+  * and whose ALTER TABLE appends nullable columns), a column absent
+  * from this file's header is a column added AFTER the file was
+  * written — every row reads NULL for it, matching what a rewrite
+  * would have produced. Path-based reads keep the loud
+  * missing-column error: without a catalog schema there is no way to
+  * distinguish evolution from a typo'd directory mix, and silence
+  * there would hide real corruption. */
 private[sources] class GlReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Option[Int],
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    nullFillMissing: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
@@ -680,23 +691,30 @@ private[sources] class GlReader(file: String, required: StructType,
   private val colPos: Map[String, Int] =
     fileSchema.fieldNames.zipWithIndex.toMap
 
-  // loud contract: every needed column must exist with the asked type
+  // loud contract: every needed column must exist with the asked type —
+  // unless the catalog vouched for evolution, in which case a missing
+  // column is uniformly NULL (position -1 below)
   needed.foreach { n =>
-    val i = colPos.getOrElse(n, throw new IllegalArgumentException(
-      s"graftlines: column '$n' missing from $file"))
-    required.fields.find(_.name == n).foreach { rf =>
-      require(rf.dataType == fileTypes(i),
-        s"graftlines: column '$n' is ${fileTypes(i).catalogString} in "
-          + s"$file, query expects ${rf.dataType.catalogString}")
+    colPos.get(n) match {
+      case None if nullFillMissing => ()
+      case None => throw new IllegalArgumentException(
+        s"graftlines: column '$n' missing from $file")
+      case Some(i) =>
+        required.fields.find(_.name == n).foreach { rf =>
+          require(rf.dataType == fileTypes(i),
+            s"graftlines: column '$n' is ${fileTypes(i).catalogString} in "
+              + s"$file, query expects ${rf.dataType.catalogString}")
+        }
     }
   }
 
-  private val requiredPos: Array[Int] = required.fieldNames.map(colPos)
+  private val requiredPos: Array[Int] =
+    required.fieldNames.map(colPos.getOrElse(_, -1))
   private val requiredIsString: Array[Boolean] =
     required.fields.map(_.dataType == StringType)
   private val getter: String => Any = { // for filter eval
-    val pos = filterRefs.iterator.map(n => n -> colPos(n)).toMap
-    n => parsed(pos(n))
+    val pos = filterRefs.iterator.map(n => n -> colPos.getOrElse(n, -1)).toMap
+    n => { val i = pos(n); if (i < 0) null else parsed(i) }
   }
 
   private var parsed: Array[Any] = _
@@ -723,7 +741,7 @@ private[sources] class GlReader(file: String, required: StructType,
         val out = new Array[Any](requiredPos.length)
         var j = 0
         while (j < requiredPos.length) {
-          val v = parsed(requiredPos(j))
+          val v = if (requiredPos(j) < 0) null else parsed(requiredPos(j))
           out(j) = if (v != null && requiredIsString(j))
             UTF8String.fromString(v.asInstanceOf[String]) else v
           j += 1
