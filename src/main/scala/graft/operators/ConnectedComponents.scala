@@ -95,10 +95,12 @@ object ConnectedComponents {
     * (count, bit_xor(h), bit_xor(rehash(h))) signature compared to
     * the previous round's. Rows are distinct canonical pairs, so set
     * equality and signature equality coincide up to a 128-bit-order
-    * hash collision — and a false "converged" would additionally need
-    * the colliding set to appear exactly at the fixpoint probe. The
-    * earlier count+except set compare cost two extra jobs per round
-    * (one a full shuffle); the signature costs one narrow agg.
+    * hash collision; when the signature first reports a fixpoint the
+    * loop confirms it EXACTLY (count + one-sided except — two jobs
+    * once per run, not per round), so convergence is never decided by
+    * a hash alone. The earlier count+except set compare cost two
+    * extra jobs per round (one a full shuffle); the signature costs
+    * one narrow agg.
     * Edges stay in canonical (lo, hi) orientation so the set
     * fixpoint — every component a star — is well-defined.
     */
@@ -158,7 +160,15 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
       val nextSig = sig(next)
-      converged = nextSig == curSig
+      // The signature is the cheap per-round probe; the first time it
+      // says "fixpoint", confirm EXACTLY once (both sides are distinct
+      // sets, so equal counts + empty one-sided except ⇒ set equality).
+      // This removes the ~2^-128 hash-collision risk from a
+      // correctness-critical fixpoint at the cost of two jobs once per
+      // RUN instead of per round. If the exact check ever disagrees
+      // (a signature collision), we simply keep iterating.
+      converged = nextSig == curSig &&
+        next.count() == cur.count() && next.except(cur).isEmpty
       cur = next
       curSig = nextSig
       iter += 1

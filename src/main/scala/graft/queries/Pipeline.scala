@@ -69,8 +69,11 @@ object Pipeline extends QueryGroup {
       // (big docs must not be undersampled per byte). Poisson-PPS
       // gate: keep iff u * S < 65536 * k * w, where u is the first 16
       // md5 bits of doc_id, w = n_chars, S = per-lang weight total —
-      // P(keep) = min(1, k*w/S), all BIGINT (u*S ≤ 2^16 * 2^46; at
-      // real corpus scale the same gate runs in DECIMAL(38,0)).
+      // P(keep) = min(1, k*w/S). Both products run in DECIMAL(38,0)
+      // (Spark) / HUGEINT (DuckDB): u ≤ 2^16, so u*S overflows BIGINT
+      // once a language's char total passes 2^46 ≈ 70 TB — exactly the
+      // target scale. 128-bit integer compare is exact on both
+      // engines, so the gate stays engine-independent.
       // Deterministic, content-free, engine-independent; the per-lang
       // totals are a metadata-sized broadcast and the gate itself is a
       // map-only pass — no shuffle touches the corpus rows.
@@ -83,7 +86,8 @@ object Pipeline extends QueryGroup {
           .agg(sum(col("n_chars")).as("s_w"), count(lit(1)).as("n_docs"))
         docs.join(broadcast(tot), Seq("lang"))
           .withColumn("keep",
-            col("u") * col("s_w") < lit(65536L) * lit(20L) * col("n_chars"))
+            col("u").cast("decimal(38,0)") * col("s_w")
+              < lit(65536L) * lit(20L) * col("n_chars").cast("decimal(38,0)"))
           .groupBy(col("lang"))
           .agg(max(col("n_docs")).as("n_docs"),
             max(col("s_w")).as("w_total"),
@@ -100,9 +104,9 @@ object Pipeline extends QueryGroup {
         |      FROM d GROUP BY 1)
         |SELECT d.lang, MAX(t.n_docs)::BIGINT AS n_docs,
         |  MAX(t.s_w)::BIGINT AS w_total,
-        |  SUM(CASE WHEN d.u * t.s_w < 65536 * 20 * d.n_chars
+        |  SUM(CASE WHEN d.u::HUGEINT * t.s_w < 65536::HUGEINT * 20 * d.n_chars
         |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-        |  SUM(CASE WHEN d.u * t.s_w < 65536 * 20 * d.n_chars
+        |  SUM(CASE WHEN d.u::HUGEINT * t.s_w < 65536::HUGEINT * 20 * d.n_chars
         |      THEN d.n_chars ELSE 0 END)::BIGINT AS w_kept
         |FROM d JOIN t USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** `TableCatalog` plugin for the `graftlines` format — the way teams
@@ -40,10 +40,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * so the catalog works unchanged against a 100 TB warehouse on HDFS
   * or an object store.
   *
-  * Deliberately unsupported, loudly: partitioned CREATE (the format
-  * has no partition-directory reader yet), ALTER TABLE (schema is
-  * immutable by contract — evolution is a new table), and rename
-  * across namespaces on stores where directory rename is not atomic.
+  * Schema evolution: `ALTER TABLE … ADD COLUMN` (nullable, appended)
+  * rewrites `_graft_schema`; files written before the change lack the
+  * column in their header and read uniform NULL through the catalog
+  * (`nullFillMissing` in [[GlReader]]). Deliberately unsupported,
+  * loudly: every other ALTER (drop/rename/retype/reorder would
+  * re-interpret bytes on disk), partitioned CREATE (the format has no
+  * partition-directory reader yet), adopting a directory that already
+  * holds `.gl` files, and rename across namespaces on stores where
+  * directory rename is not atomic.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -97,15 +102,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     fs.exists(schemaFile(tablePath(ident)))
 
-  override def loadTable(ident: Identifier): Table = {
-    val dir = tablePath(ident)
-    val sf = schemaFile(dir)
+  private def readSchema(ident: Identifier): StructType = {
+    val sf = schemaFile(tablePath(ident))
     if (!fs.exists(sf)) throw new NoSuchTableException(ident)
     val br = new BufferedReader(new InputStreamReader(fs.open(sf), UTF_8))
-    val schema = try GraftLines.parseHeader(br.readLine(), sf.toString)
-    finally br.close()
-    new GlTable(dir.toString, schema)
+    try GraftLines.parseHeader(br.readLine(), sf.toString) finally br.close()
   }
+
+  private def writeSchema(dir: Path, schema: StructType): Unit = {
+    val w = new OutputStreamWriter(fs.create(schemaFile(dir), true), UTF_8)
+    try { w.write(GraftLines.header(schema)); w.write('\n') }
+    finally w.close()
+  }
+
+  /** Catalog-managed tables read with `nullFillMissing = true`: the
+    * catalog's `_graft_schema` is the authority, and a column absent
+    * from an individual file's header is one appended by ALTER TABLE
+    * after that file was written — it reads as uniform NULL. Path-based
+    * reads (no catalog schema to vouch) keep the loud
+    * missing-column error. */
+  override def loadTable(ident: Identifier): Table =
+    new GlTable(tablePath(ident).toString, readSchema(ident),
+      nullFillMissing = true)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -115,17 +133,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftLines.header(schema) // loudly reject unstorable types up front
     val dir = tablePath(ident)
     if (fs.exists(schemaFile(dir))) throw new TableAlreadyExistsException(ident)
+    // A directory already holding .gl files is a path-based dataset (or
+    // debris from a half-dropped table); silently adopting it as table
+    // data would bless files whose schemas nobody checked. External-
+    // location adoption is deliberately NOT a feature — fail loudly.
+    if (fs.exists(dir)) {
+      val leftovers = fs.listStatus(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(GraftLines.Ext))
+      require(leftovers.isEmpty,
+        s"graftlines catalog: cannot create $ident — $dir already contains "
+          + s"${leftovers.length} ${GraftLines.Ext} file(s); refusing to "
+          + "adopt pre-existing data (drop the directory or pick a new name)")
+    }
     fs.mkdirs(dir)
-    val w = new OutputStreamWriter(fs.create(schemaFile(dir), true), UTF_8)
-    try { w.write(GraftLines.header(schema)); w.write('\n') }
-    finally w.close()
-    new GlTable(dir.toString, schema)
+    writeSchema(dir, schema)
+    new GlTable(dir.toString, schema, nullFillMissing = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftlines catalog: ALTER TABLE is not supported — the stored "
-        + "schema is the table's contract; evolve by creating a new table")
+  /** Exactly one evolution is supported, because it is the only one the
+    * read path can honour without rewriting data: APPEND a nullable
+    * top-level column. Old files lack the column in their header and
+    * read uniform NULL (see [[GlReader]]'s `nullFillMissing`); new
+    * inserts write the evolved header. Everything else (drop, rename,
+    * type change, reorder, nested fields) would silently re-interpret
+    * bytes already on disk — rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    var schema = readSchema(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graftlines catalog: ALTER TABLE can only add top-level columns")
+        val colName = add.fieldNames()(0)
+        require(add.isNullable,
+          s"graftlines catalog: added column '$colName' must be nullable — "
+            + "existing files have no value for it")
+        require(add.position() == null,
+          "graftlines catalog: added columns append at the end (FIRST/AFTER "
+            + "would reorder positions files already rely on)")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"graftlines catalog: column '$colName' already exists in $ident")
+        schema = schema.add(StructField(colName, add.dataType, nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"graftlines catalog: unsupported ALTER TABLE change $other — only "
+          + "ADD COLUMN (nullable, appended) is supported; anything else "
+          + "re-interprets bytes already on disk")
+    }
+    GraftLines.header(schema) // reject unstorable added types up front
+    val dir = tablePath(ident)
+    writeSchema(dir, schema)
+    new GlTable(dir.toString, schema, nullFillMissing = true)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tablePath(ident)

@@ -396,7 +396,8 @@ private[sources] object GlFilters {
   private def num(lit: Any): Number = lit.asInstanceOf[Number]
 }
 
-private[sources] class GlTable(path: String, tableSchema: StructType)
+private[sources] class GlTable(path: String, tableSchema: StructType,
+    nullFillMissing: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "graftlines requires a path")
 
@@ -407,7 +408,7 @@ private[sources] class GlTable(path: String, tableSchema: StructType)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GlScanBuilder(path, tableSchema)
+    new GlScanBuilder(path, tableSchema, nullFillMissing)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GlWriteBuilder(path, info.schema())
@@ -422,7 +423,8 @@ private[sources] case class GlAggFunc(kind: String, col: Option[String])
 private[sources] case class GlAggSpec(groupCols: Seq[String],
     funcs: Seq[GlAggFunc])
 
-private[sources] class GlScanBuilder(path: String, schema: StructType)
+private[sources] class GlScanBuilder(path: String, schema: StructType,
+    nullFillMissing: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -491,7 +493,7 @@ private[sources] class GlScanBuilder(path: String, schema: StructType)
   }
 
   override def build(): Scan = GlScan(path, required, pushed, limit, agg,
-    schema)
+    schema, nullFillMissing)
 }
 
 /** Public (not `private[sources]`) so plan tests can reach into
@@ -507,7 +509,8 @@ private[sources] class GlScanBuilder(path: String, schema: StructType)
 case class GlScan(path: String, required: StructType,
     pushed: Array[Filter], pushedLimit: Option[Int] = None,
     aggSpec: Option[GlAggSpec] = None,
-    tableSchema: StructType = new StructType())
+    tableSchema: StructType = new StructType(),
+    nullFillMissing: Boolean = false)
     extends Scan with Batch {
 
   /** Filter columns may be pruned out of `required` (Spark removes
@@ -565,7 +568,8 @@ case class GlScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       SparkSession.active.sparkContext.hadoopConfiguration)
-    GlReaderFactory(required, pushed, pushedLimit, aggSpec, conf)
+    GlReaderFactory(required, pushed, pushedLimit, aggSpec, conf,
+      nullFillMissing)
   }
 }
 
@@ -574,13 +578,15 @@ private[sources] case class GlInputPartition(file: String)
 
 private[sources] case class GlReaderFactory(required: StructType,
     pushed: Array[Filter], limit: Option[Int], aggSpec: Option[GlAggSpec],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration, nullFillMissing: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[GlInputPartition].file
     aggSpec match {
       case Some(spec) => new GlAggReader(file, required, spec, pushed,
-        conf.value)
-      case None => new GlReader(file, required, pushed, limit, conf.value)
+        conf.value, nullFillMissing)
+      case None => new GlReader(file, required, pushed, limit, conf.value,
+        nullFillMissing)
     }
   }
 
@@ -598,7 +604,7 @@ private[sources] case class GlReaderFactory(required: StructType,
       p: InputPartition): PartitionReader[ColumnarBatch] = {
     require(aggSpec.isEmpty, "columnar read not offered for agg scans")
     new GlColumnarReader(p.asInstanceOf[GlInputPartition].file, required,
-      pushed, limit, conf.value)
+      pushed, limit, conf.value, nullFillMissing = nullFillMissing)
   }
 }
 
@@ -612,10 +618,12 @@ private[sources] case class GlReaderFactory(required: StructType,
   * vector-at-a-time access for Spark's codegen'd consumers. */
 private[sources] class GlColumnarReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Option[Int],
-    conf: org.apache.hadoop.conf.Configuration, batchSize: Int = 4096)
+    conf: org.apache.hadoop.conf.Configuration, batchSize: Int = 4096,
+    nullFillMissing: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
 
-  private val inner = new GlReader(file, required, pushed, limit, conf)
+  private val inner = new GlReader(file, required, pushed, limit, conf,
+    nullFillMissing)
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(
@@ -768,7 +776,8 @@ private[sources] class GlReader(file: String, required: StructType,
   * table is 0, never null. */
 private[sources] class GlAggReader(file: String, tableSchema: StructType,
     spec: GlAggSpec, pushed: Array[Filter],
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    nullFillMissing: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val inputCols: Seq[String] =
@@ -777,7 +786,8 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
     tableSchema.fields.find(_.name == n).getOrElse(throw
       new IllegalArgumentException(
         s"graftlines: aggregated column '$n' missing from table schema"))))
-  private val inner = new GlReader(file, inputSchema, pushed, None, conf)
+  private val inner = new GlReader(file, inputSchema, pushed, None, conf,
+    nullFillMissing)
 
   private val pos: Map[String, Int] = inputCols.zipWithIndex.toMap
   private val groupIdx: Array[Int] = spec.groupCols.map(pos).toArray

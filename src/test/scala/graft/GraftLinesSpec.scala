@@ -331,6 +331,64 @@ class GraftLinesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gl_test.db2.sat")
   }
 
+  test("catalog ALTER TABLE ADD COLUMN: old files read NULL, new carry it") {
+    spark.conf.set("spark.sql.catalog.gl_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gl_test.warehouse", s"$dir/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gl_test.db3")
+    spark.sql("DROP TABLE IF EXISTS gl_test.db3.ev")
+    spark.sql("CREATE TABLE gl_test.db3.ev (k BIGINT, s STRING) USING graftlines")
+    spark.sql("INSERT INTO gl_test.db3.ev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gl_test.db3.ev ADD COLUMN note STRING")
+    // catalog schema is the authority: pre-evolution files read NULL
+    assert(spark.table("gl_test.db3.ev").schema.fieldNames.toSeq
+      == Seq("k", "s", "note"))
+    assert(spark.table("gl_test.db3.ev").filter($"note".isNull).count() == 2)
+    // new inserts write the evolved header; mixed-vintage reads agree
+    spark.sql("INSERT INTO gl_test.db3.ev VALUES (3, 'c', 'fresh')")
+    val rows = spark.table("gl_test.db3.ev").orderBy($"k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2)))
+      .toSeq
+    assert(rows == Seq((1L, null), (2L, null), (3L, "fresh")))
+    // a pushed filter on the evolved column evaluates NULL -> dropped
+    // for old files, matches in new ones
+    assert(spark.table("gl_test.db3.ev")
+      .filter($"note" === "fresh").count() == 1)
+    // path-based reads have no catalog schema to vouch for evolution —
+    // the loud missing-column contract stands
+    intercept[Exception] {
+      spark.read.format("graftlines").load(s"$dir/warehouse/db3/ev")
+        .select("note").collect()
+    }
+    // only append-nullable survives: everything else is rejected loudly
+    intercept[Exception](
+      spark.sql("ALTER TABLE gl_test.db3.ev DROP COLUMN s"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE gl_test.db3.ev RENAME COLUMN s TO s2"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE gl_test.db3.ev ADD COLUMN f2 INT FIRST"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE gl_test.db3.ev ADD COLUMN k INT"))
+    spark.sql("DROP TABLE gl_test.db3.ev")
+  }
+
+  test("catalog CREATE refuses a directory holding leftover .gl files") {
+    spark.conf.set("spark.sql.catalog.gl_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gl_test.warehouse", s"$dir/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gl_test.db4")
+    // a path-based write leaves .gl files but no _graft_schema — the
+    // catalog must not silently adopt them as table data
+    Seq((1L, "ghost")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite")
+      .save(s"$dir/warehouse/db4/ghost")
+    val ex = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE gl_test.db4.ghost (k BIGINT, s STRING) USING graftlines")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("refusing to adopt")), msgs(ex))
+  }
+
   test("damaged manifest lines degrade to scanning, never to a wrong skip") {
     val p = s"$dir/statsdmg"
     Seq((5L, "keepme")).toDF("k", "s").coalesce(1)
