@@ -105,12 +105,15 @@ object ConnectedComponents {
     * fixpoint — every component a star — is well-defined.
     */
   def labelStar(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    // Canonicalize + distinct FIRST and checkpoint that: the edge
+    // pipeline feeding this operator is typically the expensive part
+    // (e.g. a shingle/LSH near-dup join), and deriving the node set
+    // from the CHECKPOINTED edge set — the two have identical node
+    // sets, since canonicalization drops no endpoint — runs that
+    // upstream exactly once instead of once per localCheckpoint.
     val e0 = edges.select(col(edges.columns(0)).cast("long").as("u"),
       col(edges.columns(1)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    val allNodes = e0.select(col("u").as("node"))
-      .union(e0.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
     // One-job set signature: rows are DISTINCT canonical pairs, so
     // (count, xor of h, xor of rehash(h)) is an order-independent set
     // witness — xor never overflows (sum would trip ANSI arithmetic)
@@ -128,6 +131,9 @@ object ConnectedComponents {
       .select(least(col("u"), col("v")).as("lo"),
         greatest(col("u"), col("v")).as("hi"))
       .distinct()
+      .localCheckpoint()
+    val allNodes = cur.select(col("lo").as("node"))
+      .union(cur.select(col("hi").as("node"))).distinct()
       .localCheckpoint()
     var curSig = sig(cur)
     var iter = 0
