@@ -299,6 +299,41 @@ object Aggs extends QueryGroup {
               .as("n_est"), col("n_tok"))
           .orderBy(col("lang"), col("r"))
       },
-      None)
+      None),
+
+    QueryDef(
+      // Deterministic MODE (added r7): the most frequent
+      // o_orderpriority per o_orderstatus, ties broken toward the
+      // lexicographically smallest value so the answer is a function
+      // of the data alone. Spark has mode() but its tie-break is
+      // undefined — the portable form is the two-level aggregate:
+      // count per (group, value), then one row_number window ordered
+      // (count DESC, value ASC). Both levels are hash aggregates with
+      // map-side combine; the window partitions by group and each
+      // partition holds at most |distinct values| rows (5 here), so
+      // per-group state is value-cardinality-bounded, never
+      // row-count-bounded — the property that keeps this shape alive
+      // at 100 TB.
+      "q_agg_mode",
+      (s, d) => {
+        val counts = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("o_orderstatus"))
+              .orderBy(col("n").desc, col("o_orderpriority").asc)))
+          .filter(col("r") === 1)
+          .select(col("o_orderstatus"), col("o_orderpriority").as("mode"),
+            col("n").as("n_mode"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |         COUNT(*)::BIGINT AS n
+        |       FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |        ORDER BY n DESC, o_orderpriority ASC) AS r FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode, n AS n_mode
+        |FROM r WHERE r = 1 ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -342,6 +342,48 @@ object Pipeline extends QueryGroup {
         |JOIN c2 ON b.lang = c2.lang AND b.w1 = c2.w1 AND b.w2 = c2.w2
         |JOIN c1 ON b.lang = c1.lang AND b.w1 = c1.w1
         |JOIN v ON b.lang = v.lang
-        |GROUP BY 1, 2 ORDER BY b.doc_id""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY b.doc_id""".stripMargin)),
+
+    QueryDef(
+      // Temperature-scaled language mixing (added r7): the standard
+      // multilingual-LM rebalance — sampling weight q_l ∝ p_l^(1/T)
+      // with T = 2, i.e. q_l ∝ sqrt(n_l) (normalizations cancel), so
+      // low-resource languages are boosted and high-resource ones
+      // damped. sqrt is IEEE-754 correctly rounded in BOTH engines
+      // (the reason this query uses T = 2 and not pow(x, 0.3), whose
+      // libm results may differ in the last ulp); the only
+      // inter-engine drift is summation order across the per-lang
+      // rows, bounded to ulps and absorbed by round(6) per §2C.
+      // Shape at scale: one metadata-sized agg (rows = languages), an
+      // unpartitioned window over that tiny frame, zero corpus
+      // re-reads — the expected-doc column is what a downstream
+      // PPS-style gate (q_sample_pps) would consume as its target.
+      "q_sample_temperature",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy()
+        counts
+          .withColumn("wgt", sqrt(col("n_docs").cast(DoubleType)))
+          .withColumn("p_raw", round(col("n_docs").cast(DoubleType)
+            / sum(col("n_docs")).over(w), 6))
+          .withColumn("p_temp", round(col("wgt")
+            / sum(col("wgt")).over(w), 6))
+          .withColumn("boost", round(col("p_temp") / col("p_raw"), 4))
+          .select(col("lang"), col("n_docs"), col("p_raw"),
+            col("p_temp"), col("boost"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n_docs
+        |       FROM documents GROUP BY 1)
+        |SELECT lang, n_docs,
+        |  ROUND(n_docs::DOUBLE / SUM(n_docs) OVER (), 6) AS p_raw,
+        |  ROUND(sqrt(n_docs::DOUBLE) / SUM(sqrt(n_docs::DOUBLE)) OVER (), 6)
+        |    AS p_temp,
+        |  ROUND(ROUND(sqrt(n_docs::DOUBLE)
+        |          / SUM(sqrt(n_docs::DOUBLE)) OVER (), 6)
+        |        / ROUND(n_docs::DOUBLE / SUM(n_docs) OVER (), 6), 4)
+        |    AS boost
+        |FROM c ORDER BY lang""".stripMargin))
   )
 }

@@ -200,7 +200,69 @@ object Windows extends QueryGroup {
           .select(col("c_custkey"), col("c_acctbal"), col("nt"), col("pct"))
           .orderBy(col("c_custkey"))
       },
-      Some(ntileOracle))
+      Some(ntileOracle)),
+
+    QueryDef(
+      // Ordered-sequence funnel (added r7): how many users performed
+      // signup → view → click → purchase IN THAT ORDER (strictly
+      // increasing timestamps), with each stage anchored at the
+      // EARLIEST time it could have happened (min ts after the
+      // previous stage's anchor — the standard greedy funnel, and the
+      // unique deterministic one). Each stage is a user-keyed
+      // aggregate of an event_type-filtered scan joined back on
+      // user_id: all four shuffles hash on user_id, the stage frames
+      // hold ≤ one row per surviving user (shrinking monotonically),
+      // and nothing is ever collected — at 100 TB the stage frames
+      // are broadcast-sized long before stage 4. Conversion is an
+      // exact integer pair (stage row count, total users).
+      "q_win_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def stage(prev: org.apache.spark.sql.DataFrame, typ: String,
+            anchor: String, out: String) =
+          ev.filter(col("event_type") === typ)
+            .join(prev, Seq("user_id"))
+            .filter(col("ts") > col(anchor))
+            .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = stage(s1.select("user_id", "t1"), "view", "t1", "t2")
+        val s3 = stage(s2.select("user_id", "t2"), "click", "t2", "t3")
+        val s4 = stage(s3.select("user_id", "t3"), "purchase", "t3", "t4")
+        val total = ev.select(countDistinct(col("user_id")).as("n_users"))
+        // global (ungrouped) counts: one row per stage even when a
+        // stage is empty, matching the oracle's scalar COUNT(*)s
+        def row(df: org.apache.spark.sql.DataFrame, n: Int, name: String) =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(n).as("stage"), lit(name).as("event"), col("users"))
+        val stages = row(s1, 1, "signup")
+          .unionAll(row(s2, 2, "view"))
+          .unionAll(row(s3, 3, "click"))
+          .unionAll(row(s4, 4, "purchase"))
+        stages.crossJoin(broadcast(total))
+          .select(col("stage"), col("event"), col("users"), col("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |        WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+        |       JOIN s3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1),
+        |t AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS n_users FROM events)
+        |SELECT stage, event, users, n_users FROM (
+        |  SELECT 1 AS stage, 'signup' AS event,
+        |    COUNT(*)::BIGINT AS users FROM s1
+        |  UNION ALL SELECT 2, 'view', COUNT(*)::BIGINT FROM s2
+        |  UNION ALL SELECT 3, 'click', COUNT(*)::BIGINT FROM s3
+        |  UNION ALL SELECT 4, 'purchase', COUNT(*)::BIGINT FROM s4
+        |) CROSS JOIN t ORDER BY stage""".stripMargin))
   )
 
   private val ntileOracle =
