@@ -94,10 +94,13 @@ object GraftLines {
     * valid text with a silently wrong value, and a wrong skip is row
     * loss, not a perf bug. Truncation can only hit the line's tail, so
     * "last field == sentinel" rejects exactly the damaged lines while
-    * intact ones keep pruning. The manifest is the file-skipping
-    * index — the role parquet footers / Iceberg manifests play: the
-    * driver reads ONE small file at plan time instead of opening N
-    * data files. */
+    * intact ones keep pruning. String columns ride the same line shape
+    * with the literal `bloomv1` in the min slot and a fixed-width hex
+    * Bloom filter in the max slot (see [[GlBloom]]) — equality
+    * skipping for the type family min/max pruning declines. The
+    * manifest is the file-skipping index — the role parquet footers /
+    * Iceberg manifests play: the driver reads ONE small file at plan
+    * time instead of opening N data files. */
   val StatsName = "_graft_stats"
   val StatsSentinel = "ok"
 
@@ -255,6 +258,16 @@ object GraftLines {
       var line = br.readLine()
       while (line != null) {
         line.split("\t", -1) match {
+          case Array(file, rows, col, _, GlBloom.Marker, hex, StatsSentinel)
+              if types.get(col).contains(StringType) =>
+            // string-equality Bloom line (min slot carries the marker;
+            // an older reader sees a not-stats-eligible column and
+            // skips it). Damaged hex decodes to None -> no bloom, scan.
+            GlBloom.decode(hex).foreach { bits =>
+              byFile.getOrElseUpdate(file,
+                GlFileStats(rows.toLong,
+                  scala.collection.mutable.Map.empty)).blooms(col) = bits
+            }
           case Array(file, rows, col, nulls, mn, mx, StatsSentinel) =>
             types.get(col).filter(statsEligible).foreach { dt =>
               val st = byFile.getOrElseUpdate(file,
@@ -277,7 +290,56 @@ object GraftLines {
 
 private[sources] case class GlColStats(nulls: Long, min: Any, max: Any)
 private[sources] case class GlFileStats(rows: Long,
-    cols: scala.collection.mutable.Map[String, GlColStats])
+    cols: scala.collection.mutable.Map[String, GlColStats],
+    blooms: scala.collection.mutable.Map[String, Array[Long]] =
+      scala.collection.mutable.Map.empty)
+
+/** Per-(file, string-column) Bloom filter riding the `_graft_stats`
+  * manifest — equality file skipping for the one type family min/max
+  * pruning deliberately declines (string ORDER is the UTF-16 vs UTF8
+  * hazard; membership hashing has no order to get wrong). 8192 bits /
+  * 4 probes ⇒ ~2% false positives at 1000 distinct values per file,
+  * and a false positive only costs a scan — a Bloom "absent" answer is
+  * exact, so skipping on it never loses rows. Line shape reuses the
+  * 7-field stats format with the literal `bloomv1` in the min slot: a
+  * pre-Bloom reader pattern-matches the same arity, finds the column
+  * not stats-eligible, and ignores the line — forward/backward
+  * compatible by construction. A truncated hex payload fails the
+  * length gate in [[decode]] and degrades to scanning, same contract
+  * as every other damaged manifest line. */
+private[sources] object GlBloom {
+  val Marker = "bloomv1"
+  val NumBits = 8192
+  val NumLongs: Int = NumBits / 64
+  val NumHashes = 4
+
+  /** Double hashing (h1 + i·h2 mod m) over the raw UTF-8 bytes — the
+    * same value the reader's pushed-filter compare sees, BEFORE cell
+    * escaping. */
+  private def probes(s: String): Array[Int] = {
+    val bytes = s.getBytes(UTF_8)
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, 0x85ebca6b)
+    Array.tabulate(NumHashes)(i => math.floorMod(h1 + i * h2, NumBits))
+  }
+
+  def add(bits: Array[Long], s: String): Unit =
+    probes(s).foreach(b => bits(b >> 6) |= 1L << (b & 63))
+
+  def mayContain(bits: Array[Long], s: String): Boolean =
+    probes(s).forall(b => (bits(b >> 6) & (1L << (b & 63))) != 0)
+
+  def encode(bits: Array[Long]): String =
+    bits.map(l => f"$l%016x").mkString
+
+  def decode(hex: String): Option[Array[Long]] =
+    if (hex.length != NumLongs * 16 ||
+      !hex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      None
+    else Some(Array.tabulate(NumLongs)(i =>
+      java.lang.Long.parseUnsignedLong(hex.substring(i * 16, i * 16 + 16),
+        16)))
+}
 
 /** Which V1 filters the source accepts for pushdown, and their exact
   * executor-side evaluation. Accepted ⇒ Spark drops its own copy, so
@@ -360,6 +422,13 @@ private[sources] object GlFilters {
     def col(a: String): Option[GlColStats] = st.cols.get(a)
     def rng(a: String)(p: (Any, Any) => Boolean): Boolean =
       col(a).forall(c => c.min != null && p(c.min, c.max))
+    // Bloom membership for string equality: "absent" is exact (skip is
+    // safe), "present" is a maybe (scan). Columns without a bloom —
+    // non-strings, pre-bloom manifests, damaged payloads — answer true.
+    def bloom(a: String, v: Any): Boolean = st.blooms.get(a) match {
+      case Some(bits) if v != null => GlBloom.mayContain(bits, v.toString)
+      case _ => true
+    }
     f match {
       case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
       case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
@@ -367,13 +436,15 @@ private[sources] object GlFilters {
       case IsNull(a) => col(a).forall(_.nulls > 0)
       case IsNotNull(a) => col(a).forall(c => st.rows > c.nulls)
       case EqualTo(a, v) =>
-        rng(a)((mn, mx) => cmp(mn, v) <= 0 && cmp(mx, v) >= 0)
+        rng(a)((mn, mx) => cmp(mn, v) <= 0 && cmp(mx, v) >= 0) &&
+          bloom(a, v)
       case GreaterThan(a, v) => rng(a)((_, mx) => cmp(mx, v) > 0)
       case GreaterThanOrEqual(a, v) => rng(a)((_, mx) => cmp(mx, v) >= 0)
       case LessThan(a, v) => rng(a)((mn, _) => cmp(mn, v) < 0)
       case LessThanOrEqual(a, v) => rng(a)((mn, _) => cmp(mn, v) <= 0)
       case In(a, vs) => rng(a)((mn, mx) =>
-        vs.exists(v => cmp(mn, v) <= 0 && cmp(mx, v) >= 0))
+        vs.exists(v => cmp(mn, v) <= 0 && cmp(mx, v) >= 0)) &&
+        vs.exists(bloom(a, _))
       case _ => true
     }
   }
@@ -982,6 +1053,15 @@ private[sources] class GlWriter(dir: String, schema: StructType,
   private val mins = new Array[Any](types.length)
   private val maxs = new Array[Any](types.length)
 
+  // String columns get a per-file Bloom filter instead of min/max
+  // (ordering is the UTF-16/UTF8 hazard; membership has no order):
+  // k probes per non-null value as rows stream through, emitted as one
+  // hex cell in the commit message. Fixed 1 KiB per (file, column).
+  private val bloomCols: Array[Int] =
+    types.indices.filter(types(_) == StringType).toArray
+  private val blooms: Array[Array[Long]] =
+    bloomCols.map(_ => new Array[Long](GlBloom.NumLongs))
+
   /** Same orderings GlFilters.cmp / GlAggReader use: ints/longs
     * natural, doubles via Double.compare (NaN greatest — matches
     * Spark; a NaN-polluted max only widens the kept range because
@@ -1040,6 +1120,13 @@ private[sources] class GlWriter(dir: String, schema: StructType,
       }
       s += 1
     }
+    var b = 0
+    while (b < bloomCols.length) {
+      val c = bloomCols(b)
+      if (row.isNullAt(c)) nullCounts(c) += 1
+      else GlBloom.add(blooms(b), row.getUTF8String(c).toString)
+      b += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1050,6 +1137,10 @@ private[sources] class GlWriter(dir: String, schema: StructType,
         val mn = if (mins(c) == null) "\\N" else mins(c).toString
         val mx = if (maxs(c) == null) "\\N" else maxs(c).toString
         s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}\t$mn\t$mx" +
+          s"\t${GraftLines.StatsSentinel}"
+      } ++ bloomCols.toSeq.zipWithIndex.map { case (c, b) =>
+        s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}" +
+          s"\t${GlBloom.Marker}\t${GlBloom.encode(blooms(b))}" +
           s"\t${GraftLines.StatsSentinel}"
       }
       GlCommitted(Some(file.toString), lines)

@@ -268,6 +268,62 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(wn.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("bloom lines skip files for string equality, conservatively") {
+    val p = s"$dir/statsbloom"
+    // two files with disjoint string value sets
+    Seq((1L, "alpha"), (2L, "beta")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    Seq((3L, "gamma"), (4L, "delta")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    val all = spark.read.format("graftlines").load(p)
+    // equality on a value held by exactly one file scans exactly it
+    val hit = all.filter($"s" === "gamma")
+    assert(glScan(hit).planInputPartitions().length == 1,
+      "bloom must skip the file that cannot hold 'gamma'")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // a value in no file: zero partitions, zero file opens
+    val miss = all.filter($"s" === "omega")
+    assert(glScan(miss).planInputPartitions().length == 0)
+    assert(miss.count() == 0)
+    // IN prunes to the union of maybe-holding files
+    val in = all.filter($"s".isin("alpha", "omega"))
+    assert(glScan(in).planInputPartitions().length == 1)
+    assert(in.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // range predicates on strings must NOT consult blooms (membership
+    // says nothing about order): both files scan
+    val rangeQ = all.filter($"s" > "a")
+    assert(glScan(rangeQ).planInputPartitions().length == 2)
+    assert(rangeQ.count() == 4)
+  }
+
+  test("damaged bloom hex degrades to scanning, never to a wrong skip") {
+    val p = s"$dir/statsbloomdmg"
+    Seq((5L, "solo")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    val sp = new org.apache.hadoop.fs.Path(p, graft.sources.GraftLines.StatsName)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = scala.io.Source.fromInputStream(fs.open(sp), "UTF-8")
+    val lines = try src.getLines().toList finally src.close()
+    val bLine = lines.find(_.contains("\tbloomv1\t"))
+      .getOrElse(fail("no bloom line in manifest"))
+    // truncate the hex payload mid-cell (sentinel survives via re-append
+    // so ONLY the length gate is exercised)
+    val cells = bLine.split("\t", -1)
+    cells(5) = cells(5).take(100)
+    val out = fs.create(sp, true)
+    try out.write((lines.map(l => if (l == bLine) cells.mkString("\t") else l)
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // the damaged bloom is ignored -> file scans even for a miss value
+    val q = spark.read.format("graftlines").load(p).filter($"s" === "nope")
+    assert(glScan(q).planInputPartitions().length == 1,
+      "a file with a damaged bloom must be scanned, not skipped")
+    assert(q.count() == 0)
+    // and a hit value still reads its row
+    assert(spark.read.format("graftlines").load(p)
+      .filter($"s" === "solo").collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("catalog round trip: create, insert, read, rename, drop") {
     spark.conf.set("spark.sql.catalog.gl_test", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gl_test.warehouse", s"$dir/warehouse")
