@@ -302,6 +302,40 @@ object Aggs extends QueryGroup {
       None),
 
     QueryDef(
+      // KLL quantile RE-aggregation (added r7) — the quantile twin of
+      // q_agg_hll_reaggregate, and what percentile_approx cannot do:
+      // one pass computes a per-(day, event_type) KLL sketch of event
+      // values; every coarser quantile question afterwards (here:
+      // p50/p95/p99 per event_type across the whole window) merges
+      // those fixed-size sketches without touching raw rows again.
+      // Shuffle carries ~KiB sketches, never values; at 100 TB the
+      // daily sketches are what you'd persist beside the data. No
+      // DuckDB oracle (DataSketches binary form); AggSpec gates both
+      // direct and merged estimates against exact quantiles by RANK
+      // distance — the error KLL actually bounds.
+      "q_agg_kll_reaggregate",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(expr("date_trunc('day', ts)").as("day"),
+            col("event_type"))
+          .agg(graft.functions.KllQuantile.kll(col("value")).as("sk"))
+        daily.groupBy(col("event_type"))
+          .agg(graft.functions.KllQuantile.kllMerge(col("sk")).as("msk"),
+            count(lit(1)).as("n_daily_sketches"))
+          .select(col("event_type"),
+            col("n_daily_sketches"),
+            graft.functions.KllQuantile.kllCount(col("msk")).as("n_values"),
+            round(graft.functions.KllQuantile.kllEstimate(col("msk"),
+              lit(0.5)), 4).as("p50"),
+            round(graft.functions.KllQuantile.kllEstimate(col("msk"),
+              lit(0.95)), 4).as("p95"),
+            round(graft.functions.KllQuantile.kllEstimate(col("msk"),
+              lit(0.99)), 4).as("p99"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    QueryDef(
       // Deterministic MODE (added r7): the most frequent
       // o_orderpriority per o_orderstatus, ties broken toward the
       // lexicographically smallest value so the answer is a function

@@ -65,6 +65,59 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("merged daily KLL sketches hit exact quantiles within rank error") {
+    val rows = SparkEntry.queries("q_agg_kll_reaggregate")(
+        spark, TestSpark.sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, TestSpark.sf001)
+    rows.foreach { case (typ, nSketches, nValues, p50, p95, p99) =>
+      val sorted = ev.filter(col("event_type") === typ)
+        .select(col("value")).orderBy(col("value"))
+        .collect().map(_.getDouble(0))
+      // coverage: the merged sketch saw every non-null value once
+      assert(nValues == sorted.length,
+        s"$typ: sketch n $nValues != ${sorted.length}")
+      assert(nSketches > 1, s"$typ: merge law untested with 1 sketch")
+      // rank error: k=200 KLL bounds normalized rank error at ~1.65%
+      // (99% conf); gate at 3% to keep the test deterministic-ish
+      Seq(0.5 -> p50, 0.95 -> p95, 0.99 -> p99).foreach { case (q, v) =>
+        val lo = sorted.count(_ < v).toDouble / sorted.length
+        val hi = sorted.count(_ <= v).toDouble / sorted.length
+        assert(q >= lo - 0.03 && q <= hi + 0.03,
+          s"$typ q$q: value $v sits at rank [$lo,$hi]")
+      }
+    }
+  }
+
+  test("KLL merge law: merged partition sketches equal one-shot answers") {
+    import graft.functions.KllQuantile
+    val vals = Tables.events(spark, TestSpark.sf001)
+      .select(col("value").as("v"),
+        (col("event_id") % 7).as("part"))
+    val oneShot = vals.agg(KllQuantile.kll(col("v")).as("sk"))
+      .select(KllQuantile.kllEstimate(col("sk"), lit(0.9)))
+      .head().getDouble(0)
+    val merged = vals.groupBy(col("part"))
+      .agg(KllQuantile.kll(col("v")).as("sk"))
+      .agg(KllQuantile.kllMerge(col("sk")).as("msk"))
+      .select(KllQuantile.kllEstimate(col("msk"), lit(0.9)))
+      .head().getDouble(0)
+    // both are sketch estimates of the same stream; their RANKS must
+    // both sit within the sketch's error of 0.9 — assert against the
+    // exact data rather than each other (merge order differs)
+    val sorted = vals.select(col("v")).orderBy(col("v"))
+      .collect().map(_.getDouble(0))
+    Seq(oneShot, merged).foreach { v =>
+      val lo = sorted.count(_ < v).toDouble / sorted.length
+      val hi = sorted.count(_ <= v).toDouble / sorted.length
+      assert(0.9 >= lo - 0.03 && 0.9 <= hi + 0.03,
+        s"estimate $v sits at rank [$lo,$hi]")
+    }
+  }
+
   test("upsert-dedup is idempotent: re-staging changes nothing") {
     val once = SparkEntry.queries("q_etl_upsert_dedup")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
