@@ -258,15 +258,19 @@ object GraftLines {
       var line = br.readLine()
       while (line != null) {
         line.split("\t", -1) match {
-          case Array(file, rows, col, _, GlBloom.Marker, hex, StatsSentinel)
-              if types.get(col).contains(StringType) =>
+          case Array(file, rows, col, nulls, GlBloom.Marker, hex,
+              StatsSentinel) if types.get(col).contains(StringType) =>
             // string-equality Bloom line (min slot carries the marker;
             // an older reader sees a not-stats-eligible column and
             // skips it). Damaged hex decodes to None -> no bloom, scan.
+            // The null count on the line feeds Is[Not]Null pruning for
+            // strings — the one stats use that needs no ordering.
             GlBloom.decode(hex).foreach { bits =>
-              byFile.getOrElseUpdate(file,
+              val st = byFile.getOrElseUpdate(file,
                 GlFileStats(rows.toLong,
-                  scala.collection.mutable.Map.empty)).blooms(col) = bits
+                  scala.collection.mutable.Map.empty))
+              st.blooms(col) = bits
+              st.strNulls(col) = nulls.toLong
             }
           case Array(file, rows, col, nulls, mn, mx, StatsSentinel) =>
             types.get(col).filter(statsEligible).foreach { dt =>
@@ -292,6 +296,8 @@ private[sources] case class GlColStats(nulls: Long, min: Any, max: Any)
 private[sources] case class GlFileStats(rows: Long,
     cols: scala.collection.mutable.Map[String, GlColStats],
     blooms: scala.collection.mutable.Map[String, Array[Long]] =
+      scala.collection.mutable.Map.empty,
+    strNulls: scala.collection.mutable.Map[String, Long] =
       scala.collection.mutable.Map.empty)
 
 /** Per-(file, string-column) Bloom filter riding the `_graft_stats`
@@ -429,12 +435,16 @@ private[sources] object GlFilters {
       case Some(bits) if v != null => GlBloom.mayContain(bits, v.toString)
       case _ => true
     }
+    // null counts come from min/max lines for ordered types and from
+    // bloom lines for strings; absence anywhere means "don't know"
+    def nullsOf(a: String): Option[Long] =
+      st.cols.get(a).map(_.nulls).orElse(st.strNulls.get(a))
     f match {
       case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
       case Or(l, r) => mayMatch(l, st) || mayMatch(r, st)
       case Not(_) => true
-      case IsNull(a) => col(a).forall(_.nulls > 0)
-      case IsNotNull(a) => col(a).forall(c => st.rows > c.nulls)
+      case IsNull(a) => nullsOf(a).forall(_ > 0)
+      case IsNotNull(a) => nullsOf(a).forall(st.rows > _)
       case EqualTo(a, v) =>
         rng(a)((mn, mx) => cmp(mn, v) <= 0 && cmp(mx, v) >= 0) &&
           bloom(a, v)

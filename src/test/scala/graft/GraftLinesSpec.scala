@@ -296,6 +296,25 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(rangeQ.count() == 4)
   }
 
+  test("bloom-line null counts prune Is[Not]Null on strings") {
+    val p = s"$dir/statsbloomnull"
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    // file A: s never null; file B: s has a null
+    val a = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(1L, "x"), Row(2L, "y")), 1), sch)
+    val b = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(3L, null), Row(4L, "z")), 1), sch)
+    a.write.format("graftlines").mode("overwrite").save(p)
+    b.write.format("graftlines").mode("append").save(p)
+    val all = spark.read.format("graftlines").load(p)
+    val sn = all.filter($"s".isNull)
+    assert(glScan(sn).planInputPartitions().length == 1,
+      "file A records zero string nulls and must be skipped")
+    assert(sn.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(all.filter($"s".isNotNull).count() == 3)
+  }
+
   test("damaged bloom hex degrades to scanning, never to a wrong skip") {
     val p = s"$dir/statsbloomdmg"
     Seq((5L, "solo")).toDF("k", "s").coalesce(1)
