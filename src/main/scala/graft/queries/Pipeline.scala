@@ -384,6 +384,43 @@ object Pipeline extends QueryGroup {
         |          / SUM(sqrt(n_docs::DOUBLE)) OVER (), 6)
         |        / ROUND(n_docs::DOUBLE / SUM(n_docs) OVER (), 6), 4)
         |    AS boost
-        |FROM c ORDER BY lang""".stripMargin))
+        |FROM c ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // EXACT-k deterministic sampling (added r7): exactly
+      // min(k, n_lang) documents per language, the same set on every
+      // rerun and every engine — order statistics on a content-free
+      // md5 hash (60 bits so the integer fits BIGINT in both
+      // engines), which rate-gates (q_sample_stratified / q_sample_pps)
+      // cannot deliver: a rate keeps k only in expectation. The oracle
+      // states the semantics as the window rank (rn <= k) — the naive
+      // full-sort-per-group plan — while the Spark side runs the
+      // functions.BottomK bounded-heap aggregate: O(k) state per
+      // group, partial+final, shuffle carries k triples per language,
+      // never the corpus. The id-sum over the selected set is the set
+      // fingerprint that proves both plans picked identical documents.
+      "q_sample_bottomk",
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)"
+              + ", 16, 10) as bigint)").as("hh"))
+        h.groupBy(col("lang"))
+          .agg(graft.functions.BottomK.bottomK(col("hh"), col("doc_id"),
+            col("n_chars")).as("bk"))
+          .select(col("lang"),
+            element_at(col("bk"), 1).as("n_kept"),
+            element_at(col("bk"), 2).as("id_sum"),
+            element_at(col("bk"), 3).as("w_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH h AS (SELECT lang, doc_id, n_chars,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh
+        |       FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY hh, doc_id) AS rn FROM h)
+        |SELECT lang, COUNT(*)::BIGINT AS n_kept,
+        |  SUM(doc_id)::BIGINT AS id_sum, SUM(n_chars)::BIGINT AS w_kept
+        |FROM r WHERE rn <= 100 GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 }

@@ -148,4 +148,31 @@ class PropertySpec extends AnyFunSuite {
         java.lang.Long.compareUnsigned(b, a) <= 0 })
     }
   }
+
+  test("bottom-k heap matches sort-take-k whatever the merge split") {
+    import graft.functions.BottomK
+    val triplesGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(250,
+      Gen.zip(Gen.chooseNum(0L, 120L), // hashes with deliberate ties
+        Gen.chooseNum(1L, 100000L), Gen.chooseNum(0L, 500L)))
+    cases(triplesGen).foreach { rows =>
+      // reference: total order on (hash, id), take k, fingerprint
+      val ref = rows.distinctBy(t => (t._1, t._2))
+        .sortBy(t => (t._1, t._2)).take(BottomK.K)
+      val expect = Array(ref.length.toLong, ref.map(_._2).sum,
+        ref.map(_._3).sum)
+      // heap path, under three different partition splits (merge order
+      // must not matter — the aggregate is declared commutative)
+      Seq(1, 3, 7).foreach { parts =>
+        val heaps = rows.distinctBy(t => (t._1, t._2)).zipWithIndex
+          .groupBy(_._2 % parts).values.map { chunk =>
+            val h = BottomK.aggregator.zero
+            chunk.foreach { case (t, _) => BottomK.aggregator.reduce(h, t) }
+            h
+          }
+        val merged = heaps.reduce(BottomK.aggregator.merge)
+        assert(BottomK.aggregator.finish(merged).toSeq == expect.toSeq,
+          s"parts=$parts")
+      }
+    }
+  }
 }
