@@ -336,6 +336,45 @@ object Aggs extends QueryGroup {
       None),
 
     QueryDef(
+      // Theta-sketch set algebra (added r7): distinct-customer overlap
+      // across order-status segments answered entirely on sketches —
+      // the question HLL structurally cannot answer (HLL registers
+      // only union; "distinct users in A AND B" needs a retained-
+      // sample sketch). One pass builds a theta sketch of o_custkey
+      // per status (partial+final, shuffle carries compact sketches
+      // never keys); union, INTERSECTION, and F\O\P are then closed
+      // ops on the three stored sketches — at 100 TB every
+      // segment-overlap question is answered from KiB summaries
+      // without re-reading orders. Estimates are run-stable (theta
+      // hashing has no RNG — PropertySpec pins merge-order
+      // stability); no DuckDB oracle (DataSketches binary form);
+      // AggSpec pins the exact regime (sf0.01 distincts < 4096 = lgK
+      // headroom) and gates the estimation regime at sf0.1.
+      "q_agg_theta_segments",
+      (s, d) => {
+        import graft.functions.ThetaSketch._
+        val sk = Tables.orders(s, d)
+          .groupBy(col("o_orderstatus"))
+          .agg(theta(col("o_custkey")).as("sk"))
+        sk.agg(
+            first(when(col("o_orderstatus") === "F", col("sk")), true).as("skf"),
+            first(when(col("o_orderstatus") === "O", col("sk")), true).as("sko"),
+            first(when(col("o_orderstatus") === "P", col("sk")), true).as("skp"),
+            thetaUnion(col("sk")).as("sku"),
+            thetaIntersect(col("sk")).as("ski"))
+          .select(
+            round(thetaEstimate(col("skf"))).cast(LongType).as("n_f"),
+            round(thetaEstimate(col("sko"))).cast(LongType).as("n_o"),
+            round(thetaEstimate(col("skp"))).cast(LongType).as("n_p"),
+            round(thetaEstimate(col("sku"))).cast(LongType).as("n_union"),
+            round(thetaEstimate(col("ski"))).cast(LongType).as("n_inter"),
+            round(thetaEstimate(
+              thetaAnotB(thetaAnotB(col("skf"), col("sko")), col("skp"))))
+              .cast(LongType).as("n_f_only"))
+      },
+      None),
+
+    QueryDef(
       // Deterministic MODE (added r7): the most frequent
       // o_orderpriority per o_orderstatus, ties broken toward the
       // lexicographically smallest value so the answer is a function

@@ -168,6 +168,46 @@ object LlmText extends QueryGroup {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // Overlapping context-window chunking (added r7): the RAG /
+      // long-context sharding primitive — every document split into
+      // 200-char windows on a 150-char stride (50-char overlap so no
+      // boundary-straddling span is lost), chunk starts 1, 151, 301, …
+      // while <= n_chars. Map-only: sequence → transform → explode
+      // fans each row out to its windows with ZERO shuffle of the
+      // corpus (the one shuffle is the per-lang rollup, metadata-
+      // sized) — at 100 TB chunking must be embarrassingly parallel
+      // or it isn't runnable. The fp_sum column is the proof the two
+      // engines produced byte-identical chunk SETS, not just equal
+      // counts: a 60-bit md5 of every chunk, summed in DECIMAL(38,0)
+      // (~300 chunks/lang x 2^60 overflows BIGINT — the same headroom
+      // trap ADVICE r6 flagged on the PPS gate, pre-empted here).
+      "q_text_chunk",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, cast(n_chars as int), 150),
+              | p -> substring(text, p, 200))""".stripMargin)).as("chunk"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(length(col("chunk")).cast(LongType)).as("n_chunk_chars"),
+          sum(expr(
+            "cast(conv(substring(md5(chunk), 1, 15), 16, 10) as decimal(38,0))"))
+            .as("fp_sum"))
+        .orderBy(col("lang")),
+      Some("""WITH c AS (
+        |  SELECT lang, doc_id, substr(text, p::INT, 200) AS chunk
+        |  FROM (SELECT lang, doc_id, text,
+        |          unnest(range(1, n_chars + 1, 150)) AS p
+        |        FROM documents))
+        |SELECT lang, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  COUNT(*)::BIGINT AS n_chunks,
+        |  SUM(length(chunk))::BIGINT AS n_chunk_chars,
+        |  CAST(SUM((('0x' || substr(md5(chunk), 1, 15))::BIGINT)
+        |             ::DECIMAL(38,0)) AS DECIMAL(38,0)) AS fp_sum
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       "q_dedup_simhash",
       (s, d) => {
         // md5 once per exploded token row; the aggregation boundary keeps

@@ -159,6 +159,38 @@ object Scans extends QueryGroup {
         |ORDER BY o_custkey, rn""".stripMargin)),
 
     QueryDef(
+      // SQL-text lane, LATERAL join surface (added r7): a correlated
+      // table subquery in the FROM clause — top-2 customers by account
+      // balance per nation via LATERAL ... ORDER BY ... LIMIT 2. This
+      // is the one relational surface the other SQL lanes cannot
+      // express: EXISTS yields a boolean, a scalar subquery one value;
+      // LATERAL yields correlated ROWS. Catalyst decorrelates the
+      // limit-per-outer-row into the same rank-filter shape the DSL's
+      // row_number()<=k would plan — one shuffle on the correlation
+      // key, no per-nation re-scan of customer (the 100 TB point: a
+      // naive nested-loop lateral is outer-cardinality scans).
+      "q_sql_lateral",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("q_lat_nation")
+        Tables.customer(s, d).createOrReplaceTempView("q_lat_customer")
+        try s.sql("""SELECT n_name, c_name,
+          |  CAST(c_acctbal AS DOUBLE) AS bal
+          |FROM q_lat_nation n,
+          |LATERAL (SELECT c_name, c_acctbal FROM q_lat_customer c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n_name, bal DESC, c_name""".stripMargin)
+        finally Seq("q_lat_nation", "q_lat_customer")
+          .foreach(s.catalog.dropTempView(_))
+      },
+      Some("""SELECT n_name, c_name, CAST(c_acctbal AS DOUBLE) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin)),
+
+    QueryDef(
       "q_scan_project_filter",
       (s, d) => {
         val li = Tables.lineitem(s, d)

@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.ThetaSketch
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -89,6 +90,55 @@ class AggSpec extends AnyFunSuite {
         assert(q >= lo - 0.03 && q <= hi + 0.03,
           s"$typ q$q: value $v sits at rank [$lo,$hi]")
       }
+    }
+  }
+
+  test("theta set algebra is EXACT below nominal entries (sf0.01)") {
+    // sf0.01 distinct custkeys per status (~1.45k) sit below lgK=12's
+    // 4096 nominal entries, so every sketch stays in exact mode and
+    // the whole query result must EQUAL the exact set-op counts —
+    // the strongest check an approximate structure admits
+    val r = SparkEntry.queries("q_agg_theta_segments")(
+      spark, TestSpark.sf001).head()
+    val o = Tables.orders(spark, TestSpark.sf001)
+      .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
+    def keys(st: String): Set[Long] =
+      o.filter(col("st") === st).select(col("ck"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val (f, oo, p) = (keys("F"), keys("O"), keys("P"))
+    val exact = Seq(f.size, oo.size, p.size,
+      (f | oo | p).size, (f & oo & p).size, (f -- oo -- p).size)
+    val got = (0 until 6).map(r.getLong)
+    assert(got == exact.map(_.toLong), s"got=$got exact=$exact")
+  }
+
+  test("theta estimates within 5% in estimation mode (sf0.1)") {
+    // sf0.1 distincts (~14.5k) exceed 4096 -> true estimation regime;
+    // 1.6% RSE per sketch, gate at 5% (intersection error compounds)
+    val r = SparkEntry.queries("q_agg_theta_segments")(
+      spark, TestSpark.sf01).head()
+    val o = Tables.orders(spark, TestSpark.sf01)
+      .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
+    def keys(st: String): Set[Long] =
+      o.filter(col("st") === st).select(col("ck"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    val (f, oo, p) = (keys("F"), keys("O"), keys("P"))
+    val exact = Seq(f.size, oo.size, p.size,
+      (f | oo | p).size, (f & oo & p).size, (f -- oo -- p).size)
+    // set-op error is NOT relative to the result: a theta set op keeps
+    // ~frac = k/n of each input's key space, so a result of exact
+    // cardinality m is estimated from ~m*frac retained samples —
+    // Binomial, std ≈ sqrt(m/frac). For m ~ 20 (F\O\P) that std is
+    // ~9 keys while 5% of m is ~1 key. Gate each column at
+    // max(5% relative, 4 std) — tight for the big sets, honest for
+    // the tiny ones.
+    val frac = math.pow(2.0, ThetaSketch.LgK) / (f | oo | p).size
+    (0 until 6).foreach { i =>
+      val est = r.getLong(i).toDouble
+      val ex = exact(i).toDouble
+      val tol = math.max(0.05 * ex, 4 * math.sqrt(ex / frac))
+      assert(math.abs(est - ex) <= tol,
+        s"col $i: est $est vs exact $ex (tol $tol)")
     }
   }
 

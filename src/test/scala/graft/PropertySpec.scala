@@ -149,6 +149,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("theta sketch bytes are identical under any merge split") {
+    import graft.functions.ThetaSketch
+    // the retained set is "the k smallest hashes of the input SET" —
+    // order- and split-independent, so the compact ordered wire form
+    // must be bitwise identical however Spark partitions the stream
+    // (this is what makes the estimates run-stable, unlike KLL)
+    val keysGen: Gen[List[Long]] =
+      Gen.listOfN(6000, Gen.chooseNum(0L, 10000L)) // > k=4096 distinct space
+    cases(keysGen, n = 4).foreach { keys =>
+      val ref = {
+        val h = ThetaSketch.aggregator.zero
+        keys.foreach(k => ThetaSketch.aggregator.reduce(h, k))
+        ThetaSketch.aggregator.finish(h)
+      }
+      Seq(2, 5, 9).foreach { parts =>
+        val merged = keys.zipWithIndex.groupBy(_._2 % parts).values
+          .map { chunk =>
+            val h = ThetaSketch.aggregator.zero
+            chunk.foreach { case (k, _) => ThetaSketch.aggregator.reduce(h, k) }
+            h
+          }.reduce(ThetaSketch.aggregator.merge)
+        assert(ThetaSketch.aggregator.finish(merged).toSeq == ref.toSeq,
+          s"parts=$parts")
+      }
+    }
+  }
+
   test("bottom-k heap matches sort-take-k whatever the merge split") {
     import graft.functions.BottomK
     val triplesGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(250,
