@@ -181,14 +181,21 @@ object LlmText extends QueryGroup {
       // counts: a 60-bit md5 of every chunk, summed in DECIMAL(38,0)
       // (~300 chunks/lang x 2^60 overflows BIGINT — the same headroom
       // trap ADVICE r6 flagged on the PPS gate, pre-empted here).
+      // n_docs counts FIRST chunks (p = 1, every doc has one) rather
+      // than COUNT(DISTINCT doc_id): the distinct form expands to a
+      // second Exchange keyed (lang, doc_id); the first-chunk count is
+      // the same number with plain partial+final — PlanSpec pins the
+      // single pre-sort shuffle.
       "q_text_chunk",
       (s, d) => Tables.documents(s, d)
-        .select(col("lang"), col("doc_id"),
+        .select(col("lang"),
           explode(expr(
             """transform(sequence(1, cast(n_chars as int), 150),
-              | p -> substring(text, p, 200))""".stripMargin)).as("chunk"))
+              | p -> struct(p AS p, substring(text, p, 200) AS chunk))"""
+              .stripMargin)).as("pc"))
+        .select(col("lang"), col("pc.p").as("p"), col("pc.chunk").as("chunk"))
         .groupBy(col("lang"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
+        .agg(count(when(col("p") === 1, 1)).as("n_docs"),
           count(lit(1)).as("n_chunks"),
           sum(length(col("chunk")).cast(LongType)).as("n_chunk_chars"),
           sum(expr(
@@ -196,11 +203,11 @@ object LlmText extends QueryGroup {
             .as("fp_sum"))
         .orderBy(col("lang")),
       Some("""WITH c AS (
-        |  SELECT lang, doc_id, substr(text, p::INT, 200) AS chunk
+        |  SELECT lang, p, substr(text, p::INT, 200) AS chunk
         |  FROM (SELECT lang, doc_id, text,
         |          unnest(range(1, n_chars + 1, 150)) AS p
         |        FROM documents))
-        |SELECT lang, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+        |SELECT lang, COUNT(CASE WHEN p = 1 THEN 1 END)::BIGINT AS n_docs,
         |  COUNT(*)::BIGINT AS n_chunks,
         |  SUM(length(chunk))::BIGINT AS n_chunk_chars,
         |  CAST(SUM((('0x' || substr(md5(chunk), 1, 15))::BIGINT)

@@ -258,4 +258,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct")
       && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_sql_lateral decorrelates LIMIT to a rank window, no nested loop") {
+    val p = plan("q_sql_lateral")
+    // the per-outer-row LIMIT must become Window rank + filter with
+    // nation broadcast — a nested-loop lateral is outer-cardinality
+    // re-scans of customer
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_text_chunk explodes map-only: one pre-sort shuffle, no distinct expansion") {
+    val p = plan("q_text_chunk")
+    assert(p.contains("Generate"), p) // the chunk fan-out, pre-shuffle
+    // exactly 2 Exchanges: the per-lang rollup + the final orderBy —
+    // a COUNT(DISTINCT doc_id) form would add a (lang, doc_id) pair
+    assert("Exchange".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_sample_bottomk is partial+final, never a per-group sort") {
+    val p = plan("q_sample_bottomk")
+    // bounded-heap aggregate: ObjectHashAggregate partial then final —
+    // the shuffle carries k triples per language, and there must be no
+    // Window/rank (the full-sort-per-group shape the oracle states)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_agg_theta_segments shuffles sketches, never keys") {
+    val p = plan("q_agg_theta_segments")
+    // two partial+final pairs (per-status sketch, then set-op rollup);
+    // every Exchange moves aggregation buffers, so no exchange may be
+    // keyed on o_custkey
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("hashpartitioning(o_custkey"), p)
+  }
 }
