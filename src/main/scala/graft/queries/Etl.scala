@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** ETL analogs of the reference's import pipeline (SURVEY §2A A5/A6 →
   * §2B q_etl_*): deterministic surrogate keys (the batch analog of the
@@ -163,6 +163,94 @@ object Etl extends QueryGroup {
         |  UNION ALL SELECT * FROM sl
         |  UNION ALL SELECT * FROM cy)
         |ORDER BY kind, node""".stripMargin)),
+
+    QueryDef(
+      // Declarative data-quality audit (added r7): the gate a pipeline
+      // runs before trusting a new table drop, as a CHECK LIST compiled
+      // to minimal passes (operators/DataChecks.scala) — all four
+      // row-local checks fuse into ONE aggregate over ONE scan;
+      // uniqueness is one hash agg on its key; the FK check one LEFT
+      // ANTI against orders. Faults are injected like
+      // q_graph_tree_validate's: one null returnflag, one quantity 99,
+      // one discount 0.5, one linestatus 'X', one doubled (orderkey,
+      // linenumber) pair — and the synthetic lineitem ALSO carries
+      // real duplicate keys, so unique() reports injected + organic.
+      // All six injected orderkeys are FK orphans by construction.
+      "q_etl_constraints",
+      (s, d) => {
+        import graft.operators.DataChecks
+        val ts = "1995-06-01 00:00:00"
+        val faults = s.createDataFrame(Seq(
+            (900000001L, 1L, 1L, 1, 10.0, 100.0, 0.05, 0.02,
+              null.asInstanceOf[String], "O", ts),
+            (900000002L, 1L, 1L, 1, 99.0, 100.0, 0.05, 0.02, "N", "O", ts),
+            (900000003L, 1L, 1L, 1, 10.0, 100.0, 0.50, 0.02, "N", "O", ts),
+            (900000004L, 1L, 1L, 1, 10.0, 100.0, 0.05, 0.02, "N", "X", ts),
+            (900000005L, 1L, 1L, 7, 10.0, 100.0, 0.05, 0.02, "N", "O", ts),
+            (900000005L, 1L, 1L, 7, 20.0, 200.0, 0.05, 0.02, "N", "F", ts)))
+          .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate")
+          .withColumn("l_shipdate", col("l_shipdate").cast(TimestampType))
+        val li = Tables.lineitem(s, d).unionByName(faults)
+        DataChecks.audit(li, Seq(
+            DataChecks.NotNull("l_returnflag"),
+            DataChecks.InRange("l_quantity", 1, 50),
+            DataChecks.InRange("l_discount", 0, 0.10),
+            DataChecks.InSet("l_linestatus", Seq("O", "F")),
+            DataChecks.Unique(Seq("l_orderkey", "l_linenumber")),
+            DataChecks.ForeignKey("l_orderkey",
+              Tables.orders(s, d), "o_orderkey")))
+          .orderBy(col("chk"))
+      },
+      Some("""WITH faults(l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |  l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag,
+        |  l_linestatus, l_shipdate) AS (VALUES
+        |  (900000001, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, NULL, 'O',
+        |    TIMESTAMP '1995-06-01'),
+        |  (900000002, 1, 1, 1, 99.0, 100.0, 0.05, 0.02, 'N', 'O',
+        |    TIMESTAMP '1995-06-01'),
+        |  (900000003, 1, 1, 1, 10.0, 100.0, 0.50, 0.02, 'N', 'O',
+        |    TIMESTAMP '1995-06-01'),
+        |  (900000004, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, 'N', 'X',
+        |    TIMESTAMP '1995-06-01'),
+        |  (900000005, 1, 1, 7, 10.0, 100.0, 0.05, 0.02, 'N', 'O',
+        |    TIMESTAMP '1995-06-01'),
+        |  (900000005, 1, 1, 7, 20.0, 200.0, 0.05, 0.02, 'N', 'F',
+        |    TIMESTAMP '1995-06-01')),
+        |li AS (SELECT * FROM lineitem UNION ALL SELECT * FROM faults),
+        |rl AS (
+        |  SELECT 'not_null(l_returnflag)' AS chk,
+        |    SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_bad FROM li
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity)',
+        |    SUM(CASE WHEN l_quantity IS NOT NULL
+        |        AND (l_quantity < 1 OR l_quantity > 50)
+        |        THEN 1 ELSE 0 END)::BIGINT FROM li
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount)',
+        |    SUM(CASE WHEN l_discount IS NOT NULL
+        |        AND (l_discount < 0 OR l_discount > 0.10)
+        |        THEN 1 ELSE 0 END)::BIGINT FROM li
+        |  UNION ALL
+        |  SELECT 'in_set(l_linestatus)',
+        |    SUM(CASE WHEN l_linestatus IS NOT NULL
+        |        AND l_linestatus NOT IN ('O', 'F')
+        |        THEN 1 ELSE 0 END)::BIGINT FROM li),
+        |uq AS (SELECT 'unique(l_orderkey,l_linenumber)' AS chk,
+        |         COUNT(*)::BIGINT AS n_bad
+        |       FROM (SELECT 1 AS one FROM li
+        |             GROUP BY l_orderkey, l_linenumber
+        |             HAVING COUNT(*) > 1)),
+        |fk AS (SELECT 'fk(l_orderkey)' AS chk, COUNT(*)::BIGINT AS n_bad
+        |       FROM (SELECT l_orderkey FROM li
+        |             WHERE l_orderkey IS NOT NULL) t
+        |       ANTI JOIN orders ON t.l_orderkey = o_orderkey)
+        |SELECT chk, n_bad FROM (SELECT * FROM rl
+        |  UNION ALL SELECT * FROM uq
+        |  UNION ALL SELECT * FROM fk)
+        |ORDER BY chk""".stripMargin)),
 
     QueryDef(
       "q_etl_surrogate_keys",
