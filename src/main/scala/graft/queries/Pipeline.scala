@@ -421,6 +421,89 @@ object Pipeline extends QueryGroup {
         |        ORDER BY hh, doc_id) AS rn FROM h)
         |SELECT lang, COUNT(*)::BIGINT AS n_kept,
         |  SUM(doc_id)::BIGINT AS id_sum, SUM(n_chars)::BIGINT AS w_kept
-        |FROM r WHERE rn <= 100 GROUP BY 1 ORDER BY lang""".stripMargin))
+        |FROM r WHERE rn <= 100 GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    QueryDef(
+      // Distribution-drift monitoring via PSI (added r7): the check a
+      // pipeline runs when a new data drop arrives — has the value
+      // distribution moved? Three population splits of orders are
+      // compared on the same o_totalprice histogram (50k-wide buckets):
+      // the md5 hash split (expected PSI ~ 0 — the null case), the
+      // F-vs-O status split, and urgent-vs-rest priority. ONE scan
+      // fans each row into its (comparison, side) memberships (array +
+      // explode, map-only); the single corpus shuffle is the
+      // (cmp, bucket) count agg — bucket-cardinality keys, map-side
+      // combinable. PSI = sum over buckets of (pa-pb)*ln(pa/pb) with
+      // Laplace (+1 / +K) smoothing so empty-on-one-side buckets stay
+      // finite; every ln argument is an exact ratio of BIGINT products
+      // (< 2^53, doubles carry them exactly), so the ln-ulp caveat is
+      // contained to the ROUND(psi, 4) output — the q_text_perplexity
+      // rule. K = observed buckets per comparison, data-derived on
+      // both engines.
+      "q_etl_drift_psi",
+      (s, d) => {
+        val sides = Tables.orders(s, d)
+          .select(
+            least(floor(col("o_totalprice") / 50000), lit(9))
+              .cast(IntegerType).as("bucket"),
+            explode(array(
+              struct(lit("hash_split").as("cmp"),
+                when(expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 2), 16, 10) as int) % 10 < 8"),
+                  "A").otherwise("B").as("side")),
+              struct(lit("status_F_vs_O").as("cmp"),
+                when(col("o_orderstatus") === "F", "A")
+                  .when(col("o_orderstatus") === "O", "B").as("side")),
+              struct(lit("priority_urgent_vs_rest").as("cmp"),
+                when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "A")
+                  .otherwise("B").as("side")))).as("m"))
+          .select(col("bucket"), col("m.cmp").as("cmp"),
+            col("m.side").as("side"))
+          .filter(col("side").isNotNull)
+        val perBucket = sides.groupBy(col("cmp"), col("bucket"))
+          .agg(count(when(col("side") === "A", 1)).as("ca"),
+            count(when(col("side") === "B", 1)).as("cb"))
+        val tot = perBucket.groupBy(col("cmp"))
+          .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+            count(lit(1)).as("k"))
+        perBucket.join(broadcast(tot), Seq("cmp"))
+          .withColumn("pa", (col("ca") + 1).cast(DoubleType)
+            / (col("na") + col("k")))
+          .withColumn("pb", (col("cb") + 1).cast(DoubleType)
+            / (col("nb") + col("k")))
+          .groupBy(col("cmp"))
+          .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+            first(col("k")).as("n_buckets"),
+            round(sum((col("pa") - col("pb"))
+              * log(col("pa") / col("pb"))), 4).as("psi"))
+          .orderBy(col("cmp"))
+      },
+      Some("""WITH sides AS (
+        |  SELECT LEAST(FLOOR(o_totalprice / 50000), 9)::INTEGER AS bucket,
+        |    u.cmp, u.side
+        |  FROM orders, LATERAL (VALUES
+        |    ('hash_split',
+        |     CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 2))
+        |            ::INTEGER % 10 < 8 THEN 'A' ELSE 'B' END),
+        |    ('status_F_vs_O',
+        |     CASE WHEN o_orderstatus = 'F' THEN 'A'
+        |          WHEN o_orderstatus = 'O' THEN 'B' END),
+        |    ('priority_urgent_vs_rest',
+        |     CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |          THEN 'A' ELSE 'B' END)) AS u(cmp, side)
+        |  WHERE u.side IS NOT NULL),
+        |pb AS (SELECT cmp, bucket,
+        |    COUNT(CASE WHEN side = 'A' THEN 1 END)::BIGINT AS ca,
+        |    COUNT(CASE WHEN side = 'B' THEN 1 END)::BIGINT AS cb
+        |  FROM sides GROUP BY 1, 2),
+        |tot AS (SELECT cmp, SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb,
+        |    COUNT(*)::BIGINT AS k FROM pb GROUP BY 1)
+        |SELECT pb.cmp, ANY_VALUE(na) AS n_a, ANY_VALUE(nb) AS n_b,
+        |  ANY_VALUE(k) AS n_buckets,
+        |  ROUND(SUM(((ca + 1)::DOUBLE / (na + k)
+        |             - (cb + 1)::DOUBLE / (nb + k))
+        |    * LN(((ca + 1)::DOUBLE / (na + k))
+        |         / ((cb + 1)::DOUBLE / (nb + k)))), 4) AS psi
+        |FROM pb JOIN tot USING (cmp)
+        |GROUP BY pb.cmp ORDER BY pb.cmp""".stripMargin))
   )
 }

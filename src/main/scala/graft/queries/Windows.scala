@@ -262,7 +262,85 @@ object Windows extends QueryGroup {
         |  UNION ALL SELECT 2, 'view', COUNT(*)::BIGINT FROM s2
         |  UNION ALL SELECT 3, 'click', COUNT(*)::BIGINT FROM s3
         |  UNION ALL SELECT 4, 'purchase', COUNT(*)::BIGINT FROM s4
-        |) CROSS JOIN t ORDER BY stage""".stripMargin))
+        |) CROSS JOIN t ORDER BY stage""".stripMargin)),
+
+    QueryDef(
+      // Time-series resample + gap-fill + outage analysis (added r7):
+      // the monitoring primitive — snap events to an hourly grid, fill
+      // the silent hours with explicit zeros, then measure the gaps
+      // (count, total, longest run) per event type. The spine (distinct
+      // types x hour range) is generated, not scanned: bounds are one
+      // tiny agg broadcast into a sequence() explode, so spine cost is
+      // slots x types — metadata-sized at any corpus size. The corpus
+      // touches exactly one shuffle (the (type, hour) count agg, with
+      // map-side combine); the left join that fills gaps joins two
+      // group-cardinality-sized frames, never rows. Gap runs are
+      // gaps-and-islands (rn - rn-over-empty), windowed over slot
+      // counts, not event counts.
+      "q_ts_gapfill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val counts = ev.groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val spine = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val filled = spine.join(counts, Seq("event_type", "h"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val runs = filled
+          .withColumn("rn", row_number().over(w))
+          .filter(col("n") === 0)
+          .withColumn("grp", col("rn") - row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("h"))))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+        val gapAgg = runs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gap_runs"), sum(col("run")).as("n_gap"),
+            max(col("run")).as("max_gap_run"))
+        filled.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_slots"), sum(col("n")).as("n_events"))
+          .join(gapAgg, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_slots"),
+            coalesce(col("n_gap"), lit(0L)).as("n_gap"),
+            coalesce(col("n_gap_runs"), lit(0L)).as("n_gap_runs"),
+            coalesce(col("max_gap_run"), lit(0L)).as("max_gap_run"),
+            col("n_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b),
+        |cnt AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |filled AS (SELECT s.event_type, s.h, COALESCE(c.n, 0) AS n
+        |  FROM spine s LEFT JOIN cnt c USING (event_type, h)),
+        |fl AS (SELECT *, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY h) AS rn FROM filled),
+        |g AS (SELECT event_type,
+        |    rn - row_number() OVER (PARTITION BY event_type ORDER BY h)
+        |      AS grp
+        |  FROM fl WHERE n = 0),
+        |runs AS (SELECT event_type, grp, COUNT(*) AS run
+        |  FROM g GROUP BY 1, 2),
+        |ga AS (SELECT event_type, COUNT(*) AS n_gap_runs,
+        |    SUM(run) AS n_gap, MAX(run) AS max_gap_run
+        |  FROM runs GROUP BY 1),
+        |base AS (SELECT event_type, COUNT(*)::BIGINT AS n_slots,
+        |    SUM(n)::BIGINT AS n_events FROM filled GROUP BY 1)
+        |SELECT base.event_type, n_slots,
+        |  COALESCE(n_gap, 0)::BIGINT AS n_gap,
+        |  COALESCE(n_gap_runs, 0)::BIGINT AS n_gap_runs,
+        |  COALESCE(max_gap_run, 0)::BIGINT AS max_gap_run,
+        |  n_events
+        |FROM base LEFT JOIN ga USING (event_type)
+        |ORDER BY event_type""".stripMargin))
   )
 
   private val ntileOracle =
