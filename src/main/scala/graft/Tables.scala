@@ -67,13 +67,26 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects as TimestampType. We read the raw int64 nanos (legacy
-    * nanosAsLong flag) and truncate to micros exactly as DuckDB does on
-    * its side of the oracle (integer division, both positive). */
+  /** events.parquet's timestamp unit has drifted across driver-generated
+    * data rounds: TIMESTAMP(NANOS) through r6 (which Spark's reader
+    * rejects as TimestampType — we read raw int64 nanos via the legacy
+    * nanosAsLong flag and truncate to micros exactly as DuckDB does),
+    * TIMESTAMP(MICROS) from r7 (a plain TimestampType read). The unit is
+    * detected from the file footer once per directory (eventsTsIsNanos)
+    * and every events reader — batch and streaming — normalizes through
+    * it, so a future regeneration in either unit keeps the oracle green. */
   val eventsRawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** events schema when the file stores TIMESTAMP(MICROS) natively. */
+  val eventsMicrosSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -113,12 +126,42 @@ object Tables {
   def subSchema(tableName: String, names: String*): StructType =
     StructType(names.map(schemas(tableName)(_)))
 
-  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-  }
+  private val tsUnitCache =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** True when $sfDir/events.parquet stores ts as TIMESTAMP(NANOS).
+    * With nanosAsLong on, a schema-less read surfaces a NANOS column as
+    * LongType and a MICROS column as TimestampType — one footer read,
+    * cached per directory. */
+  def eventsTsIsNanos(spark: SparkSession, sfDir: String): Boolean =
+    tsUnitCache.getOrElseUpdate(sfDir, {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .schema("ts").dataType == LongType
+    })
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
+    if (eventsTsIsNanos(spark, sfDir)) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.schema(eventsRawSchema).parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else
+      spark.read.schema(eventsMicrosSchema).parquet(s"$sfDir/events.parquet")
+
+  /** Streaming source over events.parquet with ts normalized to
+    * TimestampType micros, whichever unit the file stores — the single
+    * entry point for every q_stream_* readStream. */
+  def eventsReadStream(s: SparkSession, sfDir: String): DataFrame =
+    if (eventsTsIsNanos(s, sfDir)) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.readStream.schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else
+      s.readStream.schema(eventsMicrosSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

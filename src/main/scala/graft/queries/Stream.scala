@@ -127,8 +127,6 @@ object Stream extends QueryGroup {
         // full result tables in the shared session's memory
         val name = "wm_late_sink"
         s.catalog.dropTempView(name)
-        // must not depend on another query having set this first
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         // streaming-specific tuning, scoped to the stream and restored
         // after (r3 "What's wrong" #2 — the 3.7 s was stream overhead,
         // not data): (a) the stateful exchange pays per-state-partition
@@ -144,10 +142,7 @@ object Stream extends QueryGroup {
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
-          val raw = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val raw = Tables.eventsReadStream(s, d)
           val q = raw
             .withWatermark("ts", "30 minutes")
             .groupBy(window(col("ts"), "1 hour").getField("start")
@@ -186,16 +181,13 @@ object Stream extends QueryGroup {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         val name = "stateful_sink"
         s.catalog.dropTempView(name)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
-          val rows = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
+          val rows = Tables.eventsReadStream(s, d)
             .select(col("user_id"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
                 .as("cents"))
@@ -250,7 +242,6 @@ object Stream extends QueryGroup {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val name = "tws_sink"
         s.catalog.dropTempView(name)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProv = s.conf.get(provKey)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -261,11 +252,9 @@ object Stream extends QueryGroup {
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
-          val rows = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            // raw ts is int64 nanos; state carries exact unix micros
-            .select(col("user_id"), expr("ts div 1000").as("us"),
+          val rows = Tables.eventsReadStream(s, d)
+            // state carries exact unix micros
+            .select(col("user_id"), unix_micros(col("ts")).as("us"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
                 .as("cents"))
             .as[(Long, Long, Long)]
@@ -314,17 +303,13 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "ss_join_sink"
         s.catalog.dropTempView(name)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
-          def src() = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
             .withWatermark("c_ts", "30 minutes")
@@ -381,17 +366,13 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "ss_outer_sink"
         s.catalog.dropTempView(name)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         val cutoff = Tables.events(s, d)
           .agg((unix_micros(max(col("ts"))) - lit(2400000000L))
             .as("cut_us"))
         try {
-          def src() = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
             .withWatermark("c_ts", "30 minutes")
@@ -457,7 +438,6 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "ss_full_sink"
         s.catalog.dropTempView(name)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         val cutoff = Tables.events(s, d)
@@ -466,10 +446,7 @@ object Stream extends QueryGroup {
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
         try {
-          def src() = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
             .withWatermark("c_ts", "30 minutes")
@@ -540,14 +517,10 @@ object Stream extends QueryGroup {
         import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
         val name = "stateful_to_sink"
         s.catalog.dropTempView(name)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
-          val rows = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val rows = Tables.eventsReadStream(s, d)
             // delay 0: the watermark rides the max seen event time, so
             // the trailing no-data batch seals every session idle > gap
             .withWatermark("ts", "0 seconds")
@@ -606,7 +579,6 @@ object Stream extends QueryGroup {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val name = "tws_timer_sink"
         s.catalog.dropTempView(name)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val prevProv = s.conf.get(provKey)
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -614,10 +586,7 @@ object Stream extends QueryGroup {
           + "state.RocksDBStateStoreProvider")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
-          val rows = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val rows = Tables.eventsReadStream(s, d)
             .withWatermark("ts", "0 seconds")
             .select(col("user_id"), col("ts"))
             .as[(Long, java.sql.Timestamp)]
@@ -671,13 +640,10 @@ object Stream extends QueryGroup {
         val p = new org.apache.hadoop.fs.Path(out)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
-          val rows = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
+          val rows = Tables.eventsReadStream(s, d)
             .select(col("event_type"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
                 .as("cents"))
@@ -746,21 +712,13 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "dedup_wm_sink"
         s.catalog.dropTempView(name)
-        // Intentionally NOT restored (unlike the two confs below):
-        // nanosAsLong is session-global by design — Tables.events sets
-        // it on every batch read of the same fixture, so restoring it
-        // here would just flap the flag between queries.
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         val prevNoData = s.conf.get(
           "spark.sql.streaming.noDataMicroBatches.enabled")
         s.conf.set("spark.sql.shuffle.partitions", "4")
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try {
-          val rows = s.readStream.schema(Tables.eventsRawSchema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(d)
-            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val rows = Tables.eventsReadStream(s, d)
             .withWatermark("ts", "30 minutes")
             .select(col("user_id"), col("event_type"), col("ts"))
             .dropDuplicatesWithinWatermark("user_id", "event_type")
