@@ -61,6 +61,33 @@ object DistributedRank {
       .drop("_gr_total")
   }
 
+  /** Adds `_gr_psum` — the exact global running sum of `valueCol`
+    * (bigint) over the total `sortCols` order — via the same two-pass
+    * range-partition scheme as the ranks: per-partition sums prefix
+    * into start offsets (metadata-sized window), local running sums
+    * add the broadcast offset. No single-task global sort; the interval
+    * sweep-line primitive (concurrency counting, inventory balance)
+    * at fact-table scale. `sortCols` must be a total order.
+    */
+  def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      parts: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+      .withColumn("_gr_v", valueCol.cast("bigint"))
+    val wOff = Window.orderBy(col("_gr_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("_gr_pid"))
+      .agg(sum(col("_gr_v")).as("_gr_cnt"))
+      .select(col("_gr_pid"),
+        coalesce(sum(col("_gr_cnt")).over(wOff), lit(0L)).as("_gr_off"))
+    val wLocal = Window.partitionBy(col("_gr_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offsets), Seq("_gr_pid"))
+      .withColumn("_gr_psum", col("_gr_off") + sum(col("_gr_v")).over(wLocal))
+      .drop("_gr_pid", "_gr_v", "_gr_off")
+  }
+
   private def ranked(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
       parts: Int): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")

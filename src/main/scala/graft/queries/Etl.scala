@@ -165,6 +165,79 @@ object Etl extends QueryGroup {
         |ORDER BY kind, node""".stripMargin)),
 
     QueryDef(
+      // Multi-hop BFS (added r7): min-hop distance from one seed over
+      // the customer–supplier co-purchase graph (edges = distinct
+      // (o_custkey, l_suppkey) pairs, traversed both ways; nodes
+      // encoded 2k / 2k+1 so the two key spaces can share one BIGINT
+      // column). ConnectedComponents answers "which component"; BFS
+      // answers "how far" — the traversal primitive behind
+      // neighborhood joins and influence radii. Frontier expansion is
+      // a bounded loop of equi-join + anti-join per hop: every join
+      // keys on node ids (no cartesian anywhere), the edge list is
+      // localCheckpoint-ed ONCE so the 4 rounds re-read a materialized
+      // 2|E| table instead of re-running the orders⋈lineitem build,
+      // and visited/frontier checkpoint per round to keep lineage flat
+      // (the same discipline as ConnectedComponents.scala). At 100 TB
+      // the frontier join co-partitions with edges on the node key;
+      // hop counts are exact BIGINTs so the oracle compare is bitwise
+      // (the DuckDB twin unrolls the same 4 rounds as CTE stages).
+      "q_graph_bfs_hops",
+      (s, d) => {
+        import s.implicits._
+        val e0 = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sn"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
+          .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
+          .localCheckpoint()
+        var visited = Seq((2L, 0)).toDF("node", "hop")
+        var frontier = visited.select(col("node"))
+        for (h <- 1 to 4) {
+          val next = edges
+            .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("hop", lit(h))
+          frontier = next.select(col("node")).localCheckpoint()
+          visited = visited.unionByName(next).localCheckpoint()
+        }
+        visited.groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+          .orderBy(col("hop"))
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+        |         l_suppkey * 2 + 1 AS sn
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, sn AS dst FROM e0
+        |      UNION ALL SELECT sn, c FROM e0),
+        |v0 AS (SELECT 2::BIGINT AS node, 0 AS hop),
+        |h1 AS (SELECT DISTINCT dst AS node FROM e
+        |       JOIN v0 ON e.src = v0.node
+        |       WHERE dst NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM h1),
+        |h2 AS (SELECT DISTINCT dst AS node FROM e
+        |       JOIN h1 ON e.src = h1.node
+        |       WHERE dst NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM h2),
+        |h3 AS (SELECT DISTINCT dst AS node FROM e
+        |       JOIN h2 ON e.src = h2.node
+        |       WHERE dst NOT IN (SELECT node FROM v2)),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM h3),
+        |h4 AS (SELECT DISTINCT dst AS node FROM e
+        |       JOIN h3 ON e.src = h3.node
+        |       WHERE dst NOT IN (SELECT node FROM v3)),
+        |v4 AS (SELECT * FROM v3 UNION ALL SELECT node, 4 FROM h4)
+        |SELECT hop, COUNT(*)::BIGINT AS n_nodes,
+        |  MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM v4 GROUP BY hop ORDER BY hop""".stripMargin)),
+
+    QueryDef(
       // Declarative data-quality audit (added r7): the gate a pipeline
       // runs before trusting a new table drop, as a CHECK LIST compiled
       // to minimal passes (operators/DataChecks.scala) — all four

@@ -340,7 +340,111 @@ object Windows extends QueryGroup {
         |  COALESCE(max_gap_run, 0)::BIGINT AS max_gap_run,
         |  n_events
         |FROM base LEFT JOIN ga USING (event_type)
-        |ORDER BY event_type""".stripMargin))
+        |ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      // Cohort retention (added r7): the product-analytics staple —
+      // customers cohorted by their FIRST order month, then a
+      // (cohort, month-offset) matrix of how many come back. Two
+      // shuffles, both on real keys: the min-month agg keys on
+      // o_custkey (partial+final, map-side combine), and the matrix agg
+      // keys on (cohort, offset) after a custkey-keyed shuffle join of
+      // orders to their own cohort row — at 100 TB both sides of that
+      // join arrive hash-partitioned on o_custkey, so AQE plans a
+      // co-located join, never a broadcast of the customer universe.
+      // countDistinct(custkey) expands to Spark's standard two-phase
+      // distinct aggregate; every output column is an exact
+      // timestamp/integer, so the oracle compare is bitwise.
+      "q_win_cohort_retention",
+      (s, d) => {
+        val om = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            date_trunc("month", col("o_orderdate")).as("om"))
+        val cohort = om.groupBy(col("o_custkey"))
+          .agg(min(col("om")).as("cohort"))
+        om.join(cohort, Seq("o_custkey"))
+          .withColumn("offset_m",
+            months_between(col("om"), col("cohort")).cast(IntegerType))
+          .groupBy(col("cohort"), col("offset_m"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy(col("cohort"), col("offset_m"))
+      },
+      Some("""WITH om AS (SELECT o_custkey,
+        |         date_trunc('month', o_orderdate) AS om FROM orders),
+        |f AS (SELECT o_custkey, MIN(om) AS cohort FROM om GROUP BY 1)
+        |SELECT f.cohort,
+        |  datediff('month', f.cohort, om.om)::INT AS offset_m,
+        |  COUNT(DISTINCT om.o_custkey)::BIGINT AS n_cust
+        |FROM om JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // Interval sweep-line concurrency (added r7): peak simultaneous
+      // sessions per day — the capacity-planning question interval
+      // pair-joins cannot answer at scale (overlap PAIRS are O(n²) in
+      // a busy hour; the sweep line is O(n log n) total). Sessions
+      // (30-min gap, the q_stream_session contract) emit +1/-1 deltas
+      // at their endpoints; the running sum over the global
+      // (t, +1-before--1, user, sid) order IS the concurrency curve.
+      // The textbook form is an unpartitioned window — one task sorts
+      // the fact table, the r4 scale-killer — so the sum rides
+      // DistributedRank.withRunningSum: range-repartition on the sort
+      // key, per-partition sums prefix into broadcast offsets, local
+      // running sums finish independently. All-integer output, bitwise
+      // oracle (whose ROWS-window form states the same total order).
+      "q_ts_concurrency",
+      (s, d) => {
+        val us30 = 30L * 60 * 1000 * 1000
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(wOrd)
+        val sess = Tables.events(s, d)
+          .withColumn("brk", when(prev.isNull
+            || unix_micros(col("ts")) - unix_micros(prev) > us30, 1)
+            .otherwise(0))
+          .withColumn("sid", sum(col("brk")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        val deltas = sess.select(col("s_start").as("t"),
+            lit(1L).as("delta"), col("user_id"), col("sid"))
+          .unionByName(sess.select(col("s_end").as("t"),
+            lit(-1L).as("delta"), col("user_id"), col("sid")))
+          // +1 sorts before -1 at equal t: touching sessions count as
+          // concurrent, and a 1-event session peaks at its own instant
+          .withColumn("nd", -col("delta"))
+        graft.operators.DistributedRank.withRunningSum(deltas,
+            Seq(col("t"), col("nd"), col("user_id"), col("sid")),
+            col("delta"))
+          .groupBy(date_trunc("day", col("t")).as("day"))
+          .agg(max(col("_gr_psum")).as("max_conc"),
+            sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_start"),
+            sum(when(col("delta") === -1, 1L).otherwise(0L)).as("n_end"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH br AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |se AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM br),
+        |s AS (SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+        |      FROM se GROUP BY 1, 2),
+        |d AS (SELECT s_start AS t, 1::BIGINT AS delta, user_id, sid FROM s
+        |      UNION ALL
+        |      SELECT s_end, (-1)::BIGINT, user_id, sid FROM s),
+        |r AS (SELECT t, delta,
+        |    SUM(delta) OVER (ORDER BY t, -delta, user_id, sid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM d)
+        |SELECT date_trunc('day', t) AS day, MAX(conc)::BIGINT AS max_conc,
+        |  SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_start,
+        |  SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END)::BIGINT AS n_end
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private val ntileOracle =
