@@ -215,6 +215,73 @@ object LlmText extends QueryGroup {
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // Corpus-wide paragraph dedup (added r7): the C4/RefinedWeb step
+      // the doc-level dedup family can't do — boilerplate repeats at
+      // SUB-document granularity, so the unit is the paragraph (here:
+      // non-overlapping 10-token windows of the token-soup fixture),
+      // keep-first by (doc_id, position) corpus-wide. The keep-first
+      // winner per hash is ONE arg-min aggregate keyed on the
+      // paragraph hash (the q_dedup_exact discipline — never a window
+      // sort over the corpus, whose per-hash ORDER BY is the skew
+      // hazard the oracle's ROW_NUMBER form would hit at 100 TB). Two
+      // corpus shuffles total: instance rollup keyed on lang, winner
+      // agg keyed on the 60-bit hash. fp_sum (60-bit md5 of each KEPT
+      // paragraph, summed in DECIMAL(38,0) for the BIGINT-overflow
+      // headroom q_text_chunk documents) proves both engines kept the
+      // identical paragraph SET; n_kept attributes each hash group to
+      // its winner's language.
+      "q_dedup_paragraph",
+      (s, d) => {
+        val paras = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(lower(col("text")), " ").as("toks"))
+          .select(col("doc_id"), col("lang"),
+            posexplode(expr(
+              """transform(sequence(0, (size(toks) - 1) div 10),
+                | i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"""
+                .stripMargin)))
+          .toDF("doc_id", "lang", "p", "para")
+          .withColumn("h",
+            expr("conv(substring(md5(para), 1, 15), 16, 10)"))
+        val inst = paras.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_paras"))
+        // keep-first order key: (doc_id, p) packed into one BIGINT
+        // (p < 100000 by construction — docs are KiB, not 10^6 tokens)
+        val kept = paras
+          .withColumn("ord", col("doc_id") * 100000L + col("p"))
+          .groupBy(col("h"))
+          .agg(min_by(col("lang"), col("ord")).as("lang"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("h").cast(DecimalType(38, 0))).as("fp_sum"))
+        inst.join(kept, Seq("lang"))
+          .select(col("lang"), col("n_paras"), col("n_kept"),
+            (col("n_paras") - col("n_kept")).as("n_dropped_instances"),
+            col("fp_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH paras AS (
+        |  SELECT doc_id, lang, i AS p,
+        |    array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS para
+        |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        |        FROM documents),
+        |    UNNEST(range(0, (len(toks) - 1) // 10 + 1)) AS u(i)),
+        |ph AS (SELECT doc_id, lang, p,
+        |         ('0x' || substr(md5(para), 1, 15))::BIGINT AS h
+        |       FROM paras),
+        |inst AS (SELECT lang, COUNT(*)::BIGINT AS n_paras
+        |         FROM ph GROUP BY 1),
+        |winner AS (SELECT h, arg_min(lang, doc_id * 100000 + p) AS lang
+        |           FROM ph GROUP BY h),
+        |kept AS (SELECT lang, COUNT(*)::BIGINT AS n_kept,
+        |           CAST(SUM(h::DECIMAL(38,0)) AS DECIMAL(38,0)) AS fp_sum
+        |         FROM winner GROUP BY 1)
+        |SELECT i.lang, n_paras, n_kept,
+        |  n_paras - n_kept AS n_dropped_instances, fp_sum
+        |FROM inst i JOIN kept USING (lang)
+        |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       "q_dedup_simhash",
       (s, d) => {
         // md5 once per exploded token row; the aggregation boundary keeps
@@ -338,6 +405,75 @@ object LlmText extends QueryGroup {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
         |ORDER BY a, b""".stripMargin)),
+
+    QueryDef(
+      // Semantic dedup, SemDeDup-shaped (added r7): cluster the
+      // embedding space into 16 data-derived centroid cells (the 16
+      // lowest vec_ids — deterministic on both engines), then dedup
+      // only WITHIN cells: a vector is dropped when an earlier (lower
+      // id) cell-mate sits within the cosine threshold (0.35 —
+      // calibrated to the fixture's near-orthogonal synthetic
+      // embeddings; production text embeddings would use ~0.95+).
+      // This is the published SemDeDup factorization of the O(n²)
+      // semantic-pair problem: pair joins run per cell (Σ n_c² work,
+      // centroids broadcast), never corpus × corpus — the same
+      // argument as q_sim_ann_ivf, but driving a KEEP/DROP decision
+      // instead of a top-k. The shadow rule (dropped iff ANY earlier
+      // cell-mate within θ) is order-free and parallel, unlike greedy
+      // sequential SemDeDup — and therefore oracle-checkable. Per
+      // cell: n, n_dropped, kept-id sum (the kept-set fingerprint).
+      "q_dedup_semantic",
+      (s, d) => {
+        graft.functions.FloatDot.register(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("emb"))
+          .withColumn("nrm", expr("sqrt(fdot(emb, emb))"))
+        val cent = e.orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+            col("nrm").as("cnrm"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("cos_c",
+            expr("fdot(emb, cemb)") / (col("nrm") * col("cnrm")))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cid"), -col("cos_c")).as("cell"),
+            first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
+        val a = assigned.select(col("cell"), col("vec_id").as("a"),
+          col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = assigned.select(col("cell").as("cell_b"),
+          col("vec_id").as("b"), col("emb").as("emb_b"),
+          col("nrm").as("nrm_b"))
+        val shadowed = a
+          .join(b, col("cell") === col("cell_b") && col("a") < col("b"))
+          .filter(expr("fdot(emb_a, emb_b)")
+            / (col("nrm_a") * col("nrm_b")) >= 0.35)
+          .select(col("b").as("vec_id")).distinct()
+          .withColumn("dropped", lit(1L))
+        assigned.join(shadowed, Seq("vec_id"), "left")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+            sum(when(col("dropped").isNull, col("vec_id")))
+              .as("kept_id_sum"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+        |         ORDER BY vec_id LIMIT 16),
+        |a AS (SELECT e.vec_id, e.emb,
+        |        arg_min(c.cid, -list_cosine_similarity(e.emb, c.cemb))
+        |          AS cell
+        |      FROM e CROSS JOIN cent c GROUP BY e.vec_id, e.emb),
+        |sh AS (SELECT DISTINCT y.vec_id
+        |       FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |       WHERE list_cosine_similarity(x.emb, y.emb) >= 0.35)
+        |SELECT a.cell, COUNT(*)::BIGINT AS n,
+        |  SUM(CASE WHEN sh.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dropped,
+        |  SUM(CASE WHEN sh.vec_id IS NULL THEN a.vec_id END)::BIGINT
+        |    AS kept_id_sum
+        |FROM a LEFT JOIN sh USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QueryDef(
       "q_multimodal_binary",

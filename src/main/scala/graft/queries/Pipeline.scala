@@ -278,6 +278,102 @@ object Pipeline extends QueryGroup {
         |WHERE r <= 10 ORDER BY lang, r""".stripMargin)),
 
     QueryDef(
+      // BM25 retrieval scoring (added r7): the ranking function behind
+      // keyword search / RAG candidate retrieval — top-20 documents for
+      // a 3-term probe query, scored sum_t idf(t) * tf*(k1+1) /
+      // (tf + k1*(1-b+b*dl/avgdl)) with k1=1.2, b=0.75. Determinism by
+      // construction instead of by tolerance: idf uses the
+      // multiplicative Robertson form (N-df+0.5)/(df+0.5) — no ln, so
+      // no libm ulp — every input is an exact BIGINT and both engines
+      // evaluate the IDENTICAL IEEE expression tree; the 3 per-term
+      // scores land in separate max-of-one-row columns and sum in
+      // fixed left-to-right order, so float association cannot drift
+      // the ranking. Shuffles key on (doc_id, tok) / tok — the
+      // inverted-index shape, never doc x doc; df and the corpus
+      // scalars are broadcast; top-20 is TakeOrdered (no global sort
+      // materialized). At 100 TB the tf rows for 3 probe terms are df-
+      // bounded — the posting lists, not the corpus.
+      "q_text_bm25",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        val probes = Seq("spark", "merge", "window")
+        val dl = tok.groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("dl"))
+        val tf = tok.filter(col("tok").isin(probes: _*))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfc = tok.filter(col("tok").isin(probes: _*))
+          .select(col("doc_id"), col("tok")).distinct()
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val scalars = docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(tok.agg(count(lit(1)).as("n_tok")))
+        val sterm = tf.join(broadcast(dfc), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(scalars))
+          .withColumn("avgdl",
+            col("n_tok").cast(DoubleType) / col("n_docs"))
+          .withColumn("sc",
+            ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+              * ((col("tf") * lit(2.2))
+                / (col("tf") + lit(1.2)
+                  * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+        def tfOf(t: String) = coalesce(
+          max(when(col("tok") === t, col("tf"))), lit(0L))
+        def scOf(t: String) = coalesce(
+          max(when(col("tok") === t, col("sc"))), lit(0.0))
+        sterm.groupBy(col("doc_id"))
+          .agg(first(col("lang")).as("lang"), first(col("dl")).as("dl"),
+            tfOf("spark").as("tf_spark"), tfOf("merge").as("tf_merge"),
+            tfOf("window").as("tf_window"),
+            (scOf("spark") + scOf("merge") + scOf("window")).as("score_raw"))
+          .orderBy(col("score_raw").desc, col("doc_id").asc)
+          .limit(20)
+          .select(col("doc_id"), col("lang"), col("dl"), col("tf_spark"),
+            col("tf_merge"), col("tf_window"),
+            round(col("score_raw"), 4).as("score"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |       FROM documents),
+        |dl AS (SELECT doc_id, lang, COUNT(*)::BIGINT AS dl
+        |       FROM tok GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM tok
+        |       WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok
+        |       WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1),
+        |gs AS (SELECT (SELECT COUNT(*)::BIGINT FROM documents) AS n_docs,
+        |              (SELECT COUNT(*)::BIGINT FROM tok) AS n_tok),
+        |sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+        |         ((gs.n_docs - df.df + 0.5::DOUBLE)
+        |            / (df.df + 0.5::DOUBLE))
+        |         * ((tf.tf * 2.2::DOUBLE)
+        |            / (tf.tf + 1.2::DOUBLE
+        |               * (0.25::DOUBLE + 0.75::DOUBLE
+        |                  * (dl.dl / (CAST(gs.n_tok AS DOUBLE)
+        |                              / gs.n_docs))))) AS sc
+        |       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        |       CROSS JOIN gs),
+        |agg AS (SELECT doc_id,
+        |          COALESCE(MAX(CASE WHEN tok = 'spark' THEN tf END), 0)
+        |            ::BIGINT AS tf_spark,
+        |          COALESCE(MAX(CASE WHEN tok = 'merge' THEN tf END), 0)
+        |            ::BIGINT AS tf_merge,
+        |          COALESCE(MAX(CASE WHEN tok = 'window' THEN tf END), 0)
+        |            ::BIGINT AS tf_window,
+        |          COALESCE(MAX(CASE WHEN tok = 'spark' THEN sc END),
+        |              0.0::DOUBLE)
+        |            + COALESCE(MAX(CASE WHEN tok = 'merge' THEN sc END),
+        |              0.0::DOUBLE)
+        |            + COALESCE(MAX(CASE WHEN tok = 'window' THEN sc END),
+        |              0.0::DOUBLE) AS score_raw
+        |        FROM sc GROUP BY doc_id)
+        |SELECT a.doc_id, d.lang, d.dl, tf_spark, tf_merge, tf_window,
+        |  ROUND(score_raw, 4) AS score
+        |FROM agg a JOIN dl d USING (doc_id)
+        |ORDER BY score_raw DESC, a.doc_id ASC LIMIT 20""".stripMargin)),
+
+    QueryDef(
       // Bigram-LM quality scoring (added r6): per-document
       // cross-entropy under a per-language add-one-smoothed bigram
       // model fit on the corpus itself — the classic cheap perplexity
@@ -504,6 +600,55 @@ object Pipeline extends QueryGroup {
         |    * LN(((ca + 1)::DOUBLE / (na + k))
         |         / ((cb + 1)::DOUBLE / (nb + k)))), 4) AS psi
         |FROM pb JOIN tot USING (cmp)
-        |GROUP BY pb.cmp ORDER BY pb.cmp""".stripMargin))
+        |GROUP BY pb.cmp ORDER BY pb.cmp""".stripMargin)),
+
+    QueryDef(
+      // Robust outlier detection via median/MAD (added r7): the
+      // anomaly gate that mean/stddev can't provide (both are dragged
+      // by the very outliers being hunted) — per event_type, flag
+      // values beyond 3 MADs from the median. Exact medians on both
+      // engines (Spark `percentile`, DuckDB `quantile_cont` — the same
+      // lower + (higher-lower)*frac interpolation on the same sorted
+      // doubles, so med/MAD are bit-identical and the 3-MAD gate needs
+      // no tolerance; subtraction/abs/compare are all single IEEE
+      // ops). Three passes over events, each one shuffle keyed on
+      // event_type with the 5-row med/MAD frames broadcast back — at
+      // 100 TB you'd swap the exact percentile for the KLL sketch
+      // (q_agg_kll_reaggregate) and keep this plan shape; this is the
+      // exact twin that validates it.
+      "q_ts_anomaly_mad",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val mad = ev.join(broadcast(med), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+            first(col("med")).as("med"))
+        ev.join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("value") - col("med"))
+              > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outlier"),
+            round(first(col("med")), 4).as("med"),
+            round(first(col("mad")), 4).as("mad"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (SELECT event_type,
+        |         quantile_cont(value, 0.5) AS med
+        |       FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |          quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+        |          ANY_VALUE(m.med) AS med
+        |        FROM events e JOIN med m USING (event_type)
+        |        GROUP BY 1)
+        |SELECT e.event_type, COUNT(*)::BIGINT AS n,
+        |  SUM(CASE WHEN abs(e.value - m.med) > 3.0::DOUBLE * m.mad
+        |           THEN 1 ELSE 0 END)::BIGINT AS n_outlier,
+        |  ROUND(ANY_VALUE(m.med), 4) AS med,
+        |  ROUND(ANY_VALUE(m.mad), 4) AS mad
+        |FROM events e JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
