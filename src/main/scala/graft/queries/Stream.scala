@@ -734,6 +734,59 @@ object Stream extends QueryGroup {
         s.table(name).orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT DISTINCT user_id, event_type
-        |FROM events ORDER BY user_id, event_type""".stripMargin))
+        |FROM events ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef(
+      // Stream–static enrichment join (added r7): the most common
+      // streaming topology in production — a fact stream joined to a
+      // slowly-changing dimension table, here events enriched with the
+      // customer's market segment, then windowed counts per
+      // (segment, hour). The static side is a bounded DataFrame inside
+      // a streaming plan: Spark plans it as a per-micro-batch
+      // broadcast build (no state store rows for the dim side — unlike
+      // stream–stream joins this join is STATELESS beyond the agg),
+      // which is exactly the 100 TB shape: the dim table broadcasts
+      // once per batch, the stream never shuffles for the join, and
+      // the only stateful operator is the windowed count keyed on
+      // (segment, window). Complete-mode replay over the fixture makes
+      // the drained sink equal the batch join — the oracle; inner-join
+      // semantics drop events whose user_id has no customer row (none
+      // here: the fixture's user ids are a subset of custkeys, which
+      // the row-count equality proves).
+      "q_stream_static_join",
+      (s, d) => {
+        val name = "stream_static_sink"
+        s.catalog.dropTempView(name)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val dim = broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")))
+          val q = Tables.eventsReadStream(s, d)
+            .join(dim, col("user_id") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"),
+              window(col("ts"), "1 hour").getField("start").as("win_start"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(14, 2))).cast(DoubleType)
+                .as("sum_val"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        s.table(name).orderBy(col("c_mktsegment"), col("win_start"))
+      },
+      Some("""SELECT c.c_mktsegment,
+        |  time_bucket(INTERVAL '1 hour', e.ts) AS win_start,
+        |  COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_val
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -295,4 +295,64 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 4, p)
     assert(!p.contains("hashpartitioning(o_custkey"), p)
   }
+
+  test("q_text_bm25 joins posting lists hash-keyed; top-20 never global-sorts") {
+    val p = plan("q_text_bm25")
+    // df is a 3-row broadcast; tf/dl join on doc_id; the only
+    // nested-loop is the 1-row corpus-scalar frame
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_win_cohort_retention joins orders to cohorts key-equi, no cartesian") {
+    val p = plan("q_win_cohort_retention")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two-phase distinct aggregate over (cohort, offset)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_ts_anomaly_mad broadcasts the 5-row med/MAD frames") {
+    val p = plan("q_ts_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_graph_bfs_hops expands frontiers by equi join only") {
+    val p = plan("q_graph_bfs_hops")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_paragraph keeps-first by hash aggregate, never a corpus window") {
+    val p = plan("q_dedup_paragraph")
+    // the ROW_NUMBER-over-hash form the oracle states would sort every
+    // hash partition; the plan must be pure hash aggregates
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_semantic pairs join on the cell key; only centroids nest-loop") {
+    val p = plan("q_dedup_semantic")
+    // the 16-row centroid frame rides a broadcast nested loop (that IS
+    // the crossJoin); the quadratic risk — vector x vector — must be a
+    // cell-keyed equi join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ts_concurrency running sum rides a range exchange, not one task") {
+    val p = plan("q_ts_concurrency")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(_gr_pid"), p)
+    // an unpartitioned running sum over the deltas would put the sweep
+    // key `t` inside an un-keyed window spec
+    assert(!p.contains("windowspecdefinition(t#"), p)
+  }
 }
