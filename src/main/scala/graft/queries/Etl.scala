@@ -198,13 +198,19 @@ object Etl extends QueryGroup {
         var visited = Seq((2L, 0)).toDF("node", "hop")
         var frontier = visited.select(col("node"))
         for (h <- 1 to 4) {
+          // checkpoint `next` ONCE — frontier and visited both read the
+          // materialized hop (checkpointing their derivations instead
+          // would recompute the round's join chain twice), and visited
+          // stays a lazy union of checkpointed hops: lineage depth is
+          // O(rounds) of plain scans, no re-execution anywhere
           val next = edges
             .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
             .select(col("dst").as("node")).distinct()
             .join(visited, Seq("node"), "left_anti")
             .withColumn("hop", lit(h))
-          frontier = next.select(col("node")).localCheckpoint()
-          visited = visited.unionByName(next).localCheckpoint()
+            .localCheckpoint()
+          frontier = next.select(col("node"))
+          visited = visited.unionByName(next)
         }
         visited.groupBy(col("hop"))
           .agg(count(lit(1)).as("n_nodes"),

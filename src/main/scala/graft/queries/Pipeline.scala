@@ -299,15 +299,16 @@ object Pipeline extends QueryGroup {
         val tok = docs.select(col("doc_id"), col("lang"),
           explode(split(lower(col("text")), " ")).as("tok"))
         val probes = Seq("spark", "merge", "window")
+        // exactly two corpus tokenization passes: dl (all tokens) and
+        // tf (probe-filtered); df and the corpus scalars derive from
+        // those aggregates — df = docs holding a tf row, n_tok = Σ dl
         val dl = tok.groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("dl"))
         val tf = tok.filter(col("tok").isin(probes: _*))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        val dfc = tok.filter(col("tok").isin(probes: _*))
-          .select(col("doc_id"), col("tok")).distinct()
-          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val scalars = docs.agg(count(lit(1)).as("n_docs"))
-          .crossJoin(tok.agg(count(lit(1)).as("n_tok")))
+        val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val scalars = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("n_tok"))
         val sterm = tf.join(broadcast(dfc), Seq("tok"))
           .join(dl, Seq("doc_id"))
           .crossJoin(broadcast(scalars))
