@@ -202,4 +202,34 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("distributed running sum equals the single-window form, any parts") {
+    import spark.implicits._
+    // duplicate sort keys on purpose: (k, id) is the total order, and
+    // the range partitioner may split anywhere — including between
+    // equal k values on different ids
+    val rowsGen2: Gen[List[(Long, Long, Long)]] = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 100000L),
+        Gen.chooseNum(-5L, 5L)))
+    cases(rowsGen2, 4).foreach { rows =>
+      val df = rows.distinctBy(t => (t._1, t._2)).toDF("k", "id", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"k", $"id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val ref = df.withColumn("ps", sum($"v").over(w))
+        .select($"k", $"id", $"ps")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      Seq(1, 3, 8).foreach { parts =>
+        val got = graft.operators.DistributedRank
+          .withRunningSum(df, Seq($"k", $"id"), $"v", parts)
+          .select($"k", $"id", $"_gr_psum")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        assert(got == ref, s"parts=$parts")
+      }
+    }
+  }
 }
