@@ -194,6 +194,45 @@ object Aggs extends QueryGroup {
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      // Equi-DEPTH histogram (added r7): q_agg_histogram's twin with
+      // data-driven boundaries — 8 buckets of (near-)equal row count
+      // over l_extendedprice, the layout the optimizer statistics and
+      // skew diagnostics actually want (equi-WIDTH buckets collapse
+      // under skew). The bucket assignment is global NTILE, which is
+      // exactly the single-task-sort hazard q_win_ntile_distributed
+      // solved — so the plan routes through DistributedRank (range
+      // repartition + broadcast prefix offsets) and the fact table
+      // never funnels through one task. (l_orderkey, l_linenumber)
+      // breaks ties into a total order, making NTILE — and the
+      // per-bucket min/max/sum — a pure function of the data.
+      "q_agg_histogram_equidepth",
+      (s, d) => {
+        val ranked = graft.operators.DistributedRank.withRankCols(
+          Tables.lineitem(s, d)
+            .select(col("l_extendedprice"), col("l_orderkey"),
+              col("l_linenumber")),
+          Seq(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber")),
+          numBuckets = 8)
+        ranked.groupBy(col("nt").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_extendedprice")).as("lo"),
+            max(col("l_extendedprice")).as("hi"),
+            sum(col("l_extendedprice").cast(DecimalType(14, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT nt AS bucket, COUNT(*)::BIGINT AS n,
+        | MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM (SELECT l_extendedprice,
+        |        NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                       l_linenumber) AS nt
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       // mergeable quantile sketch (the second sketch family member
       // next to HLL): per return flag, approx p25/p50/p75/p99 of
       // extended price. At 100 TB this is THE percentiles plan — the

@@ -1015,6 +1015,77 @@ object Etl extends QueryGroup {
         |  COUNT(*)::BIGINT AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  MIN(gen)::BIGINT AS min_gen, MAX(gen)::BIGINT AS max_gen
-        |FROM u GROUP BY flag ORDER BY flag""".stripMargin))
+        |FROM u GROUP BY flag ORDER BY flag""".stripMargin)),
+
+    QueryDef(
+      // Right-to-be-forgotten delete cascade (added r7): the data-
+      // lifecycle op GDPR/CCPA forces on every warehouse — a deletion
+      // request set (here: customers whose md5(custkey) lands in a 5%
+      // hash slice, the fixture stand-in for an erasure queue)
+      // propagated through the foreign-key chain customer → orders →
+      // lineitem, with the audit a DPO actually signs off on: per
+      // order status, rows before / deleted / after at each level,
+      // plus the orphan check (surviving lineitems whose order was
+      // deleted — must be 0). Deletion keys stay a TABLE joined
+      // LEFT ANTI / LEFT SEMI on the key columns — at 100 TB the
+      // request set is millions of rows (broadcast-unsafe) and the
+      // anti join shuffles key-partitioned, linear in each table.
+      // The cascade never rewrites data here (the write surfaces are
+      // q_etl_partition_overwrite / compaction); this is the pure
+      // deletion-set algebra, exact-count auditable.
+      "q_etl_delete_cascade",
+      (s, d) => {
+        val del = Tables.customer(s, d)
+          .filter(expr(
+            "cast(conv(substring(md5(cast(c_custkey as string)), 1, 2), 16, 10) as int) % 20 = 0"))
+          .select(col("c_custkey"))
+        val orders = Tables.orders(s, d)
+        val keptOrders = orders.join(del,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        val li = Tables.lineitem(s, d)
+        val keptLi = li.join(keptOrders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val perStatus = orders.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders_before"))
+        val perStatusAfter = keptOrders.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders_after"))
+        val liTotals = li.agg(count(lit(1)).as("n_li_before"))
+          .crossJoin(keptLi.agg(count(lit(1)).as("n_li_after")))
+          // orphans: surviving lineitems whose order died — 0 by
+          // construction, and the audit proves it
+          .crossJoin(keptLi.join(keptOrders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans")))
+        perStatus.join(perStatusAfter, Seq("o_orderstatus"))
+          .crossJoin(broadcast(liTotals))
+          .select(col("o_orderstatus"), col("n_orders_before"),
+            (col("n_orders_before") - col("n_orders_after"))
+              .as("n_orders_deleted"),
+            col("n_orders_after"), col("n_li_before"), col("n_li_after"),
+            col("n_orphans"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH del AS (SELECT c_custkey FROM customer
+        |  WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 2))::INTEGER
+        |        % 20 = 0),
+        |ko AS (SELECT * FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM del)),
+        |kl AS (SELECT * FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM ko)),
+        |tot AS (SELECT
+        |    (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_li_before,
+        |    (SELECT COUNT(*) FROM kl)::BIGINT AS n_li_after,
+        |    (SELECT COUNT(*) FROM kl
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ko))::BIGINT
+        |      AS n_orphans),
+        |b AS (SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders_before
+        |      FROM orders GROUP BY 1),
+        |a AS (SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders_after
+        |      FROM ko GROUP BY 1)
+        |SELECT b.o_orderstatus, n_orders_before,
+        |  n_orders_before - n_orders_after AS n_orders_deleted,
+        |  n_orders_after, n_li_before, n_li_after, n_orphans
+        |FROM b JOIN a USING (o_orderstatus) CROSS JOIN tot
+        |ORDER BY b.o_orderstatus""".stripMargin))
   )
 }

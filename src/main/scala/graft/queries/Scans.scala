@@ -191,6 +191,39 @@ object Scans extends QueryGroup {
         |ORDER BY n_name, bal DESC, c_name""".stripMargin)),
 
     QueryDef(
+      // SQL-text lane, PIVOT syntax (added r7): the relational
+      // rotate through the PARSER — q_pivot exercises the DSL
+      // `.pivot()`, but warehouse users write `PIVOT ... FOR ... IN`;
+      // both plan the identical single-pass conditional aggregate
+      // (one shuffle on the group key, one CASE-sum per pivot value —
+      // never a per-value scan), which the oracle states explicitly
+      // as GROUP BY + FILTERed sums. Decimal-exact sums, doubles only
+      // at the output cast.
+      "q_sql_pivot",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("q_pvt_lineitem")
+        try s.sql("""SELECT * FROM (
+          |  SELECT l_returnflag, l_linestatus,
+          |    CAST(l_quantity AS DECIMAL(14,2)) AS qty
+          |  FROM q_pvt_lineitem)
+          |PIVOT (CAST(SUM(qty) AS DOUBLE) AS sq, COUNT(*) AS n
+          |       FOR l_linestatus IN ('O' AS o, 'F' AS f))
+          |ORDER BY l_returnflag""".stripMargin)
+        finally s.catalog.dropTempView("q_pvt_lineitem")
+      },
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(14,2)) END)
+        |       AS DOUBLE) AS o_sq,
+        |  COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END)::BIGINT AS o_n,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(14,2)) END)
+        |       AS DOUBLE) AS f_sq,
+        |  COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT AS f_n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
       "q_scan_project_filter",
       (s, d) => {
         val li = Tables.lineitem(s, d)

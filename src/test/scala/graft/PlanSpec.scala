@@ -347,6 +347,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_agg_histogram_equidepth ntiles via range exchange, not one task") {
+    val p = plan("q_agg_histogram_equidepth")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("windowspecdefinition(_gr_pid"), p)
+    assert(!p.contains("windowspecdefinition(l_extendedprice"), p)
+  }
+
+  test("q_etl_delete_cascade propagates deletes by anti/semi join") {
+    val p = plan("q_etl_delete_cascade")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_ts_concurrency running sum rides a range exchange, not one task") {
     val p = plan("q_ts_concurrency")
     assert(p.contains("rangepartitioning"), p)
