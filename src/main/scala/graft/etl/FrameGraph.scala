@@ -220,24 +220,46 @@ object FrameGraph {
       .distinct()
     // same edge-side broadcast policy as composePath/composeFromRoot:
     // frame graphs are metadata-sized so shipping the deduplicated edge
-    // set per hop is the default, but a caller validating an edge table
-    // too large to collect must be able to opt into a shuffle join
-    // instead of OOMing the driver (ADVICE r4)
+    // set is the default, but a caller validating an edge table too
+    // large to collect must be able to opt into a shuffle join instead
+    // of OOMing the driver (ADVICE r4)
     val dedupEdges = e
       .select(col("_v_src").as("_s_src"), col("_v_dst").as("_s_dst"))
       .distinct()
     val step = if (broadcastEdges) broadcast(dedupEdges) else dedupEdges
-    var frontier = dedupEdges
+    // Cycle probe by path DOUBLING (r7): R holds all reachable
+    // (origin, cur) pairs with path length <= len; R ∪ (R ∘ R) lifts
+    // len to 2*len because every intermediate length already exists in
+    // R, so log2(maxHops) rounds replace maxHops-1 frontier steps
+    // (3 chained join+distinct stages instead of 7 at the contract's
+    // maxHops = 8; remainder hops finish with single edge steps when
+    // maxHops isn't a power of two). The old stepping already carried
+    // every origin — doubling changes the round count, not the
+    // asymptotics. Each round localCheckpoints so the self-join reads
+    // a materialized table rather than doubling the lineage; a cycle
+    // within maxHops is then exactly an (origin, origin) pair.
+    var reach = dedupEdges
       .select(col("_s_src").as("origin"), col("_s_dst").as("cur"))
-    var hits = frontier.filter(col("origin") === col("cur"))
-    for (_ <- 2 to maxHops) {
-      frontier = frontier
-        .join(step, col("cur") === col("_s_src"))
-        .select(col("origin"), col("_s_dst").as("cur"))
-        .distinct()
-      hits = hits.unionByName(frontier.filter(col("origin") === col("cur")))
+      .localCheckpoint()
+    var len = 1
+    while (len < maxHops) {
+      if (len * 2 <= maxHops) {
+        val rr = reach.select(col("origin").as("_m_src"),
+          col("cur").as("_m_cur"))
+        reach = reach.unionByName(
+            reach.join(rr, col("cur") === col("_m_src"))
+              .select(col("origin"), col("_m_cur").as("cur")))
+          .distinct().localCheckpoint()
+        len *= 2
+      } else {
+        reach = reach.unionByName(
+            reach.join(step, col("cur") === col("_s_src"))
+              .select(col("origin"), col("_s_dst").as("cur")))
+          .distinct().localCheckpoint()
+        len += 1
+      }
     }
-    val cycles = hits
+    val cycles = reach.filter(col("origin") === col("cur"))
       .select(lit("cycle").as("kind"), col("origin").as("node")).distinct()
     multi.unionByName(dup).unionByName(selfLoop).unionByName(cycles)
   }
