@@ -402,4 +402,32 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(streamed == batch)
   }
+
+  test("stream-static join enriches each micro-batch from the static dim") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // epoch proof for q_stream_static_join's topology: the dim row is
+    // resolved per batch (STATELESS join — a key arriving in a later
+    // epoch still finds it), and stream keys missing from the dim drop
+    val dim = Seq((1L, "gold"), (2L, "steel")).toDF("k", "seg")
+    val ms = MemoryStream[(Long, Long)] // (k, v)
+    val q = ms.toDF().toDF("k", "v")
+      .join(broadcast(dim), Seq("k"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_spec").start()
+    try {
+      ms.addData((1L, 10L), (3L, 99L)) // 3 has no dim row -> dropped
+      q.processAllAvailable()
+      ms.addData((2L, 20L), (1L, 30L)) // later epoch still enriches
+      q.processAllAvailable()
+      val got = spark.table("ss_join_spec")
+        .select($"k", $"v", $"seg").as[(Long, Long, String)]
+        .collect().sorted.toSeq
+      assert(got == Seq((1L, 10L, "gold"), (1L, 30L, "gold"),
+        (2L, 20L, "steel")), got)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ss_join_spec")
+    }
+  }
 }
