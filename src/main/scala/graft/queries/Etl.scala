@@ -1086,6 +1086,45 @@ object Etl extends QueryGroup {
         |  n_orders_before - n_orders_after AS n_orders_deleted,
         |  n_orders_after, n_li_before, n_li_after, n_orphans
         |FROM b JOIN a USING (o_orderstatus) CROSS JOIN tot
-        |ORDER BY b.o_orderstatus""".stripMargin))
+        |ORDER BY b.o_orderstatus""".stripMargin)),
+
+    QueryDef(
+      // Observation metrics (added r7): the `df.observe(...)` API — a
+      // pipeline's audit counters (row count, exact sum, violation
+      // tally) collected ON the main action's single pass, the
+      // production alternative to re-scanning the table per metric
+      // (which is what a separate audit query costs; DataChecks'
+      // one-pass compiler is the declarative cousin). The noop-format
+      // write is the action that drains every partition; the observed
+      // map is accumulator-backed — constant bytes to the driver, no
+      // extra job, no extra scan. The emitted row re-states the
+      // metrics as plain columns; the oracle computes them the boring
+      // way, proving the ride-along pass lost nothing.
+      "q_etl_observe",
+      (s, d) => {
+        import s.implicits._
+        val obs = new org.apache.spark.sql.Observation()
+        val li = Tables.lineitem(s, d).observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(14, 2))).as("sum_qty"),
+          count(when(col("l_discount") > 0.06, 1)).as("n_hi_disc"),
+          // DISTINCT aggregates are rejected by observe (accumulator
+          // metrics must be merge-only) — max is the bounds audit
+          max(col("l_extendedprice")).as("max_price"))
+        li.write.mode("overwrite").format("noop").save()
+        val m = obs.get
+        Seq((m("n_rows").asInstanceOf[Long],
+            m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue(),
+            m("n_hi_disc").asInstanceOf[Long],
+            m("max_price").asInstanceOf[Double]))
+          .toDF("n_rows", "sum_qty", "n_hi_disc", "max_price")
+      },
+      Some("""SELECT COUNT(*)::BIGINT AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  COUNT(CASE WHEN l_discount > 0.06 THEN 1 END)::BIGINT
+        |    AS n_hi_disc,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin))
   )
 }

@@ -112,6 +112,39 @@ object Funcs extends QueryGroup {
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      // Spark 4 VARIANT path (added r7): the engine's binary
+      // semi-structured type beside q_json_funcs' string-path twin —
+      // parse_json materializes the variant encoding ONCE, then typed
+      // extraction (variant_get) and schema introspection
+      // (schema_of_variant) run on the binary form, the plan
+      // production uses when the same JSON column feeds many
+      // extractions (string re-parsing per path is the anti-pattern).
+      // n_schemas proves the corpus is structurally uniform via
+      // introspection (engines render schema strings differently, so
+      // the compare is the COUNT, never the text). Map-only until the
+      // per-type aggregate — one shuffle on event_type.
+      "q_json_variant",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"), expr("parse_json(props)").as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("schema_of_variant(v)").as("sch"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          countDistinct(col("sch")).as("n_schemas"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n,
+        | SUM(k)::BIGINT AS sum_k, MIN(k)::BIGINT AS min_k,
+        | MAX(k)::BIGINT AS max_k,
+        | COUNT(DISTINCT sch)::BIGINT AS n_schemas
+        |FROM (SELECT event_type,
+        |        json_extract(props, '$.k')::BIGINT AS k,
+        |        json_structure(props::JSON)::VARCHAR AS sch
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
       "q_pivot",
       (s, d) => {
         val types = Seq("click", "view", "purchase", "signup", "error")
