@@ -403,6 +403,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("a stopped stream resumes from its checkpoint exactly-once") {
+    import spark.implicits._
+    // the restart contract production relies on: offsets + state live in
+    // the checkpoint, so a second start() neither re-reads batch-1 files
+    // (no duplicates) nor misses files that arrived while stopped
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_spec").toFile
+    val src = new java.io.File(dir, "in"); src.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    def write(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "v").coalesce(1).write.mode("append")
+        .parquet(s"$src/$name")
+    def start() = spark.readStream
+      .schema("k LONG, v LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${src.getAbsolutePath}/*")
+      .groupBy($"k").agg(sum($"v").as("s"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("ckpt_spec_sink").start()
+    try {
+      write("b1", Seq((1L, 10L), (2L, 20L)))
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      write("b2", Seq((1L, 5L)))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        val got = spark.table("ckpt_spec_sink")
+          .as[(Long, Long)].collect().sorted.toSeq
+        // duplicates would make k=1 -> 25 into 35; a missed b2 -> 10
+        assert(got == Seq((1L, 15L), (2L, 20L)), got)
+      } finally q2.stop()
+    } finally {
+      spark.catalog.dropTempView("ckpt_spec_sink")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("stream-static join enriches each micro-batch from the static dim") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
