@@ -431,12 +431,18 @@ object LlmText extends QueryGroup {
         val cent = e.orderBy(col("vec_id")).limit(16)
           .select(col("vec_id").as("cid"), col("emb").as("cemb"),
             col("nrm").as("cnrm"))
+        // materialized ONCE: the pair join reads `assigned` twice and
+        // the rollup a third time, and Catalyst does not reuse the
+        // assignment exchange across those branches (measured: the
+        // corpus x 16-centroid scoring pass ran 3x) — at 100 TB the
+        // assignment table is exactly what you'd persist
         val assigned = e.crossJoin(broadcast(cent))
           .withColumn("cos_c",
             expr("fdot(emb, cemb)") / (col("nrm") * col("cnrm")))
           .groupBy(col("vec_id"))
           .agg(min_by(col("cid"), -col("cos_c")).as("cell"),
             first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
+          .localCheckpoint()
         val a = assigned.select(col("cell"), col("vec_id").as("a"),
           col("emb").as("emb_a"), col("nrm").as("nrm_a"))
         val b = assigned.select(col("cell").as("cell_b"),
