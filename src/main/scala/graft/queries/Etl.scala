@@ -1040,8 +1040,14 @@ object Etl extends QueryGroup {
             "cast(conv(substring(md5(cast(c_custkey as string)), 1, 2), 16, 10) as int) % 20 = 0"))
           .select(col("c_custkey"))
         val orders = Tables.orders(s, d)
+        // the surviving-orders frame feeds the lineitem semi join, the
+        // per-status rollup, AND the orphan probe — materialize the two
+        // columns they need once instead of re-running the anti join
+        // per consumer
         val keptOrders = orders.join(del,
           col("o_custkey") === col("c_custkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .localCheckpoint()
         val li = Tables.lineitem(s, d)
         val keptLi = li.join(keptOrders.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_semi")

@@ -302,8 +302,12 @@ object Pipeline extends QueryGroup {
         // exactly two corpus tokenization passes: dl (all tokens) and
         // tf (probe-filtered); df and the corpus scalars derive from
         // those aggregates — df = docs holding a tf row, n_tok = Σ dl
+        // dl is read by the score join AND the scalar rollup, and its
+        // subtree carries the tokenize + groupBy shuffle — materialize
+        // once (doc-count-sized, far smaller than the corpus)
         val dl = tok.groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("dl"))
+          .localCheckpoint()
         val tf = tok.filter(col("tok").isin(probes: _*))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -406,10 +406,14 @@ object Windows extends QueryGroup {
             wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("sid"))
           .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
-        val deltas = sess.select(col("s_start").as("t"),
-            lit(1L).as("delta"), col("user_id"), col("sid"))
-          .unionByName(sess.select(col("s_end").as("t"),
-            lit(-1L).as("delta"), col("user_id"), col("sid")))
+        // one explode, not a 2-select union — the union form recomputes
+        // the session windows (a corpus shuffle + sort) once per side
+        val deltas = sess.select(col("user_id"), col("sid"),
+            explode(array(
+              struct(col("s_start").as("t"), lit(1L).as("delta")),
+              struct(col("s_end").as("t"), lit(-1L).as("delta")))).as("e"))
+          .select(col("e.t").as("t"), col("e.delta").as("delta"),
+            col("user_id"), col("sid"))
           // +1 sorts before -1 at equal t: touching sessions count as
           // concurrent, and a 1-event session peaks at its own instant
           .withColumn("nd", -col("delta"))
