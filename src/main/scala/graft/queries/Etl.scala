@@ -1047,7 +1047,7 @@ object Etl extends QueryGroup {
         val keptOrders = orders.join(del,
           col("o_custkey") === col("c_custkey"), "left_anti")
           .select(col("o_orderkey"), col("o_orderstatus"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val li = Tables.lineitem(s, d)
         val keptLi = li.join(keptOrders.select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"), "left_semi")

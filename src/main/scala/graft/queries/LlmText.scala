@@ -442,7 +442,7 @@ object LlmText extends QueryGroup {
           .groupBy(col("vec_id"))
           .agg(min_by(col("cid"), -col("cos_c")).as("cell"),
             first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val a = assigned.select(col("cell"), col("vec_id").as("a"),
           col("emb").as("emb_a"), col("nrm").as("nrm_a"))
         val b = assigned.select(col("cell").as("cell_b"),

@@ -307,7 +307,7 @@ object Pipeline extends QueryGroup {
         // once (doc-count-sized, far smaller than the corpus)
         val dl = tok.groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("dl"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val tf = tok.filter(col("tok").isin(probes: _*))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

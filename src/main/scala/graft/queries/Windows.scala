@@ -225,11 +225,21 @@ object Windows extends QueryGroup {
             .join(prev, Seq("user_id"))
             .filter(col("ts") > col(anchor))
             .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+        // each stage frame feeds BOTH the next stage and its count row
+        // — LAZY checkpoints (eager=false: materialize at first use,
+        // then reuse) run each corpus-filtered aggregate once instead
+        // of once per consumer (lazily, counting row(s4) re-ran the
+        // whole s1→s3 prefix) without paying a separate
+        // materialization job per stage
         val s1 = ev.filter(col("event_type") === "signup")
           .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+          .localCheckpoint(eager = false)
         val s2 = stage(s1.select("user_id", "t1"), "view", "t1", "t2")
+          .localCheckpoint(eager = false)
         val s3 = stage(s2.select("user_id", "t2"), "click", "t2", "t3")
+          .localCheckpoint(eager = false)
         val s4 = stage(s3.select("user_id", "t3"), "purchase", "t3", "t4")
+          .localCheckpoint(eager = false)
         val total = ev.select(countDistinct(col("user_id")).as("n_users"))
         // global (ungrouped) counts: one row per stage even when a
         // stage is empty, matching the oracle's scalar COUNT(*)s
