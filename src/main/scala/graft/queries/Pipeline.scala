@@ -31,7 +31,10 @@ object Pipeline extends QueryGroup {
       "q_sample_stratified",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // counts feeds the target agg AND the gate join — lazy-
+        // checkpoint the 5-row frame so the corpus count agg runs once
         val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+          .localCheckpoint(eager = false)
         val target = counts.agg(min(col("n_lang")).as("n_min"))
         val gated = docs
           .join(broadcast(counts), Seq("lang"))
@@ -560,9 +563,13 @@ object Pipeline extends QueryGroup {
           .select(col("bucket"), col("m.cmp").as("cmp"),
             col("m.side").as("side"))
           .filter(col("side").isNotNull)
+        // perBucket feeds the totals agg AND the PSI join — lazy-
+        // checkpoint the bucket-cardinality frame so the corpus fan-out
+        // agg runs once, not once per consumer
         val perBucket = sides.groupBy(col("cmp"), col("bucket"))
           .agg(count(when(col("side") === "A", 1)).as("ca"),
             count(when(col("side") === "B", 1)).as("cb"))
+          .localCheckpoint(eager = false)
         val tot = perBucket.groupBy(col("cmp"))
           .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
             count(lit(1)).as("k"))

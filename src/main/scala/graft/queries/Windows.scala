@@ -299,8 +299,12 @@ object Windows extends QueryGroup {
           .crossJoin(broadcast(bounds))
           .select(col("event_type"),
             explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        // filled feeds the gap-run windows AND the per-type rollup —
+        // lazy-checkpoint the group-cardinality frame so the corpus
+        // count agg upstream runs once, not once per consumer
         val filled = spine.join(counts, Seq("event_type", "h"), "left")
           .withColumn("n", coalesce(col("n"), lit(0L)))
+          .localCheckpoint(eager = false)
         val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
         val runs = filled
           .withColumn("rn", row_number().over(w))
