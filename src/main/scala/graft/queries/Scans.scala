@@ -224,6 +224,50 @@ object Scans extends QueryGroup {
         |ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      // SQL-text lane, WITH RECURSIVE (added r7 — new engine surface
+      // in Spark 4): the iterative traversal the frame-graph operators
+      // express imperatively (FrameGraph, q_graph_bfs_hops), now
+      // through the PARSER — a depth-tracked walk of the nation-key
+      // chain rolled up with per-nation customer counts. Spark
+      // executes the recursion as an iterative union with the same
+      // per-round join shape as the hand-written loops (recursion
+      // depth is data-bounded at 25 here; the WHERE depth guard is
+      // the runaway stop). The oracle is the IDENTICAL recursive SQL
+      // — DuckDB shares the syntax — so the lane proves parser-level
+      // portability, not just plan equivalence.
+      "q_sql_recursive",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("q_rec_nation")
+        Tables.customer(s, d).createOrReplaceTempView("q_rec_customer")
+        try s.sql("""WITH RECURSIVE chain(nk, depth) AS (
+          |  SELECT n_nationkey, 0 FROM q_rec_nation WHERE n_nationkey = 0
+          |  UNION ALL
+          |  SELECT n.n_nationkey, c.depth + 1
+          |  FROM chain c JOIN q_rec_nation n ON n.n_nationkey = c.nk + 1
+          |  WHERE c.depth < 30)
+          |SELECT c.depth, n.n_name, COUNT(cu.c_custkey) AS n_cust
+          |FROM chain c
+          |JOIN q_rec_nation n ON n.n_nationkey = c.nk
+          |LEFT JOIN q_rec_customer cu ON cu.c_nationkey = n.n_nationkey
+          |GROUP BY c.depth, n.n_name
+          |ORDER BY c.depth""".stripMargin)
+        finally Seq("q_rec_nation", "q_rec_customer")
+          .foreach(s.catalog.dropTempView(_))
+      },
+      Some("""WITH RECURSIVE chain(nk, depth) AS (
+        |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT n.n_nationkey, c.depth + 1
+        |  FROM chain c JOIN nation n ON n.n_nationkey = c.nk + 1
+        |  WHERE c.depth < 30)
+        |SELECT c.depth, n.n_name, COUNT(cu.c_custkey)::BIGINT AS n_cust
+        |FROM chain c
+        |JOIN nation n ON n.n_nationkey = c.nk
+        |LEFT JOIN customer cu ON cu.c_nationkey = n.n_nationkey
+        |GROUP BY c.depth, n.n_name
+        |ORDER BY c.depth""".stripMargin)),
+
+    QueryDef(
       "q_scan_project_filter",
       (s, d) => {
         val li = Tables.lineitem(s, d)
