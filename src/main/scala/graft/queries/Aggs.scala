@@ -446,6 +446,33 @@ object Aggs extends QueryGroup {
         |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
         |        ORDER BY n DESC, o_orderpriority ASC) AS r FROM c)
         |SELECT o_orderstatus, o_orderpriority AS mode, n AS n_mode
-        |FROM r WHERE r = 1 ORDER BY o_orderstatus""".stripMargin))
+        |FROM r WHERE r = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
+      // Ordered string aggregation (added r7): listagg — new in Spark
+      // 4 — with an explicit WITHIN GROUP order, because an unordered
+      // listagg is nondeterministic across partitionings and therefore
+      // unusable under a hash-match contract (the same trap as
+      // undefined mode() tie-break above). The corpus first reduces to
+      // distinct (priority, status) pairs — value-cardinality-bounded,
+      // so the strings being concatenated are provably SMALL; listagg
+      // over raw fact rows would build per-group strings proportional
+      // to data volume, the memory trap the two-level form avoids at
+      // 100 TB.
+      "q_agg_listagg",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderstatus")).distinct()
+        .groupBy(col("o_orderpriority"))
+        .agg(expr(
+            "listagg(o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+            .as("statuses"),
+          count(lit(1)).as("n_statuses"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  COUNT(*)::BIGINT AS n_statuses
+        |FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -37,6 +37,73 @@ object Funcs extends QueryGroup {
         |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin)),
 
     QueryDef(
+      // Error-safe arithmetic (added r7): the try_* family — at 100 TB
+      // one malformed row must NOT kill the job (ANSI mode's default
+      // throw), and silently-wrong wraparound (ANSI off) is worse;
+      // try_divide/try_cast return NULL exactly where the strict op
+      // would error, making bad rows COUNTABLE. Outcomes are tallied
+      // as exact integers (sums of nullable doubles would reintroduce
+      // float-order drift): division nulls appear exactly where
+      // l_quantity = 10; the cast probe mixes always-parsable digits
+      // with never-parsable letters by line-number parity.
+      "q_try_funcs",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("try_divide(l_extendedprice, l_quantity - 10.0D)").as("dv"),
+          expr("""try_cast(CASE WHEN l_linenumber % 2 = 0
+                 | THEN cast(l_linenumber AS STRING)
+                 | ELSE l_returnflag END AS INT)""".stripMargin).as("cv"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_div_null"),
+          sum(when(col("cv").isNull, 1L).otherwise(0L)).as("n_cast_null"),
+          sum(col("cv")).as("sum_cast"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        |  SUM(CASE WHEN l_quantity = 10 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_div_null,
+        |  SUM(CASE WHEN cv IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_cast_null,
+        |  SUM(cv)::BIGINT AS sum_cast
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+        |                 THEN l_linenumber::VARCHAR
+        |                 ELSE l_returnflag END AS INT) AS cv
+        |      FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      // Collation-aware grouping (added r7): Spark 4's COLLATE surface
+      // — case-insensitive semantics declared on the COLUMN, not
+      // hand-lowered at every use site (the difference matters once
+      // joins/aggs/sorts all need the same rule). The fixture is
+      // uppercase-only, so mixed case is minted by key parity; the
+      // UTF8_LCASE group key merges variants, and the output restates
+      // the key as lower() so both engines render one canonical text
+      // (the collated key's surviving representative is
+      // engine-internal). The oracle states the same semantics the
+      // portable way: GROUP BY lower().
+      "q_str_collation",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("seg_mixed"))
+        .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("seg_ci"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("sum_bal"))
+        .select(lower(col("seg_ci")).as("segment"), col("n"),
+          col("sum_bal"))
+        .orderBy(col("segment")),
+      Some("""SELECT lower(seg_mixed) AS segment, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS sum_bal
+        |FROM (SELECT CASE WHEN c_custkey % 2 = 0
+        |        THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg_mixed,
+        |        c_acctbal
+        |      FROM customer)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       "q_date_funcs",
       (s, d) => {
         val iso = (dayofweek(col("o_orderdate")) + lit(5)) % 7 + lit(1)
