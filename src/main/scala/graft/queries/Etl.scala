@@ -581,6 +581,73 @@ object Etl extends QueryGroup {
         |ORDER BY version, o_orderstatus""".stripMargin)),
 
     QueryDef(
+      // Shallow clone (added r7): q_etl_snapshot gives ONE table two
+      // versions; this gives TWO tables one storage — the Delta
+      // SHALLOW CLONE dev/test-sandbox op. The clone is born as a
+      // manifest-only copy (require() states the zero-copy contract
+      // loudly: its v1 file list is byte-equal to the source's — no
+      // data was rewritten), then DIVERGES by appending clone-local
+      // files the source never sees; the source keeps resolving its
+      // own manifest, so the sandbox append cannot leak back. All
+      // manifest work is O(files) driver metadata, exactly like the
+      // snapshot op; the DATA never moves for the clone itself.
+      "q_etl_shallow_clone",
+      (s, d) => {
+        val base = "/tmp/graft_clone"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val orders = Tables.orders(s, d)
+        def ls(dir: String): Seq[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+            .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+            .sorted.toSeq
+        def writeManifest(v: Seq[String], path: String): Unit =
+          s.createDataset(v)(org.apache.spark.sql.Encoders.STRING)
+            .coalesce(1).write.mode("overwrite").text(path)
+        def readManifest(path: String): Seq[String] =
+          s.read.textFile(path).collect().toSeq.sorted
+        // source commit: statuses F and O
+        orders.filter(col("o_orderstatus") =!= "P")
+          .write.mode("append").parquet(s"$base/src_data")
+        writeManifest(ls(s"$base/src_data"), s"$base/src/v1")
+        // shallow clone = manifest copy; zero data files written
+        writeManifest(readManifest(s"$base/src/v1"), s"$base/clone/v1")
+        require(readManifest(s"$base/clone/v1")
+            == readManifest(s"$base/src/v1"),
+          "shallow clone must share the source's physical files exactly")
+        // clone-local divergence: append status P into the CLONE's dir
+        orders.filter(col("o_orderstatus") === "P")
+          .write.mode("append").parquet(s"$base/clone_data")
+        writeManifest(readManifest(s"$base/clone/v1")
+          ++ ls(s"$base/clone_data"), s"$base/clone/v2")
+        def table(manifest: String, name: String) = {
+          val files = readManifest(manifest)
+          s.read.schema(Tables.ordersSchema).parquet(files: _*)
+            .groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .cast(DoubleType).as("sum_price"))
+            .withColumn("tbl", lit(name))
+        }
+        table(s"$base/src/v1", "source")
+          .unionByName(table(s"$base/clone/v2", "clone"))
+          .select(col("tbl"), col("o_orderstatus"), col("n"),
+            col("sum_price"))
+          .orderBy(col("tbl").desc, col("o_orderstatus"))
+      },
+      Some("""SELECT 'source' AS tbl, o_orderstatus,
+        | COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'clone', o_orderstatus, COUNT(*)::BIGINT,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY tbl DESC, o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // DSv2 AGGREGATE pushdown (added r5, beside q_source_dsv2's
       // filter/prune/limit surface): count/min/max/count(col) are
       // pushed into the graftlines source as a PARTIAL aggregation —
