@@ -176,8 +176,8 @@ object Etl extends QueryGroup {
       // keys on node ids (no cartesian anywhere), the edge list is
       // localCheckpoint-ed ONCE so the 4 rounds re-read a materialized
       // 2|E| table instead of re-running the orders⋈lineitem build,
-      // and visited/frontier checkpoint per round to keep lineage flat
-      // (the same discipline as ConnectedComponents.scala). At 100 TB
+      // and each round's hop frame checkpoints once (the same
+      // discipline as ConnectedComponents.scala). At 100 TB
       // the frontier join co-partitions with edges on the node key;
       // hop counts are exact BIGINTs so the oracle compare is bitwise
       // (the DuckDB twin unrolls the same 4 rounds as CTE stages).
