@@ -473,6 +473,35 @@ object Aggs extends QueryGroup {
         |    AS statuses,
         |  COUNT(*)::BIGINT AS n_statuses
         |FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      // GROUPING() disambiguation (added r7): the piece the
+      // rollup/cube family needs to be USABLE — in a rollup result a
+      // NULL group key is ambiguous (real NULL data vs subtotal row)
+      // and grouping(col) is the engine's answer; gid = 2*g1 + g2 is
+      // computed portably from the two flags (engines disagree on
+      // native GROUPING_ID argument order conventions, the flags
+      // themselves are standard). Same partial+final expand plan as
+      // q_agg_rollup, exact integers everywhere.
+      "q_agg_grouping_id",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast(IntegerType).as("g_flag"),
+          grouping(col("l_linestatus")).cast(IntegerType).as("g_status"))
+        .withColumn("gid", col("g_flag") * 2 + col("g_status"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+          col("g_status"), col("gid"), col("n_rows"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag)::INTEGER AS g_flag,
+        |  GROUPING(l_linestatus)::INTEGER AS g_status,
+        |  (GROUPING(l_returnflag) * 2
+        |     + GROUPING(l_linestatus))::INTEGER AS gid,
+        |  COUNT(*)::BIGINT AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
   )
 }

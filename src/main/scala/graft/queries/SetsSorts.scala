@@ -73,6 +73,40 @@ object SetsSorts extends QueryGroup {
       Some("""SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin))
+        |ORDER BY nationkey""".stripMargin)),
+
+    QueryDef(
+      // MULTISET set ops (added r7): INTERSECT ALL / EXCEPT ALL — the
+      // bag-semantics twins of the three distinct-set ops above, and a
+      // different operator entirely under the hood (multiplicity
+      // bookkeeping: intersect-all keeps min(m_left, m_right) copies,
+      // except-all max(0, m_left - m_right) — Spark plans both as
+      // count-compare aggregates, not joins). Occurrence rows roll up
+      // per key so the contract output is the multiplicity table
+      // itself — exactly the numbers the distinct forms erase.
+      "q_set_multiset",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+        val ia = c.intersectAll(su).groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val ea = c.exceptAll(su).groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        ia.unionByName(ea)
+          .select(col("op"), col("nationkey"), col("n"))
+          .orderBy(col("op"), col("nationkey"))
+      },
+      Some("""SELECT 'intersect_all' AS op, nationkey, COUNT(*)::BIGINT AS n
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      INTERSECT ALL
+        |      SELECT s_nationkey FROM supplier)
+        |GROUP BY 2
+        |UNION ALL
+        |SELECT 'except_all', nationkey, COUNT(*)::BIGINT
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      EXCEPT ALL
+        |      SELECT s_nationkey FROM supplier)
+        |GROUP BY 2
+        |ORDER BY op, nationkey""".stripMargin))
   )
 }

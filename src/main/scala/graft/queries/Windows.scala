@@ -357,6 +357,37 @@ object Windows extends QueryGroup {
         |ORDER BY event_type""".stripMargin)),
 
     QueryDef(
+      // Time-interval RANGE frame (added r7): the trailing-hour window
+      // as a WINDOW FUNCTION — q_win_range_frame's numeric RANGE twin
+      // on the time axis, and the per-row form of what
+      // q_stream_sliding answers per bucket (every row sees ITS OWN
+      // trailing hour, not a bucketed approximation). RANGE over an
+      // INTERVAL bound includes ts-peers by definition, so the result
+      // is deterministic without an event_id tiebreak; sums accumulate
+      // in DECIMAL (§2C float-order rule). One shuffle on event_type,
+      // sorted once per partition — frames are offset scans, not
+      // re-sorts.
+      "q_win_range_interval",
+      (s, d) => Tables.events(s, d)
+        .selectExpr("event_type", "ts", "event_id",
+          """count(*) OVER (PARTITION BY event_type ORDER BY ts
+            | RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+            | AS n_1h""".stripMargin,
+          """cast(sum(cast(value AS DECIMAL(14,2))) OVER (
+            |   PARTITION BY event_type ORDER BY ts
+            |   RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+            | AS DOUBLE) AS sum_1h""".stripMargin)
+        .orderBy(col("event_type"), col("ts"), col("event_id")),
+      Some("""SELECT event_type, ts, event_id,
+        |  COUNT(*) OVER w::BIGINT AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+        |    AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, ts, event_id""".stripMargin)),
+
+    QueryDef(
       // Cohort retention (added r7): the product-analytics staple —
       // customers cohorted by their FIRST order month, then a
       // (cohort, month-offset) matrix of how many come back. Two
