@@ -176,11 +176,13 @@ object LlmText extends QueryGroup {
       // fans each row out to its windows with ZERO shuffle of the
       // corpus (the one shuffle is the per-lang rollup, metadata-
       // sized) — at 100 TB chunking must be embarrassingly parallel
-      // or it isn't runnable. The fp_sum column is the proof the two
-      // engines produced byte-identical chunk SETS, not just equal
-      // counts: a 60-bit md5 of every chunk, summed in DECIMAL(38,0)
-      // (~300 chunks/lang x 2^60 overflows BIGINT — the same headroom
-      // trap ADVICE r6 flagged on the PPS gate, pre-empted here).
+      // or it isn't runnable. The fp_lo/fp_hi pair is the proof the
+      // two engines produced byte-identical chunk MULTISETS, not just
+      // equal counts: a 60-bit md5 per chunk split into 30-bit halves,
+      // each half summed in BIGINT (exact to ~2^33 rows — r7's single
+      // DECIMAL(38,0) sum matched values on both scales but the
+      // driver's hasher renders >64-bit decimals differently per
+      // engine, so the fingerprint must never leave int64 range).
       // n_docs counts FIRST chunks (p = 1, every doc has one) rather
       // than COUNT(DISTINCT doc_id): the distinct form expands to a
       // second Exchange keyed (lang, doc_id); the first-chunk count is
@@ -199,8 +201,11 @@ object LlmText extends QueryGroup {
           count(lit(1)).as("n_chunks"),
           sum(length(col("chunk")).cast(LongType)).as("n_chunk_chars"),
           sum(expr(
-            "cast(conv(substring(md5(chunk), 1, 15), 16, 10) as decimal(38,0))"))
-            .as("fp_sum"))
+            "cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)" +
+              " & 1073741823")).as("fp_lo"),
+          sum(expr(
+            "shiftright(cast(conv(substring(md5(chunk), 1, 15), 16, 10)" +
+              " as bigint), 30)")).as("fp_hi"))
         .orderBy(col("lang")),
       Some("""WITH c AS (
         |  SELECT lang, p, substr(text, p::INT, 200) AS chunk
@@ -210,8 +215,10 @@ object LlmText extends QueryGroup {
         |SELECT lang, COUNT(CASE WHEN p = 1 THEN 1 END)::BIGINT AS n_docs,
         |  COUNT(*)::BIGINT AS n_chunks,
         |  SUM(length(chunk))::BIGINT AS n_chunk_chars,
-        |  CAST(SUM((('0x' || substr(md5(chunk), 1, 15))::BIGINT)
-        |             ::DECIMAL(38,0)) AS DECIMAL(38,0)) AS fp_sum
+        |  SUM(('0x' || substr(md5(chunk), 1, 15))::BIGINT & 1073741823)
+        |    ::BIGINT AS fp_lo,
+        |  SUM(('0x' || substr(md5(chunk), 1, 15))::BIGINT >> 30)
+        |    ::BIGINT AS fp_hi
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
 
     QueryDef(
@@ -225,11 +232,11 @@ object LlmText extends QueryGroup {
       // sort over the corpus, whose per-hash ORDER BY is the skew
       // hazard the oracle's ROW_NUMBER form would hit at 100 TB). Two
       // corpus shuffles total: instance rollup keyed on lang, winner
-      // agg keyed on the 60-bit hash. fp_sum (60-bit md5 of each KEPT
-      // paragraph, summed in DECIMAL(38,0) for the BIGINT-overflow
-      // headroom q_text_chunk documents) proves both engines kept the
-      // identical paragraph SET; n_kept attributes each hash group to
-      // its winner's language.
+      // agg keyed on the 60-bit hash. fp_lo/fp_hi (60-bit md5 of each
+      // KEPT paragraph split into 30-bit halves, each summed in
+      // BIGINT — the int64-safe fingerprint q_text_chunk documents)
+      // prove both engines kept the identical paragraph SET; n_kept
+      // attributes each hash group to its winner's language.
       "q_dedup_paragraph",
       (s, d) => {
         val paras = Tables.documents(s, d)
@@ -242,7 +249,7 @@ object LlmText extends QueryGroup {
                 .stripMargin)))
           .toDF("doc_id", "lang", "p", "para")
           .withColumn("h",
-            expr("conv(substring(md5(para), 1, 15), 16, 10)"))
+            expr("cast(conv(substring(md5(para), 1, 15), 16, 10) as bigint)"))
         val inst = paras.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_paras"))
         // keep-first order key: (doc_id, p) packed into one BIGINT
@@ -253,11 +260,12 @@ object LlmText extends QueryGroup {
           .agg(min_by(col("lang"), col("ord")).as("lang"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_kept"),
-            sum(col("h").cast(DecimalType(38, 0))).as("fp_sum"))
+            sum(col("h").bitwiseAND(lit(1073741823L))).as("fp_lo"),
+            sum(shiftright(col("h"), 30)).as("fp_hi"))
         inst.join(kept, Seq("lang"))
           .select(col("lang"), col("n_paras"), col("n_kept"),
             (col("n_paras") - col("n_kept")).as("n_dropped_instances"),
-            col("fp_sum"))
+            col("fp_lo"), col("fp_hi"))
           .orderBy(col("lang"))
       },
       Some("""WITH paras AS (
@@ -274,10 +282,11 @@ object LlmText extends QueryGroup {
         |winner AS (SELECT h, arg_min(lang, doc_id * 100000 + p) AS lang
         |           FROM ph GROUP BY h),
         |kept AS (SELECT lang, COUNT(*)::BIGINT AS n_kept,
-        |           CAST(SUM(h::DECIMAL(38,0)) AS DECIMAL(38,0)) AS fp_sum
+        |           SUM(h & 1073741823)::BIGINT AS fp_lo,
+        |           SUM(h >> 30)::BIGINT AS fp_hi
         |         FROM winner GROUP BY 1)
         |SELECT i.lang, n_paras, n_kept,
-        |  n_paras - n_kept AS n_dropped_instances, fp_sum
+        |  n_paras - n_kept AS n_dropped_instances, fp_lo, fp_hi
         |FROM inst i JOIN kept USING (lang)
         |ORDER BY lang""".stripMargin)),
 
