@@ -104,6 +104,11 @@ object Tables {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** Logical schemas as the ENGINE sees them — events carries the
+    * normalized TimestampType ts (whatever unit the file stores, every
+    * events reader normalizes to micros), so generic consumers and
+    * sink round-trip read-backs can never apply the raw int64 form to
+    * a TIMESTAMP file. The raw form lives only inside eventsRaw. */
   val schemas: Map[String, StructType] = Map(
     "region" -> regionSchema,
     "nation" -> nationSchema,
@@ -112,12 +117,15 @@ object Tables {
     "part" -> partSchema,
     "orders" -> ordersSchema,
     "lineitem" -> lineitemSchema,
-    "events" -> eventsRawSchema,
+    "events" -> eventsMicrosSchema,
     "documents" -> documentsSchema,
     "embeddings" -> embeddingsSchema)
 
+  /** events routes through eventsRaw so the footer-detected timestamp
+    * unit can never be bypassed by the generic path. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events") eventsRaw(spark, sfDir)
+    else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
   /** Column subset of a table schema, in the given order — the single
     * source of truth for sink round-trip read-back schemas (inline
@@ -132,13 +140,26 @@ object Tables {
   /** True when $sfDir/events.parquet stores ts as TIMESTAMP(NANOS).
     * With nanosAsLong on, a schema-less read surfaces a NANOS column as
     * LongType and a MICROS column as TimestampType — one footer read,
-    * cached per directory. */
-  def eventsTsIsNanos(spark: SparkSession, sfDir: String): Boolean =
-    tsUnitCache.getOrElseUpdate(sfDir, {
+    * cached per (directory, file mtime) so an in-place regeneration
+    * within one JVM re-sniffs instead of trusting a stale unit. The
+    * nanosAsLong conf is restored after the sniff (the NANOS read
+    * paths set it themselves); a MICROS fixture never leaves the
+    * session-wide legacy flag flipped. */
+  def eventsTsIsNanos(spark: SparkSession, sfDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = s"$sfDir@${fs.getFileStatus(p).getModificationTime}"
+    tsUnitCache.getOrElseUpdate(key, {
+      val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
+      try spark.read.parquet(s"$sfDir/events.parquet")
         .schema("ts").dataType == LongType
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     })
+  }
 
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame =
     if (eventsTsIsNanos(spark, sfDir)) {

@@ -445,11 +445,17 @@ object LlmText extends QueryGroup {
         // assignment exchange across those branches (measured: the
         // corpus x 16-centroid scoring pass ran 3x) — at 100 TB the
         // assignment table is exactly what you'd persist
+        // arg-min over the (−cos, cid) struct: an exact cosine tie
+        // between two centroids resolves to the LOWER cid on both
+        // engines (the oracle mirrors it as ORDER BY cos DESC, cid) —
+        // a bare min_by on −cos alone would resolve ties
+        // engine-arbitrarily and cascade into different drop sets
         val assigned = e.crossJoin(broadcast(cent))
           .withColumn("cos_c",
             expr("fdot(emb, cemb)") / (col("nrm") * col("cnrm")))
           .groupBy(col("vec_id"))
-          .agg(min_by(col("cid"), -col("cos_c")).as("cell"),
+          .agg(min_by(col("cid"), struct(-col("cos_c"), col("cid")))
+            .as("cell"),
             first(col("emb")).as("emb"), first(col("nrm")).as("nrm"))
           .localCheckpoint(eager = false)
         val a = assigned.select(col("cell"), col("vec_id").as("a"),
@@ -475,10 +481,12 @@ object LlmText extends QueryGroup {
         |           FROM embeddings),
         |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
         |         ORDER BY vec_id LIMIT 16),
-        |a AS (SELECT e.vec_id, e.emb,
-        |        arg_min(c.cid, -list_cosine_similarity(e.emb, c.cemb))
-        |          AS cell
-        |      FROM e CROSS JOIN cent c GROUP BY e.vec_id, e.emb),
+        |a AS (SELECT vec_id, emb, cid AS cell FROM (
+        |        SELECT e.vec_id, e.emb, c.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |            ORDER BY list_cosine_similarity(e.emb, c.cemb) DESC,
+        |                     c.cid) AS rn
+        |        FROM e CROSS JOIN cent c) WHERE rn = 1),
         |sh AS (SELECT DISTINCT y.vec_id
         |       FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
         |       WHERE list_cosine_similarity(x.emb, y.emb) >= 0.35)
