@@ -41,8 +41,11 @@ import org.apache.spark.util.SerializableConfiguration
   *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): the
   *    reader converts only required ∪ filter-referenced fields; pruned
   *    columns are never materialized.
-  *  - **Distributed read**: one [[InputPartition]] per data file, so
-  *    read parallelism equals write parallelism; each task opens its
+  *  - **Distributed read**: block-splittable — files larger than
+  *    `spark.sql.files.maxPartitionBytes` fan out as one
+  *    [[InputPartition]] per byte range (readers scan to the next
+  *    newline, the classic text-split rule), so scan parallelism is
+  *    bounded by data volume, never by file count; each task opens its
   *    file straight against the Hadoop FileSystem API (conf travels
   *    via the standard [[SerializableConfiguration]]).
   *  - **Distributed write** ([[BatchWrite]]): per-task writers land
@@ -60,9 +63,7 @@ import org.apache.spark.util.SerializableConfiguration
   *    the `_graft_stats` manifest; `planInputPartitions` prunes files
   *    whose min/max prove no row can match the pushed filters.
   *
-  * Production upgrades, documented not faked: a block-splittable
-  * container (this text format splits per-file only — a few giant
-  * files cap read parallelism at the file count) and a staged rename
+  * Production upgrade still documented, not faked: a staged rename
   * commit protocol (this writer commits by task-unique naming, which
   * is atomic enough for a single writer per path but not for
   * concurrent jobs).
@@ -124,14 +125,21 @@ object GraftLines {
   }
 
   private[sources] def listDataFiles(
-      dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+      dir: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    listDataFileStatuses(dir, conf).map(_._1)
+
+  /** (path, length) per data file — lengths feed block splitting at
+    * plan time, from the same single directory listing. */
+  private[sources] def listDataFileStatuses(
+      dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(Ext)
         && st.getLen > 0)
-      .map(_.getPath.toString).sorted
+      .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
   }
 
   private[sources] def typeToken(dt: DataType): String = dt match {
@@ -632,18 +640,33 @@ case class GlScan(path: String, required: StructType,
     * becomes a partition — no task, no open, no parse. Files absent
     * from the manifest always scan (stats are an optimization, never a
     * correctness dependency). The same pruning feeds aggregate-pushdown
-    * scans, since pushed filters apply before aggregation. */
+    * scans, since pushed filters apply before aggregation.
+    *
+    * Surviving files larger than `spark.sql.files.maxPartitionBytes`
+    * are block-split into byte ranges — scan parallelism is bounded by
+    * data volume, not file count, so a directory of a few giant files
+    * still fans out across the cluster. Range ownership is the
+    * text-split rule: a split owns exactly the lines whose FIRST byte
+    * falls inside it (readers scan to the next newline — see
+    * [[GlReader]]), so any split-size choice yields the same rows. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val files = GraftLines.listDataFiles(path, conf)
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = GraftLines.listDataFileStatuses(path, conf)
     val kept = if (pushed.isEmpty) files else {
       val stats = GraftLines.readStats(path, conf, statsSchema)
-      files.filter { f =>
+      files.filter { case (f, _) =>
         val base = new Path(f).getName
         stats.get(base).forall(st => pushed.forall(GlFilters.mayMatch(_, st)))
       }
     }
-    kept.map(GlInputPartition(_): InputPartition).toArray
+    val splitSize =
+      math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    kept.flatMap { case (f, len) =>
+      if (len <= splitSize) Seq(GlInputPartition(f, 0L, Long.MaxValue))
+      else (0L until len by splitSize).map(s =>
+        GlInputPartition(f, s, math.min(s + splitSize, len)))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -654,7 +677,10 @@ case class GlScan(path: String, required: StructType,
   }
 }
 
-private[sources] case class GlInputPartition(file: String)
+/** One scan task: the byte range [start, end) of `file`. (0,
+  * Long.MaxValue) = the whole file. */
+private[sources] case class GlInputPartition(file: String,
+    start: Long = 0L, end: Long = Long.MaxValue)
     extends InputPartition
 
 private[sources] case class GlReaderFactory(required: StructType,
@@ -662,12 +688,12 @@ private[sources] case class GlReaderFactory(required: StructType,
     conf: SerializableConfiguration, nullFillMissing: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[GlInputPartition].file
+    val gp = p.asInstanceOf[GlInputPartition]
     aggSpec match {
-      case Some(spec) => new GlAggReader(file, required, spec, pushed,
-        conf.value, nullFillMissing)
-      case None => new GlReader(file, required, pushed, limit, conf.value,
-        nullFillMissing)
+      case Some(spec) => new GlAggReader(gp.file, required, spec, pushed,
+        conf.value, nullFillMissing, gp.start, gp.end)
+      case None => new GlReader(gp.file, required, pushed, limit, conf.value,
+        nullFillMissing, gp.start, gp.end)
     }
   }
 
@@ -684,8 +710,9 @@ private[sources] case class GlReaderFactory(required: StructType,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
     require(aggSpec.isEmpty, "columnar read not offered for agg scans")
-    new GlColumnarReader(p.asInstanceOf[GlInputPartition].file, required,
-      pushed, limit, conf.value, nullFillMissing = nullFillMissing)
+    val gp = p.asInstanceOf[GlInputPartition]
+    new GlColumnarReader(gp.file, required, pushed, limit, conf.value,
+      nullFillMissing = nullFillMissing, start = gp.start, end = gp.end)
   }
 }
 
@@ -700,11 +727,12 @@ private[sources] case class GlReaderFactory(required: StructType,
 private[sources] class GlColumnarReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Option[Int],
     conf: org.apache.hadoop.conf.Configuration, batchSize: Int = 4096,
-    nullFillMissing: Boolean = false)
+    nullFillMissing: Boolean = false,
+    start: Long = 0L, end: Long = Long.MaxValue)
     extends PartitionReader[ColumnarBatch] {
 
   private val inner = new GlReader(file, required, pushed, limit, conf,
-    nullFillMissing)
+    nullFillMissing, start, end)
   private val vectors: Array[OnHeapColumnVector] =
     OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(
@@ -748,6 +776,18 @@ private[sources] class GlColumnarReader(file: String, required: StructType,
   * file's own header is the authority for its column order (files from
   * different writes may legally order columns differently).
   *
+  * `[start, end)` is the task's byte range for block-split files (the
+  * whole file when `(0, Long.MaxValue)`). Ownership is the classic
+  * text-split rule: this reader emits exactly the data lines whose
+  * FIRST byte lies in the range. A non-zero start seeks to `start - 1`
+  * and discards one line — if `start` sat mid-line that consumes the
+  * partial tail (the line belongs to the range containing its first
+  * byte), and if `start` sat exactly on a line boundary it consumes
+  * just the preceding newline — then reads lines, following the last
+  * owned line across `end` to its newline. The header line is read
+  * through a separate short stream for non-zero starts (every split
+  * needs the column order; the range walk never re-reads it).
+  *
   * `nullFillMissing` is the schema-evolution switch: when the read
   * comes through the CATALOG (whose `_graft_schema` is authoritative
   * and whose ALTER TABLE appends nullable columns), a column absent
@@ -760,14 +800,38 @@ private[sources] class GlColumnarReader(file: String, required: StructType,
 private[sources] class GlReader(file: String, required: StructType,
     pushed: Array[Filter], limit: Option[Int],
     conf: org.apache.hadoop.conf.Configuration,
-    nullFillMissing: Boolean = false)
+    nullFillMissing: Boolean = false,
+    start: Long = 0L, end: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val path = new Path(file)
-  private val br = new BufferedReader(new InputStreamReader(
-    path.getFileSystem(conf).open(path), UTF_8), 1 << 16)
+  private val fs = path.getFileSystem(conf)
+  private val in = fs.open(path)
+  private val lineText = new org.apache.hadoop.io.Text()
+  // pos = byte offset of the next unread line's first byte
+  private var pos = 0L
+  private val lr = {
+    if (start <= 0L) new org.apache.hadoop.util.LineReader(in)
+    else {
+      in.seek(start - 1)
+      val r = new org.apache.hadoop.util.LineReader(in)
+      pos = start - 1 + r.readLine(lineText)
+      r
+    }
+  }
 
-  private val fileSchema = GraftLines.parseHeader(br.readLine(), file)
+  private val fileSchema =
+    if (start <= 0L) {
+      val n = lr.readLine(lineText)
+      require(n > 0, s"graftlines: empty header in $file")
+      pos = n.toLong
+      GraftLines.parseHeader(lineText.toString, file)
+    } else {
+      // the header always lives at byte 0 — outside this range
+      val hin = fs.open(path)
+      val hbr = new BufferedReader(new InputStreamReader(hin, UTF_8))
+      try GraftLines.parseHeader(hbr.readLine(), file) finally hbr.close()
+    }
   private val filterRefs: Set[String] =
     pushed.flatMap(GlFilters.references).toSet
   private val needed: Set[String] =
@@ -812,7 +876,7 @@ private[sources] class GlReader(file: String, required: StructType,
 
   override def next(): Boolean = {
     if (limit.exists(emitted >= _)) return false // per-partition early stop
-    var line = br.readLine()
+    var line = readOwnedLine()
     while (line != null) {
       // limit -1: a trailing empty-string field must survive the split;
       // escapes guarantee tab/newline exactness
@@ -839,13 +903,24 @@ private[sources] class GlReader(file: String, required: StructType,
         emitted += 1
         return true
       }
-      line = br.readLine()
+      line = readOwnedLine()
     }
     false
   }
 
+  /** Next line whose first byte this range owns, or null at range/file
+    * end. The byte count comes from the Hadoop LineReader (UTF-8 safe);
+    * a line straddling `end` is still read to its newline. */
+  private def readOwnedLine(): String = {
+    if (pos >= end) return null
+    val n = lr.readLine(lineText)
+    if (n == 0) return null
+    pos += n
+    lineText.toString
+  }
+
   override def get(): InternalRow = current
-  override def close(): Unit = br.close()
+  override def close(): Unit = lr.close()
 }
 
 /** Partial-aggregation reader: streams the file through the ordinary
@@ -858,7 +933,8 @@ private[sources] class GlReader(file: String, required: StructType,
 private[sources] class GlAggReader(file: String, tableSchema: StructType,
     spec: GlAggSpec, pushed: Array[Filter],
     conf: org.apache.hadoop.conf.Configuration,
-    nullFillMissing: Boolean = false)
+    nullFillMissing: Boolean = false,
+    start: Long = 0L, end: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val inputCols: Seq[String] =
@@ -868,7 +944,7 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
       new IllegalArgumentException(
         s"graftlines: aggregated column '$n' missing from table schema"))))
   private val inner = new GlReader(file, inputSchema, pushed, None, conf,
-    nullFillMissing)
+    nullFillMissing, start, end)
 
   private val pos: Map[String, Int] = inputCols.zipWithIndex.toMap
   private val groupIdx: Array[Int] = spec.groupCols.map(pos).toArray

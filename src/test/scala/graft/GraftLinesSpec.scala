@@ -487,4 +487,69 @@ class GraftLinesSpec extends AnyFunSuite {
       "a file with damaged stats must be scanned, not skipped")
     assert(q.collect().map(_.getString(1)).toSeq == Seq("keepme"))
   }
+
+  private def withMaxPartitionBytes[T](bytes: Long)(body: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, bytes.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("block-split ranges own every line exactly once at any split size") {
+    val p = s"$dir/split"
+    // one file; hostile strings (escapes + multi-byte UTF-8 so the
+    // byte-offset walk must count bytes, not chars) and NULLs
+    val rows = (0L until 60L).map { i =>
+      Row(i,
+        if (i % 7 == 0) null
+        else s"v$i é λ 😀 tab\there\nnl\\end",
+        if (i % 11 == 0) null else i * 1.5)
+    }
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("d", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("graftlines").mode("overwrite").save(p)
+    val expected = spark.read.format("graftlines").load(p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.size == 60)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileLen = hfs.listStatus(hp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".gl"))
+      .map(_.getLen).sum
+    // 8 forces boundaries INSIDE the header line; 37/256 land mid-line
+    // and mid-multibyte-char; 1 << 20 disables splitting entirely
+    for (sz <- Seq(8L, 37L, 256L, 1L << 20)) withMaxPartitionBytes(sz) {
+      val df = spark.read.format("graftlines").load(p)
+      val parts = glScan(df).planInputPartitions().length
+      val wantParts =
+        if (fileLen <= sz) 1 else ((fileLen + sz - 1) / sz).toInt
+      assert(parts == wantParts,
+        s"split size $sz: $parts partitions, expected $wantParts")
+      assert(df.collect().map(_.toString).sorted.toSeq == expected,
+        s"split size $sz changed the row set")
+      // pushed filters + per-partition limit still hold across ranges
+      val f = df.filter($"k" >= 10L && $"k" < 50L)
+      assert(f.count() == 40, s"split size $sz broke pushed filters")
+      assert(df.limit(17).count() == 17, s"split size $sz broke limit")
+    }
+  }
+
+  test("aggregate pushdown merges partials across block splits") {
+    val p = s"$dir/splitagg"
+    Seq.tabulate(200)(i => (i.toLong % 5, i.toLong, i * 2.0))
+      .toDF("g", "k", "d").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    val truth = spark.read.format("graftlines").load(p)
+      .groupBy($"g").agg(count(lit(1)), min($"k"), max($"d"))
+      .collect().map(_.toString).sorted.toSeq
+    withMaxPartitionBytes(128) {
+      val df = spark.read.format("graftlines").load(p)
+      assert(glScan(df.groupBy($"g").agg(count(lit(1))))
+        .planInputPartitions().length > 1,
+        "expected the agg scan itself to be block-split")
+      assert(df.groupBy($"g").agg(count(lit(1)), min($"k"), max($"d"))
+        .collect().map(_.toString).sorted.toSeq == truth)
+    }
+  }
 }
