@@ -48,11 +48,14 @@ import org.apache.spark.util.SerializableConfiguration
   *    bounded by data volume, never by file count; each task opens its
   *    file straight against the Hadoop FileSystem API (conf travels
   *    via the standard [[SerializableConfiguration]]).
-  *  - **Distributed write** ([[BatchWrite]]): per-task writers land
-  *    task-unique files; `mode("overwrite")` plans
+  *  - **Distributed write** ([[BatchWrite]]): per-task writers stream
+  *    to task-unique STAGING names and the job commit renames them to
+  *    their final `.gl` names in one driver-side loop (the staged-
+  *    rename protocol — see [[GlWrite]]), so readers never observe a
+  *    half-written job; `mode("overwrite")` plans
   *    OverwriteByExpression(true) which this builder satisfies via
-  *    [[SupportsTruncate]]. Job abort deletes the files named in the
-  *    commit messages.
+  *    [[SupportsTruncate]], with the old generation deleted at commit
+  *    time. Job abort deletes only staging files.
   *
   *  - **Columnar read** ([[PartitionReaderFactory.supportColumnarReads]]):
   *    ordinary scans emit `ColumnarBatch`es of reusable on-heap column
@@ -63,10 +66,9 @@ import org.apache.spark.util.SerializableConfiguration
   *    the `_graft_stats` manifest; `planInputPartitions` prunes files
   *    whose min/max prove no row can match the pushed filters.
   *
-  * Production upgrade still documented, not faked: a staged rename
-  * commit protocol (this writer commits by task-unique naming, which
-  * is atomic enough for a single writer per path but not for
-  * concurrent jobs).
+  * Remaining honest limit (documented at [[GlWrite]]): the commit's
+  * rename loop is atomic per file, not across files, and two jobs
+  * racing one directory still need a catalog on top.
   */
 class GraftLines extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlines"
@@ -1025,6 +1027,20 @@ private[sources] class GlWriteBuilder(path: String, schema: StructType)
   override def build(): Write = new GlWrite(path, schema, doTruncate)
 }
 
+/** Staged-rename commit protocol: tasks never land bytes under a
+  * reader-visible name. Each task writer streams to a staging name
+  * (`.part-….gl.staging` — the `.gl` listing never sees it) and the
+  * JOB commit renames every staged file to its final `.gl` name in one
+  * driver-side metadata loop, then writes the stats manifest. Until
+  * commit, readers see the directory exactly as the previous job left
+  * it — including under `mode("overwrite")`, whose deletion of the old
+  * files now happens at commit time, not before the tasks launch. A
+  * failed/aborted job leaves only staging debris that no reader lists
+  * and the next overwrite clears. The residual window is the rename
+  * loop itself (O(files) driver-side renames, same exposure as
+  * Hadoop's FileOutputCommitter) — honest limit: per-file rename is
+  * atomic, the loop across files is not, and a multi-writer race on
+  * one directory still needs a catalog on top. */
 private[sources] class GlWrite(path: String, schema: StructType,
     truncate: Boolean) extends Write with BatchWrite {
   // validate the schema is storable BEFORE launching tasks
@@ -1037,16 +1053,16 @@ private[sources] class GlWrite(path: String, schema: StructType,
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    if (truncate) { // single-writer overwrite: clear before tasks launch
-      GraftLines.listDataFiles(path, conf)
-        .foreach(f => fs.delete(new Path(f), false))
-      fs.delete(GraftLines.statsPath(path), false) // stale stats must die
-    }
     fs.mkdirs(dir)
     GlWriterFactory(path, schema, new SerializableConfiguration(conf))
   }
 
-  /** Job commit assembles the `_graft_stats` manifest from the
+  /** Publishes the job: under truncate, deletes the files the old
+    * generation left (data + stats — deferred from factory creation so
+    * concurrent readers keep a complete view until here), then renames
+    * every staged task file to its final name. A rename failure fails
+    * the job loudly — a missing data file is loss, unlike stats.
+    * Afterwards the `_graft_stats` manifest is assembled from the
     * per-task stats riding the commit messages — the driver writes one
     * small index file; no task output is re-read. Appends merge with
     * the existing manifest (its lines for files this write replaced
@@ -1054,15 +1070,41 @@ private[sources] class GlWrite(path: String, schema: StructType,
     * Manifest write failures are swallowed — stats are an optimization
     * and must never fail a committed write. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dirFs = new Path(path).getFileSystem(conf)
+    val staged = messages.collect {
+      case GlCommitted(Some(s), Some(f), _) => (new Path(s), new Path(f))
+    }
+    if (truncate) {
+      GraftLines.listDataFiles(path, conf)
+        .foreach(f => dirFs.delete(new Path(f), false))
+      dirFs.delete(GraftLines.statsPath(path), false) // stale stats must die
+      // staging debris from jobs that died without abort() is garbage;
+      // this job's own staged files (about to be renamed) are exempt —
+      // matched by base name, which is task-unique within the directory
+      // (full-path compare would trip on fs-scheme qualification)
+      val ours = staged.map(_._1.getName).toSet
+      dirFs.listStatus(new Path(path)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".staging")
+          && !ours.contains(st.getPath.getName))
+        .foreach(st => dirFs.delete(st.getPath, false))
+    }
+    staged.foreach { case (s, f) =>
+      // append mode may legally re-use a final name an older job left
+      // (same partition/task ids): replace, matching the previous
+      // create-overwrite semantics
+      if (dirFs.exists(f)) dirFs.delete(f, false)
+      require(dirFs.rename(s, f),
+        s"graftlines: commit failed renaming $s -> $f")
+    }
     val newLines = messages.flatMap {
-      case GlCommitted(Some(f), lines) =>
+      case GlCommitted(_, Some(f), lines) =>
         val base = new Path(f).getName
         lines.map(l => s"$base\t$l")
       case _ => Nil
     }
     if (newLines.isEmpty) return
     try {
-      val conf = SparkSession.active.sparkContext.hadoopConfiguration
       val p = GraftLines.statsPath(path)
       val fs = p.getFileSystem(conf)
       // a re-used task file name replaces its old bytes, so its old
@@ -1090,20 +1132,24 @@ private[sources] class GlWrite(path: String, schema: StructType,
     } catch { case _: Exception => () }
   }
 
+  /** Nothing was renamed (commit never ran), so aborting = deleting
+    * staging files; the reader-visible directory was never touched. */
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
-    messages.collect { case GlCommitted(Some(f), _) =>
-      fs.delete(new Path(f), false)
+    messages.collect { case GlCommitted(Some(s), _, _) =>
+      fs.delete(new Path(s), false)
     }
   }
 }
 
-/** `statsLines`: per-column manifest payloads for the task's file
-  * (`rows \t col \t nulls \t min \t max`, cell text encoding) — the
-  * file base name is prefixed by the job commit. */
-private[sources] case class GlCommitted(file: Option[String],
-    statsLines: Seq[String] = Nil)
+/** `staged`: the task's staging path (written bytes); `file`: the
+  * final name the job commit renames it to. `statsLines`: per-column
+  * manifest payloads for the task's file (`rows \t col \t nulls \t
+  * min \t max`, cell text encoding) — the final base name is prefixed
+  * by the job commit. */
+private[sources] case class GlCommitted(staged: Option[String],
+    file: Option[String], statsLines: Seq[String] = Nil)
     extends WriterCommitMessage
 
 private[sources] case class GlWriterFactory(path: String, schema: StructType,
@@ -1113,17 +1159,21 @@ private[sources] case class GlWriterFactory(path: String, schema: StructType,
     new GlWriter(path, schema, partitionId, taskId, conf.value)
 }
 
-/** Task-side writer: lazily creates `part-<pid>-<taskId>.gl` on first
-  * row (empty partitions land no file), task-unique names keep
-  * concurrent speculative attempts from colliding on content (last
-  * close wins per name; attempt id is folded into taskId by Spark). */
+/** Task-side writer: lazily creates the STAGING file
+  * `.part-<pid>-<taskId>.gl.staging` on first row (empty partitions
+  * land no file); the job commit renames it to its final
+  * `part-<pid>-<taskId>.gl` name. The dot-prefix + suffix keep it out
+  * of every data listing, so a task is invisible to readers until the
+  * whole job publishes. Task-unique names keep concurrent speculative
+  * attempts from colliding (attempt id is folded into taskId by
+  * Spark; only the winning attempt's message reaches the job commit). */
 private[sources] class GlWriter(dir: String, schema: StructType,
     partitionId: Int, taskId: Long,
     conf: org.apache.hadoop.conf.Configuration)
     extends DataWriter[InternalRow] {
 
-  private val file = new Path(dir,
-    f"part-$partitionId%05d-$taskId${GraftLines.Ext}")
+  private val finalName = f"part-$partitionId%05d-$taskId${GraftLines.Ext}"
+  private val file = new Path(dir, s".$finalName.staging")
   private var out: OutputStreamWriter = _
   private val types = schema.fields.map(_.dataType)
 
@@ -1217,7 +1267,7 @@ private[sources] class GlWriter(dir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
-    if (out == null) GlCommitted(None)
+    if (out == null) GlCommitted(None, None)
     else {
       val lines = statsCols.toSeq.map { c =>
         val mn = if (mins(c) == null) "\\N" else mins(c).toString
@@ -1229,7 +1279,8 @@ private[sources] class GlWriter(dir: String, schema: StructType,
           s"\t${GlBloom.Marker}\t${GlBloom.encode(blooms(b))}" +
           s"\t${GraftLines.StatsSentinel}"
       }
-      GlCommitted(Some(file.toString), lines)
+      GlCommitted(Some(file.toString),
+        Some(new Path(dir, finalName).toString), lines)
     }
   }
 

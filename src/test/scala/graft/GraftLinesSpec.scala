@@ -535,6 +535,39 @@ class GraftLinesSpec extends AnyFunSuite {
     }
   }
 
+  test("staged commit: no staging debris after success; failed " +
+      "overwrite leaves the old generation intact") {
+    val p = s"$dir/staged"
+    Seq((1L, "v1a"), (2L, "v1b")).toDF("k", "s").repartition(2)
+      .write.format("graftlines").mode("overwrite").save(p)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names() = hfs.listStatus(hp).map(_.getPath.getName).toSeq.sorted
+    assert(!names().exists(_.contains(".staging")),
+      s"staging debris after committed write: ${names()}")
+    assert(names().count(_.endsWith(".gl")) >= 1)
+    val v1 = spark.read.format("graftlines").load(p)
+      .collect().map(_.toString).sorted.toSeq
+    // an overwrite whose task fails must not touch the old generation:
+    // truncation + publication both happen at job commit, which never runs
+    val boom = udf((k: Long) =>
+      if (k == 99L) throw new RuntimeException("boom") else k)
+    intercept[Exception] {
+      spark.range(100).select(boom($"id").as("k"), lit("v2").as("s"))
+        .repartition(2)
+        .write.format("graftlines").mode("overwrite").save(p)
+    }
+    assert(spark.read.format("graftlines").load(p)
+      .collect().map(_.toString).sorted.toSeq == v1,
+      "failed overwrite corrupted the previous generation")
+    // and a later clean overwrite replaces data AND clears any debris
+    Seq((3L, "v3")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    assert(spark.read.format("graftlines").load(p)
+      .collect().map(_.toString).toSeq == Seq(Row(3L, "v3").toString))
+    assert(names().count(_.endsWith(".gl")) == 1)
+  }
+
   test("aggregate pushdown merges partials across block splits") {
     val p = s"$dir/splitagg"
     Seq.tabulate(200)(i => (i.toLong % 5, i.toLong, i * 2.0))
