@@ -291,6 +291,88 @@ object LlmText extends QueryGroup {
         |ORDER BY lang""".stripMargin)),
 
     QueryDef(
+      // Substring-level duplicated-span detection (added r8): the
+      // finest dedup granularity in the family — q_dedup_paragraph
+      // works on NON-overlapping 10-token blocks, so a duplicated
+      // passage that straddles a block boundary (or starts mid-block)
+      // is invisible to it. This is the published windowed-fingerprint
+      // factorization of exact-substring dedup (the suffix-array
+      // approach of Lee et al., "Deduplicating Training Data Makes
+      // Language Models Better", recast shuffle-friendly): hash EVERY
+      // 10-token window at stride 1, a window whose 60-bit fingerprint
+      // occurs more than once corpus-wide marks all 10 of its token
+      // positions as duplicated, and per-document coverage is the
+      // count of DISTINCT flagged positions (interval union without an
+      // interval-merge pass — the 10x flagged-window explode is
+      // bounded and keyed, a sort-based merge per doc is not). Scale
+      // profile: two map-only passes over the corpus, aggs keyed on
+      // the window hash / (doc, position) — never doc x doc, never a
+      // suffix array's global sort. Short docs (<10 tokens) emit no
+      // windows but stay in the per-lang totals.
+      "q_dedup_ngram_spans",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(lower(col("text")), " ").as("toks"))
+        val tot = toks.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("toks")).cast(LongType)).as("n_tokens"))
+        val wins = toks.filter(size(col("toks")) >= 10)
+          .select(col("doc_id"), col("lang"),
+            posexplode(expr(
+              """transform(sequence(1, size(toks) - 9),
+                | i -> cast(conv(substring(
+                |   md5(array_join(slice(toks, i, 10), ' ')), 1, 15),
+                |   16, 10) as bigint))""".stripMargin)))
+          .select(col("doc_id"), col("lang"),
+            (col("pos") + 1).as("start"), col("col").as("h"))
+        val dup = wins.groupBy(col("h"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .select(col("h"))
+        val cov = wins.join(dup.hint("shuffle_hash"), Seq("h"))
+          .select(col("doc_id"), col("lang"),
+            explode(expr("sequence(start, start + 9)")).as("p"))
+        val agg = cov.groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_docs_with_dups"),
+            countDistinct(col("doc_id"), col("p")).as("n_dup_tokens"))
+        tot.join(agg, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            coalesce(col("n_docs_with_dups"), lit(0L))
+              .as("n_docs_with_dups"),
+            coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+            round(coalesce(col("n_dup_tokens"), lit(0L))
+              .cast(DoubleType) / col("n_tokens"), 4)
+              .as("dup_token_rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+        |         string_split(lower(text), ' ') AS toks FROM documents),
+        |tot AS (SELECT lang, COUNT(*)::BIGINT AS n_docs,
+        |          SUM(len(toks))::BIGINT AS n_tokens
+        |        FROM t GROUP BY 1),
+        |w AS (SELECT doc_id, lang, i AS start,
+        |        ('0x' || substr(md5(
+        |           array_to_string(toks[i : i + 9], ' ')), 1, 15))::BIGINT
+        |          AS h
+        |      FROM t, UNNEST(range(1, len(toks) - 8)) AS u(i)
+        |      WHERE len(toks) >= 10),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1),
+        |cov AS (SELECT DISTINCT f.doc_id, f.lang, r.p
+        |        FROM w f JOIN dup USING (h),
+        |          UNNEST(range(f.start, f.start + 10)) AS r(p)),
+        |agg AS (SELECT lang, COUNT(DISTINCT doc_id)::BIGINT
+        |            AS n_docs_with_dups,
+        |          COUNT(*)::BIGINT AS n_dup_tokens
+        |        FROM cov GROUP BY 1)
+        |SELECT tot.lang, n_docs, n_tokens,
+        |  COALESCE(n_docs_with_dups, 0)::BIGINT AS n_docs_with_dups,
+        |  COALESCE(n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+        |  ROUND(COALESCE(n_dup_tokens, 0)::DOUBLE / n_tokens, 4)
+        |    AS dup_token_rate
+        |FROM tot LEFT JOIN agg USING (lang)
+        |ORDER BY lang""".stripMargin)),
+
+    QueryDef(
       "q_dedup_simhash",
       (s, d) => {
         // md5 once per exploded token row; the aggregation boundary keeps
