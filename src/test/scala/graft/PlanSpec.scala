@@ -90,6 +90,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("q_dedup_simhash").contains("BroadcastHashJoin"))
   }
 
+  test("q_dedup_ngram_spans joins on the window hash, never doc x doc") {
+    // the flagged-window join must stay keyed on the 60-bit fingerprint
+    // (SHUFFLE_HASH by hint — the dup-hash side grows with the corpus,
+    // so a broadcast would pin the wrong 100 TB plan) and nothing may
+    // fall back to a pair blowup
+    val p = plan("q_dedup_ngram_spans")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_text_decontaminate joins on the shingle key, never doc x doc") {
     val p = plan("q_text_decontaminate")
     assert(!p.contains("CartesianProduct")
