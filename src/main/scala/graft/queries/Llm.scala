@@ -510,6 +510,86 @@ object Llm extends QueryGroup {
       None),
 
     QueryDef(
+      // PQ ANN (added r8 — completes the ANN family: LSH buckets, IVF
+      // cells, int8 scalar quantization, and now product quantization,
+      // Jégou et al.): L2-normalize, split 64 dims into 16 subspaces of
+      // 4, per-subspace codebook = the subvectors of the 16 lowest
+      // vec_ids (data-derived, deterministic — the k-means stand-in
+      // the IVF coarse quantizer also uses), encode every vector as 16
+      // nibble codes (8 of 256 bytes — the 32x memory compression IS
+      // the operator; 4-dim subspaces keep per-subspace quantization
+      // error low where 8-dim cells would be too coarse for 16
+      // centroids), then score queries by ADC: per query one 16x16
+      // distance table, approx dist = fixed-order 16-term table-lookup
+      // sum (deterministic — no float reduction order in play). On
+      // normalized vectors L2 is monotone in cosine (|a-b|^2 =
+      // 2-2cos), so the exact cosine top-k is the recall baseline
+      // (AnnPqSpec). Scored set = full corpus BY DESIGN, like the
+      // exact anchor: PQ is the memory/bandwidth path; candidate
+      // PRUNING is IVF's job, and production composes them as IVFPQ
+      // (probe cells with the coarse quantizer, rank probed codes with
+      // ADC). Codes and tables ride metadata-sized broadcasts; the
+      // corpus-side scan carries 8 bytes per vector, never the floats.
+      "q_sim_ann_pq",
+      (s, d) => {
+        graft.functions.FloatDot.register(s)
+        val emb = Tables.embeddings(s, d)
+          .withColumn("nemb",
+            expr(s"transform(embedding, x -> cast(x / $l2Expr as double))"))
+        // (m, cid, c_sub): 8 subspaces x 16 centroids
+        val cb = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"),
+            explode(expr("""transform(sequence(0, 15),
+              | m -> struct(m AS m, slice(nemb, m * 4 + 1, 4) AS c_sub))"""
+              .stripMargin)).as("e"))
+          .select(col("e.m").as("m"), col("cid"), col("e.c_sub").as("c_sub"))
+        val subs = emb
+          .select(col("vec_id"),
+            explode(expr("""transform(sequence(0, 15),
+              | m -> struct(m AS m, slice(nemb, m * 4 + 1, 4) AS sub))"""
+              .stripMargin)).as("e"))
+          .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+        val d2 = expr("""aggregate(zip_with(sub, c_sub,
+          | (a, b) -> (a - b) * (a - b)),
+          | cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+        // encode: argmin centroid per (vector, subspace), ties -> low cid
+        val codes = subs.join(broadcast(cb), Seq("m"))
+          .withColumn("d2", d2)
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+          .groupBy(col("vec_id"))
+          .agg(transform(array_sort(
+            collect_list(struct(col("m"), col("code")))),
+            x => x("code")).as("codes"))
+        // per-query ADC table: qdt[m][cid] = |q_m - c_m|^2
+        val qdt = subs.filter(col("vec_id") < 10)
+          .join(broadcast(cb), Seq("m"))
+          .withColumn("qd2", d2)
+          .groupBy(col("vec_id"), col("m"))
+          .agg(transform(array_sort(
+            collect_list(struct(col("cid"), col("qd2")))),
+            x => x("qd2")).as("row16"))
+          .groupBy(col("vec_id"))
+          .agg(transform(array_sort(
+            collect_list(struct(col("m"), col("row16")))),
+            x => x("row16")).as("qdt"))
+          .select(col("vec_id").as("qid"), col("qdt"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("ad").asc, col("vec_id").asc)
+        codes.crossJoin(broadcast(qdt))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("ad", expr("""aggregate(sequence(0, 15),
+            | cast(0.0 as double), (acc, m) ->
+            | acc + qdt[m][codes[m]])""".stripMargin))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id"), col("rank"),
+            round(col("ad"), 4).as("approx_d2"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      None),
+
+    QueryDef(
       "q_knn_majority_label",
       (s, d) => {
         graft.functions.FloatDot.register(s)

@@ -32,6 +32,54 @@ class AnnLshSpec extends AnyFunSuite {
       s"LSH buckets barely prune: $perQ candidates of $corpus corpus")
   }
 
+  test("PQ ANN recall@5 with 16x16 codebooks on sf0.01") {
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("q_sim_ann_pq")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(s"PQ recall@5 = $recall (${(exact intersect pq).size}/${exact.size})")
+    // vectors are L2-normalized before encoding, so ADC L2 is monotone
+    // in cosine and this compare is apples-to-apples; near-random
+    // fixture vectors quantize poorly vs clustered real embeddings
+    // (same caveat as IVF's bar), and 8 nibbles per vector is a 32x
+    // compression — a modest bar is the honest one
+    assert(recall >= 0.3, s"recall $recall below 0.3 — PQ degenerate")
+  }
+
+  test("PQ ADC ranking beats random: top-5 mean exact-rank is high") {
+    import org.apache.spark.sql.functions._
+    // the exact rank (by cosine) of PQ's picks must sit far above the
+    // corpus median — recall alone can't see "missed but close"
+    val corpus = Tables.embeddings(spark, TestSpark.sf001).count()
+    val pq = SparkEntry.queries("q_sim_ann_pq")(spark, TestSpark.sf001)
+      .select(col("qid"), col("vec_id"))
+    // q_sim_cosine_topk only emits top-5, so rank every PQ pick in the
+    // full exact cosine order and bound the worst pick's rank
+    graft.functions.FloatDot.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.sf001)
+      .select(col("vec_id"), col("embedding"),
+        expr("sqrt(fdot(embedding, embedding))").as("nrm"))
+    val q = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+      .filter(col("qid") < 10)
+    val allCos = q.join(emb, col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        expr("fdot(qe, embedding)") / (col("qn") * col("nrm")))
+      .withColumn("xrank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("qid"), col("vec_id"), col("xrank"))
+    val worst = pq.join(allCos, Seq("qid", "vec_id"))
+      .agg(max(col("xrank"))).collect()(0).getInt(0)
+    info(s"worst exact rank among PQ top-5 picks = $worst of $corpus")
+    // near-random fixture vectors are PQ's worst case (nothing for the
+    // codebooks to cluster); measured worst ~150 of 500 — demand the
+    // top-40% band, far above the ~uniform spread a broken ADC gives
+    assert(worst <= corpus * 2 / 5,
+      s"a PQ pick ranked $worst of $corpus — ADC ordering degenerate")
+  }
+
   test("IVF ANN recall@5 with nprobe=6/16 cells on sf0.01") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
