@@ -648,6 +648,75 @@ object Etl extends QueryGroup {
         |ORDER BY tbl DESC, o_orderstatus""".stripMargin)),
 
     QueryDef(
+      // Unreferenced-file GC (added r8 — the Delta VACUUM / Iceberg
+      // remove_orphan_files lifecycle op, completing the manifest
+      // family: snapshot gives versioned reads, clone gives shared
+      // storage, vacuum RECLAIMS it). A rewrite commit (here: the full
+      // table recompacted) supersedes v1's files in the manifest but
+      // leaves their bytes on disk for time travel; vacuum deletes
+      // exactly the on-disk files the CURRENT manifest does not
+      // reference. File-level behavior is require()-pinned (v1-only
+      // files gone, every current-manifest file intact, disk ≡
+      // manifest afterwards — counts depend on physical partitioning,
+      // so they are assertions, not output); the ORACLE pins what a
+      // user must observe: the current read is byte-identical before
+      // and after the vacuum. All manifest/GC work is O(files) driver
+      // metadata, the same class as every table format's VACUUM — the
+      // data files themselves never move.
+      "q_etl_vacuum",
+      (s, d) => {
+        val base = "/tmp/graft_vacuum"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val orders = Tables.orders(s, d)
+        def ls(): Set[String] =
+          fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/data"))
+            .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
+        // commit 1: statuses F and O
+        orders.filter(col("o_orderstatus") =!= "P")
+          .write.mode("append").parquet(s"$base/data")
+        val v1Files = ls()
+        // commit 2: REWRITE — the whole table recompacted into fresh
+        // files; the current manifest references only these
+        orders.write.mode("append").parquet(s"$base/data")
+        val current = ls() -- v1Files
+        def read(files: Set[String]) =
+          s.read.schema(Tables.ordersSchema)
+            .parquet(files.toSeq.sorted: _*)
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .cast(DoubleType).as("sum_price"))
+            .withColumn("phase", lit(phase))
+        val pre = agg(read(current), "pre_vacuum")
+          .localCheckpoint() // materialize BEFORE the files vanish
+        // vacuum: delete on-disk files the current manifest omits
+        val unreferenced = ls() -- current
+        unreferenced.foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(f), false))
+        require(unreferenced == v1Files,
+          "vacuum must remove exactly the superseded commit's files")
+        require(ls() == current,
+          "post-vacuum disk must hold exactly the current manifest")
+        pre.unionByName(agg(read(current), "post_vacuum"))
+          .select(col("phase"), col("o_orderstatus"), col("n"),
+            col("sum_price"))
+          .orderBy(col("phase").desc, col("o_orderstatus"))
+      },
+      Some("""SELECT 'pre_vacuum' AS phase, o_orderstatus,
+        | COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'post_vacuum', o_orderstatus, COUNT(*)::BIGINT,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY phase DESC, o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // DSv2 AGGREGATE pushdown (added r5, beside q_source_dsv2's
       // filter/prune/limit surface): count/min/max/count(col) are
       // pushed into the graftlines source as a PARTIAL aggregation —
