@@ -232,4 +232,38 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graftlines block splits are invariant: any split size, same rows") {
+    import spark.implicits._
+    // hostile string alphabet: escapes, tabs, newlines, multi-byte
+    // UTF-8 (2-, 3-, 4-byte sequences) so byte-range boundaries land
+    // inside encoded characters; NULLs via the Option layer
+    val cellGen: Gen[Option[String]] = Gen.frequency(
+      1 -> Gen.const(None),
+      6 -> Gen.listOf(Gen.oneOf("a", "é", "λ", "😀", "\\", "\t", "\n",
+        "\r", "x", "", "\\N")).map(l => Some(l.mkString)))
+    // n >= 1: an all-empty write lands no file (lazy writers), and a
+    // fileless dir is a loud read error by design, not a split case
+    val tableGen: Gen[List[(Long, Option[String])]] =
+      Gen.chooseNum(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 99L), cellGen)))
+    val dir = "/tmp/graft_prop_split"
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try cases(tableGen, 6).zipWithIndex.foreach { case (rows, i) =>
+      val p = s"$dir/$i"
+      rows.toDF("k", "s").coalesce(1)
+        .write.format("graftlines").mode("overwrite").save(p)
+      spark.conf.set(key, String.valueOf(Long.MaxValue))
+      val whole = spark.read.format("graftlines").load(p)
+        .collect().map(_.toString).sorted.toSeq
+      // 3, 17: boundaries inside header AND inside multibyte chars
+      Seq(3L, 17L, 101L).foreach { sz =>
+        spark.conf.set(key, sz.toString)
+        val split = spark.read.format("graftlines").load(p)
+          .collect().map(_.toString).sorted.toSeq
+        assert(split == whole, s"case $i split=$sz lost/duplicated rows")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
