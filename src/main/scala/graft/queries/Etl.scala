@@ -791,6 +791,51 @@ object Etl extends QueryGroup {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
     QueryDef(
+      // SQL DELETE FROM through the catalog (added r8): the row-level
+      // lifecycle statement warehouse users actually type for a GDPR
+      // erasure — q_etl_delete_cascade computes WHAT to delete as
+      // dataframe algebra; this executes a delete as a STATEMENT
+      // against a connector table via DSv2 SupportsDelete. Execution
+      // is copy-on-write in the source (GraftLines.rewriteWithoutMatches):
+      // `_graft_stats` prunes provably-untouched files at plan time,
+      // affected files rewrite in parallel executor tasks (data never
+      // through the driver), fresh stats replace their manifest lines,
+      // and only exactly-evaluable predicates are accepted — an
+      // unsupported one errors loudly rather than deleting
+      // approximately (GraftLinesSpec pins all of it, including
+      // untouched-file byte identity). Oracle: the surviving table per
+      // status — counts and decimal-exact sums.
+      "q_etl_sql_delete",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          "/tmp/graft_warehouse")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_del")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .createOrReplaceTempView("orders_del_src")
+        s.sql("""CREATE TABLE graft_cat.contract.orders_del USING graftlines
+          | AS SELECT * FROM orders_del_src""".stripMargin)
+        // the erasure: one status family plus a key-range carve-out
+        s.sql("""DELETE FROM graft_cat.contract.orders_del
+          | WHERE o_orderstatus = 'P' OR o_custkey < 100""".stripMargin)
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+          | CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+          |FROM graft_cat.contract.orders_del
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'P' OR o_custkey < 100)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // Z-order layout (added r5): the multi-dimensional data-layout
       // primitive — interleave the low 16 bits of customer key and
       // order epoch-day into a Morton code, range-partition + sort the

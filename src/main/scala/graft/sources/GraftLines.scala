@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
@@ -250,6 +250,95 @@ object GraftLines {
 
   private[sources] def statsPath(dir: String) = new Path(dir, StatsName)
 
+  /** Manifest maintenance shared by job commit and DELETE: drop every
+    * line whose file is in `dropNames`, append `newLines` (already
+    * base-name-prefixed), `replaceAll` discards the old manifest
+    * entirely. Failures are swallowed — stats are an optimization and
+    * must never fail a committed mutation. Rewrite goes via temp +
+    * rename, not in-place create: a crash mid-write (or a reader
+    * racing the rewrite) must see either the old complete manifest or
+    * the new one, never a half-written file. Rename is atomic on HDFS
+    * and the local FS; the delete-before-rename gap (rename onto an
+    * existing path is not portable) degrades a concurrent reader to
+    * "no stats", which is the designed fallback, not a wrong skip. */
+  private[sources] def mergeStats(dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      dropNames: Set[String], newLines: Seq[String],
+      replaceAll: Boolean = false): Unit = {
+    try {
+      val p = statsPath(dir)
+      val fs = p.getFileSystem(conf)
+      val existing: Seq[String] =
+        if (replaceAll || !fs.exists(p)) Nil
+        else {
+          val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+          try Iterator.continually(br.readLine()).takeWhile(_ != null)
+            .toList.filterNot(l => dropNames.contains(l.takeWhile(_ != '\t')))
+          finally br.close()
+        }
+      if (existing.isEmpty && newLines.isEmpty) { fs.delete(p, false); return }
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
+      try (existing ++ newLines).foreach { l => w.write(l); w.write('\n') }
+      finally w.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    } catch { case _: Exception => () }
+  }
+
+  /** Executor-side copy-on-write rewrite for DELETE: stream `file`,
+    * drop every row satisfying the conjunction of `filters`, land the
+    * survivors under the file's own name (staged write, then
+    * delete-original + rename — the per-file publish window is the
+    * documented non-atomicity of a logless COW delete; the catalog/
+    * manifest layer is the transactional answer, as for writes).
+    * Returns the file's fresh stats lines, or Nil when every row
+    * matched and the file was simply deleted. */
+  private[sources] def rewriteWithoutMatches(file: String,
+      schema: StructType, filters: Array[Filter],
+      conf: org.apache.hadoop.conf.Configuration,
+      nullFillMissing: Boolean): Seq[String] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    val dir = p.getParent.toString
+    val base = p.getName
+    val reader = new GlReader(file, schema, Array.empty, None, conf,
+      nullFillMissing)
+    val writer = new GlWriter(dir, schema, 0, 0L, conf,
+      nameOverride = Some(base))
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    try {
+      while (reader.next()) {
+        val row = reader.get()
+        val get: String => Any = { n =>
+          val i = idx(n)
+          if (row.isNullAt(i)) null
+          else schema.fields(i).dataType match {
+            case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(i))
+            case LongType | TimestampType => java.lang.Long.valueOf(row.getLong(i))
+            case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
+            case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+            case StringType => row.getUTF8String(i).toString
+            case other => throw new IllegalStateException(other.toString)
+          }
+        }
+        if (!filters.forall(GlFilters.eval(_, get))) writer.write(row)
+      }
+    } catch { case e: Throwable => writer.abort(); reader.close(); throw e }
+    reader.close()
+    writer.commit() match {
+      case GlCommitted(Some(staged), Some(fin), lines) =>
+        require(fs.delete(p, false),
+          s"graftlines delete: could not remove $file before publish")
+        require(fs.rename(new Path(staged), new Path(fin)),
+          s"graftlines delete: could not publish rewritten $fin")
+        lines.map(l => s"$base\t$l")
+      case _ => // no survivors: the whole file is deleted
+        fs.delete(p, false)
+        Nil
+    }
+  }
+
   /** Manifest read at plan time: baseName -> (rows, col -> (nulls, min,
     * max)); min/max already parsed to comparison values (null = column
     * all-NULL in that file). A missing/corrupt manifest means "no
@@ -366,6 +455,7 @@ private[sources] object GlBloom {
 private[sources] object GlFilters {
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
+    case AlwaysTrue() => true // DELETE without WHERE
     case And(l, r) => supported(schema, l) && supported(schema, r)
     case Or(l, r) => supported(schema, l) && supported(schema, r)
     case Not(c) => supported(schema, c)
@@ -409,6 +499,7 @@ private[sources] object GlFilters {
     * a column for the current row (null ⇒ SQL NULL ⇒ comparisons are
     * false, Is[Not]Null sees it). */
   def eval(f: Filter, get: String => Any): Boolean = f match {
+    case AlwaysTrue() => true
     case And(l, r) => eval(l, get) && eval(r, get)
     case Or(l, r) => eval(l, get) || eval(r, get)
     case Not(c) => !eval(c, get)
@@ -487,9 +578,23 @@ private[sources] object GlFilters {
   private def num(lit: Any): Number = lit.asInstanceOf[Number]
 }
 
+/** Copy-on-write `DELETE FROM` ([[SupportsDelete]]): the row-level
+  * lifecycle op of real table formats, reachable through any catalog
+  * identifier (`DELETE FROM graft_cat.ns.t WHERE …`). Only predicates
+  * the reader can evaluate EXACTLY are accepted (`canDeleteWhere` —
+  * same honesty contract as filter pushdown; anything else errors
+  * loudly rather than approximating a deletion). Execution:
+  * `_graft_stats` prunes provably-untouched files at plan time — a
+  * GDPR delete keyed on a user id rewrites only the files whose
+  * min/max/bloom admit that key — and the affected files are rewritten
+  * in PARALLEL executor tasks (one per file, data never through the
+  * driver); their fresh stats lines replace the old manifest entries.
+  * Per-file publish is staged-write + delete + rename; the cross-file
+  * window of a logless COW delete is documented at
+  * [[GraftLines.rewriteWithoutMatches]]. */
 private[sources] class GlTable(path: String, tableSchema: StructType,
     nullFillMissing: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   require(path != null && path.nonEmpty, "graftlines requires a path")
 
   override def name(): String = s"graftlines `$path`"
@@ -503,6 +608,34 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GlWriteBuilder(path, info.schema())
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GlFilters.supported(tableSchema, _))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = GraftLines.listDataFiles(path, conf)
+    // same conservative pruning as the scan: a file is untouched when
+    // stats PROVE no row satisfies the delete conjunction
+    val stats = GraftLines.readStats(path, conf, tableSchema)
+    val affected = files.filter { f =>
+      stats.get(new Path(f).getName)
+        .forall(st => filters.forall(GlFilters.mayMatch(_, st)))
+    }
+    if (affected.isEmpty) return
+    val sconf = new SerializableConfiguration(conf)
+    val schema = tableSchema
+    val nfm = nullFillMissing
+    val newLines = spark.sparkContext
+      .parallelize(affected, affected.size)
+      .map(f => GraftLines.rewriteWithoutMatches(f, schema, filters,
+        sconf.value, nfm))
+      .collect().flatten.toSeq
+    GraftLines.mergeStats(path, conf,
+      dropNames = affected.map(new Path(_).getName).toSet,
+      newLines = newLines)
+  }
 }
 
 /** One pushed aggregate function: kind ∈ countstar|count|min|max,
@@ -1104,32 +1237,11 @@ private[sources] class GlWrite(path: String, schema: StructType,
       case _ => Nil
     }
     if (newLines.isEmpty) return
-    try {
-      val p = GraftLines.statsPath(path)
-      val fs = p.getFileSystem(conf)
-      // a re-used task file name replaces its old bytes, so its old
-      // manifest lines must not survive beside the new ones
-      val newNames = newLines.map(_.takeWhile(_ != '\t')).toSet
-      val existing: Seq[String] = if (truncate || !fs.exists(p)) Nil else {
-        val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
-        try Iterator.continually(br.readLine()).takeWhile(_ != null)
-          .toList.filterNot(l => newNames.contains(l.takeWhile(_ != '\t')))
-        finally br.close()
-      }
-      // Rewrite via temp + rename, not in-place create: a crash
-      // mid-write (or a reader racing the rewrite) must see either the
-      // old complete manifest or the new one, never a half-written
-      // file. Rename is atomic on HDFS and the local FS; the
-      // delete-before-rename gap (rename onto an existing path is not
-      // portable) degrades a concurrent reader to "no stats", which is
-      // the designed fallback, not a wrong skip.
-      val tmp = new Path(p.getParent, p.getName + ".tmp")
-      val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
-      try (existing ++ newLines).foreach { l => w.write(l); w.write('\n') }
-      finally w.close()
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
-    } catch { case _: Exception => () }
+    // a re-used task file name replaces its old bytes, so its old
+    // manifest lines must not survive beside the new ones
+    GraftLines.mergeStats(path, conf,
+      dropNames = newLines.map(_.takeWhile(_ != '\t')).toSet,
+      newLines = newLines, replaceAll = truncate)
   }
 
   /** Nothing was renamed (commit never ran), so aborting = deleting
@@ -1169,10 +1281,12 @@ private[sources] case class GlWriterFactory(path: String, schema: StructType,
   * Spark; only the winning attempt's message reaches the job commit). */
 private[sources] class GlWriter(dir: String, schema: StructType,
     partitionId: Int, taskId: Long,
-    conf: org.apache.hadoop.conf.Configuration)
+    conf: org.apache.hadoop.conf.Configuration,
+    nameOverride: Option[String] = None)
     extends DataWriter[InternalRow] {
 
-  private val finalName = f"part-$partitionId%05d-$taskId${GraftLines.Ext}"
+  private val finalName = nameOverride.getOrElse(
+    f"part-$partitionId%05d-$taskId${GraftLines.Ext}")
   private val file = new Path(dir, s".$finalName.staging")
   private var out: OutputStreamWriter = _
   private val types = schema.fields.map(_.dataType)

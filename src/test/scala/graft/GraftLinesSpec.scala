@@ -568,6 +568,55 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(names().count(_.endsWith(".gl")) == 1)
   }
 
+  test("SQL DELETE FROM: copy-on-write, stats-pruned, exact") {
+    spark.conf.set("spark.sql.catalog.graft_del", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_del.warehouse",
+      s"$dir/del_warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_del.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_del.ns.t")
+    spark.sql("CREATE TABLE graft_del.ns.t (k BIGINT, s STRING) " +
+      "USING graftlines")
+    val tdir = new org.apache.hadoop.fs.Path(s"$dir/del_warehouse/ns/t")
+    val hfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def glFiles() = hfs.listStatus(tdir).map(_.getPath)
+      .filter(_.getName.endsWith(".gl")).toSeq.sortBy(_.getName)
+    def bytes(p: org.apache.hadoop.fs.Path): Seq[Byte] = {
+      val in = hfs.open(p)
+      try Iterator.continually(in.read()).takeWhile(_ >= 0)
+        .map(_.toByte).toSeq finally in.close()
+    }
+    (0L until 50L).map(k => (k, s"lo$k")).toDF("k", "s").coalesce(1)
+      .writeTo("graft_del.ns.t").append()
+    val afterB1 = glFiles().toSet
+    (1000L until 1050L).map(k => (k, s"hi$k")).toDF("k", "s").coalesce(1)
+      .writeTo("graft_del.ns.t").append()
+    val hiFile = (glFiles().toSet -- afterB1).head
+    val hiBytes = bytes(hiFile)
+    spark.sql("DELETE FROM graft_del.ns.t WHERE k < 25")
+    assert(spark.table("graft_del.ns.t").count() == 75)
+    assert(spark.table("graft_del.ns.t")
+      .agg(min($"k")).collect()(0).getLong(0) == 25L)
+    // the hi file's min/max prove no k < 25 row: stats pruning must
+    // leave its bytes untouched (a GDPR delete rewrites only the
+    // files that can hold the key)
+    assert(bytes(hiFile) == hiBytes,
+      "stats-pruned file was rewritten by an unrelated DELETE")
+    // rewritten file's fresh stats still prune scans correctly
+    val q = spark.table("graft_del.ns.t").filter($"k" === 10L)
+    assert(q.count() == 0)
+    // predicates the reader cannot evaluate exactly must error loudly,
+    // not delete approximately
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft_del.ns.t WHERE s LIKE 'hi%'")
+    }
+    assert(spark.table("graft_del.ns.t").count() == 75,
+      "failed DELETE must not remove rows")
+    // DELETE without WHERE empties the table; catalog read stays valid
+    spark.sql("DELETE FROM graft_del.ns.t")
+    assert(glFiles().isEmpty, "delete-all must remove every data file")
+    assert(spark.table("graft_del.ns.t").count() == 0)
+  }
+
   test("aggregate pushdown merges partials across block splits") {
     val p = s"$dir/splitagg"
     Seq.tabulate(200)(i => (i.toLong % 5, i.toLong, i * 2.0))
