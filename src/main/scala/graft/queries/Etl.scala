@@ -800,11 +800,12 @@ object Etl extends QueryGroup {
       // `_graft_stats` prunes provably-untouched files at plan time,
       // affected files rewrite in parallel executor tasks (data never
       // through the driver), fresh stats replace their manifest lines,
-      // and only exactly-evaluable predicates are accepted — an
-      // unsupported one errors loudly rather than deleting
-      // approximately (GraftLinesSpec pins all of it, including
-      // untouched-file byte identity). Oracle: the surviving table per
-      // status — counts and decimal-exact sums.
+      // and only exactly-evaluable predicates take this metadata path —
+      // anything else (LIKE, subqueries) falls through to the
+      // group-based COW rewrite and still deletes exactly
+      // (GraftLinesSpec pins all of it, including untouched-file byte
+      // identity). Oracle: the surviving table per status — counts and
+      // decimal-exact sums.
       "q_etl_sql_delete",
       (s, d) => {
         s.conf.set("spark.sql.catalog.graft_cat",
@@ -834,6 +835,68 @@ object Etl extends QueryGroup {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'P' OR o_custkey < 100)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
+      // SQL MERGE INTO through the catalog (added r8, beside
+      // q_etl_sql_delete): the upsert STATEMENT — q_etl_merge_cdc
+      // computes a merge as dataframe algebra; this executes one
+      // against a connector table via DSv2 SupportsRowLevelOperations.
+      // Spark rewrites it group-based (copy-on-write): the row-level
+      // scan returns EVERY row of the affected files (condition
+      // filters prune files only — carry-over rows must survive),
+      // matched rows update, unmatched source rows insert, and the
+      // replace-commit swaps exactly the scanned files
+      // (GraftLinesSpec pins carry-over survival and the subquery
+      // DELETE that rides the same machinery). Oracle: the merged
+      // state per status — counts and decimal-exact sums.
+      "q_etl_sql_merge",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          "/tmp/graft_warehouse")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_merge")
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+        orders.filter(col("o_orderstatus") =!= "P")
+          .createOrReplaceTempView("orders_merge_tgt")
+        s.sql("""CREATE TABLE graft_cat.contract.orders_merge
+          | USING graftlines AS SELECT * FROM orders_merge_tgt"""
+          .stripMargin)
+        // source: price corrections for every 10th existing order plus
+        // the pending ('P') orders as fresh inserts
+        orders.filter(col("o_orderstatus") =!= "P"
+            && col("o_orderkey") % 10 === 0)
+          .withColumn("cents", col("cents") + 10000L)
+          .unionByName(orders.filter(col("o_orderstatus") === "P"))
+          .createOrReplaceTempView("orders_merge_src")
+        s.sql("""MERGE INTO graft_cat.contract.orders_merge t
+          | USING orders_merge_src s ON t.o_orderkey = s.o_orderkey
+          | WHEN MATCHED THEN UPDATE SET cents = s.cents
+          | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+          | CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+          |FROM graft_cat.contract.orders_merge
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |       FROM orders),
+        |merged AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN cents + 10000 ELSE cents END
+        |      AS cents
+        |  FROM o WHERE o_orderstatus <> 'P'
+        |  UNION ALL
+        |  SELECT o_orderstatus, cents FROM o WHERE o_orderstatus = 'P')
+        |SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
       // Z-order layout (added r5): the multi-dimensional data-layout

@@ -8,11 +8,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -581,9 +581,10 @@ private[sources] object GlFilters {
 /** Copy-on-write `DELETE FROM` ([[SupportsDelete]]): the row-level
   * lifecycle op of real table formats, reachable through any catalog
   * identifier (`DELETE FROM graft_cat.ns.t WHERE …`). Only predicates
-  * the reader can evaluate EXACTLY are accepted (`canDeleteWhere` —
-  * same honesty contract as filter pushdown; anything else errors
-  * loudly rather than approximating a deletion). Execution:
+  * the reader can evaluate EXACTLY take this metadata path
+  * (`canDeleteWhere` — same honesty contract as filter pushdown);
+  * anything else (LIKE, subqueries, …) falls through to the
+  * group-based rewrite below, which deletes exactly too. Execution:
   * `_graft_stats` prunes provably-untouched files at plan time — a
   * GDPR delete keyed on a user id rewrites only the files whose
   * min/max/bloom admit that key — and the affected files are rewritten
@@ -594,7 +595,8 @@ private[sources] object GlFilters {
   * [[GraftLines.rewriteWithoutMatches]]. */
 private[sources] class GlTable(path: String, tableSchema: StructType,
     nullFillMissing: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   require(path != null && path.nonEmpty, "graftlines requires a path")
 
   override def name(): String = s"graftlines `$path`"
@@ -635,6 +637,129 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
     GraftLines.mergeStats(path, conf,
       dropNames = affected.map(new Path(_).getName).toSet,
       newLines = newLines)
+  }
+
+  /** Group-based (copy-on-write) UPDATE / MERGE / complex DELETE:
+    * Spark rewrites the statement into a ReplaceData plan — read every
+    * row of the AFFECTED groups through [[GlGroupScanBuilder]] (files
+    * are the groups; condition filters prune files via `_graft_stats`
+    * but NEVER drop rows, so carry-over rows survive the rewrite),
+    * apply the modification, and hand the full replacement rows to
+    * [[GlReplaceWrite]], whose commit deletes exactly the scanned
+    * files and publishes the staged replacements. DELETE statements
+    * whose predicate `canDeleteWhere` accepts still take the cheaper
+    * metadata path above; subquery deletes fall through to this one. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GlRowLevelOperation(path, tableSchema, nullFillMissing,
+          info.command)
+    }
+}
+
+/** One UPDATE/MERGE/DELETE rewrite: shared state between the scan that
+  * plans the affected groups and the write that replaces them. */
+private[sources] class GlRowLevelOperation(path: String,
+    schema: StructType, nullFillMissing: Boolean,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files the row-level scan planned — the groups commit replaces.
+    * Written at plan time on the driver; re-planning overwrites. */
+  @volatile private[sources] var scannedFiles: Seq[String] = Nil
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GlGroupScanBuilder(this, path, schema, nullFillMissing)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GlReplaceWrite(path, info.schema(), GlRowLevelOperation.this)
+    }
+
+  override def description(): String = s"graftlines COW $cmd on $path"
+}
+
+/** Scan side of a group-based rewrite. CONTRACT (the part a row-level
+  * scan must get right): pushed condition filters prune GROUPS only —
+  * every filter is returned as residual and the readers row-filter
+  * NOTHING, because the replacement write must receive the carry-over
+  * rows of affected files, not just the matching ones. Column pruning
+  * and limits are likewise not offered: ReplaceData rewrites whole
+  * rows. */
+private[sources] class GlGroupScanBuilder(op: GlRowLevelOperation,
+    path: String, schema: StructType, nullFillMissing: Boolean)
+    extends ScanBuilder with SupportsPushDownFilters {
+
+  private var groupFilters: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    groupFilters = filters.filter(GlFilters.supported(schema, _))
+    filters // ALL residual — file pruning only, rows stay intact
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan =
+    GlScan(path, schema, Array.empty, None, None, schema, nullFillMissing,
+      groupPrune = groupFilters,
+      onPlan = Some(files => op.scannedFiles = files))
+}
+
+/** Write side of a group-based rewrite: staged task writers exactly as
+  * [[GlWrite]], but commit REPLACES the scanned groups — deletes the
+  * files the paired scan planned, publishes the staged files, and
+  * swaps the affected manifest lines. The delete-then-publish window
+  * is the same documented non-atomicity as overwrite's truncation;
+  * the catalog layer is the transactional answer. */
+private[sources] class GlReplaceWrite(path: String, schema: StructType,
+    op: GlRowLevelOperation) extends Write with BatchWrite {
+  GraftLines.header(schema) // reject unstorable types before tasks launch
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    dir.getFileSystem(conf).mkdirs(dir)
+    GlOpStrippingFactory(
+      GlWriterFactory(path, schema, new SerializableConfiguration(conf)),
+      schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val staged = messages.collect {
+      case GlCommitted(Some(s), Some(f), _) => (new Path(s), new Path(f))
+    }
+    val victims = op.scannedFiles
+    victims.foreach(f => fs.delete(new Path(f), false))
+    staged.foreach { case (s, f) =>
+      if (fs.exists(f)) fs.delete(f, false)
+      require(fs.rename(s, f),
+        s"graftlines: replace-commit failed renaming $s -> $f")
+    }
+    val newLines = messages.flatMap {
+      case GlCommitted(_, Some(f), lines) =>
+        val base = new Path(f).getName
+        lines.map(l => s"$base\t$l")
+      case _ => Nil
+    }
+    GraftLines.mergeStats(path, conf,
+      dropNames = victims.map(new Path(_).getName).toSet
+        ++ newLines.map(_.takeWhile(_ != '\t')),
+      newLines = newLines.toSeq)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.collect { case GlCommitted(Some(s), _, _) =>
+      fs.delete(new Path(s), false)
+    }
   }
 }
 
@@ -734,7 +859,13 @@ case class GlScan(path: String, required: StructType,
     pushed: Array[Filter], pushedLimit: Option[Int] = None,
     aggSpec: Option[GlAggSpec] = None,
     tableSchema: StructType = new StructType(),
-    nullFillMissing: Boolean = false)
+    nullFillMissing: Boolean = false,
+    /** Row-level-op extras: `groupPrune` filters skip FILES only (rows
+      * are never dropped — the readers see `pushed`, which stays empty
+      * on such scans); `onPlan` reports the surviving file set to the
+      * operation so its replace-commit knows which groups to swap. */
+    groupPrune: Array[Filter] = Array.empty,
+    onPlan: Option[Seq[String] => Unit] = None)
     extends Scan with Batch {
 
   /** Filter columns may be pruned out of `required` (Spark removes
@@ -788,13 +919,15 @@ case class GlScan(path: String, required: StructType,
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val files = GraftLines.listDataFileStatuses(path, conf)
-    val kept = if (pushed.isEmpty) files else {
+    val pruners = pushed ++ groupPrune
+    val kept = if (pruners.isEmpty) files else {
       val stats = GraftLines.readStats(path, conf, statsSchema)
       files.filter { case (f, _) =>
         val base = new Path(f).getName
-        stats.get(base).forall(st => pushed.forall(GlFilters.mayMatch(_, st)))
+        stats.get(base).forall(st => pruners.forall(GlFilters.mayMatch(_, st)))
       }
     }
+    onPlan.foreach(_(kept.map(_._1)))
     val splitSize =
       math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     kept.flatMap { case (f, len) =>
@@ -1263,6 +1396,48 @@ private[sources] class GlWrite(path: String, schema: StructType,
 private[sources] case class GlCommitted(staged: Option[String],
     file: Option[String], statsLines: Seq[String] = Nil)
     extends WriterCommitMessage
+
+/** Replacement rows from a group-based rewrite arrive with Spark's
+  * leading `__row_operation` INT column when the operation declares no
+  * metadata attributes — the plain DataWritingSparkTask applies no
+  * projection (only the metadata variant does, verified against
+  * Spark 4.1's ReplaceDataExec.writingTask). This factory strips it
+  * with Spark's own [[ProjectingInternalRow]] over ordinals 1..n, and
+  * insists the operation code is WRITE_OPERATION — any other code is a
+  * delta-write row shape this group-based connector must never
+  * reinterpret silently. Rows already matching the table arity pass
+  * through untouched, so a future Spark that projects for us keeps
+  * working. */
+private[sources] case class GlOpStrippingFactory(inner: DataWriterFactory,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
+    val d = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, (1 to schema.length).toIndexedSeq)
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == schema.length + 1) {
+          val code = row.getInt(0)
+          // group-based rewrites tag whole replacement rows WRITE (5)
+          // or WRITE_WITH_METADATA (6); per-row delta codes
+          // (DELETE/UPDATE/INSERT 1-3) are a delta-write shape this
+          // group-based connector must never reinterpret silently
+          require(code ==
+            org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_OPERATION
+            || code == org.apache.spark.sql.catalyst.util.RowDeltaUtils
+              .WRITE_WITH_METADATA_OPERATION,
+            s"graftlines: unexpected row operation code $code " +
+              "in group-based replace write")
+          proj.project(row)
+          d.write(proj)
+        } else d.write(row)
+      override def commit(): WriterCommitMessage = d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+    }
+  }
+}
 
 private[sources] case class GlWriterFactory(path: String, schema: StructType,
     conf: SerializableConfiguration) extends DataWriterFactory {

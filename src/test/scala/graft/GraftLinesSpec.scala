@@ -604,17 +604,69 @@ class GraftLinesSpec extends AnyFunSuite {
     // rewritten file's fresh stats still prune scans correctly
     val q = spark.table("graft_del.ns.t").filter($"k" === 10L)
     assert(q.count() == 0)
-    // predicates the reader cannot evaluate exactly must error loudly,
-    // not delete approximately
-    intercept[Exception] {
-      spark.sql("DELETE FROM graft_del.ns.t WHERE s LIKE 'hi%'")
-    }
-    assert(spark.table("graft_del.ns.t").count() == 75,
-      "failed DELETE must not remove rows")
+    // predicates the metadata path cannot evaluate exactly
+    // (canDeleteWhere false) fall through to the group-based COW
+    // rewrite and still delete EXACTLY — never approximately
+    spark.sql("DELETE FROM graft_del.ns.t WHERE s LIKE 'hi%'")
+    assert(spark.table("graft_del.ns.t").count() == 25,
+      "LIKE DELETE via row-level rewrite removed the wrong rows")
+    assert(spark.table("graft_del.ns.t")
+      .filter($"s".startsWith("hi")).count() == 0)
     // DELETE without WHERE empties the table; catalog read stays valid
     spark.sql("DELETE FROM graft_del.ns.t")
     assert(glFiles().isEmpty, "delete-all must remove every data file")
     assert(spark.table("graft_del.ns.t").count() == 0)
+  }
+
+  test("SQL UPDATE / MERGE INTO / subquery DELETE via group-based COW") {
+    spark.conf.set("spark.sql.catalog.graft_rlo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rlo.warehouse",
+      s"$dir/rlo_warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_rlo.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_rlo.ns.t")
+    spark.sql("CREATE TABLE graft_rlo.ns.t (k BIGINT, v BIGINT, s STRING) " +
+      "USING graftlines")
+    (0L until 50L).map(k => (k, k, s"lo$k")).toDF("k", "v", "s").coalesce(1)
+      .writeTo("graft_rlo.ns.t").append()
+    (1000L until 1020L).map(k => (k, k, s"hi$k")).toDF("k", "v", "s")
+      .coalesce(1).writeTo("graft_rlo.ns.t").append()
+    val tdir = new org.apache.hadoop.fs.Path(s"$dir/rlo_warehouse/ns/t")
+    val hfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hiFileBytes(): Seq[Seq[Byte]] = hfs.listStatus(tdir)
+      .map(_.getPath).filter(_.getName.endsWith(".gl")).toSeq
+      .sortBy(_.getName).map { p =>
+        val in = hfs.open(p)
+        try Iterator.continually(in.read()).takeWhile(_ >= 0)
+          .map(_.toByte).toSeq finally in.close()
+      }
+    // UPDATE with carry-over: rows of the affected file that do NOT
+    // match the condition must survive the rewrite untouched
+    spark.sql("UPDATE graft_rlo.ns.t SET v = v * 10 WHERE k < 10")
+    val t = spark.table("graft_rlo.ns.t")
+    assert(t.filter($"k" < 10).agg(sum($"v")).collect()(0).getLong(0)
+      == (0L until 10L).map(_ * 10).sum)
+    assert(t.filter($"k" >= 10 && $"k" < 50).count() == 40,
+      "carry-over rows lost by UPDATE rewrite")
+    assert(t.count() == 70)
+    // MERGE INTO: matched update + not-matched insert
+    Seq((5L, 999L, "merged"), (2000L, 1L, "new"))
+      .toDF("k", "v", "s").createOrReplaceTempView("rlo_src")
+    spark.sql("""MERGE INTO graft_rlo.ns.t t USING rlo_src s ON t.k = s.k
+      | WHEN MATCHED THEN UPDATE SET v = s.v, s = s.s
+      | WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = spark.table("graft_rlo.ns.t")
+    assert(afterMerge.count() == 71)
+    assert(afterMerge.filter($"k" === 5L).select($"v", $"s")
+      .collect().map(_.toString).toSeq == Seq("[999,merged]"))
+    assert(afterMerge.filter($"k" === 2000L).count() == 1)
+    // subquery DELETE: canDeleteWhere rejects it, the row-level
+    // rewrite path executes it
+    Seq(0L, 1L, 2000L).toDF("k").createOrReplaceTempView("rlo_kill")
+    spark.sql("DELETE FROM graft_rlo.ns.t WHERE k IN " +
+      "(SELECT k FROM rlo_kill)")
+    assert(spark.table("graft_rlo.ns.t").count() == 68)
+    assert(spark.table("graft_rlo.ns.t")
+      .filter($"k".isin(0L, 1L, 2000L)).count() == 0)
   }
 
   test("aggregate pushdown merges partials across block splits") {
