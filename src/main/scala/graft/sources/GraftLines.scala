@@ -87,6 +87,11 @@ class GraftLines extends TableProvider with DataSourceRegister {
 
 object GraftLines {
   val Ext = ".gl"
+  /** Synthetic metadata column every reader can produce: the path of
+    * the data file holding the row (`SELECT _file FROM t`) — the
+    * lineage/debugging column real formats expose, and the group id
+    * row-level operations ask for via requiredMetadataAttributes. */
+  val FileCol = "_file"
   /** Per-directory stats manifest (no `.gl` suffix — must never be
     * listed as data). One line per (file, stats-eligible column):
     * `baseName \t rows \t col \t nulls \t min \t max \t ok` with
@@ -169,9 +174,12 @@ object GraftLines {
         s"graftlines: unknown type token '$other' in $where")
     }
 
-  private[sources] def header(schema: StructType): String =
+  private[sources] def header(schema: StructType): String = {
+    require(!schema.fieldNames.contains(FileCol),
+      s"graftlines: '$FileCol' is the reserved metadata column name")
     schema.fields.map(f => s"${f.name}:${typeToken(f.dataType)}")
       .mkString("\t")
+  }
 
   private[sources] def parseHeader(line: String, where: String): StructType = {
     require(line != null && line.nonEmpty, s"graftlines: empty header in $where")
@@ -596,11 +604,25 @@ private[sources] object GlFilters {
 private[sources] class GlTable(path: String, tableSchema: StructType,
     nullFillMissing: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null && path.nonEmpty, "graftlines requires a path")
 
   override def name(): String = s"graftlines `$path`"
   override def schema(): StructType = tableSchema
+
+  /** `_file`: which data file holds the row — synthesized by the
+    * readers, never stored. Also the group identity the row-level
+    * operations request, which routes their writes through Spark's
+    * metadata-projection task (rows arrive clean, no op column). */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftLines.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file holding the row"
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -670,6 +692,14 @@ private[sources] class GlRowLevelOperation(path: String,
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** Ask for `_file`: it routes the replacement write through Spark's
+    * metadata-projection task, so data rows arrive already stripped of
+    * the operation column (the writer-side strip stays as a fallback
+    * for metadata-free plans). */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftLines.FileCol))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GlGroupScanBuilder(this, path, schema, nullFillMissing)
 
@@ -702,7 +732,12 @@ private[sources] class GlGroupScanBuilder(op: GlRowLevelOperation,
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan =
-    GlScan(path, schema, Array.empty, None, None, schema, nullFillMissing,
+    // full rows + the `_file` group column requiredMetadataAttributes
+    // promised (readers synthesize it)
+    GlScan(path,
+      schema.add(StructField(GraftLines.FileCol, StringType,
+        nullable = false)),
+      Array.empty, None, None, schema, nullFillMissing,
       groupPrune = groupFilters,
       onPlan = Some(files => op.scannedFiles = files))
 }
@@ -1113,10 +1148,12 @@ private[sources] class GlReader(file: String, required: StructType,
     fileSchema.fieldNames.zipWithIndex.toMap
 
   // loud contract: every needed column must exist with the asked type —
-  // unless the catalog vouched for evolution, in which case a missing
-  // column is uniformly NULL (position -1 below)
+  // unless the catalog vouched for evolution (missing column reads
+  // uniformly NULL, position -1 below) or it is the synthetic `_file`
+  // metadata column every reader can produce
   needed.foreach { n =>
     colPos.get(n) match {
+      case None if n == GraftLines.FileCol => ()
       case None if nullFillMissing => ()
       case None => throw new IllegalArgumentException(
         s"graftlines: column '$n' missing from $file")
@@ -1133,6 +1170,9 @@ private[sources] class GlReader(file: String, required: StructType,
     required.fieldNames.map(colPos.getOrElse(_, -1))
   private val requiredIsString: Array[Boolean] =
     required.fields.map(_.dataType == StringType)
+  private val requiredIsFileCol: Array[Boolean] =
+    required.fieldNames.map(_ == GraftLines.FileCol)
+  private val fileColValue = UTF8String.fromString(file)
   private val getter: String => Any = { // for filter eval
     val pos = filterRefs.iterator.map(n => n -> colPos.getOrElse(n, -1)).toMap
     n => { val i = pos(n); if (i < 0) null else parsed(i) }
@@ -1162,9 +1202,12 @@ private[sources] class GlReader(file: String, required: StructType,
         val out = new Array[Any](requiredPos.length)
         var j = 0
         while (j < requiredPos.length) {
-          val v = if (requiredPos(j) < 0) null else parsed(requiredPos(j))
-          out(j) = if (v != null && requiredIsString(j))
-            UTF8String.fromString(v.asInstanceOf[String]) else v
+          if (requiredIsFileCol(j)) out(j) = fileColValue
+          else {
+            val v = if (requiredPos(j) < 0) null else parsed(requiredPos(j))
+            out(j) = if (v != null && requiredIsString(j))
+              UTF8String.fromString(v.asInstanceOf[String]) else v
+          }
           j += 1
         }
         current = new GenericInternalRow(out)

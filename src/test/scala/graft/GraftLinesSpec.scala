@@ -669,6 +669,28 @@ class GraftLinesSpec extends AnyFunSuite {
       .filter($"k".isin(0L, 1L, 2000L)).count() == 0)
   }
 
+  test("_file metadata column names each row's physical file") {
+    val p = s"$dir/filecol"
+    Seq((1L, "a")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    Seq((2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    val rows = spark.read.format("graftlines").load(p)
+      .select($"k", col("_file")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 2)
+    assert(rows.values.toSet.size == 2, "two files expected")
+    assert(rows.values.forall(_.endsWith(".gl")))
+    // reserved name: a data column may never collide with it
+    val ex = intercept[Exception] {
+      Seq((1L, "x")).toDF("_file", "s")
+        .write.format("graftlines").mode("overwrite").save(s"$dir/filecol2")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("reserved metadata column")), msgs(ex))
+  }
+
   test("aggregate pushdown merges partials across block splits") {
     val p = s"$dir/splitagg"
     Seq.tabulate(200)(i => (i.toLong % 5, i.toLong, i * 2.0))
