@@ -837,6 +837,51 @@ object Etl extends QueryGroup {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
+      // SQL UPDATE through the catalog (added r8 — completes the
+      // row-level statement trio with q_etl_sql_delete/merge): a
+      // column-rewrite statement against a connector table, executed
+      // as a group-based COW rewrite (SupportsRowLevelOperations).
+      // The row-level scan's condition filters prune FILES only, so
+      // the carry-over rows of affected files survive verbatim — the
+      // contract GraftLinesSpec pins. Oracle: the updated state per
+      // status — counts and decimal-exact sums.
+      "q_etl_sql_update",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          "/tmp/graft_warehouse")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_upd")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .createOrReplaceTempView("orders_upd_src")
+        s.sql("""CREATE TABLE graft_cat.contract.orders_upd USING graftlines
+          | AS SELECT * FROM orders_upd_src""".stripMargin)
+        // the correction: a 5% surcharge (exact integer cents) on every
+        // pending order of the low-key customer band
+        s.sql("""UPDATE graft_cat.contract.orders_upd
+          | SET cents = cents + cents DIV 20
+          | WHERE o_orderstatus = 'P' AND o_custkey < 500""".stripMargin)
+        s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+          | CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+          |FROM graft_cat.contract.orders_upd
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |       FROM orders)
+        |SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' AND o_custkey < 500
+        |    THEN cents + cents // 20 ELSE cents END) AS DOUBLE) / 100
+        |    AS sum_price
+        |FROM o GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // SQL MERGE INTO through the catalog (added r8, beside
       // q_etl_sql_delete): the upsert STATEMENT — q_etl_merge_cdc
       // computes a merge as dataframe algebra; this executes one
