@@ -901,7 +901,44 @@ case class GlScan(path: String, required: StructType,
       * operation so its replace-commit knows which groups to swap. */
     groupPrune: Array[Filter] = Array.empty,
     onPlan: Option[Seq[String] => Unit] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Runtime group filtering (row-level ops): before planning a
+    * group-based rewrite, Spark runs a subquery for `DISTINCT _file`
+    * of the rows matching the statement's condition and delivers it
+    * here as `IN(_file, …)` — so a MERGE whose ON condition pushes no
+    * static filter still rewrites ONLY the files that hold matching
+    * rows, exactly (names, not stats). Unrecognized predicate shapes
+    * are ignored — pruning is an optimization, never load-bearing. */
+  @transient private var runtimeAllowedFiles: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftLines.FileCol))
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sets = predicates.flatMap { p =>
+      if (p.name() != "IN" || p.children().isEmpty) None
+      else p.children()(0) match {
+        case ref: NamedReference
+            if ref.fieldNames.toSeq == Seq(GraftLines.FileCol) =>
+          val vals = p.children().drop(1).map {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.dataType == StringType =>
+              Option(l.value).map(_.toString).orNull
+            case _ => null
+          }
+          // any unconvertible element voids the whole predicate — a
+          // partial IN-list would wrongly skip files
+          if (vals.contains(null)) None else Some(vals.toSet)
+        case _ => None
+      }
+    }
+    if (sets.nonEmpty)
+      runtimeAllowedFiles = Some(sets.reduce(_ intersect _))
+  }
 
   /** Filter columns may be pruned out of `required` (Spark removes
     * pushed filters from the plan before pruning), so stats typing uses
@@ -955,12 +992,16 @@ case class GlScan(path: String, required: StructType,
     val conf = spark.sparkContext.hadoopConfiguration
     val files = GraftLines.listDataFileStatuses(path, conf)
     val pruners = pushed ++ groupPrune
-    val kept = if (pruners.isEmpty) files else {
+    val statKept = if (pruners.isEmpty) files else {
       val stats = GraftLines.readStats(path, conf, statsSchema)
       files.filter { case (f, _) =>
         val base = new Path(f).getName
         stats.get(base).forall(st => pruners.forall(GlFilters.mayMatch(_, st)))
       }
+    }
+    val kept = runtimeAllowedFiles match {
+      case Some(allowed) => statKept.filter { case (f, _) => allowed(f) }
+      case None => statKept
     }
     onPlan.foreach(_(kept.map(_._1)))
     val splitSize =

@@ -669,6 +669,43 @@ class GraftLinesSpec extends AnyFunSuite {
       .filter($"k".isin(0L, 1L, 2000L)).count() == 0)
   }
 
+  test("runtime group filtering: MERGE rewrites only matching files") {
+    spark.conf.set("spark.sql.catalog.graft_rgf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rgf.warehouse",
+      s"$dir/rgf_warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_rgf.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_rgf.ns.t")
+    spark.sql("CREATE TABLE graft_rgf.ns.t (k BIGINT, v BIGINT) " +
+      "USING graftlines")
+    val tdir = new org.apache.hadoop.fs.Path(s"$dir/rgf_warehouse/ns/t")
+    val hfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def glNames() = hfs.listStatus(tdir).map(_.getPath.getName)
+      .filter(_.endsWith(".gl")).toSet
+    (0L until 50L).map(k => (k, k)).toDF("k", "v").coalesce(1)
+      .writeTo("graft_rgf.ns.t").append()
+    val loFiles = glNames()
+    (1000L until 1020L).map(k => (k, k)).toDF("k", "v").coalesce(1)
+      .writeTo("graft_rgf.ns.t").append()
+    // a MERGE keyed only into the hi file: its ON condition pushes no
+    // static filter, so WITHOUT runtime group filtering every file
+    // would be scanned and rewritten under a fresh name — the lo
+    // file's survival under its ORIGINAL name proves the dynamic
+    // _file IN (...) subquery pruned it from the rewrite
+    Seq((1005L, 1L), (1010L, 2L)).toDF("k", "v")
+      .createOrReplaceTempView("rgf_src")
+    spark.sql("""MERGE INTO graft_rgf.ns.t t USING rgf_src s ON t.k = s.k
+      | WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(loFiles.subsetOf(glNames()),
+      "runtime group filtering failed: the unmatched file was rewritten")
+    val t = spark.table("graft_rgf.ns.t")
+    assert(t.count() == 70)
+    assert(t.filter($"k" === 1005L).select($"v")
+      .collect()(0).getLong(0) == 1L)
+    assert(t.filter($"k" >= 1000L && $"k" =!= 1005L && $"k" =!= 1010L)
+      .filter($"v" =!= $"k").count() == 0,
+      "carry-over rows of the rewritten file were altered")
+  }
+
   test("_file metadata column names each row's physical file") {
     val p = s"$dir/filecol"
     Seq((1L, "a")).toDF("k", "s").coalesce(1)
