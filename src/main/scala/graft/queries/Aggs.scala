@@ -502,6 +502,104 @@ object Aggs extends QueryGroup {
         |  COUNT(*)::BIGINT AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef(
+      // Correlation / regression sufficient statistics (added r8).
+      // Native corr()/regr_slope() stream IEEE co-moments whose value
+      // depends on partition visit order — unusable under a hash-match
+      // contract (same class of trap as raw SUM(double)). The portable
+      // form is the textbook one-pass SUFFICIENT-STATISTICS
+      // factorization: Sx, Sy, Sxx, Syy, Sxy as exact DECIMAL sums
+      // (quantity and extendedprice are 2-decimal money, so every
+      // product is exact at scale 4 and decimal SUM is exact integer
+      // arithmetic in both engines), then ONE identical double
+      // expression per metric at the very end — slope, intercept,
+      // corr, covar_pop all come out bit-identical with no rounding
+      // crutch. Scale: a single two-phase hash aggregate over one
+      // scan; the five moments ride the same partial-combine row, so
+      // adding regression stats to a 100 TB scan costs one pass and
+      // ~40 bytes of aggregate state per group.
+      "q_agg_corr_regr",
+      (s, d) => {
+        val qd = col("l_quantity").cast(DecimalType(12, 2))
+        val pd = col("l_extendedprice").cast(DecimalType(12, 2))
+        val n = col("n_rows").cast(DoubleType)
+        val sx = col("sx_d"); val sy = col("sy_d")
+        val sxx = col("sxx_d"); val syy = col("syy_d"); val sxy = col("sxy_d")
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(qd).as("sx"), sum(pd).as("sy"),
+            sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),
+            sum(qd * pd).as("sxy"))
+          .withColumn("sx_d", col("sx").cast(DoubleType))
+          .withColumn("sy_d", col("sy").cast(DoubleType))
+          .withColumn("sxx_d", col("sxx").cast(DoubleType))
+          .withColumn("syy_d", col("syy").cast(DoubleType))
+          .withColumn("sxy_d", col("sxy").cast(DoubleType))
+          .select(col("l_returnflag"), col("n_rows"),
+            ((n * sxy - sx * sy) / (n * n)).as("covar_pop"),
+            ((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope"),
+            ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+              .as("intercept"),
+            ((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+              .as("corr"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (
+        |  SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
+        |    CAST(SUM(qd) AS DOUBLE) AS sx, CAST(SUM(pd) AS DOUBLE) AS sy,
+        |    CAST(SUM(qd * qd) AS DOUBLE) AS sxx,
+        |    CAST(SUM(pd * pd) AS DOUBLE) AS syy,
+        |    CAST(SUM(qd * pd) AS DOUBLE) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(12,2)) AS qd,
+        |          CAST(l_extendedprice AS DECIMAL(12,2)) AS pd
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  (n * sxy - sx * sy) / (n * n) AS covar_pop,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    AS intercept,
+        |  (n * sxy - sx * sy)
+        |    / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+        |FROM (SELECT *, CAST(n_rows AS DOUBLE) AS n FROM m)
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
+      // Exact bitmap distinct counting (added r8) — see
+      // functions/BitmapDistinct.scala for the operator rationale.
+      // The query exercises BOTH aggregation levels on one pass
+      // hierarchy: level 1 builds a suppkey bitmap and a partkey
+      // bitmap per (returnflag, linestatus) — constant-size partial
+      // state, map-side combined, the shuffle carries ~bitmap bytes
+      // per subgroup instead of every distinct value; level 2
+      // REAGGREGATES those stored bitmaps up to returnflag by pure
+      // bitmap OR + popcount, never re-touching lineitem — the rollup
+      // a bitmap-index column gives a 100 TB warehouse for free. The
+      // oracle pins both levels against COUNT(DISTINCT) itself: exact,
+      // not approximate, is the whole point vs q_agg_approx_hll.
+      "q_agg_bitmap_distinct",
+      (s, d) => {
+        import graft.functions.BitmapDistinct._
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(bitmapOf(col("l_suppkey")).as("bm_supp"),
+            bitmapOf(col("l_partkey")).as("bm_part"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_subgroups"),
+            bitmapCardinality(col("bm_supp")).as("ndv_supp"),
+            bitmapCardinality(col("bm_part")).as("ndv_part"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        |  COUNT(DISTINCT l_linestatus)::BIGINT AS n_subgroups,
+        |  COUNT(DISTINCT l_suppkey)::BIGINT AS ndv_supp,
+        |  COUNT(DISTINCT l_partkey)::BIGINT AS ndv_part
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

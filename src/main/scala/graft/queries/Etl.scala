@@ -1420,6 +1420,154 @@ object Etl extends QueryGroup {
         |  COUNT(CASE WHEN l_discount > 0.06 THEN 1 END)::BIGINT
         |    AS n_hi_disc,
         |  MAX(l_extendedprice) AS max_price
-        |FROM lineitem""".stripMargin))
+        |FROM lineitem""".stripMargin)),
+
+    QueryDef(
+      // Triangle counting (added r8): the graph family's third
+      // primitive after reachability (q_graph_bfs_hops) and
+      // componenthood (q_dedup_cluster*) — the motif count behind
+      // clustering coefficients and community density. Node space:
+      // part/supp keys folded into one id space mod 137 (the
+      // co-purchase graph is bipartite, hence triangle-free; folding
+      // both key families into ONE residue space makes the projection
+      // non-bipartite while keeping edges data-derived). The count
+      // uses the ORIENTED edge algorithm every distributed triangle
+      // counter builds on (Suri & Vassilvitskii's MR ideas): orient
+      // every edge low→high, then triangles = edges(a,b)⋈edges(b,c)
+      // ⋈edges(a,c) with a<b<c — each triangle counted exactly once,
+      // no permutation blowup. At 100 TB the orientation would be BY
+      // DEGREE (high-degree nodes get few out-edges, bounding the
+      // wedge join); with a 137-node residue space the id orientation
+      // is the same plan shape at toy density. Wedges (length-2 paths)
+      // come free from the degree table — Σ d(d-1)/2, exact BIGINTs —
+      // giving the global clustering coefficient as one final double
+      // division, identical IEEE op both engines.
+      "q_graph_triangles",
+      (s, d) => {
+        val raw = Tables.lineitem(s, d)
+          .select((col("l_partkey") % 137).as("x"),
+            (col("l_suppkey") % 137).as("y"))
+          .filter(col("x") =!= col("y"))
+        val edges = raw
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+          .distinct()
+        val deg = edges.select(col("a").as("n"))
+          .unionByName(edges.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(
+          expr("sum(deg * (deg - 1)) div 2").as("n_wedges"),
+          count(lit(1)).as("n_nodes"))
+        val e1 = edges.select(col("a"), col("b"))
+        val e2 = edges.select(col("a").as("b"), col("b").as("c"))
+        val e3 = edges.select(col("a").as("a3"), col("b").as("c3"))
+        val tri = e1.join(e2, Seq("b"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .agg(count(lit(1)).as("n_triangles"))
+        edges.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(wedges).crossJoin(tri)
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            (lit(3.0) * col("n_triangles") / col("n_wedges"))
+              .as("clustering"))
+      },
+      Some("""WITH e AS (
+        |  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+        |  FROM (SELECT l_partkey % 137 AS x, l_suppkey % 137 AS y
+        |        FROM lineitem) WHERE x <> y),
+        |deg AS (SELECT n, COUNT(*)::BIGINT AS deg FROM (
+        |          SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY n),
+        |w AS (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT)
+        |        AS n_wedges, COUNT(*)::BIGINT AS n_nodes FROM deg),
+        |t AS (SELECT COUNT(*)::BIGINT AS n_triangles
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |ne AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  3.0::DOUBLE * n_triangles / n_wedges AS clustering
+        |FROM ne, w, t""".stripMargin)),
+
+    QueryDef(
+      // PageRank (added r8): the canonical iterative graph rank, run
+      // on the same bidirectional customer–supplier co-purchase graph
+      // as q_graph_bfs_hops. The hash-match contract forbids floating
+      // ranks (per-partition summation order would change low bits
+      // every run), so ranks live in INTEGER FIXED-POINT: 10^12 total
+      // rank units, r0 = total div N, contribution = r div out-degree,
+      // r' = teleport + (85·Σcontrib) div 100 — every op BIGINT
+      // truncating division, bit-identical on any engine and any
+      // partitioning, no tolerance anywhere. Three Jacobi iterations,
+      // each one co-partitioned equi-join (edges ⋈ ranks on src) plus
+      // one hash aggregate on dst — the exact plan a 1000-executor
+      // PageRank runs, with edges localCheckpoint-ed ONCE and each
+      // rank frame checkpointed so lineage stays O(rounds) (the BFS /
+      // ConnectedComponents discipline). The symmetric graph has no
+      // dangling nodes, so no dangling-mass term is needed (stated,
+      // not assumed: every node present in `deg` has out-edges by
+      // construction). Oracle unrolls the same three rounds as CTE
+      // stages in the same integer arithmetic.
+      "q_graph_pagerank",
+      (s, d) => {
+        val SCALE = 1000000000000L
+        val e0 = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sn"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
+          .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
+          .localCheckpoint()
+        val deg = edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint()
+        val n = deg.count() // metadata scalar: node count for r0/teleport
+        val r0u = SCALE / n
+        val teleport = 15L * r0u / 100L
+        var ranks = deg.select(col("src").as("node"), lit(r0u).as("r"))
+        for (_ <- 1 to 3) {
+          ranks = edges
+            .join(deg, Seq("src"))
+            .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"),
+              expr("r div deg").as("contrib"))
+            .groupBy(col("node"))
+            .agg((lit(teleport)
+              + expr("85 * sum(contrib) div 100")).as("r"))
+            .localCheckpoint()
+        }
+        ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
+          .select(col("node"), col("deg"), col("r").as("rank_units"))
+          .orderBy(col("rank_units").desc, col("node"))
+          .limit(15)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+        |         l_suppkey * 2 + 1 AS sn
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, sn AS dst FROM e0
+        |      UNION ALL SELECT sn, c FROM e0),
+        |deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+        |nn AS (SELECT COUNT(*)::BIGINT AS n FROM deg),
+        |c0 AS (SELECT (1000000000000 // n) AS r0u,
+        |         (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
+        |r1 AS (SELECT e.dst AS node,
+        |         MIN(c0.tp) + (85 * SUM(c0.r0u // deg.deg)) // 100 AS r
+        |       FROM e JOIN deg ON e.src = deg.src CROSS JOIN c0
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         MIN(c0.tp) + (85 * SUM(r1.r // deg.deg)) // 100 AS r
+        |       FROM e JOIN deg ON e.src = deg.src
+        |         JOIN r1 ON e.src = r1.node CROSS JOIN c0
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         MIN(c0.tp) + (85 * SUM(r2.r // deg.deg)) // 100 AS r
+        |       FROM e JOIN deg ON e.src = deg.src
+        |         JOIN r2 ON e.src = r2.node CROSS JOIN c0
+        |       GROUP BY e.dst)
+        |SELECT r3.node, deg.deg, r3.r AS rank_units
+        |FROM r3 JOIN deg ON r3.node = deg.src
+        |ORDER BY rank_units DESC, node LIMIT 15""".stripMargin))
   )
 }

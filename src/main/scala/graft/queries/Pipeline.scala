@@ -661,6 +661,56 @@ object Pipeline extends QueryGroup {
         |  ROUND(ANY_VALUE(m.med), 4) AS med,
         |  ROUND(ANY_VALUE(m.mad), 4) AS mad
         |FROM events e JOIN mad m USING (event_type)
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
+      // Domain-mixture sampling (added r8): apply a TARGET MIXTURE of
+      // per-domain sampling weights to the corpus — the DoReMi /
+      // Pile-style "web 50%, books 100%, code 25%..." knob every
+      // pretraining pipeline turns. Differs from q_sample_stratified
+      // (which equalizes to the smallest stratum from observed counts):
+      // here the weights are an EXTERNAL config, carried as a tiny
+      // literal frame and broadcast onto the corpus, so the whole
+      // operator is ONE map-only hash-gate pass over the documents —
+      // no corpus aggregate even as a prelude. The gate is the same
+      // RNG-free md5 16-bit uniform used by the whole sampling family:
+      // keep iff u < w * 65536 — rerunning, resuming, or running on
+      // another engine keeps the SAME documents (the property that
+      // makes mixtures reproducible across pipeline generations). At
+      // 100 TB: broadcast of a 20-row weights table + codegen'd
+      // filter; output audits realized vs target mixture in exact
+      // integer arithmetic (u-threshold counts, char sums).
+      "q_sample_mixture",
+      (s, d) => {
+        val w = (0 until 20).map { i =>
+          (s"src$i", Seq(65536L, 32768L, 16384L, 6554L)(i % 4))
+        }
+        val weights = s.createDataFrame(w).toDF("source", "w_u16")
+        Tables.documents(s, d)
+          .withColumn("u", expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"))
+          .join(broadcast(weights), Seq("source"))
+          .filter(col("u") < col("w_u16"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            min(col("u")).as("min_u"), max(col("u")).as("max_u"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (
+        |  SELECT 'src' || i::VARCHAR AS source,
+        |    CASE i % 4 WHEN 0 THEN 65536 WHEN 1 THEN 32768
+        |               WHEN 2 THEN 16384 ELSE 6554 END AS w_u16
+        |  FROM range(20) t(i)),
+        |docs AS (
+        |  SELECT source, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS u
+        |  FROM documents)
+        |SELECT d.source, COUNT(*)::BIGINT AS n_kept,
+        |  SUM(d.n_chars)::BIGINT AS chars_kept,
+        |  MIN(d.u) AS min_u, MAX(d.u) AS max_u
+        |FROM docs d JOIN w ON d.source = w.source
+        |WHERE d.u < w.w_u16
+        |GROUP BY d.source ORDER BY d.source""".stripMargin))
   )
 }
