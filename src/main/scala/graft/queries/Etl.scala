@@ -1423,6 +1423,83 @@ object Etl extends QueryGroup {
         |FROM lineitem""".stripMargin)),
 
     QueryDef(
+      // Catalog time travel (added r8): `VERSION AS OF` on a VERSIONED
+      // graftlines table — the Delta/Iceberg reproducibility op
+      // ("train on the exact table yesterday's job saw"). Versioning
+      // is a TABLE property (TBLPROPERTIES ('versioned'='true')): every
+      // commit — the CTAS, an INSERT INTO, and a row-level UPDATE —
+      // publishes a generation manifest and deletes nothing, so all
+      // three statements stay replayable from the SAME bytes
+      // (sources/GraftLines.scala VersionMarker scaladoc; retention is
+      // the explicit expireVersions sweep, TimeTravelSpec). The query
+      // reads all three generations back through SQL time travel and
+      // emits each version's per-status state; the require() pins the
+      // physical contract — generation-1 files still on disk after
+      // later commits. Cost of a versioned read at 100 TB: ONE extra
+      // metadata-file fetch at plan time; the scan, pruning, and
+      // block-splitting paths are byte-identical to a live read.
+      "q_etl_time_travel",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          "/tmp/graft_warehouse")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_tt")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .createOrReplaceTempView("orders_tt_src")
+        // v1: the CTAS snapshot (non-pending orders)
+        s.sql("""CREATE TABLE graft_cat.contract.orders_tt USING graftlines
+          | TBLPROPERTIES ('versioned'='true')
+          | AS SELECT * FROM orders_tt_src WHERE o_orderstatus <> 'P'"""
+          .stripMargin)
+        // v2: the pending orders arrive
+        s.sql("""INSERT INTO graft_cat.contract.orders_tt
+          | SELECT * FROM orders_tt_src WHERE o_orderstatus = 'P'"""
+          .stripMargin)
+        // v3: the 5% surcharge correction (same statement as
+        // q_etl_sql_update — here it becomes time-travelable)
+        s.sql("""UPDATE graft_cat.contract.orders_tt
+          | SET cents = cents + cents DIV 20
+          | WHERE o_orderstatus = 'P' AND o_custkey < 500""".stripMargin)
+        // physical contract: later commits deleted nothing of v1
+        val tdir = new org.apache.hadoop.fs.Path(
+          "/tmp/graft_warehouse/contract/orders_tt")
+        val fs = tdir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val names = fs.listStatus(tdir).map(_.getPath.getName)
+        require(names.exists(n => n.endsWith(".gl") && n.contains("-g1")),
+          "time travel broken: generation-1 data files were deleted")
+        def at(v: Int) = s.sql(
+          s"""SELECT $v AS version, o_orderstatus, COUNT(*) AS n,
+            | CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+            |FROM graft_cat.contract.orders_tt VERSION AS OF $v
+            |GROUP BY o_orderstatus""".stripMargin)
+        at(1).unionByName(at(2)).unionByName(at(3))
+          .orderBy(col("version"), col("o_orderstatus"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |       FROM orders)
+        |SELECT version, o_orderstatus, n, sum_price FROM (
+        |  SELECT 1 AS version, o_orderstatus, COUNT(*)::BIGINT AS n,
+        |    CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+        |  FROM o WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 2, o_orderstatus, COUNT(*)::BIGINT,
+        |    CAST(SUM(cents) AS DOUBLE) / 100
+        |  FROM o GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 3, o_orderstatus, COUNT(*)::BIGINT,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' AND o_custkey < 500
+        |      THEN cents + cents // 20 ELSE cents END) AS DOUBLE) / 100
+        |  FROM o GROUP BY o_orderstatus)
+        |ORDER BY version, o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // Triangle counting (added r8): the graph family's third
       // primitive after reachability (q_graph_bfs_hops) and
       // componenthood (q_dedup_cluster*) — the motif count behind

@@ -125,6 +125,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GlTable(tablePath(ident).toString, readSchema(ident),
       nullFillMissing = true)
 
+  /** SQL time travel: `SELECT … FROM cat.ns.t VERSION AS OF n` routes
+    * here. Only meaningful on versioned tables (TBLPROPERTIES
+    * ('versioned'='true') at create time); the scan resolves the
+    * pinned generation and a stale/absent generation fails loudly at
+    * plan time (see GraftLines.resolveDataFileStatuses). Writes to a
+    * pinned table are rejected by GlTable. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tablePath(ident)
+    val schema = readSchema(ident) // also throws NoSuchTableException
+    require(version.toIntOption.isDefined,
+      s"graftlines catalog: VERSION AS OF expects a generation number, " +
+        s"got '$version'")
+    require(GraftLines.isVersioned(dir.toString, conf),
+      s"graftlines catalog: $ident is not a versioned table — create it " +
+        "with TBLPROPERTIES ('versioned'='true')")
+    new GlTable(dir.toString, schema, nullFillMissing = true,
+      pinnedVersion = Some(version.toInt))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -147,6 +166,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     fs.mkdirs(dir)
     writeSchema(dir, schema)
+    // TBLPROPERTIES ('versioned'='true') opts the table into time
+    // travel: the marker flips every commit path to generation
+    // publishing (see GraftLines.VersionMarker).
+    if ("true".equalsIgnoreCase(properties.getOrDefault("versioned", "")))
+      fs.create(new Path(dir, GraftLines.VersionMarker), true).close()
     new GlTable(dir.toString, schema, nullFillMissing = true)
   }
 

@@ -112,6 +112,134 @@ object GraftLines {
   val StatsName = "_graft_stats"
   val StatsSentinel = "ok"
 
+  /** Opt-in TIME TRAVEL, as a table feature (the Delta/Iceberg
+    * posture: versioning is a property of the TABLE, not a reader
+    * flag). A directory is versioned iff the `_graft_versioned`
+    * marker exists (written by the catalog for
+    * `TBLPROPERTIES ('versioned'='true')`) or any generation manifest
+    * `_graft_gen.<N>` does. On a versioned table every commit —
+    * append, overwrite, or row-level COW rewrite — publishes a NEW
+    * generation manifest listing the data files of that version and
+    * deletes nothing; data files carry a `-g<N>` suffix so a name can
+    * never be reused across generations (reuse would rewrite history
+    * in place). Readers resolve the requested generation (default:
+    * latest) and plan ONLY its files, so `VERSION AS OF n` is one
+    * extra metadata-file read at plan time — the data path, pruning,
+    * block splitting, and runtime filtering are identical. Non-
+    * versioned directories keep the original semantics bit-for-bit
+    * (physical truncation, directory-listing planning). Honest
+    * limits: generations accumulate until [[expireVersions]] runs
+    * (retention is a policy, so it is an explicit call, not a
+    * side effect), and concurrent committers race on the next
+    * generation number exactly as they race on the rename loop — the
+    * catalog layer remains the multi-writer answer. */
+  val VersionMarker = "_graft_versioned"
+  val GenPrefix = "_graft_gen."
+
+  private[sources] def isVersioned(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.exists(new Path(p, VersionMarker)) || genVersions(dir, conf).nonEmpty
+  }
+
+  /** Committed generation numbers, ascending. */
+  private[sources] def genVersions(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Int] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(GenPrefix))
+      .flatMap(st => st.getPath.getName.stripPrefix(GenPrefix).toIntOption)
+      .sorted
+  }
+
+  private[sources] def genPath(dir: String, n: Int): Path =
+    new Path(new Path(dir), s"$GenPrefix$n")
+
+  /** Data-file base names of generation `n`. */
+  private[sources] def readGen(dir: String, n: Int,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = genPath(dir, n)
+    val fs = p.getFileSystem(conf)
+    val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+    try Iterator.continually(br.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toList
+    finally br.close()
+  }
+
+  /** Publish generation `n` via temp + rename (readers see a complete
+    * manifest or none — same discipline as the stats manifest). Unlike
+    * stats, a failed generation publish FAILS the commit: the
+    * generation manifest is the source of truth for what a versioned
+    * read returns, not an optimization. */
+  private[sources] def writeGen(dir: String, n: Int, baseNames: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = genPath(dir, n)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
+    try baseNames.sorted.foreach { b => w.write(b); w.write('\n') }
+    finally w.close()
+    require(fs.rename(tmp, p),
+      s"graftlines: failed publishing generation manifest $p")
+  }
+
+  /** The planner's file source: generation-resolved on versioned
+    * directories (requested or latest), raw directory listing
+    * otherwise. A gen-listed file missing from disk is loss (a manual
+    * delete or an over-eager retention sweep) — fail loudly, never
+    * silently return a partial version. */
+  private[sources] def resolveDataFileStatuses(dir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      versionAsOf: Option[Int]): Seq[(String, Long)] = {
+    val gens = genVersions(dir, conf)
+    if (gens.isEmpty) {
+      require(versionAsOf.isEmpty,
+        s"graftlines: VERSION AS OF ${versionAsOf.getOrElse(-1)} on " +
+          s"$dir, which has no committed generations")
+      listDataFileStatuses(dir, conf)
+    } else {
+      val target = versionAsOf.getOrElse(gens.max)
+      require(gens.contains(target),
+        s"graftlines: no generation $target under $dir " +
+          s"(committed: ${gens.mkString(", ")})")
+      val wanted = readGen(dir, target, conf).toSet
+      val present = listDataFileStatuses(dir, conf)
+        .filter { case (f, _) => wanted.contains(new Path(f).getName) }
+      val missing = wanted -- present.map { case (f, _) =>
+        new Path(f).getName }
+      require(missing.isEmpty,
+        s"graftlines: generation $target of $dir lists missing file(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} — history was deleted " +
+          "outside expireVersions")
+      present
+    }
+  }
+
+  /** Retention sweep for versioned tables: keep the newest `keepLast`
+    * generations, delete older generation manifests and every data
+    * file no RETAINED generation references, and drop the dead files'
+    * stats lines. All O(files) driver metadata — data never moves.
+    * Returns (expired generations, deleted data files). */
+  def expireVersions(dir: String, keepLast: Int,
+      conf: org.apache.hadoop.conf.Configuration): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, "expireVersions must keep at least one generation")
+    val fs = new Path(dir).getFileSystem(conf)
+    val gens = genVersions(dir, conf)
+    val (drop, keep) = gens.splitAt(math.max(0, gens.length - keepLast))
+    if (drop.isEmpty) return (Nil, Nil)
+    val live = keep.flatMap(readGen(dir, _, conf)).toSet
+    val dead = listDataFiles(dir, conf)
+      .filter(f => !live.contains(new Path(f).getName))
+    dead.foreach(f => fs.delete(new Path(f), false))
+    drop.foreach(n => fs.delete(genPath(dir, n), false))
+    mergeStats(dir, conf,
+      dropNames = dead.map(new Path(_).getName).toSet, newLines = Nil)
+    (drop, dead)
+  }
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graftlines requires a path")
@@ -602,7 +730,11 @@ private[sources] object GlFilters {
   * window of a logless COW delete is documented at
   * [[GraftLines.rewriteWithoutMatches]]. */
 private[sources] class GlTable(path: String, tableSchema: StructType,
-    nullFillMissing: Boolean = false)
+    nullFillMissing: Boolean = false,
+    /** Set by the catalog's `VERSION AS OF` loadTable: every scan of
+      * this Table instance reads that committed generation; writes are
+      * rejected (you cannot write to the past). */
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -627,14 +759,33 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GlScanBuilder(path, tableSchema, nullFillMissing)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // pinned catalog time travel wins; else the path-read option
+    // `.option("versionAsOf", n)` selects a generation
+    val v = pinnedVersion.orElse(
+      Option(options.get("versionAsOf")).map { s =>
+        require(s.toIntOption.isDefined,
+          s"graftlines: versionAsOf must be an integer, got '$s'")
+        s.toInt
+      })
+    new GlScanBuilder(path, tableSchema, nullFillMissing, v)
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"graftlines: cannot write to $path pinned at VERSION AS OF " +
+        s"${pinnedVersion.getOrElse(-1)} — writes go to the live table")
     new GlWriteBuilder(path, info.schema())
+  }
 
+  /** Versioned tables decline the metadata DELETE path entirely: it
+    * rewrites files IN PLACE, which would corrupt committed history.
+    * Spark then routes the DELETE through the row-level COW machinery
+    * below, whose replace-commit is generation-aware. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(GlFilters.supported(tableSchema, _))
+    !GraftLines.isVersioned(path,
+      SparkSession.active.sparkContext.hadoopConfiguration) &&
+      filters.forall(GlFilters.supported(tableSchema, _))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
@@ -771,6 +922,45 @@ private[sources] class GlReplaceWrite(path: String, schema: StructType,
       case GlCommitted(Some(s), Some(f), _) => (new Path(s), new Path(f))
     }
     val victims = op.scannedFiles
+    if (GraftLines.isVersioned(path, conf)) {
+      // Versioned COW: victims stay on disk (older generations still
+      // reference them); the new generation = previous minus the
+      // rewritten groups plus the replacements. An UPDATE/DELETE/MERGE
+      // thereby becomes time-travelable for free — `VERSION AS OF n`
+      // replays the pre-statement table from the SAME bytes. Victim
+      // stats lines survive for the same reason.
+      val gens = GraftLines.genVersions(path, conf)
+      val next = gens.lastOption.getOrElse(0) + 1
+      def vname(f: Path): Path = new Path(f.getParent,
+        f.getName.stripSuffix(GraftLines.Ext) + s"-g$next${GraftLines.Ext}")
+      val fmap: Map[String, String] =
+        staged.map { case (_, f) => f.getName -> vname(f).getName }.toMap
+      staged.foreach { case (s, f) =>
+        val tgt = vname(f)
+        require(!fs.exists(tgt),
+          s"graftlines: versioned replace target $tgt already exists — " +
+            "concurrent committers race on the generation number")
+        require(fs.rename(s, tgt),
+          s"graftlines: versioned replace-commit failed renaming $s -> $tgt")
+      }
+      val victimBases = victims.map(f => new Path(f).getName).toSet
+      val carried = gens.lastOption.map(GraftLines.readGen(path, _, conf))
+        .getOrElse(GraftLines.listDataFiles(path, conf)
+          .map(new Path(_).getName))
+        .filterNot(victimBases)
+      val newBases = staged.map { case (_, f) => fmap(f.getName) }
+      GraftLines.writeGen(path, next, carried ++ newBases, conf)
+      val newLines = messages.flatMap {
+        case GlCommitted(_, Some(f), lines) =>
+          val base = fmap(new Path(f).getName)
+          lines.map(l => s"$base\t$l")
+        case _ => Nil
+      }
+      if (newLines.nonEmpty)
+        GraftLines.mergeStats(path, conf, dropNames = Set.empty,
+          newLines = newLines)
+      return
+    }
     victims.foreach(f => fs.delete(new Path(f), false))
     staged.foreach { case (s, f) =>
       if (fs.exists(f)) fs.delete(f, false)
@@ -808,7 +998,7 @@ private[sources] case class GlAggSpec(groupCols: Seq[String],
     funcs: Seq[GlAggFunc])
 
 private[sources] class GlScanBuilder(path: String, schema: StructType,
-    nullFillMissing: Boolean = false)
+    nullFillMissing: Boolean = false, versionAsOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -877,7 +1067,7 @@ private[sources] class GlScanBuilder(path: String, schema: StructType,
   }
 
   override def build(): Scan = GlScan(path, required, pushed, limit, agg,
-    schema, nullFillMissing)
+    schema, nullFillMissing, versionAsOf = versionAsOf)
 }
 
 /** Public (not `private[sources]`) so plan tests can reach into
@@ -900,7 +1090,10 @@ case class GlScan(path: String, required: StructType,
       * on such scans); `onPlan` reports the surviving file set to the
       * operation so its replace-commit knows which groups to swap. */
     groupPrune: Array[Filter] = Array.empty,
-    onPlan: Option[Seq[String] => Unit] = None)
+    onPlan: Option[Seq[String] => Unit] = None,
+    /** Time travel: plan this committed generation instead of the
+      * latest (versioned tables only — see GraftLines.VersionMarker). */
+    versionAsOf: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -990,7 +1183,7 @@ case class GlScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = GraftLines.listDataFileStatuses(path, conf)
+    val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
     val pruners = pushed ++ groupPrune
     val statKept = if (pruners.isEmpty) files else {
       val stats = GraftLines.readStats(path, conf, statsSchema)
@@ -1425,6 +1618,10 @@ private[sources] class GlWrite(path: String, schema: StructType,
     val staged = messages.collect {
       case GlCommitted(Some(s), Some(f), _) => (new Path(s), new Path(f))
     }
+    if (GraftLines.isVersioned(path, conf)) {
+      commitVersioned(conf, dirFs, staged, messages)
+      return
+    }
     if (truncate) {
       GraftLines.listDataFiles(path, conf)
         .foreach(f => dirFs.delete(new Path(f), false))
@@ -1459,6 +1656,57 @@ private[sources] class GlWrite(path: String, schema: StructType,
     GraftLines.mergeStats(path, conf,
       dropNames = newLines.map(_.takeWhile(_ != '\t')).toSet,
       newLines = newLines, replaceAll = truncate)
+  }
+
+  /** Versioned publish: deletes NOTHING. Staged files land under
+    * generation-suffixed names (`…-g<N>.gl` — unique forever, so a
+    * later commit can never rewrite a committed version's bytes in
+    * place), the new generation manifest lists carried-over files
+    * (append: the previous generation; overwrite: none) plus this
+    * job's, and old generations stay byte-for-byte readable until
+    * [[GraftLines.expireVersions]]. Stats lines for superseded files
+    * also survive — older versions still prune with them, and pruning
+    * only ever consults lines for files the resolved generation
+    * plans. */
+  private def commitVersioned(conf: org.apache.hadoop.conf.Configuration,
+      dirFs: org.apache.hadoop.fs.FileSystem,
+      staged: Seq[(Path, Path)],
+      messages: Array[WriterCommitMessage]): Unit = {
+    val gens = GraftLines.genVersions(path, conf)
+    val next = gens.lastOption.getOrElse(0) + 1
+    // pre-versioning data files (a marker added to an existing
+    // path-based dir): adopted into the first generation on append
+    val preExisting: Seq[String] =
+      if (gens.nonEmpty || truncate) Nil
+      else GraftLines.listDataFiles(path, conf).map(new Path(_).getName)
+    def vname(f: Path): Path = new Path(f.getParent,
+      f.getName.stripSuffix(GraftLines.Ext) + s"-g$next${GraftLines.Ext}")
+    val fmap: Map[String, String] =
+      staged.map { case (_, f) => f.getName -> vname(f).getName }.toMap
+    staged.foreach { case (s, f) =>
+      val tgt = vname(f)
+      require(!dirFs.exists(tgt),
+        s"graftlines: versioned commit target $tgt already exists — " +
+          "concurrent committers race on the generation number; " +
+          "serialize writers through the catalog")
+      require(dirFs.rename(s, tgt),
+        s"graftlines: versioned commit failed renaming $s -> $tgt")
+    }
+    val newBases = staged.map { case (_, f) => fmap(f.getName) }
+    val carried: Seq[String] =
+      if (truncate) Nil
+      else gens.lastOption.map(GraftLines.readGen(path, _, conf))
+        .getOrElse(preExisting)
+    GraftLines.writeGen(path, next, carried ++ newBases, conf)
+    val newLines = messages.flatMap {
+      case GlCommitted(_, Some(f), lines) =>
+        val base = fmap(new Path(f).getName)
+        lines.map(l => s"$base\t$l")
+      case _ => Nil
+    }
+    if (newLines.nonEmpty)
+      GraftLines.mergeStats(path, conf, dropNames = Set.empty,
+        newLines = newLines)
   }
 
   /** Nothing was renamed (commit never ran), so aborting = deleting

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftLines
+
+/** Time travel on versioned graftlines tables (opt-in via
+  * TBLPROPERTIES ('versioned'='true')): every commit path — append,
+  * overwrite, row-level COW — publishes a generation; `VERSION AS OF`
+  * replays any committed generation byte-for-byte; retention is an
+  * explicit expireVersions sweep; non-versioned tables keep the
+  * original physical-truncation semantics (covered by GraftLinesSpec,
+  * untouched here). */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_tt_spec"
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+  private def hfs(p: String) =
+    new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
+
+  private def setupCatalog(name: String): String = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", s"$dir/$name")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.ns")
+    s"$dir/$name/ns"
+  }
+
+  test("append/overwrite publish generations; VERSION AS OF replays each") {
+    val ns = setupCatalog("graft_tt1")
+    spark.sql("DROP TABLE IF EXISTS graft_tt1.ns.t")
+    spark.sql("CREATE TABLE graft_tt1.ns.t (k BIGINT, s STRING) " +
+      "USING graftlines TBLPROPERTIES ('versioned'='true')")
+    (0L until 10L).map(k => (k, s"a$k")).toDF("k", "s").coalesce(1)
+      .writeTo("graft_tt1.ns.t").append()
+    (10L until 30L).map(k => (k, s"b$k")).toDF("k", "s").coalesce(1)
+      .writeTo("graft_tt1.ns.t").append()
+    (100L until 105L).map(k => (k, s"c$k")).toDF("k", "s").coalesce(1)
+      .writeTo("graft_tt1.ns.t").overwrite(lit(true))
+    // latest = the overwrite
+    assert(spark.table("graft_tt1.ns.t").count() == 5)
+    // each committed generation replays exactly
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_tt1.ns.t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 10)
+    assert(spark.sql(
+      "SELECT count(*), max(k) FROM graft_tt1.ns.t VERSION AS OF 2")
+      .collect()(0) match { case r => r.getLong(0) == 30 && r.getLong(1) == 29L })
+    assert(spark.sql(
+      "SELECT min(k) FROM graft_tt1.ns.t VERSION AS OF 3")
+      .collect()(0).getLong(0) == 100L)
+    // overwrite deleted NOTHING: generation-1 files still on disk
+    val tdir = s"$ns/t"
+    val files = hfs(tdir).listStatus(new org.apache.hadoop.fs.Path(tdir))
+      .map(_.getPath.getName).filter(_.endsWith(".gl"))
+    assert(files.exists(_.contains("-g1.")), files.mkString(","))
+    assert(files.exists(_.contains("-g3.")), files.mkString(","))
+    // unknown generation fails loudly, never returns partial data
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_tt1.ns.t VERSION AS OF 9").collect())
+    assert(e.getMessage.contains("no generation 9"))
+  }
+
+  test("UPDATE and DELETE are time-travelable; writes to the past rejected") {
+    setupCatalog("graft_tt2")
+    spark.sql("DROP TABLE IF EXISTS graft_tt2.ns.t")
+    spark.sql("CREATE TABLE graft_tt2.ns.t (k BIGINT, v BIGINT) " +
+      "USING graftlines TBLPROPERTIES ('versioned'='true')")
+    (0L until 20L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(2)
+      .writeTo("graft_tt2.ns.t").append()
+    spark.sql("UPDATE graft_tt2.ns.t SET v = v + 1 WHERE k < 5")
+    spark.sql("DELETE FROM graft_tt2.ns.t WHERE k >= 15")
+    // live table has both statements applied
+    assert(spark.table("graft_tt2.ns.t").count() == 15)
+    assert(spark.table("graft_tt2.ns.t").filter($"k" === 0L)
+      .collect()(0).getLong(1) == 1L)
+    // v1 = pre-statement table, from the SAME bytes
+    val v1 = spark.sql("SELECT * FROM graft_tt2.ns.t VERSION AS OF 1")
+    assert(v1.count() == 20)
+    assert(v1.filter($"k" === 0L).collect()(0).getLong(1) == 0L)
+    // v2 = after UPDATE, before DELETE
+    val v2 = spark.sql("SELECT * FROM graft_tt2.ns.t VERSION AS OF 2")
+    assert(v2.count() == 20)
+    assert(v2.filter($"k" === 0L).collect()(0).getLong(1) == 1L)
+    // you cannot write to the past
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft_tt2.ns.t VERSION AS OF 1 VALUES (9, 9)"))
+    assert(e.getMessage.toLowerCase.contains("version")
+      || e.getMessage.toLowerCase.contains("time travel"))
+  }
+
+  test("expireVersions keeps the newest K generations and the live read") {
+    val ns = setupCatalog("graft_tt3")
+    spark.sql("DROP TABLE IF EXISTS graft_tt3.ns.t")
+    spark.sql("CREATE TABLE graft_tt3.ns.t (k BIGINT) USING graftlines " +
+      "TBLPROPERTIES ('versioned'='true')")
+    (0L until 4L).foreach { i =>
+      Seq(i).toDF("k").coalesce(1).writeTo("graft_tt3.ns.t").append()
+    }
+    val tdir = s"$ns/t"
+    assert(GraftLines.expireVersions(tdir, keepLast = 2, hconf)
+      ._1 == Seq(1, 2))
+    // retained generations read; the append chain means gen 3 holds
+    // rows 0..2 (files of gens 1-2 are still referenced by gen 3 —
+    // expire deletes only files NO retained generation lists)
+    assert(spark.sql("SELECT count(*) FROM graft_tt3.ns.t VERSION AS OF 3")
+      .collect()(0).getLong(0) == 3)
+    assert(spark.table("graft_tt3.ns.t").count() == 4)
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_tt3.ns.t VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("no generation 1"))
+    // overwrite then expire: pre-overwrite files become unreferenced
+    // and are physically reclaimed
+    Seq(99L).toDF("k").coalesce(1)
+      .writeTo("graft_tt3.ns.t").overwrite(lit(true))
+    val (dropped, dead) = GraftLines.expireVersions(tdir, 1, hconf)
+    assert(dropped == Seq(3, 4))
+    assert(dead.nonEmpty, "pre-overwrite files must be reclaimed")
+    assert(spark.table("graft_tt3.ns.t").collect().map(_.getLong(0)).toSeq
+      == Seq(99L))
+  }
+
+  test("path-based reads select generations via option(versionAsOf)") {
+    val p = s"$dir/path_versioned"
+    val fs = hfs(p)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p))
+    // versioning as a table feature on a PATH table: drop the marker
+    fs.create(new org.apache.hadoop.fs.Path(p,
+      GraftLines.VersionMarker), true).close()
+    Seq((1L, "x")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    Seq((2L, "y")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    assert(spark.read.format("graftlines").load(p).count() == 1)
+    val v1 = spark.read.format("graftlines")
+      .option("versionAsOf", "1").load(p)
+    assert(v1.collect()(0).getString(1) == "x")
+    // versionAsOf on an unversioned directory fails loudly
+    val p2 = s"$dir/path_plain"
+    Seq((1L, "x")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p2)
+    val e = intercept[Exception](spark.read.format("graftlines")
+      .option("versionAsOf", "1").load(p2).collect())
+    assert(e.getMessage.contains("no committed generations"))
+  }
+}
