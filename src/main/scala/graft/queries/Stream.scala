@@ -787,6 +787,75 @@ object Stream extends QueryGroup {
         |  COUNT(*)::BIGINT AS n,
         |  CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_val
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // TABLE AS A STREAM (added r8): readStream over a VERSIONED
+      // graftlines table — the Delta/Iceberg CDC-ingest posture, built
+      // on the same generation manifests that give VERSION AS OF
+      // (sources/GraftLines.scala GlMicroBatchStream: offset N IS
+      // committed generation N, a micro-batch is the file-set diff
+      // between two generations). Two batch commits land before the
+      // stream starts — one micro-batch each, no row twice — and a
+      // THIRD is committed while the stream is live and picked up
+      // incrementally (GlStreamSourceSpec additionally pins
+      // checkpoint resume without re-emission). The pushed event_id
+      // filter applies inside every micro-batch's readers. foreachBatch
+      // lands each batch keyed by batchId (the idempotent-retry
+      // pattern); a complete drain = every generation's rows exactly
+      // once, so the oracle is the plain batch aggregate. At 100 TB
+      // this is the streaming-ingest contract: planning per batch is
+      // O(manifest), executors read only the NEW files.
+      "q_stream_table_source",
+      (s, d) => {
+        val p = "/tmp/graft_stream_tbl"
+        val out = "/tmp/graft_stream_tbl_sink"
+        val hfs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(p, out).foreach(x => hfs.delete(
+          new org.apache.hadoop.fs.Path(x), true))
+        hfs.mkdirs(new org.apache.hadoop.fs.Path(p))
+        hfs.create(new org.apache.hadoop.fs.Path(p,
+          graft.sources.GraftLines.VersionMarker), true).close()
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
+              .as("cents"))
+        ev.filter(col("event_id") % 2 === 0)
+          .write.format("graftlines").mode("append").save(p)
+        ev.filter(col("event_id") % 2 === 1 && col("event_id") < 5000)
+          .write.format("graftlines").mode("append").save(p)
+        val q = s.readStream.format("graftlines").load(p)
+          .filter(col("event_id") >= 100) // pushed into every batch
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/b$id"): Unit
+          }
+          .start()
+        try {
+          q.processAllAvailable()
+          // generation 3 commits while the stream is LIVE
+          ev.filter(col("event_id") % 2 === 1 && col("event_id") >= 5000)
+            .write.format("graftlines").mode("append").save(p)
+          q.processAllAvailable()
+        } finally q.stop()
+        val sunk = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cents", LongType)))
+        s.read.schema(sunk).parquet(s"$out/*")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).as("id_sum"),
+            (sum(col("cents")).cast(DoubleType) / 100).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n,
+        | SUM(event_id)::BIGINT AS id_sum,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |   AS DOUBLE) / 100 AS sum_val
+        |FROM events WHERE event_id >= 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
