@@ -856,6 +856,56 @@ object Stream extends QueryGroup {
         | CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
         |   AS DOUBLE) / 100 AS sum_val
         |FROM events WHERE event_id >= 100
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef(
+      // Table as a streaming SINK (added r8 — the write half of
+      // q_stream_table_source's read half; together the connector is a
+      // full streaming table à la Delta/Iceberg): the event stream
+      // lands in a VERSIONED graftlines table through the native
+      // writeStream path — no foreachBatch escape hatch — where each
+      // micro-batch commit is one generation whose manifest carries
+      // its epoch (`#epoch:<E>`). That single atomic manifest rename
+      // is both the data publish and the exactly-once ledger: a
+      // replayed epoch after recovery is recognized and dropped, so
+      // restart can never double-append (GlStreamSinkSpec proves it
+      // epoch-by-epoch, plus the crashed-attempt replace). A complete
+      // replay therefore lands every event exactly once and the
+      // oracle is the plain batch aggregate. At 100 TB each epoch
+      // commit is O(manifest) driver metadata on top of task-parallel
+      // file writes — the same cost profile as the batch sink.
+      "q_stream_table_sink",
+      (s, d) => {
+        val out = "/tmp/graft_gl_stream_sink"
+        val cp = out + "_cp"
+        val hfs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(out, cp).foreach(x => hfs.delete(
+          new org.apache.hadoop.fs.Path(x), true))
+        hfs.mkdirs(new org.apache.hadoop.fs.Path(out))
+        hfs.create(new org.apache.hadoop.fs.Path(out,
+          graft.sources.GraftLines.VersionMarker), true).close()
+        val q = Tables.eventsReadStream(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
+              .as("cents"))
+          .writeStream.format("graftlines")
+          .option("path", out)
+          .option("checkpointLocation", cp)
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.format("graftlines").load(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).as("id_sum"),
+            (sum(col("cents")).cast(DoubleType) / 100).as("sum_val"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*)::BIGINT AS n,
+        | SUM(event_id)::BIGINT AS id_sum,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |   AS DOUBLE) / 100 AS sum_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count,
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -159,16 +160,36 @@ object GraftLines {
   private[sources] def genPath(dir: String, n: Int): Path =
     new Path(new Path(dir), s"$GenPrefix$n")
 
-  /** Data-file base names of generation `n`. */
+  /** Data-file base names of generation `n` (comment lines — the
+    * streaming sink's `#epoch:` tag — are manifest metadata, never
+    * file names). */
   private[sources] def readGen(dir: String, n: Int,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val p = genPath(dir, n)
     val fs = p.getFileSystem(conf)
     val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
     try Iterator.continually(br.readLine()).takeWhile(_ != null)
-      .filter(_.nonEmpty).toList
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
     finally br.close()
   }
+
+  /** Epochs already committed into a versioned directory's generation
+    * manifests (the streaming sink's idempotence ledger): generation
+    * manifests published by [[GlStreamingWrite]] carry their epoch as a
+    * `#epoch:<E>` first line, so "was this epoch committed?" is
+    * answered by the SAME atomic rename that published the data —
+    * there is no separate log whose lag could double-commit a replayed
+    * micro-batch. Batch commits carry no tag and are never replayed. */
+  private[sources] def committedEpochs(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Set[Long] =
+    genVersions(dir, conf).flatMap { n =>
+      val p = genPath(dir, n)
+      val fs = p.getFileSystem(conf)
+      val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+      try Option(br.readLine()).filter(_.startsWith("#epoch:"))
+        .flatMap(_.stripPrefix("#epoch:").toLongOption)
+      finally br.close()
+    }.toSet
 
   /** Publish generation `n` via temp + rename (readers see a complete
     * manifest or none — same discipline as the stats manifest). Unlike
@@ -176,13 +197,16 @@ object GraftLines {
     * generation manifest is the source of truth for what a versioned
     * read returns, not an optimization. */
   private[sources] def writeGen(dir: String, n: Int, baseNames: Seq[String],
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
+      conf: org.apache.hadoop.conf.Configuration,
+      epoch: Option[Long] = None): Unit = {
     val p = genPath(dir, n)
     val fs = p.getFileSystem(conf)
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
-    try baseNames.sorted.foreach { b => w.write(b); w.write('\n') }
-    finally w.close()
+    try {
+      epoch.foreach { e => w.write(s"#epoch:$e"); w.write('\n') }
+      baseNames.sorted.foreach { b => w.write(b); w.write('\n') }
+    } finally w.close()
     require(fs.rename(tmp, p),
       s"graftlines: failed publishing generation manifest $p")
   }
@@ -758,7 +782,8 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
     })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // pinned catalog time travel wins; else the path-read option
@@ -1669,6 +1694,17 @@ private[sources] class GlWrite(path: String, schema: StructType,
 
   override def toBatch: BatchWrite = this
 
+  /** Streaming sink (`writeStream.format("graftlines")`): append-only —
+    * Complete mode would truncate the table every epoch, which on a
+    * versioned table means a full rewrite per micro-batch; reject it
+    * loudly and keep the sink's semantics one thing (append). */
+  override def toStreaming: StreamingWrite = {
+    require(!truncate,
+      "graftlines: streaming supports Append output mode only — " +
+        "Complete/Update would truncate the table every micro-batch")
+    new GlStreamingWrite(path, schema)
+  }
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -1796,6 +1832,147 @@ private[sources] class GlWrite(path: String, schema: StructType,
       fs.delete(new Path(s), false)
     }
   }
+}
+
+/** Exactly-once streaming sink (`writeStream.format("graftlines")`,
+  * Append mode): per-epoch task writers stage exactly like batch, and
+  * the epoch commit publishes with epoch-keyed idempotence — the
+  * property Structured Streaming demands, because after a failure the
+  * engine replays the last micro-batch and calls commit for an epoch
+  * that may already be durable.
+  *
+  *  - **Versioned table**: each epoch commit is a new GENERATION whose
+  *    manifest carries a `#epoch:<E>` tag; the single atomic manifest
+  *    rename is both the data publish and the idempotence ledger (no
+  *    separate log whose lag could double-commit). A replayed epoch is
+  *    detected via [[GraftLines.committedEpochs]] and its bytes are
+  *    dropped. Streaming INTO a versioned table composes with the
+  *    micro-batch SOURCE over the same table: each sunk epoch streams
+  *    back out as exactly one generation-diff batch.
+  *  - **Plain directory**: final names carry the epoch (`-e<E>-`), and
+  *    a commit first clears any files of ITS OWN epoch (a crashed or
+  *    replayed attempt — other epochs can never match the tag), then
+  *    renames. Replace-per-epoch is the overwrite-by-batchId
+  *    idempotence foreachBatch users hand-roll, native in the sink.
+  *
+  * Honest limits: a crashed versioned attempt can orphan
+  * generation-suffixed bytes that no manifest references (the vacuum /
+  * expireVersions sweeps already reclaim exactly that), and Complete /
+  * Update output modes are rejected up front ([[GlWrite.toStreaming]]). */
+private[sources] class GlStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  GraftLines.header(schema) // reject unstorable schemas before tasks launch
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    dir.getFileSystem(conf).mkdirs(dir)
+    GlStreamingWriterFactory(path, schema, new SerializableConfiguration(conf))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val staged = messages.collect {
+      case GlCommitted(Some(s), Some(f), _) => (new Path(s), new Path(f))
+    }.toSeq
+    if (GraftLines.isVersioned(path, conf))
+      commitVersionedEpoch(epochId, messages, staged, conf, fs)
+    else commitPlainEpoch(epochId, messages, staged, conf, fs)
+  }
+
+  private def commitVersionedEpoch(epochId: Long,
+      messages: Array[WriterCommitMessage], staged: Seq[(Path, Path)],
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    if (GraftLines.committedEpochs(path, conf).contains(epochId)) {
+      // replayed epoch after recovery: already durable — drop the
+      // replay's bytes, keep the committed manifest untouched
+      staged.foreach { case (s, _) => fs.delete(s, false) }
+      return
+    }
+    val gens = GraftLines.genVersions(path, conf)
+    val next = gens.lastOption.getOrElse(0) + 1
+    def vname(f: Path): Path = new Path(f.getParent,
+      f.getName.stripSuffix(GraftLines.Ext) + s"-g$next${GraftLines.Ext}")
+    val fmap: Map[String, String] =
+      staged.map { case (_, f) => f.getName -> vname(f).getName }.toMap
+    staged.foreach { case (s, f) =>
+      val tgt = vname(f)
+      // a target left by a CRASHED attempt of this same epoch is
+      // unreferenced (its manifest never published) — replace it;
+      // epoch-tagged names cannot collide across committed epochs
+      if (fs.exists(tgt)) fs.delete(tgt, false)
+      require(fs.rename(s, tgt),
+        s"graftlines: streaming commit failed renaming $s -> $tgt")
+    }
+    val carried =
+      gens.lastOption.map(GraftLines.readGen(path, _, conf)).getOrElse(Nil)
+    GraftLines.writeGen(path, next,
+      carried ++ staged.map { case (_, f) => fmap(f.getName) }, conf,
+      epoch = Some(epochId))
+    val newLines = messages.flatMap {
+      case GlCommitted(_, Some(f), lines) =>
+        val base = fmap(new Path(f).getName)
+        lines.map(l => s"$base\t$l")
+      case _ => Nil
+    }
+    if (newLines.nonEmpty)
+      GraftLines.mergeStats(path, conf,
+        dropNames = newLines.map(_.takeWhile(_ != '\t')).toSet,
+        newLines = newLines.toSeq)
+  }
+
+  private def commitPlainEpoch(epochId: Long,
+      messages: Array[WriterCommitMessage], staged: Seq[(Path, Path)],
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tag = s"-e$epochId-"
+    val stale = GraftLines.listDataFiles(path, conf)
+      .filter(f => new Path(f).getName.contains(tag))
+    stale.foreach(f => fs.delete(new Path(f), false))
+    staged.foreach { case (s, f) =>
+      if (fs.exists(f)) fs.delete(f, false)
+      require(fs.rename(s, f),
+        s"graftlines: streaming commit failed renaming $s -> $f")
+    }
+    val newLines = messages.flatMap {
+      case GlCommitted(_, Some(f), lines) =>
+        val base = new Path(f).getName
+        lines.map(l => s"$base\t$l")
+      case _ => Nil
+    }
+    val drop = stale.map(new Path(_).getName).toSet ++
+      newLines.map(_.takeWhile(_ != '\t'))
+    if (drop.nonEmpty || newLines.nonEmpty)
+      GraftLines.mergeStats(path, conf, dropNames = drop,
+        newLines = newLines.toSeq)
+  }
+
+  /** Nothing was renamed; only staging bytes exist — delete them. */
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    messages.collect { case GlCommitted(Some(s), _, _) =>
+      fs.delete(new Path(s), false)
+    }
+  }
+}
+
+/** Epoch rides the final name (`part-<pid>-e<E>-<task>.gl`): on a plain
+  * directory that makes replace-per-epoch possible; on a versioned one
+  * it keeps crashed-attempt targets collision-free across epochs. */
+private[sources] case class GlStreamingWriterFactory(path: String,
+    schema: StructType, conf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GlWriter(path, schema, partitionId, taskId, conf.value,
+      nameOverride = Some(
+        f"part-$partitionId%05d-e$epochId-$taskId${GraftLines.Ext}"))
 }
 
 /** `staged`: the task's staging path (written bytes); `file`: the

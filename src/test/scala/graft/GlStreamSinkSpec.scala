@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftLines
+
+/** Streaming WRITES into graftlines tables (the sink half of the
+  * streaming table surface — sources/GraftLines.scala
+  * GlStreamingWrite): exactly-once by epoch on both the versioned
+  * path (generation-manifest `#epoch:` ledger) and the plain path
+  * (replace-per-epoch via epoch-tagged names), restart-safe through a
+  * checkpoint, and rejecting Complete mode up front. */
+class GlStreamSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_glsink_spec"
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def freshDir(name: String): String = {
+    val p = s"$dir/$name"
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(hconf)
+    fs.delete(hp, true)
+    fs.mkdirs(hp)
+    p
+  }
+
+  private def markVersioned(p: String): Unit = {
+    val hp = new Path(p, GraftLines.VersionMarker)
+    hp.getFileSystem(hconf).create(hp, true).close()
+  }
+
+  private def readBack(p: String): Seq[(Long, String)] =
+    spark.read.format("graftlines").load(p)
+      .as[(Long, String)].collect().sorted.toSeq
+
+  test("multi-epoch append into a versioned table: one generation per epoch") {
+    val p = freshDir("v_epochs")
+    val cp = freshDir("v_epochs_cp")
+    markVersioned(p)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      assert(readBack(p) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      val gens = graft.sources.GlStreamingTestHarness.genVersions(p, hconf)
+      assert(gens.size == 2, s"one generation per non-empty epoch: $gens")
+      // each generation manifest carries its epoch tag
+      assert(graft.sources.GlStreamingTestHarness.committedEpochs(p, hconf).size == 2)
+      // time travel sees the per-epoch states
+      assert(spark.read.format("graftlines")
+        .option("versionAsOf", gens.head).load(p).count() == 2)
+    } finally q.stop()
+  }
+
+  test("a replayed epoch commits once: restart from checkpoint never duplicates") {
+    val p = freshDir("v_restart")
+    val cp = freshDir("v_restart_cp")
+    markVersioned(p)
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = mem.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(readBack(p) == Seq((1L, "a"), (2L, "b")))
+    // second run over the same checkpoint: the engine may replay the
+    // last batch; the epoch ledger must swallow it
+    mem.addData((3L, "c"))
+    val q2 = mem.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack(p) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("direct double-commit of one epoch is idempotent (versioned)") {
+    val p = freshDir("v_twice")
+    markVersioned(p)
+    // simulate the engine calling commit twice for epoch 7: second
+    // call must drop its staged bytes, not publish a second generation
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    def oneEpochWrite(): Unit = {
+      val w = new graft.sources.GlStreamingTestHarness(p, schema)
+      w.writeEpoch(7L, Seq((1L, "a"), (2L, "b")))
+    }
+    oneEpochWrite()
+    oneEpochWrite()
+    assert(readBack(p) == Seq((1L, "a"), (2L, "b")))
+    assert(graft.sources.GlStreamingTestHarness.genVersions(p, hconf).size == 1)
+  }
+
+  test("plain directory: replace-per-epoch clears a crashed attempt's files") {
+    val p = freshDir("plain_replace")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val h = new graft.sources.GlStreamingTestHarness(p, schema)
+    h.writeEpoch(0L, Seq((1L, "a")))
+    h.writeEpoch(1L, Seq((2L, "b")))
+    // epoch 1 replays (recovery): its rows replace, never append
+    h.writeEpoch(1L, Seq((2L, "b")))
+    assert(readBack(p) == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("sunk epochs stream back out of the same versioned table") {
+    val p = freshDir("roundtrip")
+    val cp = freshDir("roundtrip_cp")
+    markVersioned(p)
+    val mem = MemoryStream[(Long, String)](spark)
+    val qIn = mem.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      qIn.processAllAvailable()
+      mem.addData((3L, "c"))
+      qIn.processAllAvailable()
+    } finally qIn.stop()
+    // the table the stream produced is itself a streaming source
+    val qOut = spark.readStream.format("graftlines").load(p)
+      .writeStream.format("memory").queryName("gl_sink_roundtrip")
+      .outputMode("append").start()
+    try {
+      qOut.processAllAvailable()
+      assert(spark.table("gl_sink_roundtrip").as[(Long, String)]
+        .collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally qOut.stop()
+  }
+
+  test("Complete output mode is rejected loudly") {
+    val p = freshDir("complete_rejected")
+    val cp = freshDir("complete_rejected_cp")
+    val mem = MemoryStream[(Long, String)](spark)
+    mem.addData((1L, "a"))
+    val q = mem.toDF().toDF("k", "s").groupBy("s").count()
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", cp)
+      .outputMode("complete").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    assert(ex.getMessage.contains("Append output mode only")
+      || Option(ex.getCause).exists(_.getMessage != null &&
+        ex.getCause.getMessage.contains("Append output mode only")))
+  }
+}
