@@ -791,6 +791,56 @@ object Etl extends QueryGroup {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
     QueryDef(
+      // SQL ALTER TABLE ADD COLUMNS through the catalog (added r8 —
+      // the schema-evolution STATEMENT; q_etl_schema_evolution covers
+      // reader-side parquet footer merging, this evolves a CATALOG
+      // table's authoritative schema in place). The catalog appends
+      // the nullable column to the one-line schema header (an O(1)
+      // driver metadata op — zero data files move at any table size)
+      // and every reader null-fills rows from files written before
+      // the change (GlReader nullFillMissing), so pre-evolution data
+      // keeps reading without rewrite — the Delta/Iceberg ADD COLUMN
+      // posture. Non-nullable, positioned (FIRST/AFTER), nested, or
+      // duplicate adds are rejected loudly (GraftLinesSpec pins the
+      // rejections; re-interpreting bytes already on disk is never
+      // silent). Oracle: old rows surface the sentinel, new rows the
+      // inserted value.
+      "q_etl_add_column",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          "/tmp/graft_warehouse")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.part_evo")
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_size"))
+          .filter(col("p_size") < 25)
+          .createOrReplaceTempView("part_evo_src")
+        s.sql("""CREATE TABLE graft_cat.contract.part_evo USING graftlines
+          | AS SELECT * FROM part_evo_src""".stripMargin)
+        // evolve: brand arrives after the first generation of data
+        s.sql("ALTER TABLE graft_cat.contract.part_evo " +
+          "ADD COLUMNS (p_brand STRING)")
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_size"), col("p_brand"))
+          .filter(col("p_size") >= 25)
+          .createOrReplaceTempView("part_evo_new")
+        s.sql("""INSERT INTO graft_cat.contract.part_evo
+          | SELECT * FROM part_evo_new""".stripMargin)
+        s.sql("""SELECT COALESCE(p_brand, 'pre_evolution') AS brand,
+          | COUNT(*) AS n, SUM(p_size) AS size_sum,
+          | MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+          |FROM graft_cat.contract.part_evo
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""SELECT COALESCE(CASE WHEN p_size >= 25 THEN p_brand END,
+        |   'pre_evolution') AS brand,
+        | COUNT(*)::BIGINT AS n, SUM(p_size)::BIGINT AS size_sum,
+        | MIN(p_partkey) AS min_key, MAX(p_partkey) AS max_key
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       // SQL DELETE FROM through the catalog (added r8): the row-level
       // lifecycle statement warehouse users actually type for a GDPR
       // erasure — q_etl_delete_cascade computes WHAT to delete as

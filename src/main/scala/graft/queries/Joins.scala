@@ -464,6 +464,51 @@ object Joins extends QueryGroup {
         |SELECT a.w AS w1, b.w AS w2, a.n AS n1, b.n AS n2
         |FROM v a JOIN v b ON a.w < b.w
         |WHERE levenshtein(a.w, b.w) <= 1
-        |ORDER BY w1, w2""".stripMargin))
+        |ORDER BY w1, w2""".stripMargin)),
+
+    QueryDef(
+      // Dynamic partition pruning (added r8 — the star-schema scan
+      // killer: q_etl_partitioned_sink proves STATIC partition
+      // pruning, where the literal is in the query text; DPP prunes
+      // when the surviving partitions are only knowable at RUNTIME,
+      // from the filtered dimension's join keys). The fact table is
+      // written partitioned by l_returnflag; the dimension carries the
+      // selective predicate on a NON-key attribute (so no static
+      // filter can be inferred onto the fact side — it is read back
+      // from parquet precisely so Catalyst cannot constant-fold it),
+      // and Spark plants a DynamicPruningExpression subquery into the
+      // fact scan's PartitionFilters: the broadcast build's keys
+      // decide which partition directories are read at all
+      // (PlanSpec pins the dynamicpruning filter in the scan). At
+      // 100 TB this is the difference between scanning one partition
+      // and scanning the table — for a predicate the query author
+      // never spelled against the fact. Oracle: the same join.
+      "q_join_dpp",
+      (s, d) => {
+        val fact = "/tmp/graft_dpp_fact"
+        val dim = "/tmp/graft_dpp_dim"
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_linestatus"), col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(fact)
+        import s.implicits._
+        Seq(("R", "keep"), ("A", "drop"), ("N", "drop"))
+          .toDF("flag", "verdict")
+          .write.mode("overwrite").parquet(dim)
+        val dimDf = s.read.parquet(dim).filter(col("verdict") === "keep")
+        s.read.parquet(fact)
+          .join(broadcast(dimDf), col("l_returnflag") === col("flag"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 }

@@ -184,6 +184,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_linestatus:string,l_returnflag"), p)
   }
 
+  test("q_join_dpp plants a runtime dynamicpruning filter in the fact scan") {
+    val p = plan("q_join_dpp")
+    // the partition filter must be the RUNTIME subquery planted by
+    // dynamic partition pruning, not a static literal — the dim's
+    // verdict predicate never appears against the fact table
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_join_fuzzy candidates come from an equi join, never w x w") {
     val p = plan("q_join_fuzzy")
     // the deletion-variant key must drive a hash/merge join; a plan
