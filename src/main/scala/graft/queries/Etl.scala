@@ -1695,6 +1695,90 @@ object Etl extends QueryGroup {
         |       GROUP BY e.dst)
         |SELECT r3.node, deg.deg, r3.r AS rank_units
         |FROM r3 JOIN deg ON r3.node = deg.src
-        |ORDER BY rank_units DESC, node LIMIT 15""".stripMargin))
+        |ORDER BY rank_units DESC, node LIMIT 15""".stripMargin)),
+
+    QueryDef(
+      // Label-propagation community detection, 3 synchronous rounds
+      // (added r8 — completes the graph family: componenthood = CC,
+      // reachability = BFS, centrality = PageRank, motifs = triangles,
+      // COMMUNITIES = LPA). Textbook LPA is nondeterministic (random
+      // visit order, arbitrary ties) — unusable under a hash-match
+      // contract — so this is the deterministic synchronous variant:
+      // every node simultaneously adopts the label most frequent among
+      // its neighbors, ties toward the smallest label. The argmax with
+      // tiebreak is ONE integer aggregate per node: neighbors' label
+      // counts pack into cnt*2^22 + (2^22-1-label), MAX picks
+      // (count desc, label asc), pure BIGINT arithmetic both engines —
+      // no min_by/arg_min struct-ordering parity risk. Per round: one
+      // co-partitioned equi-join (edges ⋈ labels on src) + two hash
+      // aggs keyed on (dst[, label]) — the same 1000-executor plan
+      // family as PageRank; edges localCheckpoint-ed once, label
+      // frames per round (the BFS/CC lineage discipline). The
+      // bipartite co-purchase graph keeps real hubs, so rounds
+      // genuinely contract the label space. Oracle unrolls the same 3
+      // rounds in identical BIGINT arithmetic.
+      "q_graph_label_prop",
+      (s, d) => {
+        val BIG = 1L << 22 // > any node id; packs (count, label) exactly
+        val e0 = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("sn"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
+          .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
+          .localCheckpoint()
+        var labels = edges.select(col("src").as("node")).distinct()
+          .withColumn("label", col("node"))
+        for (_ <- 1 to 3) {
+          labels = edges
+            .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("dst"))
+            .agg(max(col("cnt") * BIG + (lit(BIG) - 1 - col("label")))
+              .as("pack"))
+            .select(col("dst").as("node"),
+              (lit(BIG) - 1 - (col("pack") % BIG)).as("label"))
+            .localCheckpoint()
+        }
+        labels.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).as("min_node"),
+            max(col("node")).as("max_node"))
+          .orderBy(col("n_nodes").desc, col("community"))
+          .limit(20)
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+        |         l_suppkey * 2 + 1 AS sn
+        |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, sn AS dst FROM e0
+        |      UNION ALL SELECT sn, c FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |l1 AS (SELECT dst AS node,
+        |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
+        |           % 4194304) AS label
+        |       FROM (SELECT e.dst, l0.label, COUNT(*)::BIGINT AS cnt
+        |             FROM e JOIN l0 ON e.src = l0.node
+        |             GROUP BY e.dst, l0.label) t GROUP BY dst),
+        |l2 AS (SELECT dst AS node,
+        |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
+        |           % 4194304) AS label
+        |       FROM (SELECT e.dst, l1.label, COUNT(*)::BIGINT AS cnt
+        |             FROM e JOIN l1 ON e.src = l1.node
+        |             GROUP BY e.dst, l1.label) t GROUP BY dst),
+        |l3 AS (SELECT dst AS node,
+        |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
+        |           % 4194304) AS label
+        |       FROM (SELECT e.dst, l2.label, COUNT(*)::BIGINT AS cnt
+        |             FROM e JOIN l2 ON e.src = l2.node
+        |             GROUP BY e.dst, l2.label) t GROUP BY dst)
+        |SELECT label AS community, COUNT(*)::BIGINT AS n_nodes,
+        | MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM l3 GROUP BY label
+        |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin))
   )
 }

@@ -711,6 +711,104 @@ object Pipeline extends QueryGroup {
         |  MIN(d.u) AS min_u, MAX(d.u) AS max_u
         |FROM docs d JOIN w ON d.source = w.source
         |WHERE d.u < w.w_u16
-        |GROUP BY d.source ORDER BY d.source""".stripMargin))
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    QueryDef(
+      // BPE merge training, 3 rounds (added r8 — the real
+      // byte-pair-encoding learning loop behind every modern
+      // tokenizer, not the q_text_tokens regex approximation: count
+      // adjacent symbol pairs across the corpus, merge the most
+      // frequent, repeat). Determinism: ties break on the pair's
+      // '<a>|<b>' string (pure ASCII — no collation drift), counts are
+      // exact BIGINTs, and merge APPLICATION is `replace` on a
+      // both-side-delimited symbol string ('<h><e><l><l><o>'), whose
+      // left-to-right non-overlapping semantics are identical in both
+      // engines AND equal to BPE's leftmost-first rule for a single
+      // merge. Scale shape: the corpus collapses to a (token, weight)
+      // frame ONCE (one shuffle on the token key — vocabulary-sized
+      // from then on, the standard BPE-training factorization); each
+      // round is one pair-explode + hash agg over the vocab and a
+      // map-only replace, with only the ONE winning pair row touching
+      // the driver (the PageRank-scalar discipline). Oracle unrolls
+      // the same 3 rounds.
+      "q_text_bpe_train",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(
+            expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("w"))
+          .withColumn("sy", expr("regexp_replace(t, '(.)', '<$1>')"))
+          .select(col("sy"), col("w"))
+          .localCheckpoint()
+        var cur = toks
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String, Long)]
+        for (r <- 1 to 3) {
+          val top = cur
+            .withColumn("syms",
+              expr("regexp_extract_all(sy, '<([^>]*)>', 1)"))
+            .filter(size(col("syms")) >= 2)
+            .select(col("w"), explode(expr(
+              """transform(sequence(1, size(syms) - 1),
+                | i -> concat(element_at(syms, i), '|',
+                |             element_at(syms, i + 1)))""".stripMargin))
+              .as("p"))
+            .groupBy(col("p")).agg(sum(col("w")).as("cnt"))
+            .orderBy(col("cnt").desc, col("p"))
+            .first() // ONE metadata row to the driver per round
+          val Array(a, b) = top.getString(0).split("\\|", -1)
+          merges += ((r.toLong, a, b, top.getLong(1)))
+          cur = cur.withColumn("sy",
+              expr(s"replace(sy, '<$a><$b>', '<$a$b>')"))
+            .localCheckpoint()
+        }
+        import s.implicits._
+        merges.toSeq.toDF("round", "sym_a", "sym_b", "n_pair")
+          .orderBy(col("round"))
+      },
+      Some("""WITH tok0 AS (
+        |  SELECT regexp_replace(t, '(.)', '<\1>', 'g') AS sy,
+        |         COUNT(*)::BIGINT AS w
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+        |          '[a-z0-9]+')) AS t FROM documents) u
+        |  GROUP BY t),
+        |p1 AS (SELECT string_split(p, '|')[1] AS pa,
+        |         string_split(p, '|')[2] AS pb, SUM(w) AS cnt
+        |       FROM (SELECT w, unnest(list_transform(range(1, len(a)),
+        |               i -> a[i] || '|' || a[i+1])) AS p
+        |             FROM (SELECT w, regexp_extract_all(sy,
+        |                     '<([^>]*)>', 1) AS a FROM tok0) x
+        |             WHERE len(a) >= 2) y
+        |       GROUP BY pa, pb ORDER BY cnt DESC, pa || '|' || pb
+        |       LIMIT 1),
+        |tok1 AS (SELECT replace(sy, '<' || p1.pa || '><' || p1.pb || '>',
+        |           '<' || p1.pa || p1.pb || '>') AS sy, w
+        |         FROM tok0 CROSS JOIN p1),
+        |p2 AS (SELECT string_split(p, '|')[1] AS pa,
+        |         string_split(p, '|')[2] AS pb, SUM(w) AS cnt
+        |       FROM (SELECT w, unnest(list_transform(range(1, len(a)),
+        |               i -> a[i] || '|' || a[i+1])) AS p
+        |             FROM (SELECT w, regexp_extract_all(sy,
+        |                     '<([^>]*)>', 1) AS a FROM tok1) x
+        |             WHERE len(a) >= 2) y
+        |       GROUP BY pa, pb ORDER BY cnt DESC, pa || '|' || pb
+        |       LIMIT 1),
+        |tok2 AS (SELECT replace(sy, '<' || p2.pa || '><' || p2.pb || '>',
+        |           '<' || p2.pa || p2.pb || '>') AS sy, w
+        |         FROM tok1 CROSS JOIN p2),
+        |p3 AS (SELECT string_split(p, '|')[1] AS pa,
+        |         string_split(p, '|')[2] AS pb, SUM(w) AS cnt
+        |       FROM (SELECT w, unnest(list_transform(range(1, len(a)),
+        |               i -> a[i] || '|' || a[i+1])) AS p
+        |             FROM (SELECT w, regexp_extract_all(sy,
+        |                     '<([^>]*)>', 1) AS a FROM tok2) x
+        |             WHERE len(a) >= 2) y
+        |       GROUP BY pa, pb ORDER BY cnt DESC, pa || '|' || pb
+        |       LIMIT 1)
+        |SELECT 1::BIGINT AS round, pa AS sym_a, pb AS sym_b,
+        |       cnt AS n_pair FROM p1
+        |UNION ALL SELECT 2::BIGINT, pa, pb, cnt FROM p2
+        |UNION ALL SELECT 3::BIGINT, pa, pb, cnt FROM p3
+        |ORDER BY round""".stripMargin))
   )
 }

@@ -1121,7 +1121,8 @@ case class GlScan(path: String, required: StructType,
       * latest (versioned tables only — see GraftLines.VersionMarker). */
     versionAsOf: Option[Int] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Runtime group filtering (row-level ops): before planning a
     * group-based rewrite, Spark runs a subquery for `DISTINCT _file`
@@ -1183,6 +1184,38 @@ case class GlScan(path: String, required: StructType,
     aggSpec.map(aggOutput).getOrElse(required)
 
   override def toBatch: Batch = this
+
+  /** Post-pruning statistics for the planner ([[SupportsReportStatistics]]):
+    * sizeInBytes = the bytes of exactly the files this scan will plan
+    * (pushed + group filters applied against `_graft_stats`), and
+    * numRows = their exact manifest row counts when every surviving
+    * file carries a stats line (absent otherwise — never guess). This
+    * is what lets AQE/join planning see a filtered graftlines scan as
+    * broadcast-small even though the directory is huge: the estimate
+    * shrinks WITH the pruning, as every real table format's does. All
+    * driver-side metadata — one manifest read, no file opens. */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+    val stats = GraftLines.readStats(path, conf, statsSchema)
+    val pruners = pushed ++ groupPrune
+    val kept = files.filter { case (f, _) =>
+      stats.get(new Path(f).getName)
+        .forall(st => pruners.forall(GlFilters.mayMatch(_, st)))
+    }
+    val bytes = kept.map(_._2).sum
+    val rowsOpt =
+      if (kept.forall { case (f, _) => stats.contains(new Path(f).getName) })
+        Some(kept.map { case (f, _) => stats(new Path(f).getName).rows }.sum)
+      else None
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong =
+        rowsOpt.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+    }
+  }
 
   override def description(): String =
     s"GraftLines path=$path, " +

@@ -237,6 +237,27 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(lo.collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("reported statistics shrink with pruning: bytes and exact rows") {
+    val p = s"$dir/repstats"
+    Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    Seq((10L, "x"), (11L, "y")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    val all = spark.read.format("graftlines").load(p)
+    val sAll = glScan(all).estimateStatistics()
+    assert(sAll.numRows().getAsLong == 5, "manifest rows are exact")
+    val totalBytes = sAll.sizeInBytes().getAsLong
+    assert(totalBytes > 0)
+    // a pushed filter that prunes one file must shrink BOTH estimates —
+    // this is what lets the planner treat a filtered scan as small
+    val hit = glScan(all.filter($"k" >= 10L)).estimateStatistics()
+    assert(hit.numRows().getAsLong == 2)
+    assert(hit.sizeInBytes().getAsLong < totalBytes)
+    val miss = glScan(all.filter($"k" > 100L)).estimateStatistics()
+    assert(miss.numRows().getAsLong == 0)
+    assert(miss.sizeInBytes().getAsLong == 0)
+  }
+
   test("null-count and all-NULL stats prune exactly, conservatively") {
     val p = s"$dir/statsnull"
     val sch = StructType(Seq(StructField("k", LongType),
