@@ -1049,6 +1049,59 @@ object Etl extends QueryGroup {
         |FROM z GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
+      // Connector-native compaction on a VERSIONED table (added r8 —
+      // q_etl_compaction rewrites a parquet directory by hand; this is
+      // the OPTIMIZE lifecycle op of the engine's own table format,
+      // GraftLines.compact): a 16-way fragmented versioned graftlines
+      // table compacts to <= 3 files through a distributed
+      // read→coalesce→write job, published as a NEW generation by one
+      // atomic manifest rename — so the fragmented generation stays
+      // byte-for-byte time-travelable until expireVersions reclaims
+      // it, and a crash mid-compact leaves the table exactly as it
+      // was. require()s pin the physical contract (file counts, old
+      // generation intact); the oracle pins the data surviving
+      // bit-for-bit. Stats ride along re-keyed, so pruning keeps
+      // working on the compacted layout.
+      "q_etl_table_compact",
+      (s, d) => {
+        val p = "/tmp/graft_gl_compact"
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(hp, true)
+        fs.mkdirs(hp)
+        fs.create(new org.apache.hadoop.fs.Path(p,
+          graft.sources.GraftLines.VersionMarker), true).close()
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"),
+            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 " +
+              "as bigint)").as("cents"))
+          .repartition(16)
+          .write.format("graftlines").mode("append").save(p)
+        val (nBefore, nAfter) =
+          graft.sources.GraftLines.compact(p, 3, s)
+        require(nBefore == 16 && nAfter <= 3,
+          s"compaction contract: 16 -> <=3 files, got $nBefore -> $nAfter")
+        // the fragmented generation is still readable — history intact
+        require(s.read.format("graftlines").option("versionAsOf", 1)
+          .load(p).count() ==
+          s.read.format("graftlines").load(p).count(),
+          "compaction must not change the row count, old gen readable")
+        s.read.format("graftlines").load(p)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_linenumber")).as("line_sum"),
+            (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
+        | SUM(l_linenumber)::BIGINT AS line_sum,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+
+    QueryDef(
       // Small-file compaction (added r4): the operational sibling of
       // XmlManifest's container-packing answer — a 64-way fragmented
       // parquet directory is rewritten into <= 4 splittable files with

@@ -288,6 +288,68 @@ object Stream extends QueryGroup {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     QueryDef(
+      // transformWithState over MAP state (added r8 — completes the
+      // arbitrary-state primitive family: ValueState =
+      // q_stream_transform_state, timers = q_stream_transform_timers,
+      // MapState = here). Per user, a MapState keyed by event_type
+      // carries (count, exact cents) — declared per-entry to the
+      // engine, so a micro-batch touching one type round-trips ONE
+      // RocksDB entry instead of a serialized whole-map blob, which is
+      // the property that keeps composite per-key state viable at
+      // 100 TB (see streaming/TypeCounts.scala). Emissions are
+      // cumulative per (user, type); the drained sink's max-count row
+      // per key is the final state under any batching, so the oracle
+      // is the plain batch GROUP BY one key level deeper than the
+      // ValueState query's.
+      "q_stream_transform_map",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val name = "twm_sink"
+        s.catalog.dropTempView(name)
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.get(provKey)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val prevNoData = s.conf.get(
+          "spark.sql.streaming.noDataMicroBatches.enabled")
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
+          + "state.RocksDBStateStoreProvider")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        try {
+          val rows = Tables.eventsReadStream(s, d)
+            .select(col("user_id"), col("event_type"),
+              expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
+                .as("cents"))
+            .as[(Long, String, Long)]
+          val updated = rows.groupByKey(_._1)
+            .transformWithState(new graft.streaming.TypeCounts,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "event_type", "n", "cents")
+          val q = updated.writeStream.outputMode("update")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally {
+          s.conf.set(provKey, prevProv)
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          s.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
+        s.table(name)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(struct(col("n"), col("cents"))).as("fin"))
+          .select(col("user_id"), col("event_type"),
+            col("fin.n").as("n"),
+            (col("fin.cents").cast(DoubleType) / 100).as("sum_val"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT))
+        |   AS DOUBLE) / 100 AS sum_val
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    QueryDef(
       // TRUE stream-stream join (added r4) — the remaining Structured
       // Streaming join surface: two file-source streams over the same
       // event log (clicks / purchases), each with its own watermark,

@@ -265,6 +265,86 @@ object GraftLines {
     (drop, dead)
   }
 
+  /** Small-file compaction (the OPTIMIZE lifecycle op — completes the
+    * table-management family: snapshot = versioned reads, clone =
+    * shared storage, vacuum/expire = reclaim, COMPACT = keep scan task
+    * counts proportional to bytes, not write history). Rewrites the
+    * CURRENT file set into at most `maxFiles` files via a distributed
+    * Spark job (read → coalesce → write to a scratch dir — data moves
+    * executor-to-executor, never through the driver), then swaps the
+    * result in:
+    *
+    *  - **Versioned table**: the swap is a NEW generation manifest
+    *    listing only the compacted files — one atomic rename, history
+    *    intact (every older generation still resolves its own files;
+    *    `expireVersions` reclaims the fragmented ones later). Restart
+    *    safety is the manifest discipline: a crash before the publish
+    *    leaves the table exactly as it was.
+    *  - **Plain directory**: old files delete + compacted files move
+    *    in (`compact-<k>-…` names cannot collide with task names);
+    *    the cross-file window is the same documented non-atomicity as
+    *    every logless swap here — the catalog/versioning layer is the
+    *    transactional answer.
+    *
+    * Per-file stats ride along: the scratch write's manifest lines are
+    * re-keyed to the final names, so pruning keeps working on the
+    * compacted layout. Returns (files before, files after); no-op when
+    * already within budget. */
+  def compact(dir: String, maxFiles: Int,
+      spark: SparkSession): (Int, Int) = {
+    require(maxFiles >= 1, "compact must keep at least one file")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val before = resolveDataFileStatuses(dir, conf, None).map(_._1)
+    if (before.size <= maxFiles) return (before.size, before.size)
+    val scratch = new Path(dir, ".compact-scratch").toString
+    fs.delete(new Path(scratch), true)
+    spark.read.format("graftlines").load(dir)
+      .coalesce(maxFiles)
+      .write.format("graftlines").mode("overwrite").save(scratch)
+    val moved = listDataFiles(scratch, conf).zipWithIndex.map {
+      case (f, i) =>
+        val src = new Path(f)
+        (src.getName, s"compact-$i-${src.getName}")
+    }
+    // scratch stats lines re-keyed to the final names (raw text remap
+    // — the payload after the first tab field is name-independent)
+    val statLines: Seq[String] = {
+      val sp = statsPath(scratch)
+      if (!fs.exists(sp)) Nil
+      else {
+        val nameMap = moved.toMap
+        val br = new BufferedReader(new InputStreamReader(fs.open(sp), UTF_8))
+        try Iterator.continually(br.readLine()).takeWhile(_ != null)
+          .flatMap { l =>
+            val cut = l.indexOf('\t')
+            if (cut < 0) None
+            else nameMap.get(l.substring(0, cut))
+              .map(nb => nb + l.substring(cut))
+          }.toList
+        finally br.close()
+      }
+    }
+    moved.foreach { case (base, nb) =>
+      require(fs.rename(new Path(scratch, base), new Path(dirPath, nb)),
+        s"graftlines: compact failed moving $base -> $nb")
+    }
+    if (isVersioned(dir, conf)) {
+      val next = genVersions(dir, conf).lastOption.getOrElse(0) + 1
+      writeGen(dir, next, moved.map(_._2), conf)
+      if (statLines.nonEmpty)
+        mergeStats(dir, conf, dropNames = Set.empty, newLines = statLines)
+    } else {
+      before.foreach(f => fs.delete(new Path(f), false))
+      mergeStats(dir, conf,
+        dropNames = before.map(new Path(_).getName).toSet,
+        newLines = statLines, replaceAll = true)
+    }
+    fs.delete(new Path(scratch), true)
+    (before.size, moved.size)
+  }
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graftlines requires a path")
@@ -1304,9 +1384,37 @@ private[sources] case class GlOffset(gen: Int) extends Offset {
 
 private[sources] class GlMicroBatchStream(path: String,
     required: StructType, pushed: Array[Filter],
-    nullFillMissing: Boolean) extends MicroBatchStream {
+    nullFillMissing: Boolean) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private def conf = SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** Trigger.AvailableNow ("process everything that exists, then
+    * stop" — the batch-cadence way to run a streaming pipeline): the
+    * engine calls this once at query start; the latest generation AT
+    * THAT MOMENT becomes the run's ceiling, so generations committed
+    * while the run drains are left for the NEXT run instead of keeping
+    * this one alive. Gen numbers only grow, so the cap is stable. */
+  @transient private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(GraftLines.genVersions(path, conf).lastOption.getOrElse(0))
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      Offset = {
+    val latest = GraftLines.genVersions(path, conf).lastOption.getOrElse(0)
+    GlOffset(availableNowCap.fold(latest)(math.min(latest, _)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GlOffset(GraftLines.genVersions(path, conf).lastOption.getOrElse(0))
 
   override def initialOffset(): Offset = GlOffset(0)
 

@@ -98,6 +98,38 @@ class GlStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains existing generations then stops") {
+    val p = freshDir("avail_now")
+    val ckpt = freshDir("avail_now_ckpt")
+    val sink = freshDir("avail_now_sink")
+    markVersioned(p)
+    Seq(1L, 2L).toDF("k").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    Seq(3L).toDF("k").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlines").load(p)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      // the defining property: the query TERMINATES BY ITSELF once the
+      // start-time ceiling is consumed — no stop() needed
+      assert(q.awaitTermination(60000),
+        "AvailableNow query must self-terminate")
+    }
+    run()
+    assert(spark.read.parquet(sink).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // a generation committed after that run waits for the NEXT run,
+    // which resumes from the checkpoint and emits only the new one
+    Seq(4L).toDF("k").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    run()
+    assert(spark.read.parquet(sink).as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("streaming a non-versioned directory is rejected loudly") {
     val p = freshDir("plain")
     Seq(1L).toDF("k").coalesce(1)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.GlScan
+import graft.sources.{GlScan, GraftLines}
 
 /** The DSv2 connector contract (sources/GraftLines.scala): exact
   * round trip across every storable type incl. hostile strings,
@@ -235,6 +235,48 @@ class GraftLinesSpec extends AnyFunSuite {
     val lo = all.filter($"k" <= 1L)
     assert(glScan(lo).planInputPartitions().length == 1)
     assert(lo.collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("compact merges small files, keeps data + stats, preserves history") {
+    val p = s"$dir/compact_plain"
+    (0L until 40L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartition(8)
+      .write.format("graftlines").mode("overwrite").save(p)
+    val before = spark.read.format("graftlines").load(p)
+      .as[(Long, String)].collect().sorted.toSeq
+    val (nb, na) = GraftLines.compact(p, 2, spark)
+    assert(nb == 8 && na <= 2, s"$nb -> $na")
+    val after = spark.read.format("graftlines").load(p)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(after == before, "compaction must not change the data")
+    // stats survived the re-key: a selective filter still prunes/answers
+    val hit = spark.read.format("graftlines").load(p).filter($"k" === 39L)
+    assert(hit.collect().map(_.getString(1)).toSeq == Seq("v39"))
+    // no-op when already within budget
+    assert(GraftLines.compact(p, 4, spark) == (na, na))
+
+    val pv = s"$dir/compact_versioned"
+    val hp = new org.apache.hadoop.fs.Path(pv, GraftLines.VersionMarker)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(pv), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(pv))
+    fs.create(hp, true).close()
+    (0L until 30L).map(i => (i, s"w$i")).toDF("k", "s")
+      .repartition(6)
+      .write.format("graftlines").mode("append").save(pv)
+    val (vb, va) = GraftLines.compact(pv, 2, spark)
+    assert(vb == 6 && va <= 2)
+    // generation 1 (fragmented) stays byte-for-byte readable
+    val v1 = spark.read.format("graftlines").option("versionAsOf", 1)
+      .load(pv).as[(Long, String)].collect().sorted.toSeq
+    val v2 = spark.read.format("graftlines").load(pv)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(v1 == v2 && v1.size == 30)
+    // expire reclaims exactly the fragmented generation's files
+    val (expired, deleted) = GraftLines.expireVersions(pv, 1,
+      spark.sparkContext.hadoopConfiguration)
+    assert(expired == Seq(1) && deleted.size == 6)
+    assert(spark.read.format("graftlines").load(pv).count() == 30)
   }
 
   test("reported statistics shrink with pruning: bytes and exact rows") {
