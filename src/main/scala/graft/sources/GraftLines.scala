@@ -1213,9 +1213,18 @@ case class GlScan(path: String, required: StructType,
     * are ignored — pruning is an optimization, never load-bearing. */
   @transient private var runtimeAllowedFiles: Option[Set[String]] = None
 
+  /** Advertise `_file` for runtime filtering ONLY when this scan
+    * actually outputs it (row-level-operation scans, where Spark
+    * requested it via requiredMetadataAttributes). On an ordinary scan
+    * `_file` is not in the output, and Spark's runtime-filtering rules
+    * resolve filterAttributes against the scan output — advertising an
+    * absent column there throws at planning time the moment a join
+    * against this scan becomes broadcastable. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(GraftLines.FileCol))
+    if (required.fieldNames.contains(GraftLines.FileCol))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftLines.FileCol))
+    else Array.empty
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {

@@ -300,6 +300,20 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(miss.sizeInBytes().getAsLong == 0)
   }
 
+  test("reported statistics let the planner auto-broadcast a filtered scan") {
+    val p = s"$dir/autobcast"
+    (0L until 500L).map(i => (i, s"d$i")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    val dim = spark.read.format("graftlines").load(p).filter($"k" < 50L)
+    val fact = spark.range(100000L).toDF("k")
+    // NO broadcast() hint: the decision must come from the scan's own
+    // size estimate (a V2 scan without SupportsReportStatistics
+    // defaults to spark.sql.defaultSizeInBytes = huge, never broadcast)
+    val joined = fact.join(dim, "k")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("null-count and all-NULL stats prune exactly, conservatively") {
     val p = s"$dir/statsnull"
     val sch = StructType(Seq(StructField("k", LongType),
