@@ -1603,6 +1603,72 @@ object Etl extends QueryGroup {
         |ORDER BY version, o_orderstatus""".stripMargin)),
 
     QueryDef(
+      // Change data feed between versions (added r8 — the Delta CDF /
+      // Iceberg changelog question built directly on time travel:
+      // "what changed between v1 and v3?", the incremental-consumer
+      // primitive). Without per-row tracking metadata a version diff
+      // is exactly set algebra over two versioned reads: inserts =
+      // v3 EXCEPT v1, deletes = v1 EXCEPT v3 — an UPDATE surfaces as
+      // its delete(pre-image) + insert(post-image) pair, which is
+      // precisely what Delta reports for update rows. Both EXCEPTs
+      // plan as key-partitioned hash anti-aggregates over the two
+      // generations' file sets (no manifest history walk, no driver
+      // data); at 100 TB the diff cost is two scans of the touched
+      // versions, independent of how many commits lie between. The
+      // commits deliberately exercise all three write paths: CTAS,
+      // COW DELETE (metadata deletes decline on versioned tables),
+      // COW UPDATE.
+      "q_etl_change_feed",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          "/tmp/graft_warehouse")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_cf")
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .createOrReplaceTempView("orders_cf_src")
+        s.sql("""CREATE TABLE graft_cat.contract.orders_cf USING graftlines
+          | TBLPROPERTIES ('versioned'='true')
+          | AS SELECT * FROM orders_cf_src""".stripMargin)
+        s.sql("""DELETE FROM graft_cat.contract.orders_cf
+          | WHERE o_orderstatus = 'P' AND o_custkey < 200""".stripMargin)
+        s.sql("""UPDATE graft_cat.contract.orders_cf
+          | SET cents = cents + cents DIV 100
+          | WHERE o_orderstatus = 'F' AND o_custkey < 100""".stripMargin)
+        val v1 = s.sql(
+          "SELECT * FROM graft_cat.contract.orders_cf VERSION AS OF 1")
+        val v3 = s.sql(
+          "SELECT * FROM graft_cat.contract.orders_cf VERSION AS OF 3")
+        v3.except(v1).withColumn("change", lit("insert"))
+          .unionByName(v1.except(v3).withColumn("change", lit("delete")))
+          .groupBy(col("change"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
+          .orderBy(col("change"), col("o_orderstatus"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           AS cents
+        |       FROM orders),
+        |feed AS (
+        |  SELECT 'delete' AS change, o_orderstatus, cents
+        |  FROM o WHERE o_orderstatus = 'P' AND o_custkey < 200
+        |  UNION ALL
+        |  SELECT 'delete', o_orderstatus, cents
+        |  FROM o WHERE o_orderstatus = 'F' AND o_custkey < 100
+        |  UNION ALL
+        |  SELECT 'insert', o_orderstatus, cents + cents // 100
+        |  FROM o WHERE o_orderstatus = 'F' AND o_custkey < 100)
+        |SELECT change, o_orderstatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(cents) AS DOUBLE) / 100 AS sum_price
+        |FROM feed GROUP BY change, o_orderstatus
+        |ORDER BY change, o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // Triangle counting (added r8): the graph family's third
       // primitive after reachability (q_graph_bfs_hops) and
       // componenthood (q_dedup_cluster*) — the motif count behind

@@ -978,6 +978,55 @@ object LlmText extends QueryGroup {
         |    AS n_intra_dup,
         |  COALESCE(sa.n_distinct, 0)::BIGINT AS n_kept
         |FROM ia LEFT JOIN sa ON ia.lang = sa.lang
-        |ORDER BY ia.lang""".stripMargin))
+        |ORDER BY ia.lang""".stripMargin)),
+
+    QueryDef(
+      // Audio frame extraction + energy profiling (added r8 — extends
+      // the multimodal family beyond whole-payload decode: the
+      // FRAME-level access pattern every audio pipeline runs — VAD,
+      // loudness normalization, feature windows). The 'audio'-kind
+      // media rows (the multimodal/Multimodal.scala kind mapping:
+      // doc_id % 3 == 1) expose their payload as a PCM-sample stand-in
+      // — the fixture corpus is pure ASCII, so UTF-8 payload bytes ARE
+      // the code points, and the oracle can mirror the byte stream
+      // character-for-character. Samples frame into non-overlapping
+      // 256-sample blocks; per frame an exact integer energy Σ s²;
+      // per lang: media count, frame count, total + peak energy. The
+      // explode is map-only fan-out (chars → (doc, frame) keys), the
+      // only corpus shuffles are the two hash aggs — frame extraction
+      // at 100 TB is embarrassingly parallel, exactly like chunking.
+      "q_multimodal_audio_frames",
+      (s, d) => {
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 3 === 1)
+          .select(col("lang"), col("doc_id"),
+            explode(expr(
+              """transform(sequence(1, char_length(text)),
+                | i -> struct((i - 1) div 256 as frame,
+                |   ascii(substring(text, i, 1)) as cp))""".stripMargin))
+              .as("x"))
+          .groupBy(col("lang"), col("doc_id"), col("x.frame"))
+          .agg(sum(expr("cast(x.cp as bigint) * x.cp")).as("energy"))
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_media"),
+            count(lit(1)).as("n_frames"),
+            sum(col("energy")).as("energy_total"),
+            max(col("energy")).as("peak_energy"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH samp AS (
+        |  SELECT lang, doc_id,
+        |    unnest(list_transform(range(1, length(text) + 1),
+        |      i -> ((i - 1) // 256) * 2097152 + unicode(text[i]))) AS p
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (
+        |  SELECT lang, doc_id, p // 2097152 AS frame,
+        |    SUM((p % 2097152) * (p % 2097152))::BIGINT AS energy
+        |  FROM samp GROUP BY lang, doc_id, p // 2097152)
+        |SELECT lang, COUNT(DISTINCT doc_id)::BIGINT AS n_media,
+        |  COUNT(*)::BIGINT AS n_frames,
+        |  SUM(energy)::BIGINT AS energy_total,
+        |  MAX(energy)::BIGINT AS peak_energy
+        |FROM fr GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -322,6 +322,54 @@ object Scans extends QueryGroup {
         | CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open' ELSE 'other' END AS status,
         | COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio,
         | COUNT(*)::BIGINT AS n
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
+      // SQL-defined functions (added r8 — Spark 4's CREATE FUNCTION …
+      // RETURN, the warehouse way to share logic: the function's BODY
+      // is SQL text in the catalog, not a JVM closure, so any client
+      // of the warehouse — BI tool, notebook, other engine sessions —
+      // calls the same definition; q_udf_scalar's Scala UDF is
+      // session-local bytecode by contrast). Both a scalar function
+      // (priority digit) and a table function (the customer's orders
+      // above a floor) are defined and composed in one statement; the
+      // TVF invocation under LATERAL decorrelates exactly like
+      // q_sql_lateral. Catalyst INLINES SQL-UDF bodies into the plan —
+      // the grouped aggregate below plans identically to spelling the
+      // expressions out, codegen intact (no black-box row-at-a-time
+      // call like a real UDF), which is why this surface scales for
+      // free. Oracle: the inlined expressions.
+      "q_sql_udf",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_fn")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION prio_digit(p STRING)
+          | RETURNS INT RETURN CAST(substring(p, 1, 1) AS INT)"""
+          .stripMargin)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION big_orders(
+          |   ck BIGINT, floor_cents BIGINT)
+          | RETURNS TABLE(o_orderkey BIGINT, cents BIGINT)
+          | RETURN SELECT o_orderkey,
+          |   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          | FROM orders_fn
+          | WHERE o_custkey = ck
+          |   AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |     > floor_cents""".stripMargin)
+        s.sql("""SELECT prio_digit(o.o_orderpriority) AS prio,
+          |  COUNT(*) AS n, COUNT(b.o_orderkey) AS n_big,
+          |  CAST(SUM(COALESCE(b.cents, 0)) AS DOUBLE) / 100 AS big_sum
+          |FROM orders_fn o
+          |LEFT JOIN LATERAL big_orders(o.o_custkey, 15000000) b
+          |  ON o.o_orderkey = b.o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents FROM orders)
+        |SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio,
+        | COUNT(*)::BIGINT AS n,
+        | COUNT(CASE WHEN cents > 15000000 THEN 1 END)::BIGINT AS n_big,
+        | CAST(SUM(CASE WHEN cents > 15000000 THEN cents ELSE 0 END)
+        |   AS DOUBLE) / 100 AS big_sum
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
