@@ -1071,10 +1071,10 @@ object Etl extends QueryGroup {
         fs.mkdirs(hp)
         fs.create(new org.apache.hadoop.fs.Path(p,
           graft.sources.GraftLines.VersionMarker), true).close()
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            col("l_returnflag"),
-            expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 " +
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 " +
               "as bigint)").as("cents"))
           .repartition(16)
           .write.format("graftlines").mode("append").save(p)
@@ -1088,18 +1088,18 @@ object Etl extends QueryGroup {
           s.read.format("graftlines").load(p).count(),
           "compaction must not change the row count, old gen readable")
         s.read.format("graftlines").load(p)
-          .groupBy(col("l_returnflag"))
+          .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_linenumber")).as("line_sum"),
+            sum(col("o_custkey")).as("cust_sum"),
             (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
-          .orderBy(col("l_returnflag"))
+          .orderBy(col("o_orderstatus"))
       },
-      Some("""SELECT l_returnflag, COUNT(*)::BIGINT AS n,
-        | SUM(l_linenumber)::BIGINT AS line_sum,
-        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      Some("""SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        | SUM(o_custkey)::BIGINT AS cust_sum,
+        | CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
         |   AS BIGINT)) AS DOUBLE) / 100 AS sum_price
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin)),
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
 
     QueryDef(
       // Small-file compaction (added r4): the operational sibling of
@@ -1850,9 +1850,17 @@ object Etl extends QueryGroup {
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
           .localCheckpoint()
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-        for (_ <- 1 to 3) {
+        // Round 1 closed form: initial labels are the (distinct) node
+        // ids, so every neighbor label has count 1 and the
+        // most-frequent-with-min-tiebreak update degenerates to plain
+        // min(neighbor) — ONE aggregate instead of a join + two aggs.
+        // Not a data assumption: it holds by construction of l0. The
+        // oracle keeps the generic form; the results are identical.
+        var labels = edges.groupBy(col("dst"))
+          .agg(min(col("src")).as("label"))
+          .withColumnRenamed("dst", "node")
+          .localCheckpoint()
+        for (_ <- 2 to 3) {
           labels = edges
             .join(labels.withColumnRenamed("node", "src"), Seq("src"))
             .groupBy(col("dst"), col("label"))

@@ -881,7 +881,24 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
     require(pinnedVersion.isEmpty,
       s"graftlines: cannot write to $path pinned at VERSION AS OF " +
         s"${pinnedVersion.getOrElse(-1)} — writes go to the live table")
-    new GlWriteBuilder(path, info.schema())
+    // `.option("clusterBy", col)`: the write REQUESTS a range
+    // distribution + sort on that column (see GlWrite), so files land
+    // with tight, disjoint stats ranges and later scans prune sharply
+    val cb = Option(info.options.get("clusterBy")).filter(_.nonEmpty)
+    cb.foreach { c =>
+      require(info.schema().fieldNames.contains(c),
+        s"graftlines: clusterBy column '$c' is not in the write schema " +
+          info.schema().fieldNames.mkString("[", ", ", "]"))
+    }
+    // `.option("clusterPartitions", n)`: pin the number of range
+    // partitions (= output files); without it the engine (incl. AQE
+    // coalescing) decides
+    val cp = Option(info.options.get("clusterPartitions")).map { v =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"graftlines: clusterPartitions must be a positive int, got '$v'")
+      v.toInt
+    }
+    new GlWriteBuilder(path, info.schema(), cb, cp)
   }
 
   /** Versioned tables decline the metadata DELETE path entirely: it
@@ -1816,11 +1833,13 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
   override def close(): Unit = () // inner closed at end of aggregation
 }
 
-private[sources] class GlWriteBuilder(path: String, schema: StructType)
+private[sources] class GlWriteBuilder(path: String, schema: StructType,
+    clusterBy: Option[String] = None, clusterParts: Option[Int] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new GlWrite(path, schema, doTruncate)
+  override def build(): Write = new GlWrite(path, schema, doTruncate,
+    clusterBy, clusterParts)
 }
 
 /** Staged-rename commit protocol: tasks never land bytes under a
@@ -1838,9 +1857,46 @@ private[sources] class GlWriteBuilder(path: String, schema: StructType)
   * atomic, the loop across files is not, and a multi-writer race on
   * one directory still needs a catalog on top. */
 private[sources] class GlWrite(path: String, schema: StructType,
-    truncate: Boolean) extends Write with BatchWrite {
+    truncate: Boolean, clusterBy: Option[String] = None,
+    clusterParts: Option[Int] = None)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   // validate the schema is storable BEFORE launching tasks
   GraftLines.header(schema)
+
+  /** Write-time clustering ([[RequiresDistributionAndOrdering]]):
+    * with `.option("clusterBy", col)` the connector asks SPARK to
+    * range-partition and sort the incoming rows on that column before
+    * they reach the task writers — the engine plans the exchange, the
+    * source only declares the requirement (the DSv2-native cousin of
+    * q_etl_zorder's hand-rolled repartitionByRange). Every file then
+    * covers a tight, DISJOINT key range, which is exactly what makes
+    * the `_graft_stats` min/max manifest prune sharply: a point or
+    * range predicate later touches one file instead of all of them.
+    * Without the option both methods return "unspecified" and the
+    * write plans exactly as before. */
+  private def clusterSort: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterBy.map { c =>
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    }.getOrElse(Array.empty)
+
+  override def requiredDistribution():
+      org.apache.spark.sql.connector.distributions.Distribution =
+    if (clusterBy.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions
+        .ordered(clusterSort)
+
+  override def requiredOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] = clusterSort
+
+  /** Pinned file count for clustered writes (0 = engine decides). */
+  override def requiredNumPartitions(): Int =
+    if (clusterBy.isEmpty) 0 else clusterParts.getOrElse(0)
 
   override def toBatch: BatchWrite = this
 

@@ -314,6 +314,26 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("clusterBy write range-partitions files so point filters prune to one") {
+    val p = s"$dir/clustered"
+    // scrambled insert order: the ENGINE must plan the range exchange
+    val df = (0L until 1000L).map(i => ((i * 367) % 1000, i)).toDF("k", "v")
+    df.repartition(5).write.format("graftlines")
+      .option("clusterBy", "k").option("clusterPartitions", "4")
+      .mode("overwrite").save(p)
+    val base = spark.read.format("graftlines").load(p)
+    val nFiles = glScan(base).planInputPartitions().length
+    assert(nFiles == 4, s"clusterPartitions=4 must pin 4 files: $nFiles")
+    assert(base.count() == 1000)
+    // disjoint per-file ranges: every point probe plans exactly ONE file
+    for (probe <- Seq(3L, 500L, 997L)) {
+      val f = base.filter($"k" === probe)
+      assert(glScan(f).planInputPartitions().length == 1,
+        s"probe $probe should prune to one file out of $nFiles")
+      assert(f.count() == 1)
+    }
+  }
+
   test("null-count and all-NULL stats prune exactly, conservatively") {
     val p = s"$dir/statsnull"
     val sch = StructType(Seq(StructField("k", LongType),
