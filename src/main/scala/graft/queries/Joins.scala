@@ -467,6 +467,76 @@ object Joins extends QueryGroup {
         |ORDER BY w1, w2""".stripMargin)),
 
     QueryDef(
+      // STORAGE-PARTITIONED JOIN through the engine's own connector
+      // (added r8 — the Iceberg/Delta-era answer to q_join_bucketed's
+      // saveAsTable bucketing: the LAYOUT lives in the table, the scan
+      // REPORTS it, and Spark aligns the two sides WITHOUT any
+      // exchange). Both tables are written identity-partitioned on
+      // nationkey (`.option("partitionColumn", …)` — the engine
+      // clusters rows, each task lands one file per value, and every
+      // file provably holds a single key via its stats line); the
+      // scans report KeyGroupedPartitioning and, with the v2 bucketing
+      // flag on and broadcast suppressed, the join plans with ZERO
+      // Exchange on either side — asserted right here at plan-build
+      // time, and pinned again in PlanSpec. At 100 TB this is the
+      // co-located fact-fact join: pay the layout at write time, never
+      // shuffle at read time, across every query that joins on the
+      // partition key.
+      "q_join_storage_part",
+      (s, d) => {
+        val pc = "/tmp/graft_spj_cust"
+        val ps = "/tmp/graft_spj_supp"
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)")
+              .as("c_cents"))
+          .write.format("graftlines")
+          .option("partitionColumn", "c_nationkey")
+          .mode("overwrite").save(pc)
+        Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"),
+            expr("cast(cast(s_acctbal as decimal(18,2)) * 100 as bigint)")
+              .as("s_cents"))
+          .write.format("graftlines")
+          .option("partitionColumn", "s_nationkey")
+          .mode("overwrite").save(ps)
+        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.read.format("graftlines").load(pc)
+            .join(s.read.format("graftlines").load(ps),
+              col("c_nationkey") === col("s_nationkey"))
+            .groupBy(col("c_nationkey"))
+            .agg(count(lit(1)).as("n_pairs"),
+              sum(col("c_cents")).as("c_cents_sum"),
+              (sum(col("c_cents") + col("s_cents")).cast(DoubleType) / 100)
+                .as("sum_acct"))
+            .orderBy(col("c_nationkey"))
+          // force the physical plan while the SPJ confs are in effect,
+          // and hold the query to its own contract: the join AND the
+          // key-aligned aggregate above it run with ZERO exchanges —
+          // the grouped partitioning satisfies both (only the final
+          // metadata-sized orderBy range-partitions)
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning"),
+            "storage-partitioned join must not shuffle either side")
+          j
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        }
+      },
+      Some("""SELECT c_nationkey, COUNT(*)::BIGINT AS n_pairs,
+        | SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT
+        |   AS c_cents_sum,
+        | CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |   + CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |   AS DOUBLE) / 100 AS sum_acct
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    QueryDef(
       // Dynamic partition pruning (added r8 — the star-schema scan
       // killer: q_etl_partitioned_sink proves STATIC partition
       // pruning, where the literal is in the query text; DPP prunes

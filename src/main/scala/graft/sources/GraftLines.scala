@@ -138,6 +138,47 @@ object GraftLines {
   val VersionMarker = "_graft_versioned"
   val GenPrefix = "_graft_gen."
 
+  /** Identity partitioning as a table property (the Hive/Iceberg
+    * `PARTITIONED BY (col)` posture): the `_graft_partcol` marker
+    * holds the partition column's name. Partitioned writes route each
+    * task's rows into ONE FILE PER PARTITION VALUE (the engine first
+    * clusters rows by the column — see [[GlWrite]]), so every data
+    * file provably holds a single partition value, recoverable from
+    * its stats line (min == max). That single-value-per-file property
+    * is what lets the scan report [[org.apache.spark.sql.connector
+    * .read.partitioning.KeyGroupedPartitioning]] and two co-partitioned
+    * tables join with ZERO exchange — the storage-partitioned join.
+    * Restricted to stats-eligible (ordered, non-string) columns: the
+    * stats manifest is the value-recovery mechanism, and string
+    * min/max ordering is exactly what the connector refuses to trust. */
+  val PartColMarker = "_graft_partcol"
+
+  private[sources] def partitionCol(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val p = new Path(new Path(dir), PartColMarker)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+      try Option(br.readLine()).map(_.trim).filter(_.nonEmpty)
+      finally br.close()
+    }
+  }
+
+  private[sources] def writePartitionCol(dir: String, col: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new Path(new Path(dir), PartColMarker)
+    val fs = p.getFileSystem(conf)
+    val existing = partitionCol(dir, conf)
+    require(existing.forall(_ == col),
+      s"graftlines: $dir is already partitioned by " +
+        s"'${existing.getOrElse("")}' — cannot repartition to '$col'")
+    if (existing.isEmpty) {
+      val w = new OutputStreamWriter(fs.create(p, true), UTF_8)
+      try { w.write(col); w.write('\n') } finally w.close()
+    }
+  }
+
   private[sources] def isVersioned(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Boolean = {
     val p = new Path(dir)
@@ -881,10 +922,29 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
     require(pinnedVersion.isEmpty,
       s"graftlines: cannot write to $path pinned at VERSION AS OF " +
         s"${pinnedVersion.getOrElse(-1)} — writes go to the live table")
+    // `.option("partitionColumn", col)` (or the table's existing
+    // `_graft_partcol` marker): identity-partitioned writes — rows
+    // cluster by the column and each task lands ONE FILE PER VALUE,
+    // the invariant behind storage-partitioned joins (see the marker's
+    // scaladoc in [[GraftLines]]).
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val pcol = Option(info.options.get("partitionColumn")).filter(_.nonEmpty)
+      .orElse(GraftLines.partitionCol(path, conf))
+    pcol.foreach { c =>
+      val f = info.schema().fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftlines: partitionColumn '$c' is not in the write schema "
+            + info.schema().fieldNames.mkString("[", ", ", "]")))
+      require(GraftLines.statsEligible(f.dataType),
+        s"graftlines: partitionColumn '$c' must be an ordered non-string "
+          + s"type (stats recover the per-file value); got ${f.dataType}")
+    }
     // `.option("clusterBy", col)`: the write REQUESTS a range
     // distribution + sort on that column (see GlWrite), so files land
     // with tight, disjoint stats ranges and later scans prune sharply
     val cb = Option(info.options.get("clusterBy")).filter(_.nonEmpty)
+    require(cb.isEmpty || pcol.isEmpty,
+      "graftlines: clusterBy and partitionColumn are mutually exclusive")
     cb.foreach { c =>
       require(info.schema().fieldNames.contains(c),
         s"graftlines: clusterBy column '$c' is not in the write schema " +
@@ -898,7 +958,7 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
         s"graftlines: clusterPartitions must be a positive int, got '$v'")
       v.toInt
     }
-    new GlWriteBuilder(path, info.schema(), cb, cp)
+    new GlWriteBuilder(path, info.schema(), cb, cp, pcol)
   }
 
   /** Versioned tables decline the metadata DELETE path entirely: it
@@ -1190,7 +1250,9 @@ private[sources] class GlScanBuilder(path: String, schema: StructType,
   }
 
   override def build(): Scan = GlScan(path, required, pushed, limit, agg,
-    schema, nullFillMissing, versionAsOf = versionAsOf)
+    schema, nullFillMissing, versionAsOf = versionAsOf,
+    partCol = GraftLines.partitionCol(path,
+      SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 /** Public (not `private[sources]`) so plan tests can reach into
@@ -1216,10 +1278,14 @@ case class GlScan(path: String, required: StructType,
     onPlan: Option[Seq[String] => Unit] = None,
     /** Time travel: plan this committed generation instead of the
       * latest (versioned tables only — see GraftLines.VersionMarker). */
-    versionAsOf: Option[Int] = None)
+    versionAsOf: Option[Int] = None,
+    /** The table's identity-partition column (`_graft_partcol`), when
+      * declared — enables KeyGroupedPartitioning reporting below. */
+    partCol: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Runtime group filtering (row-level ops): before planning a
     * group-based rewrite, Spark runs a subquery for `DISTINCT _file`
@@ -1330,6 +1396,54 @@ case class GlScan(path: String, required: StructType,
       s"PushedLimit: ${pushedLimit.getOrElse(-1)}, " +
       s"PushedAggregation: ${aggSpec.getOrElse("none")}"
 
+  /** Identity-partitioned planning: when the table declares a
+    * partition column AND every surviving file's stats prove it holds
+    * exactly one non-null value (min == max, nulls == 0), the scan can
+    * key every split by that value and report KeyGroupedPartitioning —
+    * the storage-partitioned-join contract. Any file that cannot prove
+    * single-valuedness (pre-partitioning data, a compacted layout, a
+    * damaged manifest) degrades the WHOLE scan to the ordinary path:
+    * correctness never rides on the grouping, only the exchange-free
+    * join plan does. Row-level-op scans (`_file` in the output),
+    * aggregate/limit pushdown scans keep the ordinary path too. */
+  @transient private lazy val keyedPlan: Option[Seq[(String, Long, Any)]] =
+    partCol.flatMap { pc =>
+      if (aggSpec.nonEmpty || pushedLimit.nonEmpty || groupPrune.nonEmpty
+        || onPlan.nonEmpty
+        || required.fieldNames.contains(GraftLines.FileCol)) None
+      else {
+        val conf = SparkSession.active.sparkContext.hadoopConfiguration
+        val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+        val stats = GraftLines.readStats(path, conf, statsSchema)
+        val kept = files.filter { case (f, _) =>
+          stats.get(new Path(f).getName)
+            .forall(st => pushed.forall(GlFilters.mayMatch(_, st)))
+        }
+        val keyed = kept.map { case (f, len) =>
+          stats.get(new Path(f).getName).flatMap(_.cols.get(pc)).collect {
+            case GlColStats(0, mn, mx) if mn != null && mn == mx =>
+              (f, len, mn)
+          }
+        }
+        if (keyed.nonEmpty && keyed.forall(_.isDefined)) Some(keyed.flatten)
+        else None
+      }
+    }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedPlan match {
+      case Some(kf) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(partCol.get)),
+            kf.map(_._3).distinct.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   /** File skipping happens HERE, at plan time: pushed filters are
     * tested against the `_graft_stats` manifest (one driver-side read)
     * and a file whose min/max prove it cannot hold a matching row never
@@ -1347,6 +1461,19 @@ case class GlScan(path: String, required: StructType,
     * [[GlReader]]), so any split-size choice yields the same rows. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    keyedPlan match {
+      case Some(kf) =>
+        val splitSize =
+          math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+        return kf.flatMap { case (f, len, v) =>
+          def key = new GenericInternalRow(Array[Any](v))
+          if (len <= splitSize)
+            Seq(GlKeyedPartition(f, 0L, Long.MaxValue, key))
+          else (0L until len by splitSize).map(s0 =>
+            GlKeyedPartition(f, s0, math.min(s0 + splitSize, len), key))
+        }.toArray
+      case None => ()
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
     val pruners = pushed ++ groupPrune
@@ -1490,17 +1617,33 @@ private[sources] case class GlInputPartition(file: String,
     start: Long = 0L, end: Long = Long.MaxValue)
     extends InputPartition
 
+/** A split of an identity-partitioned table: carries its partition
+  * VALUE so Spark can group splits by key and plan storage-partitioned
+  * joins ([[org.apache.spark.sql.connector.read.HasPartitionKey]]). */
+private[sources] case class GlKeyedPartition(file: String,
+    start: Long, end: Long, key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 private[sources] case class GlReaderFactory(required: StructType,
     pushed: Array[Filter], limit: Option[Int], aggSpec: Option[GlAggSpec],
     conf: SerializableConfiguration, nullFillMissing: Boolean = false)
     extends PartitionReaderFactory {
+  private def range(p: InputPartition): (String, Long, Long) = p match {
+    case g: GlInputPartition => (g.file, g.start, g.end)
+    case k: GlKeyedPartition => (k.file, k.start, k.end)
+    case other => throw new IllegalStateException(other.getClass.getName)
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GlInputPartition]
+    val (file, start, end) = range(p)
     aggSpec match {
-      case Some(spec) => new GlAggReader(gp.file, required, spec, pushed,
-        conf.value, nullFillMissing, gp.start, gp.end)
-      case None => new GlReader(gp.file, required, pushed, limit, conf.value,
-        nullFillMissing, gp.start, gp.end)
+      case Some(spec) => new GlAggReader(file, required, spec, pushed,
+        conf.value, nullFillMissing, start, end)
+      case None => new GlReader(file, required, pushed, limit, conf.value,
+        nullFillMissing, start, end)
     }
   }
 
@@ -1517,9 +1660,9 @@ private[sources] case class GlReaderFactory(required: StructType,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {
     require(aggSpec.isEmpty, "columnar read not offered for agg scans")
-    val gp = p.asInstanceOf[GlInputPartition]
-    new GlColumnarReader(gp.file, required, pushed, limit, conf.value,
-      nullFillMissing = nullFillMissing, start = gp.start, end = gp.end)
+    val (file, start, end) = range(p)
+    new GlColumnarReader(file, required, pushed, limit, conf.value,
+      nullFillMissing = nullFillMissing, start = start, end = end)
   }
 }
 
@@ -1834,12 +1977,13 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
 }
 
 private[sources] class GlWriteBuilder(path: String, schema: StructType,
-    clusterBy: Option[String] = None, clusterParts: Option[Int] = None)
+    clusterBy: Option[String] = None, clusterParts: Option[Int] = None,
+    partitionCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new GlWrite(path, schema, doTruncate,
-    clusterBy, clusterParts)
+    clusterBy, clusterParts, partitionCol)
 }
 
 /** Staged-rename commit protocol: tasks never land bytes under a
@@ -1858,7 +2002,8 @@ private[sources] class GlWriteBuilder(path: String, schema: StructType,
   * one directory still needs a catalog on top. */
 private[sources] class GlWrite(path: String, schema: StructType,
     truncate: Boolean, clusterBy: Option[String] = None,
-    clusterParts: Option[Int] = None)
+    clusterParts: Option[Int] = None,
+    partitionCol: Option[String] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   // validate the schema is storable BEFORE launching tasks
@@ -1885,7 +2030,13 @@ private[sources] class GlWrite(path: String, schema: StructType,
 
   override def requiredDistribution():
       org.apache.spark.sql.connector.distributions.Distribution =
-    if (clusterBy.isEmpty)
+    if (partitionCol.nonEmpty)
+      // identity partitioning: co-locate equal values so a partition
+      // value lands in ONE task -> one file per value table-wide
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity(partitionCol.get)))
+    else if (clusterBy.isEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     else
       org.apache.spark.sql.connector.distributions.Distributions
@@ -1917,7 +2068,13 @@ private[sources] class GlWrite(path: String, schema: StructType,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    GlWriterFactory(path, schema, new SerializableConfiguration(conf))
+    partitionCol match {
+      case Some(c) =>
+        GlPartitionedWriterFactory(path, schema,
+          schema.fieldIndex(c), new SerializableConfiguration(conf))
+      case None =>
+        GlWriterFactory(path, schema, new SerializableConfiguration(conf))
+    }
   }
 
   /** Publishes the job: under truncate, deletes the files the old
@@ -1935,11 +2092,20 @@ private[sources] class GlWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val dirFs = new Path(path).getFileSystem(conf)
-    val staged = messages.collect {
+    // partitioned tasks report one GlCommitted per per-value file
+    val msgs: Array[GlCommitted] = messages.flatMap {
+      case m: GlMultiCommitted => m.msgs
+      case c: GlCommitted => Seq(c)
+      case _ => Nil
+    }
+    // publishing a partitioned write makes the table partitioned for
+    // every later writer/reader (idempotent; conflicting column fails)
+    partitionCol.foreach(GraftLines.writePartitionCol(path, _, conf))
+    val staged = msgs.collect {
       case GlCommitted(Some(s), Some(f), _) => (new Path(s), new Path(f))
     }
     if (GraftLines.isVersioned(path, conf)) {
-      commitVersioned(conf, dirFs, staged, messages)
+      commitVersioned(conf, dirFs, staged, msgs)
       return
     }
     if (truncate) {
@@ -1964,7 +2130,7 @@ private[sources] class GlWrite(path: String, schema: StructType,
       require(dirFs.rename(s, f),
         s"graftlines: commit failed renaming $s -> $f")
     }
-    val newLines = messages.flatMap {
+    val newLines = msgs.flatMap {
       case GlCommitted(_, Some(f), lines) =>
         val base = new Path(f).getName
         lines.map(l => s"$base\t$l")
@@ -1991,7 +2157,7 @@ private[sources] class GlWrite(path: String, schema: StructType,
   private def commitVersioned(conf: org.apache.hadoop.conf.Configuration,
       dirFs: org.apache.hadoop.fs.FileSystem,
       staged: Seq[(Path, Path)],
-      messages: Array[WriterCommitMessage]): Unit = {
+      messages: Array[GlCommitted]): Unit = {
     val gens = GraftLines.genVersions(path, conf)
     val next = gens.lastOption.getOrElse(0) + 1
     // pre-versioning data files (a marker added to an existing
@@ -2034,8 +2200,12 @@ private[sources] class GlWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val fs = new Path(path).getFileSystem(conf)
-    messages.collect { case GlCommitted(Some(s), _, _) =>
-      fs.delete(new Path(s), false)
+    messages.flatMap {
+      case m: GlMultiCommitted => m.msgs
+      case c: GlCommitted => Seq(c)
+      case _ => Nil
+    }.collect { case GlCommitted(Some(st), _, _) =>
+      fs.delete(new Path(st), false)
     }
   }
 }
@@ -2189,6 +2359,63 @@ private[sources] case class GlStreamingWriterFactory(path: String,
 private[sources] case class GlCommitted(staged: Option[String],
     file: Option[String], statsLines: Seq[String] = Nil)
     extends WriterCommitMessage
+
+/** A partitioned task's commit: one [[GlCommitted]] per per-value file
+  * it wrote. The job commit flattens these into the ordinary path. */
+private[sources] case class GlMultiCommitted(msgs: Seq[GlCommitted])
+    extends WriterCommitMessage
+
+private[sources] case class GlPartitionedWriterFactory(path: String,
+    schema: StructType, partIdx: Int, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GlPartitionedWriter(path, schema, partitionId, taskId, conf.value,
+      partIdx)
+}
+
+/** Identity-partitioned task writer: routes each row to the
+  * [[GlWriter]] for its partition value, so every landed file holds
+  * exactly ONE value — the invariant the scan recovers from stats
+  * (min == max) to report KeyGroupedPartitioning. The engine already
+  * clustered rows by the column (GlWrite.requiredDistribution), so a
+  * task usually owns whole values and the per-task writer map stays
+  * value-count bounded; per-task file names carry a dense index
+  * (`-p<k>`), not the value (values need no name-escaping that way). */
+private[sources] class GlPartitionedWriter(dir: String, schema: StructType,
+    partitionId: Int, taskId: Long,
+    conf: org.apache.hadoop.conf.Configuration, partIdx: Int)
+    extends DataWriter[InternalRow] {
+
+  private val partType = schema.fields(partIdx).dataType
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Any, GlWriter]
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(partIdx),
+      s"graftlines: NULL partition value in column " +
+        s"'${schema.fields(partIdx).name}' — identity partitioning " +
+        "requires non-null values (stats cannot recover a NULL)")
+    val v: Any = partType match {
+      case IntegerType | DateType => java.lang.Integer.valueOf(row.getInt(partIdx))
+      case LongType | TimestampType => java.lang.Long.valueOf(row.getLong(partIdx))
+      case DoubleType => java.lang.Double.valueOf(row.getDouble(partIdx))
+      case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(partIdx))
+      case other => throw new IllegalStateException(
+        s"unsupported partition type $other")
+    }
+    writers.getOrElseUpdate(v, new GlWriter(dir, schema, partitionId, taskId,
+      conf, nameOverride = Some(
+        f"part-$partitionId%05d-$taskId-p${writers.size}${GraftLines.Ext}")))
+      .write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GlMultiCommitted(writers.values
+      .map(_.commit().asInstanceOf[GlCommitted]).toSeq)
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
+}
 
 /** Replacement rows from a group-based rewrite arrive with Spark's
   * leading `__row_operation` INT column when the operation declares no

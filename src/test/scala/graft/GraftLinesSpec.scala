@@ -334,6 +334,63 @@ class GraftLinesSpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join: co-partitioned tables join exchange-free") {
+    val pa = s"$dir/spj_a"
+    val pb = s"$dir/spj_b"
+    val a = (0L until 400L).map(i => (i % 8, i)).toDF("nk", "a_id")
+    val b = (0L until 200L).map(i => (i % 8, i * 10)).toDF("nk", "b_id")
+    a.repartition(5).write.format("graftlines")
+      .option("partitionColumn", "nk").mode("overwrite").save(pa)
+    b.repartition(3).write.format("graftlines")
+      .option("partitionColumn", "nk").mode("overwrite").save(pb)
+    // every landed file holds exactly one nk (stats prove it) and the
+    // scan keys its splits accordingly
+    val baseA = spark.read.format("graftlines").load(pa)
+    val keyed = glScan(baseA).planInputPartitions()
+    assert(keyed.nonEmpty && keyed.forall(
+      _.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.read.format("graftlines").load(pa)
+        .join(spark.read.format("graftlines").load(pb), "nk")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle either side:\n$plan")
+      assert(j.count() == 8L * 50L * 25L)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("partitioned tables degrade safely when single-value proof breaks") {
+    val p = s"$dir/spj_degrade"
+    (0L until 100L).map(i => (i % 4, i)).toDF("nk", "v")
+      .repartition(3).write.format("graftlines")
+      .option("partitionColumn", "nk").mode("overwrite").save(p)
+    // compaction coalesces values into mixed files: the partitioning
+    // report must drop, the data must not change
+    GraftLines.compact(p, 1, spark)
+    val base = spark.read.format("graftlines").load(p)
+    assert(glScan(base).planInputPartitions().forall(p =>
+      !p.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey]))
+    assert(base.count() == 100)
+    // NULL partition values are rejected loudly at write
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, 1L)), 1),
+      StructType(Seq(StructField("nk", LongType), StructField("v", LongType))))
+    val e = intercept[Exception] {
+      withNull.write.format("graftlines")
+        .option("partitionColumn", "nk").mode("overwrite")
+        .save(s"$dir/spj_null")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("NULL partition value")))
+  }
+
   test("null-count and all-NULL stats prune exactly, conservatively") {
     val p = s"$dir/statsnull"
     val sch = StructType(Seq(StructField("k", LongType),

@@ -194,6 +194,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_join_storage_part joins and aggregates with zero hash exchanges") {
+    val p = plan("q_join_storage_part")
+    // the query's own require() already enforces this at build time;
+    // pin it here too so a regression fails the suite, not just the run
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_join_fuzzy candidates come from an equi join, never w x w") {
     val p = plan("q_join_fuzzy")
     // the deletion-variant key must drive a hash/merge join; a plan
