@@ -307,6 +307,41 @@ object Aggs extends QueryGroup {
       None),
 
     QueryDef(
+      // Frequent-items sketch (added r8 — the sixth sketch family
+      // member, and the one that ENUMERATES: count-min answers "how
+      // often does THIS token occur" and needs a candidate list from
+      // an exact aggregate; the Misra-Gries ItemsSketch answers WHICH
+      // tokens are frequent from the sketch alone — hot keys, top
+      // talkers, trending tokens with no second pass). Per-lang
+      // sketches build partial+final (shuffle carries KiB sketches,
+      // never token streams); the proven-frequent list explodes out of
+      // the merged sketch with estimate + bounds. The 31-token fixture
+      // vocabulary keeps this in the sketch's EXACT regime (capacity
+      // 256 never purges — AggSpec pins estimates ≡ exact counts here
+      // and gates the estimation regime's lb ≤ truth ≤ ub + coverage
+      // guarantees on a synthetic forced-purge stream). No oracle by
+      // convention for the sketch family (binary DataSketches form).
+      "q_agg_heavy_hitters",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("tok"))
+        tok.groupBy(col("lang"))
+          .agg(graft.functions.FreqItems.sketchColumn(col("tok")).as("sk"),
+            count(lit(1)).as("n_tok"))
+          .select(col("lang"), col("n_tok"),
+            explode(graft.functions.FreqItems.hitters(col("sk"))).as("h"))
+          .withColumn("r", row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("h._2").desc, col("h._1").asc)))
+          .filter(col("r") <= 5)
+          .select(col("lang"), col("r"), col("h._1").as("token"),
+            col("h._2").as("n_est"), col("h._3").as("lb"),
+            col("h._4").as("ub"), col("n_tok"))
+          .orderBy(col("lang"), col("r"))
+      },
+      None),
+
+    QueryDef(
       // Heavy hitters via count-min sketch (added r4) — completes the
       // sketch trio (HLL distinct, quantile, frequency): one 32 KiB
       // mergeable sketch per language absorbs every token occurrence in

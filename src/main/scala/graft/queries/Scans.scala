@@ -325,6 +325,45 @@ object Scans extends QueryGroup {
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      // Session variables + EXECUTE IMMEDIATE (added r8 — the SQL
+      // scripting primitives Spark 4 ships for parameterized warehouse
+      // workflows: DECLARE a typed session variable, SET it FROM a
+      // query (a scalar landing in session state, not a driver-side
+      // collect into client code), reference it in later statements,
+      // and run dynamically-built SQL text through EXECUTE IMMEDIATE
+      // with USING parameter binding — the injection-safe form of
+      // string-built SQL). The variable references fold into the plan
+      // as literals at analysis time, so the parameterization costs
+      // nothing at execution. Oracle: the same computation inlined.
+      "q_sql_variables",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_var")
+        s.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+        // the threshold comes FROM data: the global average order price
+        s.sql("""SET VARIABLE price_floor =
+          | (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          |     AS DOUBLE) / COUNT(*) FROM orders_var)""".stripMargin)
+        s.sql("DECLARE OR REPLACE VARIABLE status_probe STRING DEFAULT 'F'")
+        s.sql("""EXECUTE IMMEDIATE
+          | 'SELECT o_orderstatus, COUNT(*) AS n,
+          |    COUNT(CASE WHEN o_totalprice > price_floor THEN 1 END)
+          |      AS n_above,
+          |    COUNT(CASE WHEN o_orderstatus = ? THEN 1 END) AS n_probe
+          |  FROM orders_var GROUP BY o_orderstatus ORDER BY o_orderstatus'
+          | USING status_probe""".stripMargin)
+      },
+      Some("""WITH f AS (SELECT CAST(SUM(CAST(o_totalprice
+        |     AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS price_floor
+        |   FROM orders)
+        |SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+        | COUNT(CASE WHEN o_totalprice > (SELECT price_floor FROM f)
+        |   THEN 1 END)::BIGINT AS n_above,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)::BIGINT
+        |   AS n_probe
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef(
       // SQL-defined functions (added r8 — Spark 4's CREATE FUNCTION …
       // RETURN, the warehouse way to share logic: the function's BODY
       // is SQL text in the catalog, not a JVM closure, so any client

@@ -168,6 +168,51 @@ class AggSpec extends AnyFunSuite {
     }
   }
 
+  test("frequent-items sketch: exact regime on the corpus, bounds under purge") {
+    import graft.functions.FreqItems
+    // exact regime: the 31-token vocabulary never purges at capacity
+    // 256, so every estimate equals the exact count and the
+    // proven-frequent list IS the full vocabulary per language
+    val tok = Tables.documents(spark, TestSpark.sf001)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+    val exact = tok.groupBy(col("lang"), col("tok")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sketches = tok.repartition(7) // force the distributed merge path
+      .groupBy(col("lang"))
+      .agg(FreqItems.sketchColumn(col("tok")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk"))
+    assert(sketches.nonEmpty)
+    sketches.foreach { case (lang, sk) =>
+      val hh = FreqItems.heavyHitters(sk, noFalsePositives = true)
+      val langExact = exact.collect { case ((l, t), n) if l == lang => t -> n }
+      assert(hh.size == langExact.size,
+        s"$lang: exact regime must enumerate the whole vocab")
+      hh.foreach { case (item, est, lb, ub) =>
+        assert(est == langExact(item) && lb == est && ub == est,
+          s"$lang/$item: exact regime must have est == truth == bounds")
+      }
+    }
+    // estimation regime: heavy items + a long singleton tail force
+    // purges; the guarantees (lb <= truth <= ub, no-false-negatives
+    // coverage of truly-heavy items) must survive the merge path
+    import spark.implicits._
+    val heavy = Seq.fill(2000)("hot1") ++ Seq.fill(900)("hot2")
+    val tail = (0 until 3000).map(i => s"cold$i")
+    val sk2 = (heavy ++ tail).toDF("item").repartition(5)
+      .agg(FreqItems.sketchColumn(col("item")).as("sk"))
+      .collect()(0).getAs[Array[Byte]]("sk")
+    val all = FreqItems.heavyHitters(sk2, noFalsePositives = false)
+    val hot1 = all.find(_._1 == "hot1")
+    val hot2 = all.find(_._1 == "hot2")
+    assert(hot1.nonEmpty && hot2.nonEmpty,
+      "no-false-negatives list must cover every truly-heavy item")
+    assert(hot1.get._3 <= 2000 && 2000 <= hot1.get._4,
+      s"hot1 bounds must bracket the truth: ${hot1.get}")
+    assert(hot2.get._3 <= 900 && 900 <= hot2.get._4,
+      s"hot2 bounds must bracket the truth: ${hot2.get}")
+  }
+
   test("upsert-dedup is idempotent: re-staging changes nothing") {
     val once = SparkEntry.queries("q_etl_upsert_dedup")(spark, TestSpark.sf0001)
       .collect().map(_.toString).toSeq
