@@ -284,6 +284,39 @@ object GraftLines {
     }
   }
 
+  /** `TIMESTAMP AS OF` resolution: the newest generation whose
+    * manifest was PUBLISHED at or before the target instant — commit
+    * time is the generation manifest's filesystem mtime, stamped by
+    * the atomic rename that made the version visible (the same
+    * convention Delta reads from its log entries' timestamps). Honest
+    * limits, stated: mtimes come from the storage system's clock, and
+    * copying a table byte-for-byte refreshes them — version numbers
+    * are the durable coordinate, timestamps the human-friendly one
+    * (which is why the CONTRACT queries pin versions and this path is
+    * spec-gated). A target before the first commit fails loudly. */
+  private[sources] def genAtTimestamp(dir: String, targetMs: Long,
+      conf: org.apache.hadoop.conf.Configuration): Int = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val stamped = genVersions(dir, conf)
+      .map(n => (n, fs.getFileStatus(genPath(dir, n)).getModificationTime))
+    require(stamped.nonEmpty,
+      s"graftlines: TIMESTAMP AS OF on $dir, which has no committed " +
+        "generations")
+    val at = stamped.filter(_._2 <= targetMs)
+    require(at.nonEmpty,
+      s"graftlines: no generation of $dir existed at epoch-ms $targetMs " +
+        s"(earliest commit: ${stamped.head._2})")
+    at.map(_._1).max
+  }
+
+  private[sources] def parseTsOption(v: String): Long =
+    v.toLongOption.getOrElse {
+      try java.time.Instant.parse(v).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(v).getTime
+      }
+    }
+
   /** Retention sweep for versioned tables: keep the newest `keepLast`
     * generations, delete older generation manifests and every data
     * file no RETAINED generation references, and drop the dead files'
@@ -907,14 +940,21 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // pinned catalog time travel wins; else the path-read option
-    // `.option("versionAsOf", n)` selects a generation
-    val v = pinnedVersion.orElse(
-      Option(options.get("versionAsOf")).map { s =>
-        require(s.toIntOption.isDefined,
-          s"graftlines: versionAsOf must be an integer, got '$s'")
-        s.toInt
-      })
+    // pinned catalog time travel wins; else the path-read options
+    // `.option("versionAsOf", n)` / `.option("timestampAsOf", t)`
+    // select a generation (t: epoch-ms, ISO instant, or SQL timestamp)
+    val vOpt = Option(options.get("versionAsOf")).map { s =>
+      require(s.toIntOption.isDefined,
+        s"graftlines: versionAsOf must be an integer, got '$s'")
+      s.toInt
+    }
+    val tOpt = Option(options.get("timestampAsOf"))
+    require(vOpt.isEmpty || tOpt.isEmpty,
+      "graftlines: versionAsOf and timestampAsOf are mutually exclusive")
+    val v = pinnedVersion.orElse(vOpt).orElse(tOpt.map { t =>
+      GraftLines.genAtTimestamp(path, GraftLines.parseTsOption(t),
+        SparkSession.active.sparkContext.hadoopConfiguration)
+    })
     new GlScanBuilder(path, tableSchema, nullFillMissing, v)
   }
 

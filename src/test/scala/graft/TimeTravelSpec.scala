@@ -22,6 +22,15 @@ class TimeTravelSpec extends AnyFunSuite {
   private def hfs(p: String) =
     new org.apache.hadoop.fs.Path(p).getFileSystem(hconf)
 
+  private def markVersioned(p: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(hconf)
+    fs.delete(hp, true)
+    fs.mkdirs(hp)
+    fs.create(new org.apache.hadoop.fs.Path(hp,
+      GraftLines.VersionMarker), true).close()
+  }
+
   private def setupCatalog(name: String): String = {
     spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", s"$dir/$name")
@@ -146,5 +155,40 @@ class TimeTravelSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.read.format("graftlines")
       .option("versionAsOf", "1").load(p2).collect())
     assert(e.getMessage.contains("no committed generations"))
+  }
+
+  test("TIMESTAMP AS OF resolves the newest generation at the instant") {
+    val p = s"$dir/ts_asof"
+    markVersioned(p)
+    Seq((1L, "x")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    // read the commit instants straight off the generation manifests —
+    // mtimes ARE the commit-time coordinate this surface documents
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(n: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p, s"${GraftLines.GenPrefix}$n"))
+      .getModificationTime
+    Thread.sleep(1100) // distinct mtimes at 1s filesystem granularity
+    Seq((2L, "y")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    val (t1, t2) = (mtime(1), mtime(2))
+    assert(t1 < t2, s"commit instants must be distinguishable: $t1 / $t2")
+    // an instant between the commits sees only generation 1
+    val between = spark.read.format("graftlines")
+      .option("timestampAsOf", ((t1 + t2) / 2).toString).load(p)
+    assert(between.count() == 1)
+    // an instant after both sees the full table
+    assert(spark.read.format("graftlines")
+      .option("timestampAsOf", (t2 + 1000).toString).load(p).count() == 2)
+    // before the first commit: loud failure, never an empty read
+    val e1 = intercept[Exception](spark.read.format("graftlines")
+      .option("timestampAsOf", (t1 - 10000).toString).load(p).collect())
+    assert(e1.getMessage.contains("no generation"))
+    // both coordinates at once is ambiguous — rejected
+    val e2 = intercept[Exception](spark.read.format("graftlines")
+      .option("versionAsOf", "1").option("timestampAsOf", t2.toString)
+      .load(p).collect())
+    assert(e2.getMessage.contains("mutually exclusive"))
   }
 }
