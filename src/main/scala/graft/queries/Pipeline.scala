@@ -714,6 +714,45 @@ object Pipeline extends QueryGroup {
         |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
     QueryDef(
+      // Deterministic global corpus shuffle (added r8 — the training
+      // ORDER op: every epoch of LLM training needs the corpus in a
+      // reproducible pseudorandom order, identical across reruns,
+      // resumes, and engines; rand() delivers none of that). Order =
+      // the total (md5(doc_id), doc_id) sort — content-independent,
+      // seedable by salting the hash, and stable by construction. The
+      // global position comes from operators/DistributedRank (range
+      // repartition + broadcast prefix offsets, PlanSpec-pinned family
+      // — NEVER a single-task window sort, which is exactly how naive
+      // ROW_NUMBER() OVER (ORDER BY …) dies at 100 TB); positions then
+      // pack into 64-doc training batches whose composition the oracle
+      // pins exactly (id/char sums per batch — set equality, not just
+      // counts). One range shuffle + metadata-sized offset frame total.
+      "q_sample_shuffle",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)" +
+              ", 16, 10) as bigint)").as("h"))
+        graft.operators.DistributedRank.withRankCols(docs,
+            Seq(col("h"), col("doc_id")), numBuckets = 4)
+          .select(expr("(_gr_rank - 1) div 64").as("batch"),
+            col("doc_id"), col("n_chars"))
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("char_sum"))
+          .orderBy(col("batch"))
+      },
+      Some("""SELECT (rn - 1) // 64 AS batch, COUNT(*)::BIGINT AS n_docs,
+        | SUM(doc_id)::BIGINT AS id_sum, SUM(n_chars)::BIGINT AS char_sum
+        |FROM (SELECT doc_id, n_chars,
+        |        ROW_NUMBER() OVER (ORDER BY
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+        |          doc_id) AS rn
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef(
       // BPE merge training, 3 rounds (added r8 — the real
       // byte-pair-encoding learning loop behind every modern
       // tokenizer, not the q_text_tokens regex approximation: count

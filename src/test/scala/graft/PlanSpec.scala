@@ -194,6 +194,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_sample_shuffle ranks via range exchange, never one task") {
+    val p = plan("q_sample_shuffle")
+    assert(p.contains("rangepartitioning"), p)
+    // the only unpartitioned window is the metadata-sized offset frame
+    // (<= 32 rows); the corpus itself must never funnel through a
+    // global single-partition sort
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS")
+      || p.contains("_gr_pid"), p)
+  }
+
   test("q_join_storage_part joins and aggregates with zero hash exchanges") {
     val p = plan("q_join_storage_part")
     // the query's own require() already enforces this at build time;
