@@ -537,6 +537,78 @@ object Joins extends QueryGroup {
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
     QueryDef(
+      // BUCKETED storage-partitioned join (added r8, beside
+      // q_join_storage_part's identity form — identity needs a
+      // low-cardinality partition key; hash BUCKETS cover ARBITRARY
+      // keys, here orders⋈customer on custkey, the fact-dimension pair
+      // every warehouse joins daily). Both tables are created
+      // `PARTITIONED BY (bucket(16, custkey))` through the catalog:
+      // the bucket function is the CATALOG'S OWN (FunctionCatalog —
+      // GraftCatalog.BucketUnbound), so the write distribution, the
+      // per-file routing (`…-b<id>.gl` names), and the scan-reported
+      // KeyGroupedPartitioning all provably resolve to one function,
+      // and Spark aligns the sides with ZERO exchange on the join
+      // keys (require()d at plan-build time; the only exchanges left
+      // are the metadata-sized segment aggregate + orderBy). At
+      // 100 TB: pay the bucketed layout once at write, then every
+      // custkey join in the workload runs shuffle-free.
+      "q_join_spj_bucket",
+      (s, d) => {
+        s.conf.set("spark.sql.catalog.graft_cat",
+          "graft.sources.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+          "/tmp/graft_warehouse")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_bkt")
+        s.sql("DROP TABLE IF EXISTS graft_cat.contract.customer_bkt")
+        s.sql("""CREATE TABLE graft_cat.contract.orders_bkt
+          | (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)
+          | USING graftlines PARTITIONED BY (bucket(16, o_custkey))"""
+          .stripMargin)
+        s.sql("""CREATE TABLE graft_cat.contract.customer_bkt
+          | (c_custkey BIGINT, c_mktsegment STRING)
+          | USING graftlines PARTITIONED BY (bucket(16, c_custkey))"""
+          .stripMargin)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"))
+          .createOrReplaceTempView("orders_bkt_src")
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .createOrReplaceTempView("customer_bkt_src")
+        s.sql("INSERT INTO graft_cat.contract.orders_bkt " +
+          "SELECT * FROM orders_bkt_src")
+        s.sql("INSERT INTO graft_cat.contract.customer_bkt " +
+          "SELECT * FROM customer_bkt_src")
+        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.table("graft_cat.contract.orders_bkt")
+            .join(s.table("graft_cat.contract.customer_bkt"),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(count(lit(1)).as("n"),
+              (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
+            .orderBy(col("c_mktsegment"))
+          val plan = j.queryExecution.executedPlan.toString
+          require(!plan.contains("Exchange hashpartitioning(o_custkey")
+            && !plan.contains("Exchange hashpartitioning(c_custkey"),
+            "bucketed storage-partitioned join must not shuffle join keys")
+          j
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        }
+      },
+      Some("""SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |   AS BIGINT)) AS DOUBLE) / 100 AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef(
       // Dynamic partition pruning (added r8 — the star-schema scan
       // killer: q_etl_partitioned_sink proves STATIC partition
       // pruning, where the literal is in the query text; DPP prunes

@@ -9,8 +9,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -50,7 +51,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * holds `.gl` files, and rename across namespaces on stores where
   * directory rename is not atomic.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -144,11 +146,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       pinnedVersion = Some(version.toInt))
   }
 
+  /** `PARTITIONED BY` accepts exactly the two layouts the format can
+    * honour — `(col)` identity partitioning (one file per VALUE,
+    * stats-recovered — storage-partitioned joins on low-cardinality
+    * keys) and `(bucket(n, col))` hash buckets (one file per BUCKET,
+    * name-tagged — the same joins on arbitrary keys, resolved through
+    * this catalog's own bucket function). Anything else is rejected
+    * loudly. */
+  private def parsePartitioning(schema: StructType,
+      partitions: Array[Transform]): (Option[String], Option[(String, Int)]) = {
+    if (partitions.isEmpty) return (None, None)
+    require(partitions.length == 1,
+      "graftlines catalog: at most one partition transform is supported")
+    def colOf(r: NamedReference): String = {
+      require(r.fieldNames.length == 1,
+        "graftlines catalog: nested partition columns are not supported")
+      val c = r.fieldNames()(0)
+      require(schema.fieldNames.contains(c),
+        s"graftlines catalog: partition column '$c' is not in the schema")
+      c
+    }
+    partitions(0) match {
+      case t if t.name == "bucket" =>
+        val args = t.arguments()
+        require(args.length == 2, "bucket(numBuckets, col) expects 2 args")
+        val n = args(0) match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Int] => l.value().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"bucket count must be an int literal, got $other")
+        }
+        require(n >= 1, s"bucket count must be positive: $n")
+        val c = args(1) match {
+          case r: NamedReference => colOf(r)
+          case other => throw new IllegalArgumentException(
+            s"bucket column must be a column reference, got $other")
+        }
+        val dt = schema.fields(schema.fieldIndex(c)).dataType
+        require(dt == org.apache.spark.sql.types.LongType
+          || dt == org.apache.spark.sql.types.IntegerType,
+          s"graftlines catalog: bucket column '$c' must be BIGINT/INT, " +
+            s"got $dt")
+        (None, Some((c, n)))
+      case t if t.name == "identity" =>
+        val c = colOf(t.references()(0))
+        require(GraftLines.statsEligible(
+          schema.fields(schema.fieldIndex(c)).dataType),
+          s"graftlines catalog: identity partition column '$c' must be an " +
+            "ordered non-string type (stats recover the per-file value)")
+        (Some(c), None)
+      case other => throw new UnsupportedOperationException(
+        s"graftlines catalog: unsupported partition transform $other — " +
+          "only (col) and (bucket(n, col)) are supported")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graftlines catalog does not support partitioned tables")
+    val (pcol, bspec) = parsePartitioning(schema, partitions)
     GraftLines.header(schema) // loudly reject unstorable types up front
     val dir = tablePath(ident)
     if (fs.exists(schemaFile(dir))) throw new TableAlreadyExistsException(ident)
@@ -171,8 +227,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // publishing (see GraftLines.VersionMarker).
     if ("true".equalsIgnoreCase(properties.getOrDefault("versioned", "")))
       fs.create(new Path(dir, GraftLines.VersionMarker), true).close()
+    pcol.foreach(GraftLines.writePartitionCol(dir.toString, _, conf))
+    bspec.foreach { case (c, n) =>
+      GraftLines.writeBucketSpec(dir.toString, c, n, conf) }
     new GlTable(dir.toString, schema, nullFillMissing = true)
   }
+
+  // ---- FunctionCatalog: the bucket function both the write
+  // distribution and the reported read partitioning resolve to, so two
+  // co-bucketed tables' transforms are provably the SAME function and
+  // Spark plans storage-partitioned joins across them. ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftCatalog.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** Exactly one evolution is supported, because it is the only one the
     * read path can honour without rewriting data: APPEND a nullable
@@ -283,4 +355,47 @@ object GraftCatalog {
   /** One-line authoritative table schema, header-encoded. Like
     * `_graft_stats`, no `.gl` suffix — never listed as data. */
   val SchemaName = "_graft_schema"
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+
+  /** bucket(n, col) = non-negative col mod n — deliberately the
+    * simplest consistent-hash; the POINT is that writer routing
+    * ([[GraftLines.bucketOf]]) and this planner-visible form are one
+    * function, so SPJ compatibility is by construction. */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets INT, col BIGINT|INT): non-negative col mod n"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket expects (numBuckets, col), got ${inputType.catalogString}")
+      inputType.fields(1).dataType match {
+        case LongType => BucketLong
+        case IntegerType => BucketInt
+        case other => throw new UnsupportedOperationException(
+          s"bucket column must be BIGINT/INT, got $other")
+      }
+    }
+  }
+
+  object BucketLong extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      GraftLines.bucketOf(input.getLong(1), input.getInt(0))
+  }
+
+  object BucketInt extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      GraftLines.bucketOf(input.getInt(1).toLong, input.getInt(0))
+  }
 }

@@ -153,6 +153,54 @@ object GraftLines {
     * min/max ordering is exactly what the connector refuses to trust. */
   val PartColMarker = "_graft_partcol"
 
+  /** Hash-BUCKET partitioning (the scalable sibling of identity
+    * partitioning: identity needs few distinct values, buckets cover
+    * arbitrary keys — orders⋈customer on custkey with zero exchange).
+    * The `_graft_buckets` marker holds `col \t numBuckets`; the bucket
+    * function is OURS — `((v % n) + n) % n` on the column's long/int
+    * value — published to Spark through [[GraftCatalog]]'s
+    * FunctionCatalog so both the write distribution and the reported
+    * read partitioning resolve to the same canonical function. Bucket
+    * ids ride FILE NAMES (`…-b<id>.gl`) — integers need no escaping
+    * and survive every commit path. */
+  val BucketMarker = "_graft_buckets"
+
+  private[sources] def bucketSpec(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(String, Int)] = {
+    val p = new Path(new Path(dir), BucketMarker)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+      try Option(br.readLine()).map(_.trim.split('\t')).collect {
+        case Array(c, n) if n.toIntOption.exists(_ >= 1) => (c, n.toInt)
+      }
+      finally br.close()
+    }
+  }
+
+  private[sources] def writeBucketSpec(dir: String, col: String, n: Int,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new Path(new Path(dir), BucketMarker)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(new Path(dir))
+    val w = new OutputStreamWriter(fs.create(p, true), UTF_8)
+    try { w.write(s"$col\t$n"); w.write('\n') } finally w.close()
+  }
+
+  /** The one bucket function, shared by writer routing and the
+    * FunctionCatalog-published form: non-negative value mod n. */
+  private[sources] def bucketOf(v: Long, n: Int): Int =
+    (((v % n) + n) % n).toInt
+
+  private[sources] val BucketNamePattern =
+    java.util.regex.Pattern.compile(".*-b(\\d+)\\.gl$")
+
+  private[sources] def bucketIdOf(baseName: String): Option[Int] = {
+    val m = BucketNamePattern.matcher(baseName)
+    if (m.matches()) m.group(1).toIntOption else None
+  }
+
   private[sources] def partitionCol(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Option[String] = {
     val p = new Path(new Path(dir), PartColMarker)
@@ -968,8 +1016,15 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
     // the invariant behind storage-partitioned joins (see the marker's
     // scaladoc in [[GraftLines]]).
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val bspec = GraftLines.bucketSpec(path, conf)
+    bspec.foreach { case (c, _) =>
+      require(info.schema().fieldNames.contains(c),
+        s"graftlines: bucket column '$c' is not in the write schema")
+    }
     val pcol = Option(info.options.get("partitionColumn")).filter(_.nonEmpty)
       .orElse(GraftLines.partitionCol(path, conf))
+    require(pcol.isEmpty || bspec.isEmpty,
+      "graftlines: a table cannot be both identity- and bucket-partitioned")
     pcol.foreach { c =>
       val f = info.schema().fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -998,7 +1053,7 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
         s"graftlines: clusterPartitions must be a positive int, got '$v'")
       v.toInt
     }
-    new GlWriteBuilder(path, info.schema(), cb, cp, pcol)
+    new GlWriteBuilder(path, info.schema(), cb, cp, pcol, bspec)
   }
 
   /** Versioned tables decline the metadata DELETE path entirely: it
@@ -1289,10 +1344,13 @@ private[sources] class GlScanBuilder(path: String, schema: StructType,
     true
   }
 
-  override def build(): Scan = GlScan(path, required, pushed, limit, agg,
-    schema, nullFillMissing, versionAsOf = versionAsOf,
-    partCol = GraftLines.partitionCol(path,
-      SparkSession.active.sparkContext.hadoopConfiguration))
+  override def build(): Scan = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    GlScan(path, required, pushed, limit, agg,
+      schema, nullFillMissing, versionAsOf = versionAsOf,
+      partCol = GraftLines.partitionCol(path, hconf),
+      buckets = GraftLines.bucketSpec(path, hconf))
+  }
 }
 
 /** Public (not `private[sources]`) so plan tests can reach into
@@ -1321,7 +1379,9 @@ case class GlScan(path: String, required: StructType,
     versionAsOf: Option[Int] = None,
     /** The table's identity-partition column (`_graft_partcol`), when
       * declared — enables KeyGroupedPartitioning reporting below. */
-    partCol: Option[String] = None)
+    partCol: Option[String] = None,
+    /** Bucket partitioning (`_graft_buckets`): (column, numBuckets). */
+    buckets: Option[(String, Int)] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1446,20 +1506,36 @@ case class GlScan(path: String, required: StructType,
     * correctness never rides on the grouping, only the exchange-free
     * join plan does. Row-level-op scans (`_file` in the output),
     * aggregate/limit pushdown scans keep the ordinary path too. */
-  @transient private lazy val keyedPlan: Option[Seq[(String, Long, Any)]] =
-    partCol.flatMap { pc =>
-      if (aggSpec.nonEmpty || pushedLimit.nonEmpty || groupPrune.nonEmpty
-        || onPlan.nonEmpty
-        || required.fieldNames.contains(GraftLines.FileCol)) None
-      else {
-        val conf = SparkSession.active.sparkContext.hadoopConfiguration
-        val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
-        val stats = GraftLines.readStats(path, conf, statsSchema)
-        val kept = files.filter { case (f, _) =>
-          stats.get(new Path(f).getName)
-            .forall(st => pushed.forall(GlFilters.mayMatch(_, st)))
+  private def keyedEligible: Boolean =
+    aggSpec.isEmpty && pushedLimit.isEmpty && groupPrune.isEmpty &&
+      onPlan.isEmpty && !required.fieldNames.contains(GraftLines.FileCol)
+
+  private def prunedFiles(
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+    val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+    val stats = GraftLines.readStats(path, conf, statsSchema)
+    files.filter { case (f, _) =>
+      stats.get(new Path(f).getName)
+        .forall(st => pushed.forall(GlFilters.mayMatch(_, st)))
+    }
+  }
+
+  @transient private lazy val keyedPlan: Option[Seq[(String, Long, Any)]] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    if (!keyedEligible) None
+    else buckets match {
+      case Some(_) =>
+        // bucket id rides the file name — every planned file must carry
+        // one, else the whole scan degrades (pre-bucketing data)
+        val keyed = prunedFiles(conf).map { case (f, len) =>
+          GraftLines.bucketIdOf(new Path(f).getName)
+            .map(b => (f, len, java.lang.Integer.valueOf(b): Any))
         }
-        val keyed = kept.map { case (f, len) =>
+        if (keyed.nonEmpty && keyed.forall(_.isDefined)) Some(keyed.flatten)
+        else None
+      case None => partCol.flatMap { pc =>
+        val stats = GraftLines.readStats(path, conf, statsSchema)
+        val keyed = prunedFiles(conf).map { case (f, len) =>
           stats.get(new Path(f).getName).flatMap(_.cols.get(pc)).collect {
             case GlColStats(0, mn, mx) if mn != null && mn == mx =>
               (f, len, mn)
@@ -1469,16 +1545,21 @@ case class GlScan(path: String, required: StructType,
         else None
       }
     }
+  }
 
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedPlan match {
       case Some(kf) =>
+        val expr = buckets match {
+          case Some((c, n)) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+          case None =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(partCol.get)
+        }
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .identity(partCol.get)),
-            kf.map(_._3).distinct.size)
+          .KeyGroupedPartitioning(Array(expr), kf.map(_._3).distinct.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -2018,12 +2099,13 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
 
 private[sources] class GlWriteBuilder(path: String, schema: StructType,
     clusterBy: Option[String] = None, clusterParts: Option[Int] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new GlWrite(path, schema, doTruncate,
-    clusterBy, clusterParts, partitionCol)
+    clusterBy, clusterParts, partitionCol, bucketSpec)
 }
 
 /** Staged-rename commit protocol: tasks never land bytes under a
@@ -2043,7 +2125,8 @@ private[sources] class GlWriteBuilder(path: String, schema: StructType,
 private[sources] class GlWrite(path: String, schema: StructType,
     truncate: Boolean, clusterBy: Option[String] = None,
     clusterParts: Option[Int] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   // validate the schema is storable BEFORE launching tasks
@@ -2070,7 +2153,13 @@ private[sources] class GlWrite(path: String, schema: StructType,
 
   override def requiredDistribution():
       org.apache.spark.sql.connector.distributions.Distribution =
-    if (partitionCol.nonEmpty)
+    if (bucketSpec.nonEmpty)
+      // bucket partitioning: co-locate each bucket in one task; the
+      // transform resolves through GraftCatalog's FunctionCatalog
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(bucketSpec.get._2, bucketSpec.get._1)))
+    else if (partitionCol.nonEmpty)
       // identity partitioning: co-locate equal values so a partition
       // value lands in ONE task -> one file per value table-wide
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
@@ -2108,11 +2197,14 @@ private[sources] class GlWrite(path: String, schema: StructType,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
-    partitionCol match {
-      case Some(c) =>
+    (partitionCol, bucketSpec) match {
+      case (Some(c), _) =>
         GlPartitionedWriterFactory(path, schema,
           schema.fieldIndex(c), new SerializableConfiguration(conf))
-      case None =>
+      case (_, Some((c, n))) =>
+        GlBucketedWriterFactory(path, schema,
+          schema.fieldIndex(c), n, new SerializableConfiguration(conf))
+      case _ =>
         GlWriterFactory(path, schema, new SerializableConfiguration(conf))
     }
   }
@@ -2412,6 +2504,56 @@ private[sources] case class GlPartitionedWriterFactory(path: String,
       taskId: Long): DataWriter[InternalRow] =
     new GlPartitionedWriter(path, schema, partitionId, taskId, conf.value,
       partIdx)
+}
+
+private[sources] case class GlBucketedWriterFactory(path: String,
+    schema: StructType, colIdx: Int, numBuckets: Int,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GlBucketedWriter(path, schema, partitionId, taskId, conf.value,
+      colIdx, numBuckets)
+}
+
+/** Bucket-partitioned task writer: routes each row to the
+  * [[GlWriter]] for its bucket id (the shared
+  * [[GraftLines.bucketOf]] — identical to the FunctionCatalog-published
+  * form the planner resolves), landing files named `…-b<id>.gl` so the
+  * scan recovers every file's bucket without opening it. The engine
+  * already clustered rows by the bucket transform, so a task usually
+  * owns whole buckets. */
+private[sources] class GlBucketedWriter(dir: String, schema: StructType,
+    partitionId: Int, taskId: Long,
+    conf: org.apache.hadoop.conf.Configuration, colIdx: Int, numBuckets: Int)
+    extends DataWriter[InternalRow] {
+
+  private val colType = schema.fields(colIdx).dataType
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Int, GlWriter]
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(colIdx),
+      s"graftlines: NULL bucket value in column " +
+        s"'${schema.fields(colIdx).name}' — bucket partitioning " +
+        "requires non-null keys")
+    val v: Long = colType match {
+      case LongType => row.getLong(colIdx)
+      case IntegerType => row.getInt(colIdx).toLong
+      case other => throw new IllegalStateException(
+        s"unsupported bucket column type $other")
+    }
+    val b = GraftLines.bucketOf(v, numBuckets)
+    writers.getOrElseUpdate(b, new GlWriter(dir, schema, partitionId, taskId,
+      conf, nameOverride = Some(
+        f"part-$partitionId%05d-$taskId-b$b${GraftLines.Ext}")))
+      .write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GlMultiCommitted(writers.values
+      .map(_.commit().asInstanceOf[GlCommitted]).toSeq)
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 /** Identity-partitioned task writer: routes each row to the

@@ -365,6 +365,48 @@ class GraftLinesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join storage-partitioned through the catalog") {
+    spark.conf.set("spark.sql.catalog.graft_spjb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_spjb.warehouse", s"$dir/spjb_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_spjb.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_spjb.ns.a")
+    spark.sql("DROP TABLE IF EXISTS graft_spjb.ns.b")
+    spark.sql("CREATE TABLE graft_spjb.ns.a (k BIGINT, av BIGINT) " +
+      "USING graftlines PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE graft_spjb.ns.b (k BIGINT, bv BIGINT) " +
+      "USING graftlines PARTITIONED BY (bucket(8, k))")
+    (0L until 400L).map(i => (i, i * 2)).toDF("k", "av")
+      .repartition(5).writeTo("graft_spjb.ns.a").append()
+    (0L until 300L).map(i => (i, i * 3)).toDF("k", "bv")
+      .repartition(3).writeTo("graft_spjb.ns.b").append()
+    // every landed file carries its bucket id in the name
+    val aDir = s"$dir/spjb_wh/ns/a"
+    val fs = new org.apache.hadoop.fs.Path(aDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(aDir))
+      .map(_.getPath.getName).filter(_.endsWith(".gl"))
+    assert(files.nonEmpty && files.forall(_.matches(".*-b\\d+\\.gl$")),
+      files.mkString(","))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_spjb.ns.a")
+        .join(spark.table("graft_spjb.ns.b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed storage-partitioned join must not shuffle:\n$plan")
+      assert(j.count() == 300)
+      // values survive the bucketed routing exactly
+      assert(j.filter($"k" === 123L).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        == Seq((123L, 246L, 369L)))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("partitioned tables degrade safely when single-value proof breaks") {
     val p = s"$dir/spj_degrade"
     (0L until 100L).map(i => (i % 4, i)).toDF("nk", "v")
