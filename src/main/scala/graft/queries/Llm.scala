@@ -324,6 +324,114 @@ object Llm extends QueryGroup {
       None),
 
     QueryDef(
+      // THE COMPLETE DEDUP PIPELINE in one query (added r8 — the
+      // production composition the family's pieces exist for, run end
+      // to end: shingle → MinHash sketch → LSH banding → candidate
+      // pairs → EXACT verification on candidates only → connected
+      // components → keep-one-per-cluster → corpus accounting). The
+      // punchline is the ORACLE: because LSH banding at 32×4 over
+      // 128 perms has recall 1.0 at the 0.6 threshold on this data
+      // (MinHashSpec's standing gate) and every candidate is then
+      // verified EXACTLY, the pipeline's output equals the brute-force
+      // exact pipeline — so the approximate path is hash-checked
+      // against the exact answer, which is precisely the guarantee a
+      // production dedup run wants stated. Scale shape per stage:
+      // sketches partial+final (shuffle carries 1 KiB sketches),
+      // candidates from bucket grouping (never doc×doc), verification
+      // work ∝ candidates (shingle-set joins keyed on doc id),
+      // clustering = log-round star contraction, final accounting two
+      // hash aggs. A missed-recall regression would surface as a
+      // driver hash mismatch — the oracle doubles as the recall gate.
+      "q_dedup_pipeline",
+      (s, d) => {
+        graft.functions.MinHash.register(s)
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), col("lang"), explode(expr(
+            """array_distinct(transform(sequence(0, size(w)-3),
+              | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
+            .as("s"))
+        val sketches = sh
+          .select(col("doc_id"), col("lang"), xxhash64(col("s")).as("sh_hash"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(expr("minhash128(sh_hash)").as("mh"))
+        val bands = sketches.select(col("doc_id"), col("lang"),
+          explode(expr(
+            """transform(sequence(0, 31), b -> struct(b AS band,
+              | xxhash64(mh[4*b], mh[4*b+1], mh[4*b+2], mh[4*b+3]) AS sig))"""
+              .stripMargin)).as("bs"))
+          .select(col("doc_id"), col("lang"),
+            col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val cand = bands
+          .groupBy(col("lang"), col("band"), col("sig"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+          .select(col("a"), explode(
+            expr("slice(ids, i + 2, size(ids) - i - 1)")).as("b"))
+          .distinct()
+        // exact verification, candidate-bounded: per-doc shingle sets
+        // join onto the candidate pairs only — never all pairs
+        val sets = sh.groupBy(col("doc_id"))
+          .agg(collect_set(col("s")).as("ss"), count(lit(1)).as("sz"))
+        val verified = cand
+          .join(sets.select(col("doc_id").as("a"), col("ss").as("ssa"),
+            col("sz").as("sza")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("ss").as("ssb"),
+            col("sz").as("szb")), "b")
+          .withColumn("i", size(array_intersect(col("ssa"), col("ssb"))))
+          .filter(col("i").cast(DoubleType)
+            / (col("sza") + col("szb") - col("i")) >= 0.6)
+          .select(col("a"), col("b"))
+        val comp = graft.operators.ConnectedComponents.labelStar(verified)
+        val removed = comp.filter(col("node") =!= col("comp"))
+          .select(col("node").as("doc_id"), lit(1L).as("rm"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .join(removed, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("rm"), lit(0L))).as("n_removed"),
+            (count(lit(1)) - sum(coalesce(col("rm"), lit(0L))))
+              .as("n_kept"),
+            sum(when(col("rm").isNull, col("n_chars")).otherwise(0L))
+              .as("chars_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH RECURSIVE
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |      FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, lang,
+        |         unnest(list_transform(range(1, len(w)-1),
+        |           i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+        |          FROM sh a JOIN sh b
+        |            ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a, b FROM inter
+        |          JOIN sz sa ON sa.doc_id = a
+        |          JOIN sz sb ON sb.doc_id = b
+        |          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.6),
+        |edges AS (SELECT a AS u, b AS v FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |reach AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+        |          UNION
+        |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |comp AS (SELECT u, MIN(v) AS comp FROM reach GROUP BY u),
+        |rm AS (SELECT u AS doc_id FROM comp WHERE u <> comp)
+        |SELECT d.lang, COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(rm.doc_id)::BIGINT AS n_removed,
+        |  (COUNT(*) - COUNT(rm.doc_id))::BIGINT AS n_kept,
+        |  SUM(CASE WHEN rm.doc_id IS NULL THEN d.n_chars ELSE 0 END)::BIGINT
+        |    AS chars_kept
+        |FROM documents d LEFT JOIN rm ON d.doc_id = rm.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    QueryDef(
       "q_sim_cosine_topk",
       (s, d) => {
         graft.functions.FloatDot.register(s)
