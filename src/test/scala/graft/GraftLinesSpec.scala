@@ -407,6 +407,65 @@ class GraftLinesSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ stays correct when the two sides' partition sets differ") {
+    val pa = s"$dir/spj_miss_a"
+    val pb = s"$dir/spj_miss_b"
+    // side A holds values 0..7, side B only 0..3 — the join must not
+    // lose or invent rows whichever way the engine aligns partitions
+    (0L until 160L).map(i => (i % 8, i)).toDF("nk", "a_id")
+      .repartition(3).write.format("graftlines")
+      .option("partitionColumn", "nk").mode("overwrite").save(pa)
+    (0L until 80L).map(i => (i % 4, i)).toDF("nk", "b_id")
+      .repartition(2).write.format("graftlines")
+      .option("partitionColumn", "nk").mode("overwrite").save(pb)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.read.format("graftlines").load(pa)
+        .join(spark.read.format("graftlines").load(pb), "nk")
+      // values 0..3 match: 20 a-rows x 20 b-rows per value
+      assert(j.count() == 4L * 20L * 20L)
+      val outer = spark.read.format("graftlines").load(pa)
+        .join(spark.read.format("graftlines").load(pb), Seq("nk"),
+          "left_outer")
+      assert(outer.count() == 4L * 20L * 20L + 4L * 20L)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("streaming writes land in catalog tables via toTable") {
+    spark.conf.set("spark.sql.catalog.graft_stc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_stc.warehouse", s"$dir/stc_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_stc.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_stc.ns.sunk")
+    spark.sql("CREATE TABLE graft_stc.ns.sunk (k BIGINT, s STRING) " +
+      "USING graftlines TBLPROPERTIES ('versioned'='true')")
+    val cp = s"$dir/stc_cp"
+    new org.apache.hadoop.fs.Path(cp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(cp), true)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("k", "s")
+      .writeStream.option("checkpointLocation", cp)
+      .outputMode("append").toTable("graft_stc.ns.sunk")
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("graft_stc.ns.sunk").as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // each epoch is a time-travelable generation through the catalog
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_stc.ns.sunk VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2)
+  }
+
   test("partitioned tables degrade safely when single-value proof breaks") {
     val p = s"$dir/spj_degrade"
     (0L until 100L).map(i => (i % 4, i)).toDF("nk", "v")
