@@ -1582,6 +1582,30 @@ case class GlScan(path: String, required: StructType,
     * [[GlReader]]), so any split-size choice yields the same rows. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
+    // COUNT(*)-only pushed aggregations with no filters answer from
+    // the stats manifest alone — one metadata read, ZERO data-file
+    // opens (the Iceberg/Delta manifest-count move). Strictly gated:
+    // every planned file must carry an intact stats line (rows ride
+    // the same sentinel-protected lines pruning trusts), any filter /
+    // group column / runtime predicate falls back to the scan, and an
+    // empty file set keeps the ordinary empty-scan machinery (its
+    // mandatory partial row makes COUNT 0, never null).
+    aggSpec match {
+      case Some(spec) if spec.groupCols.isEmpty
+          && spec.funcs.nonEmpty
+          && spec.funcs.forall(_.kind == "countstar")
+          && pushed.isEmpty && groupPrune.isEmpty
+          && runtimeAllowedFiles.isEmpty =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+        val stats = GraftLines.readStats(path, conf, statsSchema)
+        val rows = files.map { case (f, _) =>
+          stats.get(new Path(f).getName).map(_.rows) }
+        if (files.nonEmpty && rows.forall(_.isDefined))
+          return Array(GlStatsCountPartition(rows.flatten.sum,
+            spec.funcs.length))
+      case _ => ()
+    }
     keyedPlan match {
       case Some(kf) =>
         val splitSize =
@@ -1738,6 +1762,12 @@ private[sources] case class GlInputPartition(file: String,
     start: Long = 0L, end: Long = Long.MaxValue)
     extends InputPartition
 
+/** A metadata-only COUNT(*) answer: the whole scan is this one
+  * partition, whose reader emits a single pre-aggregated row with the
+  * manifest row total — no data file is ever opened. */
+case class GlStatsCountPartition(rows: Long, nFuncs: Int)
+    extends InputPartition
+
 /** A split of an identity-partitioned table: carries its partition
   * VALUE so Spark can group splits by key and plan storage-partitioned
   * joins ([[org.apache.spark.sql.connector.read.HasPartitionKey]]). */
@@ -1759,6 +1789,19 @@ private[sources] case class GlReaderFactory(required: StructType,
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case c: GlStatsCountPartition =>
+        return new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              Array.fill[Any](c.nFuncs)(java.lang.Long.valueOf(c.rows)))
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val (file, start, end) = range(p)
     aggSpec match {
       case Some(spec) => new GlAggReader(file, required, spec, pushed,
@@ -1776,7 +1819,7 @@ private[sources] case class GlReaderFactory(required: StructType,
     * scans stay row-based — they emit one pre-aggregated row per
     * group, where batching buys nothing. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    aggSpec.isEmpty
+    aggSpec.isEmpty && !p.isInstanceOf[GlStatsCountPartition]
 
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] = {

@@ -186,6 +186,32 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(df.head().getLong(0) == 0L)
   }
 
+  test("count(*) with no filters answers from the stats manifest alone") {
+    val p = s"$dir/metacount"
+    (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4).write.format("graftlines").mode("overwrite").save(p)
+    val base = spark.read.format("graftlines").load(p)
+    val counted = base.agg(count(lit(1)).as("n"))
+    val scan = glScan(counted)
+    assert(scan.aggSpec.nonEmpty, scan.description())
+    val parts = scan.planInputPartitions()
+    assert(parts.length == 1
+      && parts(0).isInstanceOf[graft.sources.GlStatsCountPartition],
+      s"manifest count must plan one metadata partition, got " +
+        parts.map(_.getClass.getSimpleName).mkString(","))
+    assert(counted.head().getLong(0) == 1000L)
+    // any filter falls back to real file scanning — counts stay exact
+    val filtered = base.filter($"k" <= 10L).agg(count(lit(1)).as("n"))
+    assert(glScan(filtered).planInputPartitions()
+      .forall(!_.isInstanceOf[graft.sources.GlStatsCountPartition]))
+    assert(filtered.head().getLong(0) == 10L)
+    // appends keep the manifest-count truthful
+    (1L to 7L).map(i => (-i, "x")).toDF("k", "v")
+      .coalesce(1).write.format("graftlines").mode("append").save(p)
+    assert(spark.read.format("graftlines").load(p)
+      .agg(count(lit(1))).head().getLong(0) == 1007L)
+  }
+
   test("unsupported aggregates decline and the row scan stays correct") {
     val base = spark.read.format("graftlines").load(s"$dir/li")
     // avg is not translatable for partial pushdown -> whole agg declined
