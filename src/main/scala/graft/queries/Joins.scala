@@ -467,6 +467,50 @@ object Joins extends QueryGroup {
         |ORDER BY w1, w2""".stripMargin)),
 
     QueryDef(
+      // Null-safe equality join (added r8 — the `<=>` operator, the
+      // join semantics ordinary `=` cannot express: NULL keys MATCH
+      // each other instead of vanishing. The classic use is joining on
+      // optional attributes — here both sides derive a nullable
+      // "discount tier" (NULLIF collapses the no-discount case to
+      // NULL), and the null-tier rows must pair up like any other
+      // key). Spark plans `<=>` as an ordinary hash-partitionable
+      // equi-join (EqualNullSafe is a shuffle key, NOT a nested-loop
+      // condition — coalescing NULL into the hash), so the plan family
+      // is the same SMJ/SHJ as `=` at any scale. Oracle: DuckDB's
+      // IS NOT DISTINCT FROM, the ANSI spelling.
+      "q_join_null_safe",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(nullif(col("l_discount"), lit(0.0)).as("tier"),
+            col("l_quantity"))
+        val agg1 = li.groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_li"),
+            sum(col("l_quantity").cast(DecimalType(12, 2)))
+              .cast(DoubleType).as("qty"))
+        val agg2 = Tables.lineitem(s, d)
+          .select(nullif(col("l_discount"), lit(0.0)).as("tier2"),
+            col("l_extendedprice"))
+          .groupBy(col("tier2"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(14, 2)))
+            .cast(DoubleType).as("price"))
+        agg1.join(agg2, col("tier") <=> col("tier2"))
+          .select(coalesce(col("tier"), lit(-1.0)).as("tier_key"),
+            col("n_li"), col("qty"), col("price"))
+          .orderBy(col("tier_key"))
+      },
+      Some("""WITH a AS (SELECT NULLIF(l_discount, 0.0) AS tier,
+        |  COUNT(*)::BIGINT AS n_li,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT NULLIF(l_discount, 0.0) AS tier2,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(a.tier, -1.0) AS tier_key, a.n_li, a.qty, b.price
+        |FROM a JOIN b ON a.tier IS NOT DISTINCT FROM b.tier2
+        |ORDER BY tier_key""".stripMargin)),
+
+    QueryDef(
       // STORAGE-PARTITIONED JOIN through the engine's own connector
       // (added r8 — the Iceberg/Delta-era answer to q_join_bucketed's
       // saveAsTable bucketing: the LAYOUT lives in the table, the scan
