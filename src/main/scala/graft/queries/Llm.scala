@@ -804,6 +804,95 @@ object Llm extends QueryGroup {
         |  n_tok_distinct,
         |  ROUND(n_tok_distinct::DOUBLE / n_tok_total, 4) AS ttr
         |FROM a1 JOIN a2 USING (lang, source)
-        |ORDER BY lang, source""".stripMargin))
+        |ORDER BY lang, source""".stripMargin)),
+
+    QueryDef(
+      // K-means over embeddings, 2 Lloyd iterations in EXACT integer
+      // arithmetic (added r8 — the clustering primitive of embedding
+      // curation: SemDeDup ASSIGNS to fixed centroids, k-means LEARNS
+      // them; also the offline half of IVF index building). Floating
+      // k-means is hash-uncheckable twice over (assignment argmin sits
+      // on float ulps; centroid MEANS depend on summation order), so
+      // the whole loop runs quantized: coordinates fix to integers via
+      // the q_sim_quantized-proven floor(x*1000 + 0.5) form, distances
+      // are BIGINT Σ(v−c)², argmin ties pack as d2*8+cid (min picks
+      // smallest distance then smallest centroid), and centroid
+      // updates divide with a +100000 offset so Spark's truncating
+      // `div` and DuckDB's flooring `//` agree on negative sums. Init
+      // = the 8 lowest vec_ids (data-derived, the IVF convention).
+      // Scale shape per round: assignment = one co-partitioned join of
+      // the (vec, dim, value) long form with the broadcast-sized
+      // centroid triples + two hash aggs; update = one (cid, dim) agg
+      // — the canonical distributed Lloyd plan, no driver data. An
+      // empty cluster drops out deterministically in both engines.
+      "q_ml_kmeans",
+      (s, d) => {
+        val K = 8
+        val lng = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(expr(
+            """transform(embedding,
+              | x -> cast(floor(cast(x as double) * 1000.0D + 0.5D)
+              |   as bigint))""".stripMargin)).as(Seq("i", "v")))
+          .localCheckpoint() // every round re-reads the long form
+        var cents = lng.filter(col("vec_id") < K)
+          .select(col("vec_id").as("cid"), col("i"), col("v").as("c"))
+        def assign(cs: org.apache.spark.sql.DataFrame) = lng
+          .join(broadcast(cs), Seq("i"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("d2"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("d2") * K + col("cid")).as("pack"))
+          .select(col("vec_id"), (col("pack") % K).as("cid"),
+            expr(s"pack div $K").as("d2"))
+        for (_ <- 1 to 2) {
+          val a = assign(cents)
+          cents = a.join(lng, Seq("vec_id"))
+            .groupBy(col("cid"), col("i"))
+            .agg(((sum(col("v")) + count(lit(1)) * 100000L).cast(LongType))
+              .as("num"), count(lit(1)).as("n"))
+            .select(col("cid"), col("i"),
+              (expr("num div n") - 100000L).as("c"))
+            .localCheckpoint()
+        }
+        assign(cents)
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"), sum(col("d2")).as("inertia"),
+            min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+          .orderBy(col("cid"))
+      },
+      Some("""WITH lng AS (
+        |  SELECT vec_id, i, qv[i] AS v FROM (
+        |    SELECT vec_id,
+        |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |        * 1000.0 + 0.5) AS BIGINT)) AS qv,
+        |      unnest(range(1, 65)) AS i
+        |    FROM embeddings)),
+        |c0 AS (SELECT vec_id AS cid, i, v AS c FROM lng WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, pack % 8 AS cid FROM (
+        |    SELECT vec_id, MIN(d2 * 8 + cid) AS pack FROM (
+        |      SELECT l.vec_id, c.cid, SUM((l.v - c.c) * (l.v - c.c)) AS d2
+        |      FROM lng l JOIN c0 c ON l.i = c.i GROUP BY 1, 2) x
+        |    GROUP BY 1) y),
+        |c1 AS (SELECT a.cid, l.i,
+        |         (SUM(l.v) + COUNT(*) * 100000) // COUNT(*) - 100000 AS c
+        |       FROM a1 a JOIN lng l ON a.vec_id = l.vec_id
+        |       GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, pack % 8 AS cid FROM (
+        |    SELECT vec_id, MIN(d2 * 8 + cid) AS pack FROM (
+        |      SELECT l.vec_id, c.cid, SUM((l.v - c.c) * (l.v - c.c)) AS d2
+        |      FROM lng l JOIN c1 c ON l.i = c.i GROUP BY 1, 2) x
+        |    GROUP BY 1) y),
+        |c2 AS (SELECT a.cid, l.i,
+        |         (SUM(l.v) + COUNT(*) * 100000) // COUNT(*) - 100000 AS c
+        |       FROM a2 a JOIN lng l ON a.vec_id = l.vec_id
+        |       GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, pack % 8 AS cid, pack // 8 AS d2 FROM (
+        |    SELECT vec_id, MIN(d2 * 8 + cid) AS pack FROM (
+        |      SELECT l.vec_id, c.cid, SUM((l.v - c.c) * (l.v - c.c)) AS d2
+        |      FROM lng l JOIN c2 c ON l.i = c.i GROUP BY 1, 2) x
+        |    GROUP BY 1) y)
+        |SELECT cid, COUNT(*)::BIGINT AS n, SUM(d2)::BIGINT AS inertia,
+        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+        |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin))
   )
 }
