@@ -325,6 +325,51 @@ object Scans extends QueryGroup {
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      // SQL join-strategy hints (added r8 — the /*+ … */ surface
+      // warehouse users reach for when the optimizer guesses wrong:
+      // pinning a physical strategy WITHOUT touching engine confs or
+      // rewriting the query). One statement carries both directions:
+      // BROADCAST(nation) forces the small-dim broadcast even though
+      // broadcast is suppressed session-wide for the query, and
+      // MERGE(customer) forces the sort-merge join for the fact pair.
+      // The require() pins that the hints actually took — hints that
+      // silently no-op are worse than no hints. Values are
+      // hint-independent (the oracle is the plain join), which is the
+      // whole contract: hints steer PLANS, never answers.
+      "q_sql_hints",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_h")
+        Tables.customer(s, d).createOrReplaceTempView("customer_h")
+        Tables.nation(s, d).createOrReplaceTempView("nation_h")
+        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql("""SELECT /*+ BROADCAST(n), MERGE(c) */
+            | n.n_name, COUNT(*) AS n_orders,
+            | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |   AS sum_price
+            |FROM orders_h o
+            |JOIN customer_h c ON o.o_custkey = c.c_custkey
+            |JOIN nation_h n ON c.c_nationkey = n.n_nationkey
+            |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+          val plan = j.queryExecution.executedPlan.toString
+          require(plan.contains("BroadcastHashJoin"),
+            "BROADCAST(n) hint must override the disabled threshold")
+          require(plan.contains("SortMergeJoin"),
+            "MERGE(c) hint must pin the sort-merge strategy")
+          j
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        }
+      },
+      Some("""SELECT n_name, COUNT(*)::BIGINT AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    QueryDef(
       // Session variables + EXECUTE IMMEDIATE (added r8 — the SQL
       // scripting primitives Spark 4 ships for parameterized warehouse
       // workflows: DECLARE a typed session variable, SET it FROM a

@@ -203,6 +203,61 @@ object Windows extends QueryGroup {
       Some(ntileOracle)),
 
     QueryDef(
+      // OHLC resampling (added r8 — the finance/metrics candle:
+      // open/high/low/close per time bucket, i.e. "first and last
+      // VALUE by time, extremes in between" — the one aggregate shape
+      // the plain min/max family cannot express without an order).
+      // Determinism: open/close pick values at the (ts, event_id)
+      // total order's endpoints via ROW_NUMBER (min_by/arg_min over a
+      // float ordering is exactly the engine-arbitrary-tie trap the
+      // q_dedup_semantic advice flagged; rank-then-filter ties to the
+      // unique pk instead), high/low are plain extremes, and the money
+      // rule applies (exact cents). One shuffle on (type, hour); the
+      // two windows share it.
+      "q_win_ohlc",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("date_trunc('hour', ts)").as("h"), col("ts"),
+            col("event_id"),
+            expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
+              .as("cents"))
+        val wAsc = Window.partitionBy(col("event_type"), col("h"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wDesc = Window.partitionBy(col("event_type"), col("h"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("rn_o", row_number().over(wAsc))
+          .withColumn("rn_c", row_number().over(wDesc))
+          .groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"),
+            (max(when(col("rn_o") === 1, col("cents")))
+              .cast(DoubleType) / 100).as("open"),
+            (max(col("cents")).cast(DoubleType) / 100).as("high"),
+            (min(col("cents")).cast(DoubleType) / 100).as("low"),
+            (max(when(col("rn_c") === 1, col("cents")))
+              .cast(DoubleType) / 100).as("close"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH ev AS (SELECT event_type,
+        |    date_trunc('hour', ts)::TIMESTAMP AS h, ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type,
+        |      date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_o,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type,
+        |      date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+        |      AS rn_c
+        |  FROM events)
+        |SELECT event_type, h, COUNT(*)::BIGINT AS n,
+        |  CAST(MAX(CASE WHEN rn_o = 1 THEN cents END) AS DOUBLE) / 100
+        |    AS open,
+        |  CAST(MAX(cents) AS DOUBLE) / 100 AS high,
+        |  CAST(MIN(cents) AS DOUBLE) / 100 AS low,
+        |  CAST(MAX(CASE WHEN rn_c = 1 THEN cents END) AS DOUBLE) / 100
+        |    AS close
+        |FROM ev GROUP BY event_type, h
+        |ORDER BY event_type, h""".stripMargin)),
+
+    QueryDef(
       // Ordered-sequence funnel (added r7): how many users performed
       // signup → view → click → purchase IN THAT ORDER (strictly
       // increasing timestamps), with each stage anchored at the
