@@ -1176,6 +1176,54 @@ object Etl extends QueryGroup {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     QueryDef(
+      // STATIC partition overwrite statement (added r8 —
+      // q_etl_partition_overwrite proves DYNAMIC mode, where the
+      // replaced partitions are whatever the data contains; the
+      // `INSERT OVERWRITE … PARTITION (col = literal)` STATEMENT pins
+      // the replaced partition in the QUERY TEXT, the backfill idiom:
+      // "recompute exactly the 'R' slice, whatever the input holds").
+      // The two safety properties the oracle pins: the named partition
+      // is fully replaced (its odd orderkeys are gone), and every
+      // OTHER partition survives byte-untouched even though the
+      // statement ran under overwrite semantics. SQL end to end via a
+      // partitioned catalog-less parquet table registered as an
+      // external table on the session catalog.
+      "q_etl_overwrite_static",
+      (s, d) => {
+        val dir = "/tmp/graft_static_overwrite"
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"),
+            col("l_returnflag"))
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+        s.sql("DROP TABLE IF EXISTS li_static_ow")
+        s.sql(s"""CREATE TABLE li_static_ow
+          | (l_orderkey BIGINT, l_quantity DOUBLE, l_linestatus STRING,
+          |  l_returnflag STRING)
+          | USING parquet PARTITIONED BY (l_returnflag)
+          | LOCATION '$dir'""".stripMargin)
+        s.sql("MSCK REPAIR TABLE li_static_ow")
+        li.filter(col("l_returnflag") === "R" && col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"))
+          .createOrReplaceTempView("li_static_src")
+        s.sql("""INSERT OVERWRITE TABLE li_static_ow
+          | PARTITION (l_returnflag = 'R')
+          | SELECT * FROM li_static_src""".stripMargin)
+        s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          |   AS sum_qty
+          |FROM li_static_ow
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM (SELECT * FROM lineitem WHERE l_returnflag != 'R'
+        |      UNION ALL
+        |      SELECT * FROM lineitem
+        |      WHERE l_returnflag = 'R' AND l_orderkey % 2 = 0)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    QueryDef(
       // Typed Dataset lane in batch (added r4): groupByKey +
       // flatMapGroups with case-class-free tuple Encoders — the
       // sorted-iterator-per-key shape for per-key logic that outgrows

@@ -130,6 +130,34 @@ class GlStreamSourceSpec extends AnyFunSuite {
       == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("compaction mid-stream re-streams compacted files (documented limit)") {
+    // the source is APPEND-driven: a compaction commit's replacement
+    // files are NEW files to the generation diff, so their rows stream
+    // again — the ignoreChanges caveat every file-log stream has. Pin
+    // the behavior so it stays documented-and-true rather than
+    // silently changing either way.
+    val p = freshDir("restream")
+    markVersioned(p)
+    Seq(1L, 2L).toDF("k").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    val q = spark.readStream.format("graftlines").load(p)
+      .writeStream.format("memory").queryName("gl_restream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gl_restream").count() == 2)
+      Seq(3L).toDF("k").coalesce(1)
+        .write.format("graftlines").mode("append").save(p)
+      q.processAllAvailable()
+      assert(spark.table("gl_restream").count() == 3)
+      graft.sources.GraftLines.compact(p, 1, spark)
+      q.processAllAvailable()
+      // the compacted generation lists one NEW file holding all 3 rows
+      assert(spark.table("gl_restream").count() == 6,
+        "compaction replacements re-stream — the documented append-driven limit")
+    } finally q.stop()
+  }
+
   test("streaming a non-versioned directory is rejected loudly") {
     val p = freshDir("plain")
     Seq(1L).toDF("k").coalesce(1)
