@@ -540,21 +540,6 @@ object Aggs extends QueryGroup {
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
 
     QueryDef(
-      // Correlation / regression sufficient statistics (added r8).
-      // Native corr()/regr_slope() stream IEEE co-moments whose value
-      // depends on partition visit order — unusable under a hash-match
-      // contract (same class of trap as raw SUM(double)). The portable
-      // form is the textbook one-pass SUFFICIENT-STATISTICS
-      // factorization: Sx, Sy, Sxx, Syy, Sxy as exact DECIMAL sums
-      // (quantity and extendedprice are 2-decimal money, so every
-      // product is exact at scale 4 and decimal SUM is exact integer
-      // arithmetic in both engines), then ONE identical double
-      // expression per metric at the very end — slope, intercept,
-      // corr, covar_pop all come out bit-identical with no rounding
-      // crutch. Scale: a single two-phase hash aggregate over one
-      // scan; the five moments ride the same partial-combine row, so
-      // adding regression stats to a 100 TB scan costs one pass and
-      // ~40 bytes of aggregate state per group.
       // Higher central moments — skewness + kurtosis (added r8,
       // completing the moments family with q_agg_corr_regr: the
       // distribution-SHAPE statistics data profiling reports beside
@@ -623,6 +608,21 @@ object Aggs extends QueryGroup {
         |FROM m ORDER BY l_returnflag""".stripMargin)),
 
     QueryDef(
+      // Correlation / regression sufficient statistics (added r8).
+      // Native corr()/regr_slope() stream IEEE co-moments whose value
+      // depends on partition visit order — unusable under a hash-match
+      // contract (same class of trap as raw SUM(double)). The portable
+      // form is the textbook one-pass SUFFICIENT-STATISTICS
+      // factorization: Sx, Sy, Sxx, Syy, Sxy as exact DECIMAL sums
+      // (quantity and extendedprice are 2-decimal money, so every
+      // product is exact at scale 4 and decimal SUM is exact integer
+      // arithmetic in both engines), then ONE identical double
+      // expression per metric at the very end — slope, intercept,
+      // corr, covar_pop all come out bit-identical with no rounding
+      // crutch. Scale: a single two-phase hash aggregate over one
+      // scan; the five moments ride the same partial-combine row, so
+      // adding regression stats to a 100 TB scan costs one pass and
+      // ~40 bytes of aggregate state per group.
       "q_agg_corr_regr",
       (s, d) => {
         val qd = col("l_quantity").cast(DecimalType(12, 2))

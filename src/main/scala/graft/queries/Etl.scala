@@ -1860,7 +1860,7 @@ object Etl extends QueryGroup {
         |       FROM e JOIN deg ON e.src = deg.src
         |         JOIN r2 ON e.src = r2.node CROSS JOIN c0
         |       GROUP BY e.dst)
-        |SELECT r3.node, deg.deg, r3.r AS rank_units
+        |SELECT r3.node, deg.deg, CAST(r3.r AS BIGINT) AS rank_units
         |FROM r3 JOIN deg ON r3.node = deg.src
         |ORDER BY rank_units DESC, node LIMIT 15""".stripMargin)),
 

@@ -956,7 +956,7 @@ object Llm extends QueryGroup {
         |         (SUM(l.v) + COUNT(*) * 100000) // COUNT(*) - 100000 AS c
         |       FROM a2 a JOIN lng l ON a.vec_id = l.vec_id
         |       GROUP BY 1, 2),
-        |a3 AS (SELECT vec_id, pack % 8 AS cid, pack // 8 AS d2 FROM (
+        |a3 AS (SELECT vec_id, (pack % 8)::BIGINT AS cid, pack // 8 AS d2 FROM (
         |    SELECT vec_id, MIN(d2 * 8 + cid) AS pack FROM (
         |      SELECT l.vec_id, c.cid, SUM((l.v - c.c) * (l.v - c.c)) AS d2
         |      FROM lng l JOIN c2 c ON l.i = c.i GROUP BY 1, 2) x

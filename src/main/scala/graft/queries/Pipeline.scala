@@ -845,9 +845,9 @@ object Pipeline extends QueryGroup {
         |       GROUP BY pa, pb ORDER BY cnt DESC, pa || '|' || pb
         |       LIMIT 1)
         |SELECT 1::BIGINT AS round, pa AS sym_a, pb AS sym_b,
-        |       cnt AS n_pair FROM p1
-        |UNION ALL SELECT 2::BIGINT, pa, pb, cnt FROM p2
-        |UNION ALL SELECT 3::BIGINT, pa, pb, cnt FROM p3
+        |       cnt::BIGINT AS n_pair FROM p1
+        |UNION ALL SELECT 2::BIGINT, pa, pb, cnt::BIGINT FROM p2
+        |UNION ALL SELECT 3::BIGINT, pa, pb, cnt::BIGINT FROM p3
         |ORDER BY round""".stripMargin))
   )
 }

@@ -113,6 +113,20 @@ object GraftLines {
     * time instead of opening N data files. */
   val StatsName = "_graft_stats"
   val StatsSentinel = "ok"
+  /** Per-file LENGTH cross-check line: `baseName \t rows \t #len \t 0
+    * \t byteLen \t - \t ok` (the marker rides the column slot, so a
+    * reader that predates it sees an unknown column name and skips the
+    * line — same forward/backward posture as the Bloom lines). Stats
+    * maintenance is deliberately best-effort (mergeStats swallows
+    * failures), which is safe for PRUNING (a stale line only ever
+    * widens the kept range after a same-name COW rewrite shrinks a
+    * file) but NOT for the COUNT(*)-from-manifest shortcut, where a
+    * stale row count would be served as an exact result. The recorded
+    * byte length is the staleness detector: rows can only change with
+    * the file's length (every row is ≥ 1 byte), so any consumer that
+    * treats `rows` as EXACT must require `#len == FileStatus.getLen`
+    * and degrade to a real scan otherwise. */
+  val StatsLenMarker = "#len"
 
   /** Opt-in TIME TRAVEL, as a table feature (the Delta/Iceberg
     * posture: versioning is a property of the TABLE, not a reader
@@ -271,14 +285,22 @@ object GraftLines {
     * micro-batch. Batch commits carry no tag and are never replayed. */
   private[sources] def committedEpochs(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Set[Long] =
-    genVersions(dir, conf).flatMap { n =>
-      val p = genPath(dir, n)
-      val fs = p.getFileSystem(conf)
-      val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
-      try Option(br.readLine()).filter(_.startsWith("#epoch:"))
-        .flatMap(_.stripPrefix("#epoch:").toLongOption)
-      finally br.close()
-    }.toSet
+    genVersions(dir, conf).flatMap(epochOfGen(dir, _, conf)).toSet
+
+  /** The `#epoch:<E>` tag of one generation manifest, if it carries
+    * one. A manifest's first line is immutable once the publish rename
+    * lands, so a generation's answer here never changes — which is
+    * what lets [[GlStreamingWrite]] cache it per generation instead of
+    * re-reading every manifest on every epoch commit. */
+  private[sources] def epochOfGen(dir: String, n: Int,
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val p = genPath(dir, n)
+    val fs = p.getFileSystem(conf)
+    val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+    try Option(br.readLine()).filter(_.startsWith("#epoch:"))
+      .flatMap(_.stripPrefix("#epoch:").toLongOption)
+    finally br.close()
+  }
 
   /** Publish generation `n` via temp + rename (readers see a complete
     * manifest or none — same discipline as the stats manifest). Unlike
@@ -734,6 +756,12 @@ object GraftLines {
               st.blooms(col) = bits
               st.strNulls(col) = nulls.toLong
             }
+          case Array(file, rows, StatsLenMarker, _, len, _, StatsSentinel) =>
+            // per-file byte-length cross-check line (see StatsLenMarker)
+            val st = byFile.getOrElseUpdate(file,
+              GlFileStats(rows.toLong,
+                scala.collection.mutable.Map.empty))
+            st.fileLen = Some(len.toLong)
           case Array(file, rows, col, nulls, mn, mx, StatsSentinel) =>
             types.get(col).filter(statsEligible).foreach { dt =>
               val st = byFile.getOrElseUpdate(file,
@@ -760,7 +788,14 @@ private[sources] case class GlFileStats(rows: Long,
     blooms: scala.collection.mutable.Map[String, Array[Long]] =
       scala.collection.mutable.Map.empty,
     strNulls: scala.collection.mutable.Map[String, Long] =
-      scala.collection.mutable.Map.empty)
+      scala.collection.mutable.Map.empty) {
+  /** Byte length recorded on the file's `#len` stats line, if present.
+    * Consumers that treat `rows` as EXACT (manifest COUNT(*), exact
+    * planner numRows) must require this to equal the live
+    * FileStatus length — a mismatch means the file was rewritten in
+    * place and the best-effort stats merge did not land. */
+  var fileLen: Option[Long] = None
+}
 
 /** Per-(file, string-column) Bloom filter riding the `_graft_stats`
   * manifest — equality file skipping for the one type family min/max
@@ -1477,10 +1512,14 @@ case class GlScan(path: String, required: StructType,
         .forall(st => pruners.forall(GlFilters.mayMatch(_, st)))
     }
     val bytes = kept.map(_._2).sum
+    // numRows is only a planner hint, but serve it with the same
+    // freshness proof as the manifest COUNT(*): each line's #len must
+    // match the live file length, else report no row estimate.
+    val keptRows = kept.map { case (f, len) =>
+      stats.get(new Path(f).getName)
+        .filter(_.fileLen.contains(len)).map(_.rows) }
     val rowsOpt =
-      if (kept.forall { case (f, _) => stats.contains(new Path(f).getName) })
-        Some(kept.map { case (f, _) => stats(new Path(f).getName).rows }.sum)
-      else None
+      if (keptRows.forall(_.isDefined)) Some(keptRows.flatten.sum) else None
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): util.OptionalLong =
         util.OptionalLong.of(bytes)
@@ -1524,11 +1563,16 @@ case class GlScan(path: String, required: StructType,
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     if (!keyedEligible) None
     else buckets match {
-      case Some(_) =>
+      case Some((_, n)) =>
         // bucket id rides the file name — every planned file must carry
-        // one, else the whole scan degrades (pre-bucketing data)
+        // one IN RANGE [0, n), else the whole scan degrades
+        // (pre-bucketing data, or files copied in from a table bucketed
+        // with a different n: an id >= n is a KeyGroupedPartitioning
+        // key the registered bucket function can never produce, so it
+        // must degrade like every other unprovable layout)
         val keyed = prunedFiles(conf).map { case (f, len) =>
           GraftLines.bucketIdOf(new Path(f).getName)
+            .filter(b => b >= 0 && b < n)
             .map(b => (f, len, java.lang.Integer.valueOf(b): Any))
         }
         if (keyed.nonEmpty && keyed.forall(_.isDefined)) Some(keyed.flatten)
@@ -1599,8 +1643,14 @@ case class GlScan(path: String, required: StructType,
         val conf = spark.sparkContext.hadoopConfiguration
         val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
         val stats = GraftLines.readStats(path, conf, statsSchema)
-        val rows = files.map { case (f, _) =>
-          stats.get(new Path(f).getName).map(_.rows) }
+        // a stats row count is served as an EXACT result here, so it
+        // must prove freshness: the line's #len must equal the live
+        // file length (stats merges are best-effort — a same-name COW
+        // rewrite whose merge failed leaves a stale count behind).
+        // Any file without a length-verified line degrades to the scan.
+        val rows = files.map { case (f, len) =>
+          stats.get(new Path(f).getName)
+            .filter(_.fileLen.contains(len)).map(_.rows) }
         if (files.nonEmpty && rows.forall(_.isDefined))
           return Array(GlStatsCountPartition(rows.flatten.sum,
             spec.funcs.length))
@@ -2414,6 +2464,27 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
     extends StreamingWrite {
   GraftLines.header(schema) // reject unstorable schemas before tasks launch
 
+  // Incremental committed-epoch ledger: a generation manifest's
+  // #epoch tag is immutable once its publish rename lands, so each
+  // commit only has to read manifests NEWER than the last scan.
+  // Without the cache a long-running stream into a versioned table
+  // pays O(generations) driver file opens per micro-batch — quadratic
+  // over the stream's life. Epoch commits are sequential per query,
+  // so plain vars suffice; a fresh GlStreamingWrite after recovery
+  // starts cold and rebuilds the set from all manifests once.
+  private var scannedThroughGen = 0
+  private val knownEpochs = scala.collection.mutable.Set.empty[Long]
+
+  private def committedEpochsIncremental(
+      conf: org.apache.hadoop.conf.Configuration): collection.Set[Long] = {
+    val gens = GraftLines.genVersions(path, conf)
+    gens.iterator.filter(_ > scannedThroughGen).foreach { n =>
+      GraftLines.epochOfGen(path, n, conf).foreach(knownEpochs += _)
+    }
+    scannedThroughGen = gens.foldLeft(scannedThroughGen)(math.max)
+    knownEpochs
+  }
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -2438,7 +2509,7 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
       messages: Array[WriterCommitMessage], staged: Seq[(Path, Path)],
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    if (GraftLines.committedEpochs(path, conf).contains(epochId)) {
+    if (committedEpochsIncremental(conf).contains(epochId)) {
       // replayed epoch after recovery: already durable — drop the
       // replay's bytes, keep the committed manifest untouched
       staged.foreach { case (s, _) => fs.delete(s, false) }
@@ -2803,7 +2874,14 @@ private[sources] class GlWriter(dir: String, schema: StructType,
     if (out != null) out.close()
     if (out == null) GlCommitted(None, None)
     else {
-      val lines = statsCols.toSeq.map { c =>
+      // byte length of the finished staging file — the publish is a
+      // rename, so this IS the final file's length. It rides its own
+      // `#len` stats line as the staleness cross-check consumers of
+      // EXACT row counts require (see [[GraftLines.StatsLenMarker]]).
+      val byteLen = file.getFileSystem(conf).getFileStatus(file).getLen
+      val lenLine = s"$rowCount\t${GraftLines.StatsLenMarker}\t0" +
+        s"\t$byteLen\t-\t${GraftLines.StatsSentinel}"
+      val lines = Seq(lenLine) ++ statsCols.toSeq.map { c =>
         val mn = if (mins(c) == null) "\\N" else mins(c).toString
         val mx = if (maxs(c) == null) "\\N" else maxs(c).toString
         s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}\t$mn\t$mx" +

@@ -106,6 +106,32 @@ class GlStreamSinkSpec extends AnyFunSuite {
     assert(graft.sources.GlStreamingTestHarness.genVersions(p, hconf).size == 1)
   }
 
+  test("warm epoch ledger: replays detected without rescanning old manifests") {
+    val p = freshDir("v_warm")
+    markVersioned(p)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    // ONE harness = one StreamingWrite = one query run: the committed-
+    // epoch ledger is cached incrementally, so each commit reads only
+    // manifests newer than its last scan (O(new gens), not
+    // O(all gens) — the long-stream quadratic the cache removes).
+    // Replays of BOTH an old epoch (cache-retained) and the latest
+    // epoch (found by the incremental read) must be swallowed.
+    val h = new graft.sources.GlStreamingTestHarness(p, schema)
+    h.writeEpoch(0L, Seq((1L, "a")))
+    h.writeEpoch(1L, Seq((2L, "b")))
+    h.writeEpoch(2L, Seq((3L, "c")))
+    h.writeEpoch(0L, Seq((1L, "a"))) // old-epoch replay, warm cache
+    h.writeEpoch(2L, Seq((3L, "c"))) // latest-epoch replay
+    assert(readBack(p) == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(graft.sources.GlStreamingTestHarness.genVersions(p, hconf).size == 3)
+    assert(graft.sources.GlStreamingTestHarness.committedEpochs(p, hconf)
+      == Set(0L, 1L, 2L))
+  }
+
   test("plain directory: replace-per-epoch clears a crashed attempt's files") {
     val p = freshDir("plain_replace")
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -212,6 +212,80 @@ class GraftLinesSpec extends AnyFunSuite {
       .agg(count(lit(1))).head().getLong(0) == 1007L)
   }
 
+  test("stale stats rows degrade the manifest count to a real scan") {
+    val p = s"$dir/metacount_stale"
+    (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.format("graftlines").mode("overwrite").save(p)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(hconf)
+    val dataFile = fs.listStatus(hp).map(_.getPath)
+      .find(_.getName.endsWith(".gl")).get
+    def readLines(f: org.apache.hadoop.fs.Path): Seq[String] = {
+      val src = scala.io.Source.fromInputStream(fs.open(f), "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    def writeLines(f: org.apache.hadoop.fs.Path, ls: Seq[String]): Unit = {
+      val w = new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8")
+      try ls.foreach { l => w.write(l); w.write('\n') } finally w.close()
+    }
+    // simulate exactly the hazard the #len line guards against: a
+    // same-name in-place rewrite whose best-effort stats merge never
+    // landed — shrink the DATA file, leave the manifest untouched
+    writeLines(dataFile, readLines(dataFile).dropRight(1))
+    val counted = spark.read.format("graftlines").load(p)
+      .agg(count(lit(1)).as("n"))
+    val parts = glScan(counted).planInputPartitions()
+    assert(parts.forall(
+      !_.isInstanceOf[graft.sources.GlStatsCountPartition]),
+      "a #len mismatch must force a real scan, not serve the stale count")
+    assert(counted.head().getLong(0) == 99L)
+    // a manifest WITHOUT #len lines (legacy/foreign) gets no exact-count
+    // trust either: strip them and the count must still scan, still exact
+    val mp = new org.apache.hadoop.fs.Path(p, "_graft_stats")
+    writeLines(mp, readLines(mp).filterNot(_.split("\t")(2) == "#len"))
+    val counted2 = spark.read.format("graftlines").load(p)
+      .agg(count(lit(1)).as("n"))
+    assert(glScan(counted2).planInputPartitions().forall(
+      !_.isInstanceOf[graft.sources.GlStatsCountPartition]))
+    assert(counted2.head().getLong(0) == 99L)
+  }
+
+  test("a file with an out-of-range bucket id degrades the keyed scan") {
+    spark.conf.set("spark.sql.catalog.graft_brange", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_brange.warehouse", s"$dir/brange_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_brange.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_brange.ns.t")
+    spark.sql("CREATE TABLE graft_brange.ns.t (k BIGINT, v BIGINT) " +
+      "USING graftlines PARTITIONED BY (bucket(8, k))")
+    (0L until 80L).map(i => (i, i * 2)).toDF("k", "v")
+      .coalesce(1).writeTo("graft_brange.ns.t").append()
+    val tDir = s"$dir/brange_wh/ns/t"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(tDir)
+    val fs = hp.getFileSystem(hconf)
+    // GlKeyedPartition is private[sources]; its name is contract enough
+    def keyed(): Boolean =
+      glScan(spark.table("graft_brange.ns.t")).planInputPartitions()
+        .forall(_.getClass.getSimpleName == "GlKeyedPartition")
+    assert(keyed(), "sanity: a clean 8-bucket table plans keyed")
+    // a stray file copied in from a table bucketed differently: its id
+    // (9 >= 8) is a key the registered bucket function can never
+    // produce, so the WHOLE scan must degrade to the unkeyed path —
+    // like every other unprovable layout — and its rows must be read
+    val src = fs.listStatus(hp).map(_.getPath)
+      .find(_.getName.endsWith(".gl")).get
+    val srcRows = { // data lines of the copied bucket file (minus header)
+      val s = scala.io.Source.fromInputStream(fs.open(src), "UTF-8")
+      try s.getLines().size - 1 finally s.close()
+    }
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(tDir, "foreign-b9.gl"),
+      false, hconf)
+    assert(!keyed(), "an out-of-range bucket id must degrade the scan")
+    assert(spark.table("graft_brange.ns.t").count() == 80L + srcRows)
+  }
+
   test("unsupported aggregates decline and the row scan stays correct") {
     val base = spark.read.format("graftlines").load(s"$dir/li")
     // avg is not translatable for partial pushdown -> whole agg declined

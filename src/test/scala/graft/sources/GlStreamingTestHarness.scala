@@ -21,9 +21,13 @@ object GlStreamingTestHarness {
 
 class GlStreamingTestHarness(path: String, schema: StructType) {
   private var task = 0L
+  // ONE StreamingWrite per harness, as per query run in the engine —
+  // so a same-harness epoch sequence exercises the warm incremental
+  // committed-epoch cache; a FRESH harness plays the recovery path
+  // (cold cache rebuilt from all generation manifests).
+  private val w = new GlStreamingWrite(path, schema)
 
   def writeEpoch(epoch: Long, rows: Seq[(Long, String)]): Unit = {
-    val w = new GlStreamingWrite(path, schema)
     val f = w.createStreamingWriterFactory(null)
     task += 1
     val dw = f.createWriter(0, task, epoch)

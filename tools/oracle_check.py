@@ -9,13 +9,34 @@ For each query dumped by `graft.Verify` into <verifyOutDir>/<name>/ :
     '{sfDir}/<table>.parquet' views,
   - compare row count, column names (sorted), and values row-for-row
     (columns sorted by name, exact equality; floats compared exactly to
-    surface any parity drift early).
+    surface any parity drift early),
+  - DESCRIBE the oracle SQL and FAIL on any >64-bit numeric output
+    column (HUGEINT / UHUGEINT / DECIMAL with precision > 18).  The
+    driver's hasher canonicalizes 128-bit integers differently from
+    64-bit ones even when values are equal, and pandas' fetchdf()
+    silently narrows them — so the row-compare above is blind to the
+    mismatch (this bit rounds 7 AND 8; see VERDICT r8 "What's wrong").
+    DuckDB promotes SUM(BIGINT) -> HUGEINT: every SUM-derived oracle
+    output column must be cast back with ::BIGINT.
 """
 import json, sys, glob, math
 import duckdb
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def wide_columns(con, sql):
+    """Oracle output columns wider than 64 bits (driver-hash hazard)."""
+    bad = []
+    for row in con.execute(f"DESCRIBE {sql}").fetchall():
+        col_name, t = row[0], str(row[1]).upper()
+        if t in ("HUGEINT", "UHUGEINT"):
+            bad.append((col_name, t))
+        elif t.startswith("DECIMAL("):
+            prec = int(t[len("DECIMAL("):].split(",")[0])
+            if prec > 18:
+                bad.append((col_name, t))
+    return bad
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -57,6 +78,15 @@ def main():
         if bad:
             i, c, a, b = bad
             print(f"FAIL {name}: row {i} col {c}: spark={a!r} duckdb={b!r}")
+            n_fail += 1
+            continue
+        try:
+            wide = wide_columns(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE failed: {e}");  n_fail += 1;  continue
+        if wide:
+            print(f"FAIL {name}: >64-bit oracle output column(s) {wide} "
+                  f"(driver hash hazard — add ::BIGINT casts)")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
