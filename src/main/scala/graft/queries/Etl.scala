@@ -1655,17 +1655,25 @@ object Etl extends QueryGroup {
       // Iceberg changelog question built directly on time travel:
       // "what changed between v1 and v3?", the incremental-consumer
       // primitive). Without per-row tracking metadata a version diff
-      // is exactly set algebra over two versioned reads: inserts =
-      // v3 EXCEPT v1, deletes = v1 EXCEPT v3 — an UPDATE surfaces as
-      // its delete(pre-image) + insert(post-image) pair, which is
-      // precisely what Delta reports for update rows. Both EXCEPTs
-      // plan as key-partitioned hash anti-aggregates over the two
-      // generations' file sets (no manifest history walk, no driver
-      // data); at 100 TB the diff cost is two scans of the touched
-      // versions, independent of how many commits lie between. The
-      // commits deliberately exercise all three write paths: CTAS,
-      // COW DELETE (metadata deletes decline on versioned tables),
-      // COW UPDATE.
+      // is set algebra over two versioned reads: inserts = v3 EXCEPT
+      // v1, deletes = v1 EXCEPT v3 — an UPDATE surfaces as its
+      // delete(pre-image) + insert(post-image) pair, which is
+      // precisely what Delta reports for update rows.
+      //
+      // r9: the diff reads ride the connector's FILE-LEVEL delta
+      // (`excludeFilesOfVersion`): versioned file names are never
+      // reused, so files common to both manifests are byte-identical
+      // and their rows cancel in the diff — each EXCEPT side scans
+      // ONLY the files that differ between the generations (the move
+      // Delta/Iceberg CDF readers make from their manifests). The
+      // initial load is range-clustered on o_custkey so the COW
+      // commits rewrite only the few files whose custkey range the
+      // predicates touch — at 100 TB this is the difference between
+      // diffing two full table scans and diffing the handful of
+      // rewritten files, independent of how many commits lie between.
+      // The commits still exercise three write paths: clustered
+      // append, COW DELETE (metadata deletes decline on versioned
+      // tables), COW UPDATE.
       "q_etl_change_feed",
       (s, d) => {
         s.conf.set("spark.sql.catalog.graft_cat",
@@ -1674,23 +1682,28 @@ object Etl extends QueryGroup {
           "/tmp/graft_warehouse")
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_cf")
+        s.sql("""CREATE TABLE graft_cat.contract.orders_cf
+          | (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          |  cents BIGINT)
+          | USING graftlines TBLPROPERTIES ('versioned'='true')"""
+          .stripMargin)
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
               .as("cents"))
-          .createOrReplaceTempView("orders_cf_src")
-        s.sql("""CREATE TABLE graft_cat.contract.orders_cf USING graftlines
-          | TBLPROPERTIES ('versioned'='true')
-          | AS SELECT * FROM orders_cf_src""".stripMargin)
+          .writeTo("graft_cat.contract.orders_cf")
+          .option("clusterBy", "o_custkey").append()
         s.sql("""DELETE FROM graft_cat.contract.orders_cf
           | WHERE o_orderstatus = 'P' AND o_custkey < 200""".stripMargin)
         s.sql("""UPDATE graft_cat.contract.orders_cf
           | SET cents = cents + cents DIV 100
           | WHERE o_orderstatus = 'F' AND o_custkey < 100""".stripMargin)
-        val v1 = s.sql(
-          "SELECT * FROM graft_cat.contract.orders_cf VERSION AS OF 1")
-        val v3 = s.sql(
-          "SELECT * FROM graft_cat.contract.orders_cf VERSION AS OF 3")
+        val tdir = "/tmp/graft_warehouse/contract/orders_cf"
+        def delta(v: Int, minus: Int) = s.read.format("graftlines")
+          .option("versionAsOf", v).option("excludeFilesOfVersion", minus)
+          .load(tdir)
+        val v1 = delta(1, 3) // v1's rewritten-away files only
+        val v3 = delta(3, 1) // v3's replacement files only
         v3.except(v1).withColumn("change", lit("insert"))
           .unionByName(v1.except(v3).withColumn("change", lit("delete")))
           .groupBy(col("change"), col("o_orderstatus"))

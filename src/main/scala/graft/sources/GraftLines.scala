@@ -1038,7 +1038,27 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
       GraftLines.genAtTimestamp(path, GraftLines.parseTsOption(t),
         SparkSession.active.sparkContext.hadoopConfiguration)
     })
-    new GlScanBuilder(path, tableSchema, nullFillMissing, v)
+    // `.option("excludeFilesOfVersion", m)`: the CHANGE-FEED primitive.
+    // Plan only the files of the read version that are NOT listed in
+    // generation m's manifest. Versioned file names are never reused
+    // across generations (see VersionMarker scaladoc), so a base name
+    // common to both manifests is byte-identical in both versions and
+    // its rows cancel in any version diff — the file-level delta is
+    // everything a diff needs to scan. "What changed between v1 and
+    // v3" is then two SMALL scans (v3 minus v1-files, v1 minus
+    // v3-files) + one anti-join each, independent of table size and of
+    // how many commits lie between — instead of two full version scans.
+    val x = Option(options.get("excludeFilesOfVersion")).map { s =>
+      require(s.toIntOption.isDefined,
+        s"graftlines: excludeFilesOfVersion must be an integer, got '$s'")
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val gens = GraftLines.genVersions(path, conf)
+      require(gens.contains(s.toInt),
+        s"graftlines: excludeFilesOfVersion ${s.toInt} on $path " +
+          s"(committed generations: ${gens.mkString(", ")})")
+      s.toInt
+    }
+    new GlScanBuilder(path, tableSchema, nullFillMissing, v, x)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1311,7 +1331,8 @@ private[sources] case class GlAggSpec(groupCols: Seq[String],
     funcs: Seq[GlAggFunc])
 
 private[sources] class GlScanBuilder(path: String, schema: StructType,
-    nullFillMissing: Boolean = false, versionAsOf: Option[Int] = None)
+    nullFillMissing: Boolean = false, versionAsOf: Option[Int] = None,
+    excludeFilesOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -1384,7 +1405,8 @@ private[sources] class GlScanBuilder(path: String, schema: StructType,
     GlScan(path, required, pushed, limit, agg,
       schema, nullFillMissing, versionAsOf = versionAsOf,
       partCol = GraftLines.partitionCol(path, hconf),
-      buckets = GraftLines.bucketSpec(path, hconf))
+      buckets = GraftLines.bucketSpec(path, hconf),
+      excludeFilesOf = excludeFilesOf)
   }
 }
 
@@ -1416,7 +1438,11 @@ case class GlScan(path: String, required: StructType,
       * declared — enables KeyGroupedPartitioning reporting below. */
     partCol: Option[String] = None,
     /** Bucket partitioning (`_graft_buckets`): (column, numBuckets). */
-    buckets: Option[(String, Int)] = None)
+    buckets: Option[(String, Int)] = None,
+    /** Change-feed file delta: plan only files NOT listed in this
+      * generation's manifest (option `excludeFilesOfVersion` — see
+      * [[GlTable.newScanBuilder]] for the correctness argument). */
+    excludeFilesOf: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1501,10 +1527,26 @@ case class GlScan(path: String, required: StructType,
     * broadcast-small even though the directory is huge: the estimate
     * shrinks WITH the pruning, as every real table format's does. All
     * driver-side metadata — one manifest read, no file opens. */
+  /** The scan's file universe: the read version's files, minus (for a
+    * change-feed read) every file also listed in `excludeFilesOf`'s
+    * manifest. ALL downstream planning — statistics, pruning, keyed
+    * plans, the manifest count — works from this one resolution, so
+    * the delta read behaves exactly like a small table. */
+  private def resolvedFiles(
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
+    val all = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+    excludeFilesOf match {
+      case None => all
+      case Some(m) =>
+        val excl = GraftLines.readGen(path, m, conf).toSet
+        all.filterNot { case (f, _) => excl.contains(new Path(f).getName) }
+    }
+  }
+
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+    val files = resolvedFiles(conf)
     val stats = GraftLines.readStats(path, conf, statsSchema)
     val pruners = pushed ++ groupPrune
     val kept = files.filter { case (f, _) =>
@@ -1533,7 +1575,8 @@ case class GlScan(path: String, required: StructType,
       s"ReadSchema: ${readSchema().catalogString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"PushedLimit: ${pushedLimit.getOrElse(-1)}, " +
-      s"PushedAggregation: ${aggSpec.getOrElse("none")}"
+      s"PushedAggregation: ${aggSpec.getOrElse("none")}" +
+      excludeFilesOf.fold("")(m => s", ExcludeFilesOfVersion: $m")
 
   /** Identity-partitioned planning: when the table declares a
     * partition column AND every surviving file's stats prove it holds
@@ -1551,7 +1594,7 @@ case class GlScan(path: String, required: StructType,
 
   private def prunedFiles(
       conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
-    val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+    val files = resolvedFiles(conf)
     val stats = GraftLines.readStats(path, conf, statsSchema)
     files.filter { case (f, _) =>
       stats.get(new Path(f).getName)
@@ -1641,7 +1684,7 @@ case class GlScan(path: String, required: StructType,
           && pushed.isEmpty && groupPrune.isEmpty
           && runtimeAllowedFiles.isEmpty =>
         val conf = spark.sparkContext.hadoopConfiguration
-        val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+        val files = resolvedFiles(conf)
         val stats = GraftLines.readStats(path, conf, statsSchema)
         // a stats row count is served as an EXACT result here, so it
         // must prove freshness: the line's #len must equal the live
@@ -1670,7 +1713,7 @@ case class GlScan(path: String, required: StructType,
       case None => ()
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = GraftLines.resolveDataFileStatuses(path, conf, versionAsOf)
+    val files = resolvedFiles(conf)
     val pruners = pushed ++ groupPrune
     val statKept = if (pruners.isEmpty) files else {
       val stats = GraftLines.readStats(path, conf, statsSchema)

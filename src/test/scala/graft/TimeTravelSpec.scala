@@ -191,4 +191,38 @@ class TimeTravelSpec extends AnyFunSuite {
       .load(p).collect())
     assert(e2.getMessage.contains("mutually exclusive"))
   }
+
+  test("excludeFilesOfVersion plans only the files the versions don't share") {
+    val p = s"$dir/cdf_delta"
+    markVersioned(p)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p) // gen 1: {A}
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p) // gen 2: {A, B}
+    def delta(v: Int, minus: Int) = spark.read.format("graftlines")
+      .option("versionAsOf", v).option("excludeFilesOfVersion", minus)
+      .load(p)
+    // v2 minus v1's files = exactly the second append's rows…
+    assert(delta(2, 1).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    // …and the PLAN proves file A was never a partition: versioned
+    // names are never reused, so the common file cancels at plan time
+    val scan = delta(2, 1).queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.GlScan]
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.planInputPartitions().length == 1,
+      "the delta read must plan only the one differing file")
+    // append-only history: nothing left v1, so the delete side is empty
+    assert(delta(1, 2).count() == 0)
+    // the file-delta EXCEPT equals the full-version EXCEPT
+    val full1 = spark.read.format("graftlines")
+      .option("versionAsOf", 1).load(p)
+    val full2 = spark.read.format("graftlines")
+      .option("versionAsOf", 2).load(p)
+    assert(delta(2, 1).except(delta(1, 2)).collect().toSet
+      == full2.except(full1).collect().toSet)
+    // an uncommitted generation fails loudly, never an empty diff
+    val e = intercept[Exception](delta(2, 9).collect())
+    assert(e.getMessage.contains("excludeFilesOfVersion"))
+  }
 }
