@@ -1760,6 +1760,10 @@ case class GlScan(path: String, required: StructType,
       MicroBatchStream = {
     require(aggSpec.isEmpty && pushedLimit.isEmpty,
       "graftlines streaming: aggregate/limit pushdown not offered")
+    require(excludeFilesOf.isEmpty,
+      "graftlines streaming: excludeFilesOfVersion is a batch change-" +
+        "feed option; the streaming source IS the incremental feed " +
+        "(offsets are generations) — drop the option")
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     require(GraftLines.isVersioned(path, conf),
       s"graftlines: streaming reads require a VERSIONED table " +

@@ -408,4 +408,14 @@ class PlanSpec extends AnyFunSuite {
     // key `t` inside an un-keyed window spec
     assert(!p.contains("windowspecdefinition(t#"), p)
   }
+
+  test("q_etl_change_feed diffs file deltas, not two full version scans") {
+    val p = plan("q_etl_change_feed")
+    // both EXCEPT sides ride the connector's manifest set-difference:
+    // the v3 side excludes v1's files, the v1 side excludes v3's —
+    // common (byte-identical) files cancel at PLAN time, so the diff
+    // scans only the rewritten files however large the table is
+    assert(p.contains("ExcludeFilesOfVersion: 1"), p)
+    assert(p.contains("ExcludeFilesOfVersion: 3"), p)
+  }
 }
