@@ -2582,6 +2582,10 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
     GraftLines.writeGen(path, next,
       carried ++ staged.map { case (_, f) => fmap(f.getName) }, conf,
       epoch = Some(epochId))
+    // record our own publish in the ledger cache so the next commit's
+    // incremental scan doesn't re-open the manifest just written
+    knownEpochs += epochId
+    scannedThroughGen = math.max(scannedThroughGen, next)
     val newLines = messages.flatMap {
       case GlCommitted(_, Some(f), lines) =>
         val base = fmap(new Path(f).getName)
