@@ -1666,6 +1666,9 @@ object Etl extends QueryGroup {
       // and their rows cancel in the diff — each EXCEPT side scans
       // ONLY the files that differ between the generations (the move
       // Delta/Iceberg CDF readers make from their manifests). The
+      // delta/EXCEPT equivalence needs each row value to live in one
+      // file per version (the option's documented precondition) —
+      // o_orderkey makes every row unique here, so it holds. The
       // initial load is range-clustered on o_custkey so the COW
       // commits rewrite only the few files whose custkey range the
       // predicates touch — at 100 TB this is the difference between
@@ -1676,10 +1679,12 @@ object Etl extends QueryGroup {
       // tables), COW UPDATE.
       "q_etl_change_feed",
       (s, d) => {
+        // one warehouse constant feeds BOTH the catalog conf and the
+        // path-based delta reads below — they must never drift apart
+        val warehouse = "/tmp/graft_warehouse"
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
-        s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+        s.conf.set("spark.sql.catalog.graft_cat.warehouse", warehouse)
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_cf")
         s.sql("""CREATE TABLE graft_cat.contract.orders_cf
@@ -1698,7 +1703,7 @@ object Etl extends QueryGroup {
         s.sql("""UPDATE graft_cat.contract.orders_cf
           | SET cents = cents + cents DIV 100
           | WHERE o_orderstatus = 'F' AND o_custkey < 100""".stripMargin)
-        val tdir = "/tmp/graft_warehouse/contract/orders_cf"
+        val tdir = s"$warehouse/contract/orders_cf"
         def delta(v: Int, minus: Int) = s.read.format("graftlines")
           .option("versionAsOf", v).option("excludeFilesOfVersion", minus)
           .load(tdir)

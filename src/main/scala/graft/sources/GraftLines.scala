@@ -1042,12 +1042,23 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
     // Plan only the files of the read version that are NOT listed in
     // generation m's manifest. Versioned file names are never reused
     // across generations (see VersionMarker scaladoc), so a base name
-    // common to both manifests is byte-identical in both versions and
-    // its rows cancel in any version diff — the file-level delta is
-    // everything a diff needs to scan. "What changed between v1 and
-    // v3" is then two SMALL scans (v3 minus v1-files, v1 minus
-    // v3-files) + one anti-join each, independent of table size and of
-    // how many commits lie between — instead of two full version scans.
+    // common to both manifests is byte-identical in both versions.
+    // "What changed between v1 and v3" is then two SMALL scans
+    // (v3 minus v1-files, v1 minus v3-files) + one anti-join each,
+    // independent of table size and of how many commits lie between —
+    // instead of two full version scans.
+    //
+    // Equivalence precondition (stated, not enforced): the two-sided
+    // EXCEPT over delta reads equals the EXCEPT over full version
+    // scans iff no full row VALUE is duplicated across a common file
+    // and a differing file of the same version — e.g. a row living in
+    // untouched file C and also in rewritten file F would surface as a
+    // spurious delete when F drops it, because the common file that
+    // still holds it was (correctly) never scanned. Keyed/deduplicated
+    // tables satisfy this by construction (each row value lives in
+    // exactly one file per version); for multiset tables the delta
+    // read is still exactly "the rows of the files that changed" — a
+    // well-defined feed on its own — but not an EXCEPT replacement.
     val x = Option(options.get("excludeFilesOfVersion")).map { s =>
       require(s.toIntOption.isDefined,
         s"graftlines: excludeFilesOfVersion must be an integer, got '$s'")
@@ -1543,6 +1554,17 @@ case class GlScan(path: String, required: StructType,
     }
   }
 
+  /** The ONE freshness rule for serving a manifest row count as exact
+    * (manifest COUNT(*), planner numRows): the file's stats line must
+    * carry a `#len` equal to its LIVE length — stats merges are
+    * best-effort, and a same-name COW rewrite whose merge failed
+    * leaves a stale count behind that only the length can expose.
+    * Both consumers go through here so the rule cannot drift apart. */
+  private def freshRows(stats: Map[String, GlFileStats],
+      file: String, liveLen: Long): Option[Long] =
+    stats.get(new Path(file).getName)
+      .filter(_.fileLen.contains(liveLen)).map(_.rows)
+
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
@@ -1554,12 +1576,9 @@ case class GlScan(path: String, required: StructType,
         .forall(st => pruners.forall(GlFilters.mayMatch(_, st)))
     }
     val bytes = kept.map(_._2).sum
-    // numRows is only a planner hint, but serve it with the same
-    // freshness proof as the manifest COUNT(*): each line's #len must
-    // match the live file length, else report no row estimate.
-    val keptRows = kept.map { case (f, len) =>
-      stats.get(new Path(f).getName)
-        .filter(_.fileLen.contains(len)).map(_.rows) }
+    // numRows is only a planner hint, but it rides the same freshness
+    // proof as the manifest COUNT(*) — see freshRows
+    val keptRows = kept.map { case (f, len) => freshRows(stats, f, len) }
     val rowsOpt =
       if (keptRows.forall(_.isDefined)) Some(keptRows.flatten.sum) else None
     new org.apache.spark.sql.connector.read.Statistics {
@@ -1686,14 +1705,10 @@ case class GlScan(path: String, required: StructType,
         val conf = spark.sparkContext.hadoopConfiguration
         val files = resolvedFiles(conf)
         val stats = GraftLines.readStats(path, conf, statsSchema)
-        // a stats row count is served as an EXACT result here, so it
-        // must prove freshness: the line's #len must equal the live
-        // file length (stats merges are best-effort — a same-name COW
-        // rewrite whose merge failed leaves a stale count behind).
-        // Any file without a length-verified line degrades to the scan.
-        val rows = files.map { case (f, len) =>
-          stats.get(new Path(f).getName)
-            .filter(_.fileLen.contains(len)).map(_.rows) }
+        // served as an EXACT result, so every file needs the length-
+        // verified freshness proof (see freshRows); any file without
+        // one degrades the whole count to the ordinary scan
+        val rows = files.map { case (f, len) => freshRows(stats, f, len) }
         if (files.nonEmpty && rows.forall(_.isDefined))
           return Array(GlStatsCountPartition(rows.flatten.sum,
             spec.funcs.length))
@@ -2522,14 +2537,18 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
   private var scannedThroughGen = 0
   private val knownEpochs = scala.collection.mutable.Set.empty[Long]
 
+  /** Returns (committed epochs, current generation list) — the gens
+    * list rides along so the commit path pays ONE directory listing
+    * per epoch, not one here and another for the next-gen number. */
   private def committedEpochsIncremental(
-      conf: org.apache.hadoop.conf.Configuration): collection.Set[Long] = {
+      conf: org.apache.hadoop.conf.Configuration)
+      : (collection.Set[Long], Seq[Int]) = {
     val gens = GraftLines.genVersions(path, conf)
     gens.iterator.filter(_ > scannedThroughGen).foreach { n =>
       GraftLines.epochOfGen(path, n, conf).foreach(knownEpochs += _)
     }
     scannedThroughGen = gens.foldLeft(scannedThroughGen)(math.max)
-    knownEpochs
+    (knownEpochs, gens)
   }
 
   override def createStreamingWriterFactory(
@@ -2556,13 +2575,13 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
       messages: Array[WriterCommitMessage], staged: Seq[(Path, Path)],
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    if (committedEpochsIncremental(conf).contains(epochId)) {
+    val (committed, gens) = committedEpochsIncremental(conf)
+    if (committed.contains(epochId)) {
       // replayed epoch after recovery: already durable — drop the
       // replay's bytes, keep the committed manifest untouched
       staged.foreach { case (s, _) => fs.delete(s, false) }
       return
     }
-    val gens = GraftLines.genVersions(path, conf)
     val next = gens.lastOption.getOrElse(0) + 1
     def vname(f: Path): Path = new Path(f.getParent,
       f.getName.stripSuffix(GraftLines.Ext) + s"-g$next${GraftLines.Ext}")

@@ -214,7 +214,10 @@ class TimeTravelSpec extends AnyFunSuite {
       "the delta read must plan only the one differing file")
     // append-only history: nothing left v1, so the delete side is empty
     assert(delta(1, 2).count() == 0)
-    // the file-delta EXCEPT equals the full-version EXCEPT
+    // the file-delta EXCEPT equals the full-version EXCEPT — valid
+    // here because no row VALUE spans a common and a differing file
+    // (rows are unique); see the option's scaladoc for the general
+    // precondition
     val full1 = spark.read.format("graftlines")
       .option("versionAsOf", 1).load(p)
     val full2 = spark.read.format("graftlines")
