@@ -266,4 +266,64 @@ class PropertySpec extends AnyFunSuite {
       }
     } finally spark.conf.set(key, prev)
   }
+
+  test("change feed: delta EXCEPT = full EXCEPT over random histories") {
+    import spark.implicits._
+    // random versioned-table histories of UNIQUE-keyed rows (the
+    // option's documented equivalence precondition) through appends
+    // and COW DELETEs; for the (first, latest) version pair the
+    // file-delta diff must equal the full-scan diff, and the live
+    // count (served by the manifest shortcut when stats are fresh)
+    // must equal the simulated row set — whatever the history
+    sealed trait Op
+    case class App(lo: Long, n: Long) extends Op
+    case class Del(p: Long, r: Long) extends Op
+    val opGen: Gen[Op] = Gen.frequency(
+      2 -> Gen.zip(Gen.chooseNum(100L, 900L), Gen.chooseNum(5L, 40L))
+        .map { case (lo, n) => App(lo * 100, n) },
+      3 -> Gen.zip(Gen.chooseNum(2L, 7L), Gen.chooseNum(0L, 6L))
+        .map { case (p, r) => Del(p, r % p) })
+    val histGen: Gen[List[Op]] = Gen.listOfN(3, opGen)
+    spark.conf.set("spark.sql.catalog.graft_prop",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_prop.warehouse",
+      "/tmp/graft_prop_cdf")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_prop.ns")
+    cases(histGen, 4).zipWithIndex.foreach { case (ops, i) =>
+      val t = s"graft_prop.ns.cdf$i"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+        "USING graftlines TBLPROPERTIES ('versioned'='true')")
+      var live = (0L until 30L).map(k => k -> k * 7).toMap
+      live.toSeq.toDF("k", "v").coalesce(2).writeTo(t).append() // gen 1
+      ops.foreach {
+        case App(lo, n) =>
+          val fresh = (lo until lo + n).map(k => k -> k * 7)
+            .filterNot { case (k, _) => live.contains(k) }
+          live = live ++ fresh
+          fresh.toDF("k", "v").coalesce(2).writeTo(t).append()
+        case Del(p, r) =>
+          live = live.filterNot { case (k, _) => k % p == r }
+          spark.sql(s"DELETE FROM $t WHERE k % $p = $r")
+      }
+      val latest = 1 + ops.length
+      val tdir = s"/tmp/graft_prop_cdf/ns/cdf$i"
+      def full(v: Int) = spark.read.format("graftlines")
+        .option("versionAsOf", v).load(tdir)
+      def delta(v: Int, m: Int) = spark.read.format("graftlines")
+        .option("versionAsOf", v).option("excludeFilesOfVersion", m)
+        .load(tdir)
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows(delta(latest, 1).except(delta(1, latest)))
+        == rows(full(latest).except(full(1))), s"case $i inserts")
+      assert(rows(delta(1, latest).except(delta(latest, 1)))
+        == rows(full(1).except(full(latest))), s"case $i deletes")
+      // live state: exact rows AND the aggregate COUNT path
+      assert(rows(spark.table(t)) == live.toSet.map(
+        (kv: (Long, Long)) => kv), s"case $i live rows")
+      assert(spark.table(t).agg(count(lit(1))).head().getLong(0)
+        == live.size, s"case $i live count")
+    }
+  }
 }
