@@ -207,8 +207,31 @@ object GraftLines {
   private[sources] def bucketOf(v: Long, n: Int): Int =
     (((v % n) + n) % n).toInt
 
+  // the -b<id> tag may be followed by generation suffixes: versioned
+  // commits rename `…-b3.gl` → `…-b3-g7.gl` (and a versioned COW
+  // rewrite can stack another), so the id must parse through ANY
+  // trailing `-g<N>` run or bucketed+versioned tables would silently
+  // lose KeyGroupedPartitioning on every commit
   private[sources] val BucketNamePattern =
-    java.util.regex.Pattern.compile(".*-b(\\d+)\\.gl$")
+    java.util.regex.Pattern.compile(".*-b(\\d+)(?:-g\\d+)*\\.gl$")
+
+  /** Job-unique file-name tag for BATCH writes. Task ids are only
+    * unique per SparkContext (taskAttemptId restarts at 0 in a fresh
+    * application), so `part-<pid>-<tid>.gl` from two applications CAN
+    * collide — and the append commit's crashed-attempt replacement
+    * (delete-then-rename) would then silently swallow the earlier
+    * job's committed file. A driver-generated tag riding every final
+    * name restores global uniqueness; it also makes compact scratch
+    * names collision-free across applications. The leading 't' keeps
+    * the segment disjoint from the streaming `-e<epoch>-` tag (whose
+    * stale-epoch clear substring-matches names) and from `-b`/`-g`/
+    * `-p` suffix parsing. Streaming writers deliberately do NOT carry
+    * it: their epoch-keyed names are the replace-per-epoch idempotence
+    * mechanism, where cross-application collision is the CONTRACT. */
+  private[sources] def newJobTag(): String =
+    "t" + java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        | (1L << 60)).take(8)
 
   private[sources] def bucketIdOf(baseName: String): Option[Int] = {
     val m = BucketNamePattern.matcher(baseName)
@@ -471,7 +494,15 @@ object GraftLines {
       }
     }
     moved.foreach { case (base, nb) =>
-      require(fs.rename(new Path(scratch, base), new Path(dirPath, nb)),
+      val dst = new Path(dirPath, nb)
+      // scratch names carry a fresh job tag so this cannot trip in
+      // practice; the guard keeps a collision from ever silently
+      // REPLACING bytes a historical generation still references
+      // (local-FS rename overwrites; HDFS rename would just fail)
+      require(!fs.exists(dst),
+        s"graftlines: compact target $nb already exists — refusing " +
+          "to overwrite a published file")
+      require(fs.rename(new Path(scratch, base), dst),
         s"graftlines: compact failed moving $base -> $nb")
     }
     if (isVersioned(dir, conf)) {
@@ -554,6 +585,17 @@ object GraftLines {
   private[sources] def header(schema: StructType): String = {
     require(!schema.fieldNames.contains(FileCol),
       s"graftlines: '$FileCol' is the reserved metadata column name")
+    // the header is a raw tab-separated line: a name holding a tab /
+    // newline / CR would COMMIT a table no parseHeader can ever read
+    // back — reject before any task launches, not at first read.
+    // (Colons are fine: parseHeader splits on the LAST colon.)
+    schema.fieldNames.foreach { n =>
+      require(n.nonEmpty && !n.exists(c => c == '\t' || c == '\n'
+          || c == '\r'),
+        s"graftlines: column name ${n.replace("\t", "\\t")
+          .replace("\n", "\\n").replace("\r", "\\r")} is empty or " +
+          "contains a tab/newline/CR — unstorable in the header line")
+    }
     schema.fields.map(f => s"${f.name}:${typeToken(f.dataType)}")
       .mkString("\t")
   }
@@ -741,7 +783,12 @@ object GraftLines {
       val byFile = scala.collection.mutable.Map[String, GlFileStats]()
       var line = br.readLine()
       while (line != null) {
-        line.split("\t", -1) match {
+        // per-LINE degradation: a line that passes the sentinel check
+        // but still fails to parse (e.g. a non-numeric rows field)
+        // drops ONLY itself — discarding the whole map here would
+        // disable pruning/manifest-counts table-wide over one damaged
+        // line, the opposite of the degrade-per-line design
+        try line.split("\t", -1) match {
           case Array(file, rows, col, nulls, GlBloom.Marker, hex,
               StatsSentinel) if types.get(col).contains(StringType) =>
             // string-equality Bloom line (min slot carries the marker;
@@ -773,7 +820,7 @@ object GraftLines {
           // truncated (sentinel missing/cut) or unknown line shape:
           // ignore the line, never fail or mis-skip the scan
           case _ => ()
-        }
+        } catch { case _: Exception => () }
         line = br.readLine()
       }
       byFile.toMap
@@ -966,11 +1013,33 @@ private[sources] object GlFilters {
     case d: java.lang.Double =>
       val x = d.doubleValue(); val y = num(lit).doubleValue()
       if (x == y) 0 else java.lang.Double.compare(x, y)
-    case s: String => s.compareTo(lit.toString)
+    case s: String => utf8Cmp(s, lit.toString)
     case b: java.lang.Boolean =>
       java.lang.Boolean.compare(b, lit.asInstanceOf[java.lang.Boolean])
     case other => throw new IllegalStateException(
       s"uncomparable column value: $other")
+  }
+
+  /** Spark string ordering is UNSIGNED UTF-8 BYTE order
+    * (UTF8String.compareTo), which differs from Java's UTF-16
+    * code-unit compareTo exactly when a supplementary character
+    * (surrogate-encoded, >= U+10000) meets a BMP char in
+    * [U+E000, U+FFFF]: UTF-8 puts the supplementary LAST (0xF0 > 0xEE
+    * lead byte), UTF-16 puts its 0xD800-range surrogate FIRST. Pushed
+    * range filters are evaluated here INSTEAD of by Spark (accepted
+    * pushdown leaves no residual), so this comparison must be
+    * byte-identical to Spark's or hostile strings silently corrupt
+    * range predicates. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   private def num(lit: Any): Number = lit.asInstanceOf[Number]
@@ -1554,6 +1623,20 @@ case class GlScan(path: String, required: StructType,
     }
   }
 
+  // ONE metadata snapshot per scan: estimateStatistics (planning),
+  // outputPartitioning/keyedPlan, and planInputPartitions (execution)
+  // all consult the file list and the stats manifest — without these
+  // caches a single filtered scan re-lists the directory and re-reads
+  // the manifest up to four times on the driver (noticeable on object
+  // stores). Same per-instance lifetime keyedPlan already relies on;
+  // Spark caches planInputPartitions per Dataset anyway, so this adds
+  // no staleness window that did not already exist.
+  @transient private lazy val fileUniverse: Seq[(String, Long)] =
+    resolvedFiles(SparkSession.active.sparkContext.hadoopConfiguration)
+  @transient private lazy val statsCache: Map[String, GlFileStats] =
+    GraftLines.readStats(path,
+      SparkSession.active.sparkContext.hadoopConfiguration, statsSchema)
+
   /** The ONE freshness rule for serving a manifest row count as exact
     * (manifest COUNT(*), planner numRows): the file's stats line must
     * carry a `#len` equal to its LIVE length — stats merges are
@@ -1567,9 +1650,8 @@ case class GlScan(path: String, required: StructType,
 
   override def estimateStatistics():
       org.apache.spark.sql.connector.read.Statistics = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val files = resolvedFiles(conf)
-    val stats = GraftLines.readStats(path, conf, statsSchema)
+    val files = fileUniverse
+    val stats = statsCache
     val pruners = pushed ++ groupPrune
     val kept = files.filter { case (f, _) =>
       stats.get(new Path(f).getName)
@@ -1613,8 +1695,8 @@ case class GlScan(path: String, required: StructType,
 
   private def prunedFiles(
       conf: org.apache.hadoop.conf.Configuration): Seq[(String, Long)] = {
-    val files = resolvedFiles(conf)
-    val stats = GraftLines.readStats(path, conf, statsSchema)
+    val files = fileUniverse
+    val stats = statsCache
     files.filter { case (f, _) =>
       stats.get(new Path(f).getName)
         .forall(st => pushed.forall(GlFilters.mayMatch(_, st)))
@@ -1640,7 +1722,7 @@ case class GlScan(path: String, required: StructType,
         if (keyed.nonEmpty && keyed.forall(_.isDefined)) Some(keyed.flatten)
         else None
       case None => partCol.flatMap { pc =>
-        val stats = GraftLines.readStats(path, conf, statsSchema)
+        val stats = statsCache
         val keyed = prunedFiles(conf).map { case (f, len) =>
           stats.get(new Path(f).getName).flatMap(_.cols.get(pc)).collect {
             case GlColStats(0, mn, mx) if mn != null && mn == mx =>
@@ -1702,9 +1784,8 @@ case class GlScan(path: String, required: StructType,
           && spec.funcs.forall(_.kind == "countstar")
           && pushed.isEmpty && groupPrune.isEmpty
           && runtimeAllowedFiles.isEmpty =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        val files = resolvedFiles(conf)
-        val stats = GraftLines.readStats(path, conf, statsSchema)
+        val files = fileUniverse
+        val stats = statsCache
         // served as an EXACT result, so every file needs the length-
         // verified freshness proof (see freshRows); any file without
         // one degrades the whole count to the ordinary scan
@@ -1727,11 +1808,10 @@ case class GlScan(path: String, required: StructType,
         }.toArray
       case None => ()
     }
-    val conf = spark.sparkContext.hadoopConfiguration
-    val files = resolvedFiles(conf)
+    val files = fileUniverse
     val pruners = pushed ++ groupPrune
     val statKept = if (pruners.isEmpty) files else {
-      val stats = GraftLines.readStats(path, conf, statsSchema)
+      val stats = statsCache
       files.filter { case (f, _) =>
         val base = new Path(f).getName
         stats.get(base).forall(st => pruners.forall(GlFilters.mayMatch(_, st)))
@@ -2033,10 +2113,22 @@ private[sources] class GlReader(file: String, required: StructType,
   private val path = new Path(file)
   private val fs = path.getFileSystem(conf)
   private val in = fs.open(path)
+
+  /** Constructor code after `fs.open` that can throw (seek, header
+    * parse, schema validation) must close the stream on the way out —
+    * Spark never calls close() on a reader whose constructor threw,
+    * so without this each failed task attempt leaks a handle. */
+  private def failClosing[T](body: => T): T =
+    try body catch {
+      case t: Throwable =>
+        try in.close() catch { case _: Exception => () }
+        throw t
+    }
+
   private val lineText = new org.apache.hadoop.io.Text()
   // pos = byte offset of the next unread line's first byte
   private var pos = 0L
-  private val lr = {
+  private val lr = failClosing {
     if (start <= 0L) new org.apache.hadoop.util.LineReader(in)
     else {
       in.seek(start - 1)
@@ -2046,7 +2138,7 @@ private[sources] class GlReader(file: String, required: StructType,
     }
   }
 
-  private val fileSchema =
+  private val fileSchema = failClosing {
     if (start <= 0L) {
       val n = lr.readLine(lineText)
       require(n > 0, s"graftlines: empty header in $file")
@@ -2058,6 +2150,7 @@ private[sources] class GlReader(file: String, required: StructType,
       val hbr = new BufferedReader(new InputStreamReader(hin, UTF_8))
       try GraftLines.parseHeader(hbr.readLine(), file) finally hbr.close()
     }
+  }
   private val filterRefs: Set[String] =
     pushed.flatMap(GlFilters.references).toSet
   private val needed: Set[String] =
@@ -2074,18 +2167,20 @@ private[sources] class GlReader(file: String, required: StructType,
   // unless the catalog vouched for evolution (missing column reads
   // uniformly NULL, position -1 below) or it is the synthetic `_file`
   // metadata column every reader can produce
-  needed.foreach { n =>
-    colPos.get(n) match {
-      case None if n == GraftLines.FileCol => ()
-      case None if nullFillMissing => ()
-      case None => throw new IllegalArgumentException(
-        s"graftlines: column '$n' missing from $file")
-      case Some(i) =>
-        required.fields.find(_.name == n).foreach { rf =>
-          require(rf.dataType == fileTypes(i),
-            s"graftlines: column '$n' is ${fileTypes(i).catalogString} in "
-              + s"$file, query expects ${rf.dataType.catalogString}")
-        }
+  failClosing {
+    needed.foreach { n =>
+      colPos.get(n) match {
+        case None if n == GraftLines.FileCol => ()
+        case None if nullFillMissing => ()
+        case None => throw new IllegalArgumentException(
+          s"graftlines: column '$n' missing from $file")
+        case Some(i) =>
+          required.fields.find(_.name == n).foreach { rf =>
+            require(rf.dataType == fileTypes(i),
+              s"graftlines: column '$n' is ${fileTypes(i).catalogString} in "
+                + s"$file, query expects ${rf.dataType.catalogString}")
+          }
+      }
     }
   }
 
@@ -2154,7 +2249,8 @@ private[sources] class GlReader(file: String, required: StructType,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = lr.close()
+  private var closed = false
+  override def close(): Unit = if (!closed) { closed = true; lr.close() }
 }
 
 /** Partial-aggregation reader: streams the file through the ordinary
@@ -2249,7 +2345,11 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
   override def next(): Boolean =
     if (groups.hasNext) { current = groups.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = () // inner closed at end of aggregation
+  // the aggregation loop closes `inner` when it drains the file, but a
+  // task cancelled BEFORE the first next() never forces the lazy
+  // `groups` — closing here (idempotent in GlReader) covers that path
+  // instead of leaking the input stream until GC
+  override def close(): Unit = inner.close()
 }
 
 private[sources] class GlWriteBuilder(path: String, schema: StructType,
@@ -2682,21 +2782,23 @@ private[sources] case class GlMultiCommitted(msgs: Seq[GlCommitted])
     extends WriterCommitMessage
 
 private[sources] case class GlPartitionedWriterFactory(path: String,
-    schema: StructType, partIdx: Int, conf: SerializableConfiguration)
+    schema: StructType, partIdx: Int, conf: SerializableConfiguration,
+    jobTag: String = GraftLines.newJobTag())
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GlPartitionedWriter(path, schema, partitionId, taskId, conf.value,
-      partIdx)
+      partIdx, jobTag)
 }
 
 private[sources] case class GlBucketedWriterFactory(path: String,
     schema: StructType, colIdx: Int, numBuckets: Int,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration,
+    jobTag: String = GraftLines.newJobTag()) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GlBucketedWriter(path, schema, partitionId, taskId, conf.value,
-      colIdx, numBuckets)
+      colIdx, numBuckets, jobTag)
 }
 
 /** Bucket-partitioned task writer: routes each row to the
@@ -2708,7 +2810,8 @@ private[sources] case class GlBucketedWriterFactory(path: String,
   * owns whole buckets. */
 private[sources] class GlBucketedWriter(dir: String, schema: StructType,
     partitionId: Int, taskId: Long,
-    conf: org.apache.hadoop.conf.Configuration, colIdx: Int, numBuckets: Int)
+    conf: org.apache.hadoop.conf.Configuration, colIdx: Int, numBuckets: Int,
+    jobTag: String)
     extends DataWriter[InternalRow] {
 
   private val colType = schema.fields(colIdx).dataType
@@ -2727,9 +2830,10 @@ private[sources] class GlBucketedWriter(dir: String, schema: StructType,
         s"unsupported bucket column type $other")
     }
     val b = GraftLines.bucketOf(v, numBuckets)
+    // jobTag BEFORE -b<id>: BucketNamePattern anchors on the suffix
     writers.getOrElseUpdate(b, new GlWriter(dir, schema, partitionId, taskId,
       conf, nameOverride = Some(
-        f"part-$partitionId%05d-$taskId-b$b${GraftLines.Ext}")))
+        f"part-$partitionId%05d-$taskId-$jobTag-b$b${GraftLines.Ext}")))
       .write(row)
   }
 
@@ -2750,7 +2854,8 @@ private[sources] class GlBucketedWriter(dir: String, schema: StructType,
   * (`-p<k>`), not the value (values need no name-escaping that way). */
 private[sources] class GlPartitionedWriter(dir: String, schema: StructType,
     partitionId: Int, taskId: Long,
-    conf: org.apache.hadoop.conf.Configuration, partIdx: Int)
+    conf: org.apache.hadoop.conf.Configuration, partIdx: Int,
+    jobTag: String)
     extends DataWriter[InternalRow] {
 
   private val partType = schema.fields(partIdx).dataType
@@ -2772,7 +2877,8 @@ private[sources] class GlPartitionedWriter(dir: String, schema: StructType,
     }
     writers.getOrElseUpdate(v, new GlWriter(dir, schema, partitionId, taskId,
       conf, nameOverride = Some(
-        f"part-$partitionId%05d-$taskId-p${writers.size}${GraftLines.Ext}")))
+        f"part-$partitionId%05d-$taskId-$jobTag" +
+          f"-p${writers.size}${GraftLines.Ext}")))
       .write(row)
   }
 
@@ -2826,10 +2932,15 @@ private[sources] case class GlOpStrippingFactory(inner: DataWriterFactory,
 }
 
 private[sources] case class GlWriterFactory(path: String, schema: StructType,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration,
+    // evaluated ONCE per factory construction on the driver, then
+    // serialized to every task — all of a job's files share the tag
+    jobTag: String = GraftLines.newJobTag()) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GlWriter(path, schema, partitionId, taskId, conf.value)
+    new GlWriter(path, schema, partitionId, taskId, conf.value,
+      nameOverride = Some(
+        f"part-$partitionId%05d-$taskId-$jobTag${GraftLines.Ext}"))
 }
 
 /** Task-side writer: lazily creates the STAGING file

@@ -212,6 +212,48 @@ class GraftLinesSpec extends AnyFunSuite {
       .agg(count(lit(1))).head().getLong(0) == 1007L)
   }
 
+  test("pushed string ranges compare in UTF-8 byte order, like Spark") {
+    // supplementary chars (>= U+10000, surrogate pairs) vs BMP chars
+    // in [U+E000, U+FFFF]: UTF-8 byte order puts the supplementary
+    // LAST, Java's UTF-16 compareTo puts it FIRST. Accepted pushdown
+    // leaves no residual Spark filter, so the reader's comparison
+    // must be byte-identical to Spark's or these rows silently flip.
+    val p = s"$dir/utf8cmp"
+    val supp = "𐀀" // U+10000
+    val bmp = ""
+    Seq((1L, supp), (2L, bmp), (3L, "a")).toDF("k", "s")
+      .coalesce(1).write.format("graftlines").mode("overwrite").save(p)
+    val base = spark.read.format("graftlines").load(p)
+    val lt = base.filter($"s" < bmp)
+    // the filter IS pushed (no residual)…
+    assert(glScan(lt).pushed.nonEmpty, glScan(lt).description())
+    assert(lt.queryExecution.sparkPlan.collectFirst {
+      case f: FilterExec => f }.isEmpty, "accepted pushdown must leave " +
+      "no residual — otherwise this test proves nothing")
+    // …and the result matches Spark's own UTF-8 ordering: U+10000 is
+    // NOT below U+E000 (UTF-16 compareTo would wrongly include it)
+    assert(lt.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L))
+    val gt = base.filter($"s" > bmp)
+    assert(gt.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+  }
+
+  test("column names a header cannot round-trip are rejected at write") {
+    val bad = Seq((1L, "x")).toDF("k", "v\tw")
+    val e = intercept[Exception] {
+      bad.write.format("graftlines").mode("overwrite")
+        .save(s"$dir/badname")
+    }
+    assert(e.getMessage.contains("unstorable in the header line"),
+      e.getMessage)
+    // colons are fine: parseHeader splits on the LAST colon
+    val p = s"$dir/colonname"
+    Seq((1L, "x")).toDF("k", "a:b").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    val back = spark.read.format("graftlines").load(p)
+    assert(back.columns.toSeq == Seq("k", "a:b"))
+    assert(back.count() == 1)
+  }
+
   test("stale stats rows degrade the manifest count to a real scan") {
     val p = s"$dir/metacount_stale"
     (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
