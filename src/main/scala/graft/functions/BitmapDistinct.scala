@@ -92,10 +92,18 @@ object BitmapDistinct {
     out
   }
 
-  val buildAgg: Aggregator[Long, Bitmap, Array[Byte]] =
-    new Aggregator[Long, Bitmap, Array[Byte]] {
+  // boxed input + null skip: COUNT(DISTINCT) ignores NULL keys, and a
+  // stored bitmap column can legitimately be NULL through an outer
+  // join — a primitive-Long encoder would instead fail the whole task
+  // in the deserializer (the null-guard rule CountMin cites from
+  // ADVICE r4, applied to both aggregation levels here)
+  val buildAgg: Aggregator[java.lang.Long, Bitmap, Array[Byte]] =
+    new Aggregator[java.lang.Long, Bitmap, Array[Byte]] {
       override def zero: Bitmap = new Bitmap
-      override def reduce(b: Bitmap, key: Long): Bitmap = { b.set(key); b }
+      override def reduce(b: Bitmap, key: java.lang.Long): Bitmap = {
+        if (key != null) b.set(key.longValue())
+        b
+      }
       override def merge(a: Bitmap, b: Bitmap): Bitmap = {
         a.or(b.words); a
       }
@@ -109,7 +117,8 @@ object BitmapDistinct {
     new Aggregator[Array[Byte], Bitmap, Long] {
       override def zero: Bitmap = new Bitmap
       override def reduce(b: Bitmap, bytes: Array[Byte]): Bitmap = {
-        b.or(fromBytes(bytes)); b
+        if (bytes != null) b.or(fromBytes(bytes))
+        b
       }
       override def merge(a: Bitmap, b: Bitmap): Bitmap = {
         a.or(b.words); a
@@ -122,7 +131,7 @@ object BitmapDistinct {
 
   /** bitmapOf(key): BINARY — bitmap of the group's distinct keys. */
   def bitmapOf(key: Column): Column =
-    udaf(buildAgg, ExpressionEncoder[Long]()).apply(key)
+    udaf(buildAgg, Encoders.LONG).apply(key)
 
   /** bitmapCardinality(bitmap): BIGINT — distinct count of the UNION
     * of already-built bitmaps (the reaggregation path). */

@@ -78,11 +78,19 @@ object BottomK {
 
   val K = 100
 
-  val aggregator: Aggregator[(Long, Long, Long), Heap, Array[Long]] =
-    new Aggregator[(Long, Long, Long), Heap, Array[Long]] {
+  // boxed fields + null skip: a NULL in any of the three inputs means
+  // the row cannot be ranked — skip it like every SQL aggregate does,
+  // instead of failing the query in the tuple deserializer
+  val aggregator: Aggregator[(java.lang.Long, java.lang.Long, java.lang.Long),
+      Heap, Array[Long]] =
+    new Aggregator[(java.lang.Long, java.lang.Long, java.lang.Long),
+        Heap, Array[Long]] {
       override def zero: Heap = new Heap(K)
-      override def reduce(b: Heap, in: (Long, Long, Long)): Heap = {
-        b.offer(in._1, in._2, in._3); b
+      override def reduce(b: Heap,
+          in: (java.lang.Long, java.lang.Long, java.lang.Long)): Heap = {
+        if (in._1 != null && in._2 != null && in._3 != null)
+          b.offer(in._1.longValue(), in._2.longValue(), in._3.longValue())
+        b
       }
       override def merge(a: Heap, b: Heap): Heap = {
         var i = 0
@@ -103,7 +111,8 @@ object BottomK {
 
   /** bottomK(hash, id, weight) -> array(n_kept, id_sum, weight_sum) */
   def bottomK(h: Column, id: Column, w: Column): Column =
-    udaf(aggregator, ExpressionEncoder[(Long, Long, Long)]())
+    udaf(aggregator,
+        Encoders.tuple(Encoders.LONG, Encoders.LONG, Encoders.LONG))
       .apply(h, id, w)
 }
 

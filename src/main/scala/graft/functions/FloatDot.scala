@@ -28,13 +28,25 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL is produced for mismatched lengths and NULL elements (below),
+  // even when both array inputs are non-null
+  override def nullable: Boolean = true
+
+  /** Mismatched lengths and NULL elements yield NULL — exactly what the
+    * documented-equivalent zip_with/aggregate form does (zip_with pads
+    * the shorter side with NULL, NULL poisons the sum). Silently
+    * truncating to the shorter array would return a plausible-but-wrong
+    * similarity score — the failure mode this file's own inputTypes
+    * comment warns about. */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -46,13 +58,22 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // per-element isNullAt is one bit probe on unsafe float arrays —
+      // the JIT hoists it for the common containsNull=false data
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

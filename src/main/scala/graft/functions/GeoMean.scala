@@ -14,11 +14,15 @@ object GeoMean {
 
   final case class Buf(var sumLog: Double, var n: Long)
 
-  val aggregator: Aggregator[Double, Buf, Double] =
-    new Aggregator[Double, Buf, Double] {
+  // boxed input + null skip: every SQL aggregate (AVG, SUM) ignores
+  // NULL rows — a primitive-Double encoder would instead fail the
+  // whole query in the typed deserializer on the first NULL
+  val aggregator: Aggregator[java.lang.Double, Buf, Double] =
+    new Aggregator[java.lang.Double, Buf, Double] {
       override def zero: Buf = Buf(0.0, 0L)
-      override def reduce(b: Buf, x: Double): Buf = {
-        b.sumLog += math.log(x); b.n += 1; b
+      override def reduce(b: Buf, x: java.lang.Double): Buf = {
+        if (x != null) { b.sumLog += math.log(x.doubleValue()); b.n += 1 }
+        b
       }
       override def merge(a: Buf, b: Buf): Buf = {
         a.sumLog += b.sumLog; a.n += b.n; a
@@ -30,5 +34,5 @@ object GeoMean {
     }
 
   /** column form: geomean(col) */
-  def geomean(c: Column): Column = udaf(aggregator).apply(c)
+  def geomean(c: Column): Column = udaf(aggregator, Encoders.DOUBLE).apply(c)
 }

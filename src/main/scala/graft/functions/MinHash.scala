@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -26,9 +26,15 @@ case class MinHashAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
   import MinHash.{NumHashes, A, B}
+
+  // SQL-exposed surface (`minhash128(x)`): coerce/reject non-BIGINT
+  // input at ANALYSIS time — update()'s asInstanceOf[Long] over, say,
+  // an INT column would otherwise ClassCastException per task at
+  // runtime (the FloatDot/LshSignatures rule applied here too)
+  override def inputTypes = Seq(LongType)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

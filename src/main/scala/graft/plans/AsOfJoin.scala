@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.TimestampType
   * Semantics: for every left row, attach the greatest right `ts` that is
   * strictly earlier, within the same `user` key (NULL if none) — the
   * event-time as-of lookup every feature-store/backfill pipeline needs.
+  * NULL key/time rows: a NULL-keyed (or NULL-timed) RIGHT row can never
+  * match and is skipped; a NULL-keyed/-timed LEFT row is emitted with a
+  * NULL as-of (the left-outer posture) — pandas merge_asof's treatment,
+  * and the only sound one (unboxing a NULL Long is 0, which would
+  * silently alias the real key 0).
   *
   * Scale design: requiredChildDistribution co-partitions both sides on
   * the user key (Spark inserts the hash exchanges), requiredChildOrdering
@@ -78,6 +83,12 @@ case class AsOfJoinExec(
     val rUser = BindReferences.bindReference(rightUser, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
     val nFields = left.output.size
+    // hoist everything the task needs into locals: referencing
+    // output/left.output/direction inside the closure would serialize
+    // the whole SparkPlan subtree into every task binary
+    val outTypes = output.map(_.dataType).toArray
+    val leftTypes = left.output.map(_.dataType).toArray
+    val dir = direction
 
     val wantFwd = direction == "forward" || direction == "nearest"
     val wantBwd = direction == "backward" || direction == "nearest"
@@ -86,7 +97,7 @@ case class AsOfJoinExec(
       // exec contract: emit UnsafeRow (downstream shuffles serialize it);
       // consumers copy when they buffer, per Spark convention
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(output.map(_.dataType).toArray)
+        .create(outTypes)
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var rHasHead = false
@@ -118,20 +129,37 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val lRow = lIter.next()
-          val u = lUser.eval(lRow).asInstanceOf[Long]
-          val t = lTime.eval(lRow).asInstanceOf[Long]
+          val uAny = lUser.eval(lRow)
+          val tAny = lTime.eval(lRow)
+          // NULL key or time on the left: no right row can match — emit
+          // the row with a NULL as-of (the left-outer posture) WITHOUT
+          // consuming, and never unbox (null.asInstanceOf[Long] is 0L,
+          // which would silently alias the real key/time 0)
+          if (uAny == null || tAny == null) return emit(lRow, null)
+          val u = uAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
           // consume right rows ordered before (u, t): always rt < t, and
           // for forward/nearest also rt == t (excluded from both
-          // candidates — the bounds are strict on both sides)
+          // candidates — the bounds are strict on both sides). Right
+          // rows with a NULL key/time sort FIRST (ascending NULLS
+          // FIRST, the ordering this node demands) and can never
+          // match — skip them.
           var continue = rHasHead
           while (continue) {
-            val ru = rUser.eval(rHead).asInstanceOf[Long]
-            val rt = rTime.eval(rHead).asInstanceOf[Long]
-            if (ru < u || (ru == u && (rt < t || (wantFwd && rt == t)))) {
-              if (ru == u) record(u, rt)
+            val ruAny = rUser.eval(rHead)
+            val rtAny = rTime.eval(rHead)
+            if (ruAny == null || rtAny == null) {
               advanceRight()
               continue = rHasHead
-            } else continue = false
+            } else {
+              val ru = ruAny.asInstanceOf[Long]
+              val rt = rtAny.asInstanceOf[Long]
+              if (ru < u || (ru == u && (rt < t || (wantFwd && rt == t)))) {
+                if (ru == u) record(u, rt)
+                advanceRight()
+                continue = rHasHead
+              } else continue = false
+            }
           }
           // backward: greatest consumed ts of u strictly below t
           val hasBwd = wantBwd && hasLast && lastUser == u &&
@@ -145,7 +173,7 @@ case class AsOfJoinExec(
               rUser.eval(rHead).asInstanceOf[Long] == u) {
             hasFwd = true; fwdTs = rTime.eval(rHead).asInstanceOf[Long]
           }
-          val asOf: Any = direction match {
+          val asOf: Any = dir match {
             case "backward" => if (hasBwd) bwdTs else null
             case "forward" => if (hasFwd) fwdTs else null
             case _ => // nearest; ties go backward
@@ -155,10 +183,14 @@ case class AsOfJoinExec(
               else if (hasFwd) fwdTs
               else null
           }
+          emit(lRow, asOf)
+        }
+
+        private def emit(lRow: InternalRow, asOf: Any): InternalRow = {
           val out = new Array[Any](nFields + 1)
           var i = 0
           while (i < nFields) {
-            out(i) = lRow.get(i, left.output(i).dataType); i += 1
+            out(i) = lRow.get(i, leftTypes(i)); i += 1
           }
           out(nFields) = asOf
           proj(InternalRow.fromSeq(out.toIndexedSeq))
@@ -195,37 +227,52 @@ case class BroadcastAsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val rUser = BindReferences.bindReference(rightUser, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
+    // hoist into locals: the closure must not capture `this` (it would
+    // serialize the whole plan subtree into every task binary), so no
+    // reference to output/left.output/direction below the mapPartitions
     val lUserU = leftUser
     val lTimeU = leftTime
     val nFields = left.output.size
     val dir = direction
+    val outTypes = output.map(_.dataType).toArray
+    val leftOut = left.output
+    val leftTypes = leftOut.map(_.dataType).toArray
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
-      val lUser = BindReferences.bindReference(lUserU, left.output)
-      val lTime = BindReferences.bindReference(lTimeU, left.output)
-      // build the per-key sorted index once per task from the broadcast
+      val lUser = BindReferences.bindReference(lUserU, leftOut)
+      val lTime = BindReferences.bindReference(lTimeU, leftOut)
+      // build the per-key sorted index once per task from the broadcast;
+      // NULL-keyed/NULL-time build rows can never match (and unboxing
+      // null would alias key 0) — skip them
       val index = new java.util.HashMap[Long, Array[Long]]()
       val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
       bcRows.value.foreach { row =>
-        val u = rUser.eval(row).asInstanceOf[Long]
-        val t = rTime.eval(row).asInstanceOf[Long]
-        var buf = tmp.get(u)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-          tmp.put(u, buf)
+        val uAny = rUser.eval(row)
+        val tAny = rTime.eval(row)
+        if (uAny != null && tAny != null) {
+          val u = uAny.asInstanceOf[Long]
+          val t = tAny.asInstanceOf[Long]
+          var buf = tmp.get(u)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+            tmp.put(u, buf)
+          }
+          buf += t
         }
-        buf += t
       }
       tmp.forEach { (u, buf) =>
         val arr = buf.toArray; java.util.Arrays.sort(arr); index.put(u, arr)
       }
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-        .create(output.map(_.dataType).toArray)
+        .create(outTypes)
       lIter.map { lRow =>
-        val u = lUser.eval(lRow).asInstanceOf[Long]
-        val t = lTime.eval(lRow).asInstanceOf[Long]
-        val ts = index.get(u)
+        val uAny = lUser.eval(lRow)
+        val tAny = lTime.eval(lRow)
+        // NULL probe key/time: no match possible, as-of stays NULL
+        val ts = if (uAny == null || tAny == null) null
+          else index.get(uAny.asInstanceOf[Long])
+        val t = if (tAny == null) 0L else tAny.asInstanceOf[Long]
         var asOf: Any = null
         if (ts != null) {
           // ip = first position with ts(i) >= t
@@ -251,7 +298,7 @@ case class BroadcastAsOfJoinExec(
         val out = new Array[Any](nFields + 1)
         var i = 0
         while (i < nFields) {
-          out(i) = lRow.get(i, left.output(i).dataType); i += 1
+          out(i) = lRow.get(i, leftTypes(i)); i += 1
         }
         out(nFields) = asOf
         proj(InternalRow.fromSeq(out.toIndexedSeq))

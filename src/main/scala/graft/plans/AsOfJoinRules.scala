@@ -10,14 +10,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * without this rule a `Filter` above an as-of join scans both inputs in
   * full. The as-of result for each surviving left row is unchanged by
   * removing other left rows (matches depend only on the right side), so
-  * any conjunct referencing left attributes alone may move below the
-  * join — restoring parquet pushdown on the probe side.
+  * any DETERMINISTIC conjunct referencing left attributes alone may
+  * move below the join — restoring parquet pushdown on the probe side.
+  * Nondeterministic conjuncts (rand(), a side-effecting UDF) stay put:
+  * their references are empty or left-only, but moving them changes
+  * which rows/order they evaluate over — the same refusal Catalyst's
+  * own PushDownPredicates makes.
   */
 object PushFilterThroughAsOf extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoin) =>
-      val (pushable, keep) = splitConjuncts(cond)
+      // like Catalyst: only conjuncts BEFORE the first nondeterministic
+      // one are candidates (a nondeterministic conjunct must see
+      // exactly the rows its predecessors passed, in order)
+      val conjuncts = splitConjuncts(cond)
+      val candidates = conjuncts.takeWhile(_.deterministic)
+      val rest = conjuncts.drop(candidates.length)
+      val (pushable, keepDet) = candidates
         .partition(_.references.subsetOf(j.left.outputSet))
+      val keep = keepDet ++ rest
       if (pushable.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))

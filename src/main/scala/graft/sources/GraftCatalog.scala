@@ -72,11 +72,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
 
   /** One path component per namespace level; separators are rejected so
-    * an identifier can never escape the warehouse root. */
+    * an identifier can never escape the warehouse root, and the
+    * format's own marker-file prefix is RESERVED: a table or namespace
+    * named `_graft_schema` would make its PARENT namespace look like a
+    * table (tableExists probes for exactly that child path), at which
+    * point DROP TABLE on the parent would recursively delete every
+    * table in it. Dot-prefixed names are reserved too (staging files,
+    * compact scratch). */
   private def checkComponent(s: String): String = {
     require(s.nonEmpty && !s.contains('/') && !s.contains('\\')
       && s != "." && s != "..",
       s"graftlines catalog: illegal name component '$s'")
+    require(!s.startsWith("_graft") && !s.startsWith("."),
+      s"graftlines catalog: name component '$s' is reserved " +
+        "(_graft* marker files and dot-prefixed staging names)")
     s
   }
 
@@ -206,6 +215,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     val (pcol, bspec) = parsePartitioning(schema, partitions)
     GraftLines.header(schema) // loudly reject unstorable types up front
+    // LOCATION/EXTERNAL would silently land data at the warehouse path
+    // instead of where the user declared — external-location adoption
+    // is deliberately NOT a feature (see class doc), so say so loudly
+    // rather than ignore the clause
+    require(!properties.containsKey(TableCatalog.PROP_LOCATION)
+        && !properties.containsKey(TableCatalog.PROP_EXTERNAL),
+      s"graftlines catalog: LOCATION/EXTERNAL is not supported — " +
+        s"tables live under the warehouse at <warehouse>/<ns>/<table>")
+    // NOT NULL cannot round-trip: the header stores name:type only, so
+    // loadTable would report a different (all-nullable) schema and an
+    // INSERTed NULL would pass the constraint unchecked. Constraints
+    // that cannot be honoured are rejected, not silently dropped.
+    // (CTAS is unaffected — Spark hands CTAS schemas over asNullable.)
+    schema.fields.filterNot(_.nullable).foreach { f =>
+      throw new UnsupportedOperationException(
+        s"graftlines catalog: column '${f.name}' is NOT NULL — the " +
+          "format stores no nullability, so the constraint would be " +
+          "silently dropped; declare the column nullable")
+    }
     val dir = tablePath(ident)
     if (fs.exists(schemaFile(dir))) throw new TableAlreadyExistsException(ident)
     // A directory already holding .gl files is a path-based dataset (or

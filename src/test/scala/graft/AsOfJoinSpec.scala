@@ -192,6 +192,51 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL keys and times never match and never alias key/time 0") {
+    // null.asInstanceOf[Long] is 0L — without explicit guards a
+    // NULL-keyed right row becomes a user-0 match and a NULL-keyed
+    // left row matches user 0's rows. The fixture is built so the
+    // buggy unboxing produces DIFFERENT answers than the correct
+    // skip-null semantics (pandas merge_asof's): right (null, 90)
+    // would pollute user 0's backward candidates, right (0, null)
+    // would add candidate ts=0, left (null, …) would match user 0,
+    // left (1, null) would take user 1's forward min.
+    import java.sql.Timestamp
+    def ts(s: Long): Timestamp = new Timestamp(s * 1000)
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(1L), Option(ts(100))),
+      (2L, Option.empty[Long], Option(ts(100))),
+      (3L, Option(1L), Option.empty[Timestamp]),
+      (4L, Option(0L), Option(ts(100))))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Option(1L), Option(ts(50))), (Option(1L), Option(ts(150))),
+      (Option.empty[Long], Option(ts(90))),
+      (Option(0L), Option.empty[Timestamp]),
+      (Option(0L), Option(ts(70))))
+      .toDF("c_user", "c_ts")
+    val expect = Map(
+      "backward" -> Seq((1L, Some(ts(50))), (2L, None), (3L, None),
+        (4L, Some(ts(70)))),
+      "forward" -> Seq((1L, Some(ts(150))), (2L, None), (3L, None),
+        (4L, None)),
+      // |100-50| = |150-100| → tie goes backward
+      "nearest" -> Seq((1L, Some(ts(50))), (2L, None), (3L, None),
+        (4L, Some(ts(70)))))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      def got(r: org.apache.spark.sql.DataFrame) = graft.plans.AsOf
+        .join(left, r, "user_id", "ts", "c_user", "c_ts", dir)
+        .select(col("event_id"), col("asof_ts"))
+        .orderBy(col("event_id")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getTimestamp(1)))).toSeq
+      assert(got(right) == expect(dir), s"merge exec, direction=$dir")
+      assert(got(broadcast(right)) == expect(dir),
+        s"broadcast exec, direction=$dir")
+    }
+  }
+
   test("broadcast build plans without shuffling or sorting the probe side") {
     val ev = Tables.events(spark, TestSpark.sf0001)
     val p = ev.filter(col("event_type") === "purchase")

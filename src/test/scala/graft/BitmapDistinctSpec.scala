@@ -64,4 +64,27 @@ class BitmapDistinctSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(twoLevel == direct)
   }
+
+  test("NULL keys and NULL stored bitmaps are skipped like COUNT(DISTINCT)") {
+    import spark.implicits._
+    val rows = Seq(Option(1L), None, Option(2L), Option(1L), None)
+      .toDF("key")
+    // null keys skip — exactly COUNT(DISTINCT key)'s treatment
+    assert(rows.agg(BitmapDistinct.bitmapOf($"key").as("bm"))
+      .select(length($"bm")).head.getInt(0) > 0)
+    val viaBitmap = rows
+      .agg(BitmapDistinct.bitmapOf($"key").as("bm"))
+      .agg(BitmapDistinct.bitmapCardinality($"bm"))
+      .head.getLong(0)
+    assert(viaBitmap == 2L)
+    // a NULL stored bitmap (e.g. from an outer join) skips at the
+    // reaggregation level too, instead of NPE-ing the task
+    val bms = rows.filter($"key".isNotNull)
+      .agg(BitmapDistinct.bitmapOf($"key").as("bm"))
+      .select($"bm")
+      .unionByName(Seq(1).toDF("x")
+        .select(lit(null).cast("binary").as("bm")))
+    assert(bms.agg(BitmapDistinct.bitmapCardinality($"bm"))
+      .head.getLong(0) == 2L)
+  }
 }

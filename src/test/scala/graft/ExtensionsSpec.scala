@@ -40,4 +40,42 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("fdot yields NULL for length mismatch and NULL elements") {
+    val spark = TestSpark.spark
+    graft.functions.FloatDot.register(spark)
+    def one(sql: String) = spark.sql(s"SELECT $sql AS d").head()
+    // mismatched lengths: the zip_with/aggregate form fdot documents
+    // itself equivalent to pads with NULL and the sum is poisoned —
+    // truncating to the shorter side would be a plausible-but-WRONG
+    // similarity score
+    assert(one("""fdot(array(cast(1.0 as float)),
+      | array(cast(1.0 as float), cast(2.0 as float)))""".stripMargin)
+      .isNullAt(0))
+    // a NULL element poisons the product the same way
+    assert(one("""fdot(array(cast(1.0 as float), cast(null as float)),
+      | array(cast(1.0 as float), cast(2.0 as float)))""".stripMargin)
+      .isNullAt(0))
+    // NULL input arrays stay NULL; equal-length non-null stays exact
+    assert(one("fdot(cast(null as array<float>), array(cast(1.0 as float)))")
+      .isNullAt(0))
+    assert(one("""fdot(array(cast(2.0 as float), cast(3.0 as float)),
+      | array(cast(4.0 as float), cast(5.0 as float)))""".stripMargin)
+      .getDouble(0) == 23.0)
+  }
+
+  test("minhash128 implicitly casts INT input instead of crashing tasks") {
+    val spark = TestSpark.spark
+    graft.functions.MinHash.register(spark)
+    // an INT column reaches the aggregate through an analysis-time
+    // CAST to BIGINT (ImplicitCastInputTypes) — before the fix this
+    // was a per-task ClassCastException at runtime
+    val viaInt = spark.sql(
+      "SELECT minhash128(x) FROM VALUES (1), (2) AS t(x)")
+      .head.getSeq[Long](0)
+    val viaLong = spark.sql(
+      "SELECT minhash128(x) FROM VALUES (1L), (2L) AS t(x)")
+      .head.getSeq[Long](0)
+    assert(viaInt == viaLong)
+  }
 }

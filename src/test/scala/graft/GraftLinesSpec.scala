@@ -293,6 +293,36 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(counted2.head().getLong(0) == 99L)
   }
 
+  test("catalog rejects reserved names, LOCATION, and NOT NULL loudly") {
+    spark.conf.set("spark.sql.catalog.graft_guard", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_guard.warehouse", s"$dir/guard_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_guard.ns")
+    // a table named like a marker file would make its parent namespace
+    // LOOK like a table — DROP TABLE on it would then delete every
+    // table in the namespace
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_guard.ns.`_graft_schema` (k BIGINT) USING graftlines"))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE NAMESPACE graft_guard.`_graft_x`"))
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // LOCATION would silently land data at the warehouse path instead
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft_guard.ns.ext (k BIGINT) USING graftlines " +
+        s"LOCATION '$dir/elsewhere'"))
+    assert(e3.getMessage.contains("LOCATION"), e3.getMessage)
+    // NOT NULL cannot round-trip the header — rejected, never dropped
+    val e4 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_guard.ns.nn (k BIGINT NOT NULL) USING graftlines"))
+    assert(e4.getMessage.contains("NOT NULL"), e4.getMessage)
+    // CTAS from a non-nullable projection is unaffected: Spark hands
+    // CTAS schemas over asNullable
+    spark.sql("DROP TABLE IF EXISTS graft_guard.ns.ctaslit")
+    spark.sql("CREATE TABLE graft_guard.ns.ctaslit USING graftlines " +
+      "AS SELECT 1L AS k")
+    assert(spark.table("graft_guard.ns.ctaslit").count() == 1L)
+  }
+
   test("a file with an out-of-range bucket id degrades the keyed scan") {
     spark.conf.set("spark.sql.catalog.graft_brange", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_brange.warehouse", s"$dir/brange_wh")

@@ -193,7 +193,9 @@ class PropertySpec extends AnyFunSuite {
         val heaps = rows.distinctBy(t => (t._1, t._2)).zipWithIndex
           .groupBy(_._2 % parts).values.map { chunk =>
             val h = BottomK.aggregator.zero
-            chunk.foreach { case (t, _) => BottomK.aggregator.reduce(h, t) }
+            chunk.foreach { case (t, _) =>
+              BottomK.aggregator.reduce(h,
+                (Long.box(t._1), Long.box(t._2), Long.box(t._3))) }
             h
           }
         val merged = heaps.reduce(BottomK.aggregator.merge)
