@@ -71,14 +71,21 @@ object FrameGraph {
     * snapshot (tree rows as emitted by `MicMacEtl.transfoTree`: one row
     * per file with the sorted set of member transfo names). The result
     * is a consistent edge set: composing inside it can never mix two
-    * import generations.
+    * import generations — which is why membership is keyed by
+    * (file, name), not name alone: natural transfo names repeat across
+    * imports (every orimatis pose is 'affine_mat4x3', two rigs can both
+    * carry a 'cam_00'), and a name-only join would leak identically
+    * named transfos from OTHER files into the snapshot.
     */
   def snapshot(transfos: DataFrame, transfotrees: DataFrame,
       treeName: String, nameCol: String): DataFrame = {
     val members = transfotrees
       .filter(col("tree_name") === treeName)
-      .select(explode(col("transfos")).as("_fg_member"))
-    transfos.join(members, col(nameCol) === col("_fg_member"), "left_semi")
+      .select(col("file").as("_fg_file"),
+        explode(col("transfos")).as("_fg_member"))
+    transfos.join(members,
+      col("file") === col("_fg_file") && col(nameCol) === col("_fg_member"),
+      "left_semi")
   }
 
   /** All composed transfos from `from` to `to` in at most `maxHops`

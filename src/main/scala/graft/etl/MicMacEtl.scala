@@ -83,12 +83,20 @@ object MicMacEtl {
             col("dist.ModPhgrStd.RadialePart.CoeffDist"),
             array(col("dist.ModPhgrStd.P1"), col("dist.ModPhgrStd.P2"),
               col("dist.ModPhgrStd.b1"), col("dist.ModPhgrStd.b2")))))
-    // A8: mandatory tags + known distortion model
+    // A8: mandatory tags + known distortion model + COMPLETE distortion
+    // parameters — a recognized model with a missing <CoeffDist> (or
+    // center) concat()s to a NULL dist_params, which would otherwise
+    // sail through to the exploder and fail as an anonymous executor
+    // NPE instead of an error naming the file
     val checked = parsed.filter(
       assert_true(col("focal").isNotNull && size(col("pp")) === 2
         && size(col("sz_im")) === 2).isNull)
       .filter(assert_true(col("dist_model").isNotNull,
         concat(lit("unknown CalibDistortion model in "), col("file"))).isNull)
+      .filter(assert_true(
+        col("dist_params").isNotNull && size(col("dist_params")) >= 3,
+        concat(lit("incomplete CalibDistortion parameters in "),
+          col("file"))).isNull)
     val sensors = checked.select(col("file"),
       lit("camera").as("sensor_type"),
       map_from_arrays(array(lit("image_size")), array(col("sz_im")))
@@ -219,6 +227,7 @@ object MicMacEtl {
         col("x.geometry.extrinseque.sommet.easting").as("px"),
         col("x.geometry.extrinseque.sommet.northing").as("py"),
         col("x.geometry.extrinseque.sommet.altitude").as("pz"),
+        col("x.geometry.extrinseque.rotation.Image2Ground").as("i2g"),
         col("x.geometry.extrinseque.rotation.quaternion").as("quat"),
         col("x.geometry.extrinseque.rotation.mat3d").as("mat"))
       .withColumn("flavor",
@@ -255,8 +264,18 @@ object MicMacEtl {
       lit(1) - lit(2) * (q("x") * q("x") + q("y") * q("y")))
     def m(row: Int, i: Int) =
       element_at(vec(col("mat").getField(s"l$row")), i + 1)
-    val r = (0 until 9).map(k =>
+    val rStored = (0 until 9).map(k =>
       when(col("quat").isNotNull, rq(k)).otherwise(m(k / 3 + 1, k % 3)))
+    // <Image2Ground>: true or ABSENT means the stored rotation already
+    // maps image->ground (the pose orientation mat4x3 carries); FALSE
+    // means it is stored ground->image and must be TRANSPOSED — the
+    // sommet (camera center in ground coords) is direction-independent.
+    // Ignoring the flag would emit a transposed rotation with no error
+    // and silently corrupt every composed pose downstream.
+    val r = (0 until 9).map { k =>
+      val kT = (k % 3) * 3 + k / 3 // R[i][j] <- R[j][i]
+      when(col("i2g") === lit(false), rStored(kT)).otherwise(rStored(k))
+    }
     val pose = checked.withColumn("mat4x3", array(
       r(0), r(1), r(2), col("px"),
       r(3), r(4), r(5), col("py"),
@@ -347,21 +366,36 @@ object MicMacEtl {
     // — hence the null-SAFE join below; a plain equi-join would
     // silently drop every NULL-keyed row
     val base = if (naturalKey.contains("id")) df else df.drop("id")
+    // when `id` is itself part of the natural key, the rank must land
+    // under a scratch name and REPLACE the original column after the
+    // join — aliasing it `id` directly would leave TWO `id` columns
+    // and make every downstream col("id") ambiguous (the window form
+    // replaces in place via withColumn, and the two forms must agree)
+    val rankAlias = if (naturalKey.contains("id")) "_gr_newid" else "id"
     val ids = graft.operators.DistributedRank
       .withRankCols(base.select(keyCols: _*).distinct(), keyCols,
         numBuckets = 1, parts = parts)
       .select(naturalKey.map(k => col(k).as("_sid_" + k))
-        :+ col("_gr_rank").as("id"): _*)
+        :+ col("_gr_rank").as(rankAlias): _*)
     val cond = naturalKey.map(k => base(k) <=> col("_sid_" + k))
       .reduce(_ && _)
-    base.join(ids, cond).drop(naturalKey.map("_sid_" + _): _*)
+    val joined = base.join(ids, cond).drop(naturalKey.map("_sid_" + _): _*)
+    if (naturalKey.contains("id"))
+      joined.drop("id").withColumnRenamed("_gr_newid", "id")
+    else joined
   }
 
   /** A5 get_or_create: rows of `staging` whose natural key is absent from
-    * `existing` are appended; matched rows reuse the existing id. */
+    * `existing` are appended; matched rows reuse the existing id.
+    * The anti-join is null-SAFE: with a plain equi-join a NULL natural
+    * key never matches itself, so a NULL-keyed row would be re-appended
+    * on EVERY run — the same reasoning that makes
+    * [[withSurrogateIdsAtScale]]'s join `<=>`. */
   def getOrCreate(existing: DataFrame, staging: DataFrame,
       naturalKey: Seq[String]): DataFrame = {
-    val fresh = staging.join(existing, naturalKey, "left_anti")
+    val cond = naturalKey.map(k => staging(k) <=> existing(k))
+      .reduce(_ && _)
+    val fresh = staging.join(existing, cond, "left_anti")
     existing.unionByName(fresh, allowMissingColumns = false)
   }
 }
@@ -374,6 +408,36 @@ object MicMacEtl {
 case class AutocalTransfos(children: Seq[Expression])
   extends Expression with Generator with CodegenFallback {
 
+  /** SQL-exposed surface (`autocal_transfos(...)`): wrong arity or
+    * input types must be an ANALYSIS error, not a per-task
+    * ClassCast/IndexOutOfBounds at runtime (the fdot/minhash128
+    * rule). */
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val expected = Seq[DataType](DoubleType, ArrayType(DoubleType),
+      StringType, ArrayType(DoubleType))
+    if (children.length != expected.length)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure("autocal_transfos expects " +
+          s"(double, array<double>, string, array<double>); got " +
+          s"${children.length} argument(s)")
+    else {
+      val bad = children.zip(expected).find { case (c, e) =>
+        !org.apache.spark.sql.types.DataType.equalsStructurally(
+          c.dataType, e, ignoreNullability = true)
+      }
+      bad match {
+        case Some((c, e)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckFailure(s"autocal_transfos: expected $e, got " +
+              s"${c.dataType.catalogString}")
+        case None =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+            .TypeCheckSuccess
+      }
+    }
+  }
+
   override def elementSchema: StructType = StructType(Seq(
     StructField("transfo_name", StringType, nullable = false),
     StructField("transfo_type", StringType, nullable = false),
@@ -382,10 +446,19 @@ case class AutocalTransfos(children: Seq[Expression])
     StructField("parameters", ArrayType(DoubleType), nullable = false)))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val focal = children(0).eval(input).asInstanceOf[Double]
-    val pp = children(1).eval(input).asInstanceOf[ArrayData].toDoubleArray()
-    val distType = children(2).eval(input).asInstanceOf[UTF8String].toString
-    val dparams = children(3).eval(input).asInstanceOf[ArrayData].toDoubleArray()
+    // the A8 filters upstream guarantee non-null inputs for the ETL
+    // path; this guard turns any other caller's NULL into a named
+    // error instead of an anonymous executor NPE
+    val raw = children.map(_.eval(input))
+    require(raw.forall(_ != null),
+      "autocal_transfos: NULL argument (focal/pp/dist_model/dist_params" +
+        " are all mandatory — A8 validates them per file)")
+    val focal = raw(0).asInstanceOf[Double]
+    val pp = raw(1).asInstanceOf[ArrayData].toDoubleArray()
+    val distType = raw(2).asInstanceOf[UTF8String].toString
+    val dparams = raw(3).asInstanceOf[ArrayData].toDoubleArray()
+    require(pp.length >= 2,
+      s"autocal_transfos: pp needs 2 components, got ${pp.length}")
     def row(n: String, t: String, s: String, g: String, p: Array[Double]) =
       InternalRow(UTF8String.fromString(n), UTF8String.fromString(t),
         UTF8String.fromString(s), UTF8String.fromString(g),

@@ -64,8 +64,11 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
+      // pmod, not %: Spark's % keeps the dividend's sign, so a negative
+      // doc_id would index 0 (runtime error) or -1/-2 (element_at
+      // resolves those from the array END — silently wrong kind)
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
       encode(col("text"), "utf-8").as("payload"),
       struct(
         lit(64).as("width"), lit(64).as("height"),
@@ -76,7 +79,6 @@ object Multimodal {
   /** decode + feature-extract: one codec init per partition, batch
     * iteration inside — the mapPartitions shape a real decoder needs */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select(col("media_id"), col("kind"), col("payload"))
       .mapPartitions { rows =>
@@ -91,11 +93,18 @@ object Multimodal {
   }
 
   /** frame-sample: keep every k-th frame index up to meta.n_frames —
-    * pure column math on metadata, no decode needed */
-  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+    * pure column math on metadata, no decode needed. A zero-frame or
+    * NULL-frame-count asset yields ZERO rows (greatest(n_frames, 0)
+    * keeps sequence() from throwing on an empty range; explode drops
+    * empty arrays) — corrupt metadata must not kill the whole job. */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"sampleFrames: everyK must be >= 1, got $everyK")
     media.select(col("media_id"), col("kind"),
-      explode(sequence(lit(0), col("meta.n_frames") - 1,
-        lit(everyK))).as("frame_idx"))
+      explode(when(col("meta.n_frames") > 0,
+        sequence(lit(0), col("meta.n_frames") - 1, lit(everyK)))
+        .otherwise(array().cast(ArrayType(IntegerType))))
+        .as("frame_idx"))
+  }
 
   /** resize stub: recompute metadata, mark payload for re-decode */
   def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =

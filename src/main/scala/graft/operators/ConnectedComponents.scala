@@ -113,7 +113,6 @@ object ConnectedComponents {
     // upstream exactly once instead of once per localCheckpoint.
     val e0 = edges.select(col(edges.columns(0)).cast("long").as("u"),
       col(edges.columns(1)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
     // One-job set signature: rows are DISTINCT canonical pairs, so
     // (count, xor of h, xor of rehash(h)) is an order-independent set
     // witness — xor never overflows (sum would trip ANSI arithmetic)
@@ -127,13 +126,19 @@ object ConnectedComponents {
         if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var cur = e0
+    // canonical pairs INCLUDING (x, x) self-loops at this stage: the
+    // node universe must cover a node whose only edge is a self-loop
+    // (label() gives it its own component; dropping it here would
+    // silently lose the row — the contract is "same as label"). The
+    // contraction itself then runs on the loop-free subset.
+    val eRaw = e0
       .select(least(col("u"), col("v")).as("lo"),
         greatest(col("u"), col("v")).as("hi"))
       .distinct()
       .localCheckpoint()
-    val allNodes = cur.select(col("lo").as("node"))
-      .union(cur.select(col("hi").as("node"))).distinct()
+    var cur = eRaw.filter(col("lo") =!= col("hi"))
+    val allNodes = eRaw.select(col("lo").as("node"))
+      .union(eRaw.select(col("hi").as("node"))).distinct()
       .localCheckpoint()
     var curSig = sig(cur)
     var iter = 0

@@ -110,6 +110,9 @@ object XmlManifest {
     */
   def fromPathsFile(spark: SparkSession, pathsFile: String): Dataset[String] = {
     import spark.implicits._
-    spark.read.textFile(pathsFile).filter(_.nonEmpty)
+    // trim BEFORE the emptiness filter: a CRLF-authored manifest leaves
+    // '\r' on every path (FileNotFound on each fetch task), and a line
+    // of spaces passes a bare nonEmpty check
+    spark.read.textFile(pathsFile).map(_.trim).filter(_.nonEmpty)
   }
 }

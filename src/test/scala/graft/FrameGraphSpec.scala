@@ -173,13 +173,33 @@ class FrameGraphSpec extends AnyFunSuite {
     assert(graft.etl.FrameGraph.snapshot(
       out("transfos"), out("transfotrees"), "no_such_tree", "cam")
       .count() == 0)
-    // a pruned snapshot excludes the non-member edge
-    import spark.implicits._
-    val pruned = Seq(("blinis_sample.xml", Seq("cam_00")))
-      .toDF("tree_name", "transfos")
+    // a pruned snapshot excludes the non-member edge (derive the
+    // pruned tree from the real one so the FILE scoping key matches —
+    // membership is keyed by (file, name), not name alone)
+    val pruned = out("transfotrees")
+      .withColumn("transfos", array(lit("cam_00")))
     val one = graft.etl.FrameGraph
       .snapshot(out("transfos"), pruned, "blinis_sample.xml", "cam")
     assert(one.select("cam").collect().map(_.getString(0)).toSeq
       == Seq("cam_00"))
+  }
+
+  test("snapshot never leaks identically-named transfos from other files") {
+    // two imports whose transfos share every natural name: a name-only
+    // membership join would return BOTH files' rows for either tree
+    val a = graft.etl.MicMacEtl.importBlinis(spark, s"$res/blinis_sample.xml")
+    val both = graft.etl.MicMacEtl.importBlinis(spark,
+      s"$res/blinis_sample.xml")
+    val transfos2 = a("transfos").unionByName(both("transfos")
+      .withColumn("file", concat(col("file"), lit("#copy"))))
+    val trees2 = a("transfotrees").unionByName(both("transfotrees")
+      .withColumn("file", concat(col("file"), lit("#copy")))
+      .withColumn("tree_name", lit("copy_tree")))
+    val snap = graft.etl.FrameGraph
+      .snapshot(transfos2, trees2, "blinis_sample.xml", "cam")
+    // only the ORIGINAL file's two arms — the #copy rows carry the
+    // same cam names and must not leak in
+    assert(snap.count() == 2)
+    assert(snap.select("file").distinct().count() == 1)
   }
 }

@@ -93,6 +93,25 @@ class MicMacEtlSpec extends AnyFunSuite {
     assert(ts("projective_pinhole") == Seq(3050.25, 1536.5, 1024.5))
   }
 
+  test("orimatis: Image2Ground=false transposes the stored rotation") {
+    // same matrix fixture with the flag flipped: the stored R is
+    // ground->image, so the pose must carry R-transpose — ignoring the
+    // flag would silently emit the transposed orientation (every
+    // composed pose downstream wrong, no error)
+    val out = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_matrix_g2i.xml")
+    val ts = out("transfos").collect()
+      .map(r => r.getString(2) -> r.getSeq[Double](4)).toMap
+    // transpose of the 90-degree-about-z sample; sommet unchanged
+    // (the camera center is direction-independent)
+    val exp = Seq(
+      0.0, 1.0, 0.0, 651200.25,
+      -1.0, 0.0, 0.0, 6861500.5,
+      0.0, 0.0, 1.0, 120.75)
+    ts("affine_mat4x3").zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"${ts("affine_mat4x3")} vs $exp") }
+  }
+
   test("orimatis: spherique flavor -> angular intrinsics, no pinhole") {
     val out = graft.etl.MicMacEtl
       .importOrimatis(spark, s"$res/orimatis_spherique.xml")
