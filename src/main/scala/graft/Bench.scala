@@ -27,6 +27,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session timezone as Verify: on a non-UTC host the
+      // date_trunc/to_date/year-month queries would otherwise bench a
+      // DIFFERENT grouping than the one the oracle verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,11 +42,24 @@ object Bench {
 
     // a crashing query must surface in the artifact, never be recorded
     // as a fast success (VERDICT r3 "What's wrong" #1): the error text
-    // rides along in an "errors" map and the run still times the crash
+    // rides along in an "errors" map and the run still times the crash.
+    //
+    // Materialization is a `noop`-format WRITE, not .count() (r9
+    // methodology fix): wrapping a query in Aggregate(count(1)) lets
+    // Catalyst drop the final ORDER BY (EliminateSorts) and prune every
+    // unreferenced projection/aggregate value expression, so the bench
+    // systematically under-timed the operators Verify fully
+    // materializes. The noop sink consumes EVERY column of EVERY row
+    // and keeps the query's sort, measuring the declared workload;
+    // totals before r9 are therefore not directly comparable (both
+    // methods' closing numbers are recorded in BASELINE.md).
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
+      val err = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        None
+      } catch {
         case t: Throwable =>
           Some(t.getClass.getSimpleName + ": "
             + String.valueOf(t.getMessage).replaceAll("\\s+", " ").take(200))
@@ -66,8 +83,12 @@ object Bench {
         case c if c < ' ' => "\\u%04x".format(c.toInt)
         case c => c.toString
       }
+    // keys AND the env-sourced sfDir go through jesc too: a quote or
+    // backslash in either would corrupt the one-line artifact the
+    // driver json.load's (the failure the bench.json fallback exists
+    // to prevent)
     def jmap(sel: ((Double, Double, Double, Option[String])) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
+      results.map { case (k, v) => s"\"" + jesc(k) + "\":" + sel(v) }
         .mkString("{", ",", "}")
     val qs = jmap(_._1)
     val firsts = jmap(_._2)
@@ -75,10 +96,10 @@ object Bench {
     // regression is distinguishable from one-run GC noise
     val seconds = jmap(_._3)
     val errors = results.collect { case (k, (_, _, _, Some(e))) =>
-      s"\"" + k + "\":\"" + jesc(e) + "\"" }.mkString("{", ",", "}")
+      s"\"" + jesc(k) + "\":\"" + jesc(e) + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"second_run":$seconds,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_run":$firsts,"second_run":$seconds,"errors":$errors,"sf":"${jesc(sfDir)}"}"""
     println(line)
     try Files.write(Paths.get("bench.json"), (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

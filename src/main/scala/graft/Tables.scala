@@ -152,12 +152,28 @@ object Tables {
     tsUnitCache.getOrElseUpdate(key, {
       val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      try spark.read.parquet(s"$sfDir/events.parquet")
-        .schema("ts").dataType == LongType
-      finally prev match {
+      val isNanos =
+        try spark.read.parquet(s"$sfDir/events.parquet")
+          .schema("ts").dataType == LongType
+        catch { case t: Throwable =>
+          prev match {
+            case Some(v) =>
+              spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None =>
+              spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
+          throw t
+        }
+      // restore the flag only for a MICROS verdict: on a NANOS fixture
+      // the flag must stay SET session-wide — every lazy NANOS events
+      // scan needs it at ACTION time, and an unconditional restore
+      // here opens a window where a concurrent sniff (another suite's
+      // first events read) unsets it under a mid-plan NANOS scan
+      if (!isNanos) prev match {
         case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
         case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
+      isNanos
     })
   }
 
@@ -172,17 +188,29 @@ object Tables {
 
   /** Streaming source over events.parquet with ts normalized to
     * TimestampType micros, whichever unit the file stores — the single
-    * entry point for every q_stream_* readStream. */
-  def eventsReadStream(s: SparkSession, sfDir: String): DataFrame =
+    * entry point for every q_stream_* readStream. The path handling
+    * matches the batch reader for BOTH fixture layouts: a single
+    * `events.parquet` FILE streams via a leaf-name glob on the parent
+    * directory, while an `events.parquet` DIRECTORY (a multi-part
+    * regeneration) streams from the directory itself — the glob form
+    * alone would match no leaf file there and every streaming query
+    * would silently drain empty. */
+  def eventsReadStream(s: SparkSession, sfDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val isDir = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    def src(schema: StructType): DataFrame = {
+      val r = s.readStream.schema(schema)
+      if (isDir) r.parquet(p.toString)
+      else r.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    }
     if (eventsTsIsNanos(s, sfDir)) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream.schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      src(eventsRawSchema)
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
-    } else
-      s.readStream.schema(eventsMicrosSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    } else src(eventsMicrosSchema)
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

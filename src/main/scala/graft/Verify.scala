@@ -26,6 +26,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a reused outDir may hold this query's parquet from an EARLIER
+        // run (overwrite only lands on success) — deleting it turns the
+        // failure into a loud "no spark output" in the compare instead
+        // of silently grading stale-but-matching output as a pass
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        } catch { case _: Exception => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
