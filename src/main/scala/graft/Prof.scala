@@ -16,10 +16,13 @@ object Prof {
     for (name <- args) {
       // time the query fn inclusively: the streaming queries run their
       // micro-batches inside the closure, before the returned frame is
-      // counted — construction cost IS the query for them
+      // materialized — construction cost IS the query for them.
+      // noop write, same as Bench (r9): count() lets the optimizer
+      // drop the final sort and prune value expressions, so Prof
+      // numbers would not be comparable to the graded bench series
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, d)
-      df.count()
+      df.write.mode("overwrite").format("noop").save()
       println(f"== $name: ${(System.nanoTime()-t0)/1e9}%.2f s")
       if (sys.env.contains("PROF_EXPLAIN")) df.explain("formatted")
     }
