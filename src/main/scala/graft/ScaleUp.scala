@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   * sf0.1 — this closes the one-decade gap that IS reachable locally).
   *
   * Construction (deterministic, no RNG):
-  *  - fact/dim keys shift by `replica * 10_000_000` so every FK chain
-  *    stays intact within its replica and key spaces never collide;
-  *    nation/region (fixed 25/5-row dims) are shared, and nationkey
-  *    FKs stay unshifted — exactly how TPC-H itself scales.
+  *  - fact/dim keys shift by `replica * stride(keyFamily)` so every FK
+  *    chain stays intact within its replica and key spaces never
+  *    collide; nation/region (fixed 25/5-row dims) are shared, and
+  *    nationkey FKs stay unshifted — exactly how TPC-H itself scales.
+  *    Strides are per key FAMILY, sized just above each dim's key
+  *    range, so the scaled keys stay DENSE like real TPC-H surrogate
+  *    keys (a uniform huge stride would make small dims artificially
+  *    sparse — it pushed sf1 suppkeys past the 2^26 dense-domain bound
+  *    the bitmap-distinct operator documents, failing a query the real
+  *    data shape would never fail).
   *  - `documents.text` gets a per-replica prefix token (replica 0
   *    unchanged), so the corpus grows 10x with near-duplicate
   *    STRUCTURE preserved (each doc gains 9 near-copies — a realistic
@@ -33,7 +39,16 @@ import org.apache.spark.sql.functions._
   * SparkEntry query runs against it unmodified via PROF_SF_DIR.
   */
 object ScaleUp {
-  private val Shift = 10000000L
+  // per-key-family replica strides: > the family's max key at sf0.1
+  // (suppkey 1k, partkey 20k, custkey 15k, orderkey ~600k, event_id
+  // 100k, user_id small, doc_id 5k, vec_id 2k), with headroom
+  private val Strides: Map[String, Long] = Map(
+    "s_suppkey" -> 10000L, "l_suppkey" -> 10000L,
+    "p_partkey" -> 100000L, "l_partkey" -> 100000L,
+    "c_custkey" -> 100000L, "o_custkey" -> 100000L,
+    "o_orderkey" -> 10000000L, "l_orderkey" -> 10000000L,
+    "event_id" -> 1000000L, "user_id" -> 100000L,
+    "doc_id" -> 100000L, "vec_id" -> 100000L)
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -52,12 +67,13 @@ object ScaleUp {
       spark.read.parquet(s"$src/$name.parquet")
 
     /** Stack `rep` copies of `df`, shifting every column in `keys` by
-      * replica*Shift; `extra` post-processes each replica frame. */
+      * replica * its family stride; `extra` post-processes each
+      * replica frame. */
     def stack(df: DataFrame, keys: Seq[String],
         extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
       (0 until rep).map { k =>
         val shifted = keys.foldLeft(df)((d, c) =>
-          d.withColumn(c, col(c) + lit(k * Shift)))
+          d.withColumn(c, col(c) + lit(k * Strides(c))))
         extra(shifted, k)
       }.reduce(_ unionByName _)
 
