@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side contract here is REAL and tested: schema, partition
   * iteration, batch shape, and the per-partition decode loop are exactly
-  * what a production media pipeline runs. The codec itself is a STUB —
-  * this container has no image/audio libraries — marked by
-  * `decodeStub`, which derives deterministic fake pixels/samples from
-  * the payload bytes so tests have stable expectations. Swap
-  * `decodeStub` for a real codec (e.g. javax.imageio / ffmpeg binding)
-  * and nothing else changes.
+  * what a production media pipeline runs. Decoding dispatches on the
+  * container magic: RIFF/WAVE PCM payloads go through the from-scratch
+  * [[Wav]] codec, uncompressed 24-bpp BMP payloads through [[Bmp]] —
+  * both hand-written chunk/header walks, no external media libraries
+  * (golden-vectored in MultimodalSpec). A payload that is neither (or
+  * that fails structural validation — one corrupt asset must not kill
+  * the stage) falls back to [[opaqueFeatures]], a deterministic
+  * byte-fold, so unknown formats still yield a stable fixed-width
+  * vector. Compressed formats (JPEG/MP3/H.264) would slot in as
+  * further `looksLike`/decode pairs.
   *
   * Scale notes: media work is embarrassingly parallel per row —
   * mapPartitions keeps the codec call off the driver, one codec init
@@ -45,11 +49,12 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
-  /** STUB codec ??? replacement point: deterministic fake "decode" that
-    * folds payload bytes into an 8-dim feature vector. A real codec
-    * returns pixels/samples here; everything around it is production
-    * plumbing. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
+  /** Fallback for payloads that are not a supported container:
+    * deterministic byte-fold into an 8-dim vector. NOT a decode — the
+    * declared behavior for opaque/unknown formats (and the pre-r10
+    * behavior for every payload, so existing query hashes are
+    * unchanged for non-media bytes). */
+  def opaqueFeatures(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
     var i = 0
     while (i < payload.length) {
@@ -58,6 +63,75 @@ object Multimodal {
     }
     f
   }
+
+  /** 8-dim audio feature vector from decoded PCM: [channels,
+    * sampleRate/1000, frames, mean, rms, min, max, zero-crossings],
+    * samples normalized to [-1, 1). Accumulation in Double, emitted as
+    * Float — deterministic (fixed in-order loop, no parallel reduce). */
+  def audioFeatures(a: Wav.Audio): Array[Float] = {
+    val n = a.samples.length
+    var sum = 0.0; var sumSq = 0.0
+    var mn = 0.0; var mx = 0.0; var zc = 0
+    var prevNonNeg = true
+    var i = 0
+    while (i < n) {
+      val v = a.samples(i) / 32768.0
+      sum += v; sumSq += v * v
+      if (i == 0) { mn = v; mx = v; prevNonNeg = v >= 0 }
+      else {
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        val nonNeg = v >= 0
+        if (nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+      }
+      i += 1
+    }
+    Array(a.channels.toFloat, a.sampleRate / 1000.0f, a.frames.toFloat,
+      if (n == 0) 0f else (sum / n).toFloat,
+      if (n == 0) 0f else math.sqrt(sumSq / n).toFloat,
+      mn.toFloat, mx.toFloat, zc.toFloat)
+  }
+
+  /** 8-dim image feature vector from decoded pixels: [width, height,
+    * meanR, meanG, meanB, minLuma, maxLuma, meanLuma], channel means
+    * and luma normalized to [0, 1]; luma = (299R + 587G + 114B)/1000. */
+  def imageFeatures(img: Bmp.Image): Array[Float] = {
+    val n = img.pixels.length
+    var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0
+    var minL = 255.0; var maxL = 0.0
+    var i = 0
+    while (i < n) {
+      val p = img.pixels(i)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      val l = (299 * r + 587 * g + 114 * b) / 1000.0
+      sr += r; sg += g; sb += b; sl += l
+      if (l < minL) minL = l
+      if (l > maxL) maxL = l
+      i += 1
+    }
+    Array(img.width.toFloat, img.height.toFloat,
+      if (n == 0) 0f else (sr / n / 255.0).toFloat,
+      if (n == 0) 0f else (sg / n / 255.0).toFloat,
+      if (n == 0) 0f else (sb / n / 255.0).toFloat,
+      (minL / 255.0).toFloat, (maxL / 255.0).toFloat,
+      if (n == 0) 0f else (sl / n / 255.0).toFloat)
+  }
+
+  /** Decode + featurize one payload: sniff the container magic, run
+    * the real codec, fall back to the opaque byte-fold when the
+    * payload is neither a valid WAV nor a valid BMP (sniff first, so
+    * the exception path never runs for clearly-non-media bytes; a
+    * payload that merely STARTS like a container but fails structural
+    * validation also falls back rather than failing the task). */
+  def decode(payload: Array[Byte]): Array[Float] =
+    if (Wav.looksLike(payload))
+      Wav.tryDecode(payload).map(audioFeatures)
+        .getOrElse(opaqueFeatures(payload))
+    else if (Bmp.looksLike(payload))
+      Bmp.tryDecode(payload).map(imageFeatures)
+        .getOrElse(opaqueFeatures(payload))
+    else opaqueFeatures(payload)
 
   /** build a media table from documents (text bytes stand in for real
     * payloads; metadata derived deterministically) */
@@ -85,7 +159,7 @@ object Multimodal {
         // real codec: initialize decoder context HERE, once per partition
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val feats = decodeStub(payload)
+          val feats = decode(payload)
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
             payload.length, feats)
         }

@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing contract: schema, batch shape, partition-count
-  * invariance, deterministic stub decode (task brief: Spark-side
-  * plumbing real and tested; codec stubbed). */
+/** Multimodal contract: schema, batch shape, partition-count
+  * invariance, and the real from-scratch WAV/BMP codecs (golden
+  * vectors, round trips, chunk/header-walk robustness, dispatch). */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-  import graft.multimodal.Multimodal
+  import graft.multimodal.{Bmp, Multimodal, Wav}
 
   private def media = Multimodal.mediaFromDocuments(
     Tables.documents(spark, TestSpark.sf0001))
@@ -61,5 +61,166 @@ class MultimodalSpec extends AnyFunSuite {
       length(col("payload"))).head()
     assert(row.getInt(0) == 32 && row.getInt(1) == 32)
     assert(r.count() == media.count())
+  }
+
+  // ---- WAV codec -------------------------------------------------------
+
+  test("WAV 16-bit round trip is bit-exact") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7, -1)
+    // 7 samples, 1 channel — also exercises the odd-data-length pad math
+    val bytes = Wav.encode(samples, sampleRate = 16000, channels = 1)
+    val a = Wav.decode(bytes)
+    assert(a.sampleRate == 16000 && a.channels == 1 &&
+      a.bitsPerSample == 16 && a.frames == 7)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV stereo frames = samples / channels") {
+    val samples = Array[Short](1, 2, 3, 4, 5, 6) // 3 frames x 2 channels
+    val a = Wav.decode(Wav.encode(samples, 44100, channels = 2))
+    assert(a.channels == 2 && a.frames == 3)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("WAV golden header bytes (canonical 44-byte PCM header)") {
+    val b = Wav.encode(Array[Short](258), 16000, 1)
+    assert(b.length == 46)
+    assert(new String(b.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(b.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(b.slice(12, 16), "US-ASCII") == "fmt ")
+    assert((b(20) & 0xff) == 1 && (b(34) & 0xff) == 16)  // PCM, 16-bit
+    assert(new String(b.slice(36, 40), "US-ASCII") == "data")
+    // 258 = 0x0102 little-endian
+    assert((b(44) & 0xff) == 0x02 && (b(45) & 0xff) == 0x01)
+  }
+
+  test("WAV chunk walk skips unknown chunks (odd size padded)") {
+    val base = Wav.encode(Array[Short](5, -5), 8000, 1)
+    // splice a 3-byte LIST chunk (odd → 1 pad byte) between fmt and data
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 'x', 'y', 'z', 0)
+    val spliced = base.slice(0, 36) ++ junk ++ base.slice(36, base.length)
+    val a = Wav.decode(spliced)
+    assert(a.samples.toSeq == Seq[Short](5, -5))
+  }
+
+  test("WAV 8-bit PCM expands to centered 16-bit") {
+    val base = Wav.encode(Array[Short](0, 0), 8000, 1)
+    // rewrite: bits=8, data chunk = two unsigned bytes 128 (silence), 255
+    val b = base.clone()
+    b(34) = 8                        // bitsPerSample
+    b(40) = 2; b(41) = 0; b(42) = 0; b(43) = 0  // data size 2
+    b(44) = 128.toByte; b(45) = 255.toByte
+    val a = Wav.decode(java.util.Arrays.copyOf(b, 46))
+    assert(a.bitsPerSample == 8)
+    assert(a.samples.toSeq == Seq[Short](0, ((255 - 128) << 8).toShort))
+  }
+
+  test("WAV corrupt inputs throw / tryDecode yields None") {
+    val good = Wav.encode(Array[Short](1), 8000, 1)
+    val truncated = good.slice(0, good.length - 1) // data overruns file
+    intercept[IllegalArgumentException](Wav.decode(truncated))
+    assert(Wav.tryDecode(truncated).isEmpty)
+    assert(Wav.tryDecode("RIFFxxxxWAVE".getBytes).isEmpty)  // no chunks
+    assert(Wav.tryDecode(Array[Byte](1, 2, 3)).isEmpty)
+    // non-PCM format tag rejected
+    val g2 = good.clone(); g2(20) = 3
+    assert(Wav.tryDecode(g2).isEmpty)
+  }
+
+  // ---- BMP codec -------------------------------------------------------
+
+  test("BMP round trip is bit-exact incl. row padding (width 3)") {
+    // width 3 → row 9 bytes → 3 pad bytes per row
+    val px = Array(0xff0000, 0x00ff00, 0x0000ff,
+                   0x102030, 0xffffff, 0x000000)
+    val img = Bmp.decode(Bmp.encode(3, 2, px))
+    assert(img.width == 3 && img.height == 2)
+    assert(img.pixels.toSeq == px.toSeq)
+  }
+
+  test("BMP golden bytes: bottom-up BGR with 72-DPI header") {
+    val b = Bmp.encode(1, 2, Array(0x112233, 0x445566))
+    assert(b(0) == 'B' && b(1) == 'M')
+    assert((b(28) & 0xff) == 24)
+    // bottom row first: pixel (y=1) = 0x445566 stored B,G,R
+    assert((b(54) & 0xff) == 0x66 && (b(55) & 0xff) == 0x55 &&
+      (b(56) & 0xff) == 0x44)
+    // second stored row = image row 0
+    assert((b(58) & 0xff) == 0x33 && (b(59) & 0xff) == 0x22 &&
+      (b(60) & 0xff) == 0x11)
+  }
+
+  test("BMP top-down (negative height) decodes to the same image") {
+    val px = Array(0xaabbcc, 0x010203)
+    val b = Bmp.encode(1, 2, px)
+    // flip to top-down: height = -2, and swap the two stored rows
+    val td = b.clone()
+    val h = -2
+    td(22) = (h & 0xff).toByte; td(23) = ((h >> 8) & 0xff).toByte
+    td(24) = ((h >> 16) & 0xff).toByte; td(25) = ((h >> 24) & 0xff).toByte
+    val stride = 4
+    for (i <- 0 until stride) {
+      td(54 + i) = b(54 + stride + i); td(54 + stride + i) = b(54 + i)
+    }
+    assert(Bmp.decode(td).pixels.toSeq == px.toSeq)
+  }
+
+  test("BMP corrupt inputs throw / tryDecode yields None") {
+    val good = Bmp.encode(2, 2, Array(1, 2, 3, 4))
+    intercept[IllegalArgumentException](
+      Bmp.decode(good.slice(0, good.length - 1)))
+    assert(Bmp.tryDecode(Array[Byte]('B', 'M', 0)).isEmpty)
+    val comp = good.clone(); comp(30) = 1   // BI_RLE8
+    assert(Bmp.tryDecode(comp).isEmpty)
+    val bpp = good.clone(); bpp(28) = 32
+    assert(Bmp.tryDecode(bpp).isEmpty)
+  }
+
+  // ---- dispatch + features --------------------------------------------
+
+  test("decode dispatches by magic; golden feature vectors") {
+    // audio: 4 samples [0.25, -0.25, 0.25, -0.25] at 16 kHz mono
+    val q = (0.25 * 32768).toShort
+    val wav = Wav.encode(Array[Short](q, (-q).toShort, q, (-q).toShort),
+      16000, 1)
+    val af = Multimodal.decode(wav)
+    assert(af(0) == 1f && af(1) == 16f && af(2) == 4f)
+    assert(math.abs(af(3)) < 1e-4f)              // mean ~ 0
+    assert(math.abs(af(4) - 0.25f) < 1e-3f)      // rms = 0.25
+    assert(af(7) == 3f)                          // 3 zero crossings
+    // image: 2x1 pure red + pure green
+    val bmp = Bmp.encode(2, 1, Array(0xff0000, 0x00ff00))
+    val imf = Multimodal.decode(bmp)
+    assert(imf(0) == 2f && imf(1) == 1f)
+    assert(math.abs(imf(2) - 0.5f) < 1e-6f)      // meanR
+    assert(math.abs(imf(3) - 0.5f) < 1e-6f)      // meanG
+    assert(imf(4) == 0f)                         // meanB
+    // opaque: not a container → byte-fold fallback, unchanged behavior
+    val text = "hello world".getBytes("UTF-8")
+    assert(Multimodal.decode(text).toSeq ==
+      Multimodal.opaqueFeatures(text).toSeq)
+    // starts like BMP but structurally invalid → falls back, no throw
+    val fakeBm = "BMnot really a bitmap at all, just text bytes ..."
+      .getBytes("UTF-8")
+    assert(Multimodal.decode(fakeBm).toSeq ==
+      Multimodal.opaqueFeatures(fakeBm).toSeq)
+  }
+
+  test("extractFeatures runs real codecs through the Spark path") {
+    import spark.implicits._
+    val wav = Wav.encode(Array[Short](1000, -1000), 8000, 1)
+    val bmp = Bmp.encode(1, 1, Array(0x808080))
+    val df = Seq(
+      (1L, "audio", wav),
+      (2L, "image", bmp),
+      (3L, "video", "opaque".getBytes("UTF-8"))
+    ).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractFeatures(df).orderBy("media_id").collect()
+    assert(f(0).getSeq[Float](3) sameElements Multimodal.decode(wav))
+    assert(f(1).getSeq[Float](3)(0) == 1f)       // width from real decode
+    assert(f(2).getSeq[Float](3) sameElements
+      Multimodal.opaqueFeatures("opaque".getBytes("UTF-8")))
+    assert(f.forall(_.getInt(2) > 0))            // n_bytes carried
   }
 }
