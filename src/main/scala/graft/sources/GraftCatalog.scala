@@ -83,6 +83,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(s.nonEmpty && !s.contains('/') && !s.contains('\\')
       && s != "." && s != "..",
       s"graftlines catalog: illegal name component '$s'")
+    s
+  }
+
+  /** Reserved-prefix rule, enforced only where a NAME IS MINTED
+    * (create/rename): a pre-existing table whose name slipped in under
+    * an older build must stay loadable and droppable — path resolution
+    * rejecting `_graft*` outright would strand it with no migration
+    * escape hatch (load and targeted drop are safe; it is CREATING
+    * such a name that sets up the parent-namespace-looks-like-a-table
+    * trap documented above). */
+  private def checkCreatable(s: String): String = {
+    checkComponent(s)
     require(!s.startsWith("_graft") && !s.startsWith("."),
       s"graftlines catalog: name component '$s' is reserved " +
         "(_graft* marker files and dot-prefixed staging names)")
@@ -213,6 +225,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    (ident.namespace() :+ ident.name()).foreach(checkCreatable)
     val (pcol, bspec) = parsePartitioning(schema, partitions)
     GraftLines.header(schema) // loudly reject unstorable types up front
     // LOCATION/EXTERNAL would silently land data at the warehouse path
@@ -317,6 +330,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    // the new name is minted here — reserved-prefix rule applies (and
+    // this is also the migration path for a stranded `_graft*` name)
+    (newIdent.namespace() :+ newIdent.name()).foreach(checkCreatable)
     val dst = tablePath(newIdent)
     fs.mkdirs(dst.getParent)
     require(fs.rename(tablePath(oldIdent), dst),
@@ -359,6 +375,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    namespace.foreach(checkCreatable)
     fs.mkdirs(nsPath(namespace))
   }
 

@@ -122,10 +122,16 @@ object GraftLines {
     * widens the kept range after a same-name COW rewrite shrinks a
     * file) but NOT for the COUNT(*)-from-manifest shortcut, where a
     * stale row count would be served as an exact result. The recorded
-    * byte length is the staleness detector: rows can only change with
-    * the file's length (every row is ≥ 1 byte), so any consumer that
-    * treats `rows` as EXACT must require `#len == FileStatus.getLen`
-    * and degrade to a real scan otherwise. */
+    * byte length is the staleness detector: any consumer that treats
+    * `rows` as EXACT must require `#len == FileStatus.getLen` and
+    * degrade to a real scan otherwise. The length check is
+    * defense-in-depth, not a proof — a same-name rewrite that both
+    * drops rows and grows surviving values could coincidentally
+    * preserve the byte length — but every current write path mints a
+    * fresh file name per commit (versioned tables by construction,
+    * batch writes by job-tagged names), so a same-name rewrite cannot
+    * occur today; if one is ever introduced, record a content token
+    * (mtime or header checksum) alongside the length. */
   val StatsLenMarker = "#len"
 
   /** Opt-in TIME TRAVEL, as a table feature (the Delta/Iceberg
@@ -520,6 +526,55 @@ object GraftLines {
     (before.size, moved.size)
   }
 
+  /** Stats refresh / back-fill (the ANALYZE TABLE lifecycle op).
+    * Recomputes the stats-manifest lines — including the `#len`
+    * length cross-check — for every CURRENT data file whose manifest
+    * entry is missing or not verifiably fresh (`#len` absent or not
+    * equal to the live length). Manifests written before the `#len`
+    * line existed permanently lose the exact-numRows planner hint and
+    * the COUNT(*)-from-manifest shortcut (results stay correct via the
+    * scan fallback — a silent performance degradation, not a
+    * correctness one); this op restores the fast path WITHOUT
+    * rewriting any data file.
+    *
+    * Honesty note: the back-fill RE-COUNTS each stale file by reading
+    * it (a distributed Spark job, one task per file — never through
+    * the driver). Simply stamping the live length next to the OLD
+    * recorded row count would bless a possibly-stale count as exact —
+    * the precise failure `#len` exists to prevent.
+    *
+    * Fresh files are untouched. Returns (files examined, files
+    * refreshed). */
+  def refreshStats(dir: String, spark: SparkSession): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = resolveDataFileStatuses(dir, conf, None)
+    if (files.isEmpty) return (0, 0)
+    val schema = readHeaderSchema(dir)
+    val stats = readStats(dir, conf, schema)
+    val stale = files.filter { case (f, len) =>
+      !stats.get(new Path(f).getName).exists(_.fileLen.contains(len))
+    }
+    if (stale.isEmpty) return (files.size, 0)
+    val sconf = new SerializableConfiguration(conf)
+    // nullFillMissing: a column added by ALTER TABLE after a file was
+    // written reads as uniform NULL — the recomputed stats must state
+    // what a read RETURNS, and for non-evolved files the flag is inert
+    val lines = spark.sparkContext
+      .parallelize(stale, math.min(stale.size, 64))
+      .flatMap { case (f, len) =>
+        val base = new Path(f).getName
+        val acc = new GlStatsAcc(schema)
+        val r = new GlReader(f, schema, Array.empty, None, sconf.value,
+          nullFillMissing = true)
+        try { while (r.next()) acc.add(r.get()) } finally r.close()
+        acc.lines(len).map(l => s"$base\t$l")
+      }.collect().toSeq
+    mergeStats(dir, conf,
+      dropNames = stale.map { case (f, _) => new Path(f).getName }.toSet,
+      newLines = lines)
+    (files.size, stale.size)
+  }
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graftlines requires a path")
@@ -595,6 +650,15 @@ object GraftLines {
         s"graftlines: column name ${n.replace("\t", "\\t")
           .replace("\n", "\\n").replace("\r", "\\r")} is empty or " +
           "contains a tab/newline/CR — unstorable in the header line")
+      // '#'-prefixed names are reserved for stats-line markers: a user
+      // column literally named '#len' would have its ordinary min/max
+      // stats line parsed as the length cross-check (bogus fileLen,
+      // dropped pruning stats), and a String '#len' Bloom line is
+      // ambiguous. Reserve the whole prefix, mirroring FileCol — and
+      // future markers then never collide with committed tables.
+      require(!n.startsWith("#"),
+        s"graftlines: column name '$n' — names starting with '#' are " +
+          "reserved for stats-manifest markers")
     }
     schema.fields.map(f => s"${f.name}:${typeToken(f.dataType)}")
       .mkString("\t")
@@ -2964,38 +3028,10 @@ private[sources] class GlWriter(dir: String, schema: StructType,
   private val types = schema.fields.map(_.dataType)
 
   // Per-column stats for the `_graft_stats` manifest, accumulated as
-  // rows stream through (no second pass, no task-output re-read):
-  // (nulls, min, max) for stats-eligible columns only — the same type
-  // set whose pushed-filter comparisons the reader evaluates, so a
-  // min/max recorded here is always safe to prune with.
-  private val statsCols: Array[Int] =
-    types.indices.filter(i => GraftLines.statsEligible(types(i))).toArray
-  private var rowCount = 0L
-  private val nullCounts = new Array[Long](types.length)
-  private val mins = new Array[Any](types.length)
-  private val maxs = new Array[Any](types.length)
-
-  // String columns get a per-file Bloom filter instead of min/max
-  // (ordering is the UTF-16/UTF8 hazard; membership has no order):
-  // k probes per non-null value as rows stream through, emitted as one
-  // hex cell in the commit message. Fixed 1 KiB per (file, column).
-  private val bloomCols: Array[Int] =
-    types.indices.filter(types(_) == StringType).toArray
-  private val blooms: Array[Array[Long]] =
-    bloomCols.map(_ => new Array[Long](GlBloom.NumLongs))
-
-  /** Same orderings GlFilters.cmp / GlAggReader use: ints/longs
-    * natural, doubles via Double.compare (NaN greatest — matches
-    * Spark; a NaN-polluted max only widens the kept range because
-    * NaN literals are never pushed), booleans false < true. */
-  private def less(a: Any, b: Any): Boolean = (a, b) match {
-    case (x: java.lang.Integer, y: java.lang.Integer) => x < y
-    case (x: java.lang.Long, y: java.lang.Long) => x < y
-    case (x: java.lang.Double, y: java.lang.Double) =>
-      java.lang.Double.compare(x, y) < 0
-    case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
-    case _ => throw new IllegalStateException(s"unorderable: $a / $b")
-  }
+  // rows stream through (no second pass, no task-output re-read) —
+  // see [[GlStatsAcc]], shared with the refreshStats back-fill so the
+  // line shapes cannot drift between the two producers.
+  private val acc = new GlStatsAcc(schema)
 
   private def ensureOpen(): Unit = if (out == null) {
     out = new OutputStreamWriter(
@@ -3024,6 +3060,72 @@ private[sources] class GlWriter(dir: String, schema: StructType,
     }
     sb.append('\n')
     out.write(sb.toString)
+    acc.add(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    if (out == null) GlCommitted(None, None)
+    else {
+      // byte length of the finished staging file — the publish is a
+      // rename, so this IS the final file's length. It rides its own
+      // `#len` stats line as the staleness cross-check consumers of
+      // EXACT row counts require (see [[GraftLines.StatsLenMarker]]).
+      val byteLen = file.getFileSystem(conf).getFileStatus(file).getLen
+      GlCommitted(Some(file.toString),
+        Some(new Path(dir, finalName).toString), acc.lines(byteLen))
+    }
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); file.getFileSystem(conf).delete(file, false) }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Streaming per-file stats accumulator — the ONE producer of
+  * `_graft_stats` line shapes, shared by the write path ([[GlWriter]],
+  * lines ride the commit message) and [[GraftLines.refreshStats]]
+  * (which recounts existing files so manifests written before the
+  * `#len` cross-check regain the exact-count fast path). Keeping both
+  * producers on one implementation means the formats cannot drift.
+  *
+  *  - (nulls, min, max) for stats-eligible columns only — the same
+  *    type set whose pushed-filter comparisons the reader evaluates,
+  *    so a recorded min/max is always safe to prune with.
+  *  - String columns get a per-file Bloom filter instead of min/max
+  *    (ordering is the UTF-16/UTF8 hazard; membership has no order):
+  *    k probes per non-null value, one hex cell. Fixed 1 KiB per
+  *    (file, column).
+  */
+private[sources] class GlStatsAcc(schema: StructType) {
+  private val types = schema.fields.map(_.dataType)
+  private val statsCols: Array[Int] =
+    types.indices.filter(i => GraftLines.statsEligible(types(i))).toArray
+  private var rowCount = 0L
+  private val nullCounts = new Array[Long](types.length)
+  private val mins = new Array[Any](types.length)
+  private val maxs = new Array[Any](types.length)
+  private val bloomCols: Array[Int] =
+    types.indices.filter(types(_) == StringType).toArray
+  private val blooms: Array[Array[Long]] =
+    bloomCols.map(_ => new Array[Long](GlBloom.NumLongs))
+
+  /** Same orderings GlFilters.cmp / GlAggReader use: ints/longs
+    * natural, doubles via Double.compare (NaN greatest — matches
+    * Spark; a NaN-polluted max only widens the kept range because
+    * NaN literals are never pushed), booleans false < true. */
+  private def less(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.compare(x, y) < 0
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+    case _ => throw new IllegalStateException(s"unorderable: $a / $b")
+  }
+
+  def add(row: InternalRow): Unit = {
     rowCount += 1
     var s = 0
     while (s < statsCols.length) {
@@ -3051,35 +3153,21 @@ private[sources] class GlWriter(dir: String, schema: StructType,
     }
   }
 
-  override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
-    if (out == null) GlCommitted(None, None)
-    else {
-      // byte length of the finished staging file — the publish is a
-      // rename, so this IS the final file's length. It rides its own
-      // `#len` stats line as the staleness cross-check consumers of
-      // EXACT row counts require (see [[GraftLines.StatsLenMarker]]).
-      val byteLen = file.getFileSystem(conf).getFileStatus(file).getLen
-      val lenLine = s"$rowCount\t${GraftLines.StatsLenMarker}\t0" +
-        s"\t$byteLen\t-\t${GraftLines.StatsSentinel}"
-      val lines = Seq(lenLine) ++ statsCols.toSeq.map { c =>
-        val mn = if (mins(c) == null) "\\N" else mins(c).toString
-        val mx = if (maxs(c) == null) "\\N" else maxs(c).toString
-        s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}\t$mn\t$mx" +
-          s"\t${GraftLines.StatsSentinel}"
-      } ++ bloomCols.toSeq.zipWithIndex.map { case (c, b) =>
-        s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}" +
-          s"\t${GlBloom.Marker}\t${GlBloom.encode(blooms(b))}" +
-          s"\t${GraftLines.StatsSentinel}"
-      }
-      GlCommitted(Some(file.toString),
-        Some(new Path(dir, finalName).toString), lines)
+  /** Stats lines for the accumulated rows, WITHOUT the leading
+    * baseName field (the committer prefixes it): the `#len` length
+    * cross-check line first, then min/max lines, then Bloom lines. */
+  def lines(byteLen: Long): Seq[String] = {
+    val lenLine = s"$rowCount\t${GraftLines.StatsLenMarker}\t0" +
+      s"\t$byteLen\t-\t${GraftLines.StatsSentinel}"
+    Seq(lenLine) ++ statsCols.toSeq.map { c =>
+      val mn = if (mins(c) == null) "\\N" else mins(c).toString
+      val mx = if (maxs(c) == null) "\\N" else maxs(c).toString
+      s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}\t$mn\t$mx" +
+        s"\t${GraftLines.StatsSentinel}"
+    } ++ bloomCols.toSeq.zipWithIndex.map { case (c, b) =>
+      s"$rowCount\t${schema.fields(c).name}\t${nullCounts(c)}" +
+        s"\t${GlBloom.Marker}\t${GlBloom.encode(blooms(b))}" +
+        s"\t${GraftLines.StatsSentinel}"
     }
   }
-
-  override def abort(): Unit = {
-    if (out != null) { out.close(); file.getFileSystem(conf).delete(file, false) }
-  }
-
-  override def close(): Unit = ()
 }

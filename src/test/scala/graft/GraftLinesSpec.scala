@@ -291,6 +291,35 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(glScan(counted2).planInputPartitions().forall(
       !_.isInstanceOf[graft.sources.GlStatsCountPartition]))
     assert(counted2.head().getLong(0) == 99L)
+    // refreshStats is the escape hatch for BOTH degradations: it must
+    // RE-COUNT the live file (99 rows — stamping #len next to the old
+    // count of 100 would bless a stale number as exact) and restore
+    // the manifest-count fast path.
+    val (examined, refreshed) =
+      graft.sources.GraftLines.refreshStats(p, spark)
+    assert(examined == 1 && refreshed == 1)
+    val counted3 = spark.read.format("graftlines").load(p)
+      .agg(count(lit(1)).as("n"))
+    val parts3 = glScan(counted3).planInputPartitions()
+    assert(parts3.length == 1 &&
+      parts3(0).isInstanceOf[graft.sources.GlStatsCountPartition],
+      "refreshStats must restore the manifest-count fast path")
+    assert(counted3.head().getLong(0) == 99L)
+    // min/max pruning stats come back too (k <= 0 prunes every file)
+    val pruned = spark.read.format("graftlines").load(p).filter($"k" <= 0L)
+    assert(glScan(pruned).planInputPartitions().isEmpty,
+      "refreshed min/max stats must prune at plan time")
+    // and a second refresh is a no-op: everything verifiably fresh
+    assert(graft.sources.GraftLines.refreshStats(p, spark) == ((1, 0)))
+  }
+
+  test("'#'-prefixed column names are rejected (stats-marker reserve)") {
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "#len").write.format("graftlines")
+        .mode("overwrite").save(s"$dir/hashname")
+    }
+    assert(e.getMessage.contains("reserved for stats-manifest markers"),
+      e.getMessage)
   }
 
   test("catalog rejects reserved names, LOCATION, and NOT NULL loudly") {
@@ -321,6 +350,27 @@ class GraftLinesSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE graft_guard.ns.ctaslit USING graftlines " +
       "AS SELECT 1L AS k")
     assert(spark.table("graft_guard.ns.ctaslit").count() == 1L)
+    // the reserved-name rule binds where a name is MINTED — a table
+    // that slipped in under an older build must stay loadable,
+    // renamable (the migration path) and droppable, not stranded
+    spark.sql("DROP TABLE IF EXISTS graft_guard.ns.mig")
+    spark.sql("CREATE TABLE graft_guard.ns.mig USING graftlines " +
+      "AS SELECT 7L AS k")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val wh = new org.apache.hadoop.fs.Path(s"$dir/guard_wh/ns")
+    val whfs = wh.getFileSystem(hconf)
+    assert(whfs.rename(new org.apache.hadoop.fs.Path(wh, "mig"),
+      new org.apache.hadoop.fs.Path(wh, "_graft_stranded")))
+    assert(spark.table("graft_guard.ns.`_graft_stranded`")
+      .head().getLong(0) == 7L, "stranded name must stay loadable")
+    val e5 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_guard.ns.`_graft_stranded` RENAME TO " +
+        "ns.`_graft_still_bad`"))
+    assert(e5.getMessage.contains("reserved"), e5.getMessage)
+    spark.sql("ALTER TABLE graft_guard.ns.`_graft_stranded` " +
+      "RENAME TO ns.rescued")
+    assert(spark.table("graft_guard.ns.rescued").head().getLong(0) == 7L)
+    spark.sql("DROP TABLE graft_guard.ns.rescued")
   }
 
   test("a file with an out-of-range bucket id degrades the keyed scan") {
