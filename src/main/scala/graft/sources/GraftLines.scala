@@ -323,6 +323,7 @@ object GraftLines {
     * re-reading every manifest on every epoch commit. */
   private[sources] def epochOfGen(dir: String, n: Int,
       conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    GlMetrics.epochTagReads.incrementAndGet()
     val p = genPath(dir, n)
     val fs = p.getFileSystem(conf)
     val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
@@ -891,6 +892,17 @@ object GraftLines {
     } catch { case _: Exception => Map.empty }
     finally br.close()
   }
+}
+
+/** Driver-side metadata-I/O counters (process-wide, monotonically
+  * increasing — read a delta around the operation you care about).
+  * The first customer is the streaming sink's committed-epoch ledger:
+  * `epochTagReads` counts `#epoch:` manifest opens, which a
+  * long-running stream must keep at O(new generations) per commit —
+  * the soak test pins that claim with numbers instead of trusting the
+  * cache's comment. */
+private[sources] object GlMetrics {
+  val epochTagReads = new java.util.concurrent.atomic.AtomicLong
 }
 
 private[sources] case class GlColStats(nulls: Long, min: Any, max: Any)

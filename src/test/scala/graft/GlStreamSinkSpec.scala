@@ -132,6 +132,54 @@ class GlStreamSinkSpec extends AnyFunSuite {
       == Set(0L, 1L, 2L))
   }
 
+  test("soak: 250 epochs keep ledger manifest reads O(new gens), not quadratic") {
+    val p = freshDir("v_soak")
+    markVersioned(p)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val epochs = 250
+    // ONE harness = one query run = one warm incremental ledger. Each
+    // commit records its own publish in the cache, so a healthy
+    // sequential stream should open ~ZERO #epoch tags per commit —
+    // the pre-r9 behavior re-read every manifest every commit
+    // (~epochs²/2 ≈ 31k opens for this soak). The bound below leaves
+    // room for a handful of incidental reads but is two orders of
+    // magnitude under quadratic.
+    val h = new graft.sources.GlStreamingTestHarness(p, schema)
+    val before = graft.sources.GlStreamingTestHarness.epochTagReads
+    (0 until epochs).foreach { e =>
+      h.writeEpoch(e.toLong, Seq((e.toLong, s"v$e")))
+    }
+    val ledgerReads =
+      graft.sources.GlStreamingTestHarness.epochTagReads - before
+    assert(ledgerReads <= 2L * epochs,
+      s"committed-epoch ledger opened $ledgerReads #epoch tags over " +
+        s"$epochs sequential commits — O(gens²) regression " +
+        "(warm cache should make this ~0)")
+    // replay of an early epoch against the warm ledger: still swallowed
+    h.writeEpoch(0L, Seq((0L, "v0")))
+    assert(graft.sources.GlStreamingTestHarness
+      .genVersions(p, hconf).size == epochs)
+    // a COLD ledger (recovery) rebuilds from all manifests exactly once
+    val h2 = new graft.sources.GlStreamingTestHarness(p, schema)
+    val beforeCold = graft.sources.GlStreamingTestHarness.epochTagReads
+    h2.writeEpoch(epochs.toLong, Seq((epochs.toLong, "last")))
+    val coldReads =
+      graft.sources.GlStreamingTestHarness.epochTagReads - beforeCold
+    assert(coldReads >= epochs && coldReads <= 2L * epochs + 4,
+      s"cold recovery must scan each manifest about once, got $coldReads")
+    // exactly-once end to end: every epoch's single row, no dupes
+    val rows = spark.read.format("graftlines").load(p)
+      .as[(Long, String)].collect()
+    assert(rows.length == epochs + 1)
+    assert(rows.map(_._1).sorted.toSeq == (0L to epochs.toLong))
+    assert(graft.sources.GlStreamingTestHarness.committedEpochs(p, hconf)
+      == (0L to epochs.toLong).toSet)
+  }
+
   test("plain directory: replace-per-epoch clears a crashed attempt's files") {
     val p = freshDir("plain_replace")
     val schema = org.apache.spark.sql.types.StructType(Seq(

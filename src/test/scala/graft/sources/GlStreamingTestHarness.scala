@@ -17,6 +17,8 @@ object GlStreamingTestHarness {
   def committedEpochs(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Set[Long] =
     GraftLines.committedEpochs(dir, conf)
+  /** Process-wide `#epoch:` manifest-open counter (monotonic). */
+  def epochTagReads: Long = GlMetrics.epochTagReads.get()
 }
 
 class GlStreamingTestHarness(path: String, schema: StructType) {
