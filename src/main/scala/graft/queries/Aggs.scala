@@ -24,8 +24,20 @@ object Aggs extends QueryGroup {
   private def dec(c: Column, p: Int = 14, s: Int = 2): Column =
     c.cast(DecimalType(p, s))
 
-  /** exact decimal sum surfaced as double (identical bits on both engines) */
-  private def dsum(c: Column): Column = sum(c).cast(DoubleType)
+  /** Exact decimal sum surfaced as double, IDENTICAL BITS on both
+    * engines. The §2C rule this encodes (r10, found by the sf1 oracle
+    * gate): the decimal→double cast is only single-rounded — hence
+    * engine-agreeing — while the UNSCALED value fits in 2^53. A sum of
+    * scale-4/6 products at sf1 has an unscaled value past 2^53, and
+    * both engines then round TWICE (int→double, then /10^scale), each
+    * landing on its own adjacent ulp. Rounding the exact sum to cents
+    * first (the money rule) keeps the unscaled value small enough for
+    * a bit-identical cast through ~sf100. ROUND, not a decimal
+    * downcast: both engines' ROUND is half-away-from-zero, while
+    * DuckDB's decimal→decimal CAST truncates where Spark's rounds —
+    * a downcast would diverge on exact half-cents. */
+  private def dsum(c: Column): Column =
+    round(sum(c), 2).cast(DoubleType)
 
   val pricingSummary: (SparkSession, String) => DataFrame = (s, d) => {
     val li = Tables.lineitem(s, d)
@@ -47,15 +59,17 @@ object Aggs extends QueryGroup {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  // Every SUM is ROUNDed to cents before the DOUBLE cast, mirroring
+  // dsum — see the §2C unscaled-2^53 rule on dsum.
   val pricingSummaryOracle: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      | CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_base_price,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+      | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE) / COUNT(*) AS avg_price,
+      | CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) / COUNT(*) AS avg_disc,
       | COUNT(*)::BIGINT AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -636,11 +650,17 @@ object Aggs extends QueryGroup {
             sum(qd).as("sx"), sum(pd).as("sy"),
             sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),
             sum(qd * pd).as("sxy"))
-          .withColumn("sx_d", col("sx").cast(DoubleType))
-          .withColumn("sy_d", col("sy").cast(DoubleType))
-          .withColumn("sxx_d", col("sxx").cast(DoubleType))
-          .withColumn("syy_d", col("syy").cast(DoubleType))
-          .withColumn("sxy_d", col("sxy").cast(DoubleType))
+          // §2C unscaled-2^53 rule (see dsum): syy ≈ 6e16 at sf1, so a
+          // low-scale decimal overflows and a scaled cast double-rounds.
+          // ROUND each exact sum to an INTEGER first (half away from
+          // zero on both engines): the double cast is then one
+          // correctly-rounded int conversion — bit-identical at any
+          // magnitude.
+          .withColumn("sx_d", round(col("sx"), 0).cast(DoubleType))
+          .withColumn("sy_d", round(col("sy"), 0).cast(DoubleType))
+          .withColumn("sxx_d", round(col("sxx"), 0).cast(DoubleType))
+          .withColumn("syy_d", round(col("syy"), 0).cast(DoubleType))
+          .withColumn("sxy_d", round(col("sxy"), 0).cast(DoubleType))
           .select(col("l_returnflag"), col("n_rows"),
             ((n * sxy - sx * sy) / (n * n)).as("covar_pop"),
             ((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope"),
@@ -653,10 +673,11 @@ object Aggs extends QueryGroup {
       },
       Some("""WITH m AS (
         |  SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
-        |    CAST(SUM(qd) AS DOUBLE) AS sx, CAST(SUM(pd) AS DOUBLE) AS sy,
-        |    CAST(SUM(qd * qd) AS DOUBLE) AS sxx,
-        |    CAST(SUM(pd * pd) AS DOUBLE) AS syy,
-        |    CAST(SUM(qd * pd) AS DOUBLE) AS sxy
+        |    CAST(ROUND(SUM(qd), 0) AS DOUBLE) AS sx,
+        |    CAST(ROUND(SUM(pd), 0) AS DOUBLE) AS sy,
+        |    CAST(ROUND(SUM(qd * qd), 0) AS DOUBLE) AS sxx,
+        |    CAST(ROUND(SUM(pd * pd), 0) AS DOUBLE) AS syy,
+        |    CAST(ROUND(SUM(qd * pd), 0) AS DOUBLE) AS sxy
         |  FROM (SELECT l_returnflag,
         |          CAST(l_quantity AS DECIMAL(12,2)) AS qd,
         |          CAST(l_extendedprice AS DECIMAL(12,2)) AS pd

@@ -19,7 +19,7 @@ For each query dumped by `graft.Verify` into <verifyOutDir>/<name>/ :
     DuckDB promotes SUM(BIGINT) -> HUGEINT: every SUM-derived oracle
     output column must be cast back with ::BIGINT.
 """
-import json, sys, glob, math
+import json, os, sys, glob, math
 import duckdb
 import pandas as pd
 
@@ -44,7 +44,11 @@ def main():
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata are single files; Spark-written scale fixtures
+        # (graft.ScaleUp at sf1) are directories of part files
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
