@@ -22,9 +22,23 @@ import org.apache.spark.sql.functions._
   *      partition id; partition offset + local row_number is then the
   *      exact global row number, computed independently per partition.
   *
-  * Both passes hang off the SAME range exchange, so AQE ReusedExchange
-  * sorts/shuffles the input once — no cache, no driver collect (the
-  * two-job `zipWithIndex` idiom this replaces needs both).
+  * Both passes MUST observe the SAME range partitioning, and that is a
+  * CORRECTNESS requirement, not an optimization: RangePartitioner
+  * samples its split points with a seed derived from the underlying
+  * RDD id, so two independent materializations of the "same"
+  * repartitionByRange can draw slightly different bounds — the offsets
+  * would then describe a partitioning the data rows don't have, and
+  * global ranks silently duplicate or skip. ReusedExchange usually
+  * provides that single materialization, but it is plan-shape
+  * dependent (a downstream coalesce + file write at sf1 was measured
+  * breaking it: 761/772/776 batches across three runs of the same
+  * 50 000-row query — r10, found by the sf1 oracle gate). The ranged
+  * frame is therefore pinned with persist(MEMORY_AND_DISK): one
+  * shuffle feeds both passes by construction. Eviction is safe — a
+  * recomputed partition re-reads the SAME shuffle with the partitioner
+  * object's already-computed bounds. The handle stays cached for the
+  * caller's lifetime (metadata-sized relative to the input's source;
+  * Spark evicts LRU under pressure).
   *
   * The sort key must be a TOTAL order (append a unique tiebreaker, as
   * the declared contract's `(c_acctbal, c_custkey)` does). Under a
@@ -71,9 +85,12 @@ object DistributedRank {
     */
   def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
       parts: Int = 32): DataFrame = {
+    // persist = the one-partitioning pin (see class doc: correctness,
+    // not caching — unpinned branches can draw different range bounds)
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_gr_pid", spark_partition_id())
       .withColumn("_gr_v", valueCol.cast("bigint"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wOff = Window.orderBy(col("_gr_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy(col("_gr_pid"))
@@ -91,8 +108,11 @@ object DistributedRank {
   private def ranked(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
       parts: Int): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    // persist = the one-partitioning pin (see class doc: correctness,
+    // not caching — unpinned branches can draw different range bounds)
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_gr_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pass 1: per-partition counts -> start offsets. <= `parts` rows, so
     // the orderBy-without-partition window here is metadata-sized.
     val wOff = Window.orderBy(col("_gr_pid"))
