@@ -313,6 +313,42 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(graft.sources.GraftLines.refreshStats(p, spark) == ((1, 0)))
   }
 
+  test("refreshStats back-fills a legacy multi-file manifest distributedly") {
+    val p = s"$dir/refresh_multi"
+    (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(7).write.format("graftlines").mode("overwrite").save(p)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(hconf)
+    // simulate a pre-#len manifest: strip every length line
+    val mp = new org.apache.hadoop.fs.Path(p, "_graft_stats")
+    val src = scala.io.Source.fromInputStream(fs.open(mp), "UTF-8")
+    val legacy = try src.getLines().toList finally src.close()
+    val w = new java.io.OutputStreamWriter(fs.create(mp, true), "UTF-8")
+    try legacy.filterNot(_.split("\t")(2) == "#len")
+      .foreach { l => w.write(l); w.write('\n') } finally w.close()
+    val counted = spark.read.format("graftlines").load(p)
+      .agg(count(lit(1)).as("n"))
+    assert(glScan(counted).planInputPartitions().forall(
+      !_.isInstanceOf[graft.sources.GlStatsCountPartition]),
+      "legacy manifest must not serve the exact-count fast path")
+    val (examined, refreshed) =
+      graft.sources.GraftLines.refreshStats(p, spark)
+    assert(examined == 7 && refreshed == 7, s"($examined, $refreshed)")
+    val counted2 = spark.read.format("graftlines").load(p)
+      .agg(count(lit(1)).as("n"))
+    val parts = glScan(counted2).planInputPartitions()
+    assert(parts.length == 1 &&
+      parts(0).isInstanceOf[graft.sources.GlStatsCountPartition])
+    assert(counted2.head().getLong(0) == 5000L)
+    // pruning stats restored too: k <= 0 prunes all seven files
+    val pruned = spark.read.format("graftlines").load(p).filter($"k" <= 0L)
+    assert(glScan(pruned).planInputPartitions().isEmpty)
+    // value-level sanity after refresh: full scan still exact
+    assert(spark.read.format("graftlines").load(p)
+      .agg(sum($"k")).head().getLong(0) == 5000L * 5001L / 2L)
+  }
+
   test("'#'-prefixed column names are rejected (stats-marker reserve)") {
     val e = intercept[Exception] {
       Seq((1L, "x")).toDF("k", "#len").write.format("graftlines")
