@@ -66,25 +66,32 @@ object Multimodal {
 
   /** 8-dim audio feature vector from decoded PCM: [channels,
     * sampleRate/1000, frames, mean, rms, min, max, zero-crossings],
-    * samples normalized to [-1, 1). Accumulation in Double, emitted as
-    * Float — deterministic (fixed in-order loop, no parallel reduce). */
+    * samples normalized to [-1, 1). Zero-crossings are counted WITHIN
+    * each channel (sample i against sample i - channels — the previous
+    * sample of the SAME channel, since PCM is interleaved) and summed
+    * across channels; comparing adjacent interleaved samples would
+    * count inter-channel sign differences that are not crossings at
+    * all (stereo with L>0, R<0 throughout has zero real crossings but
+    * samples.length - 1 adjacent sign flips). Accumulation in Double,
+    * emitted as Float — deterministic (fixed in-order loop, no
+    * parallel reduce). */
   def audioFeatures(a: Wav.Audio): Array[Float] = {
     val n = a.samples.length
+    val ch = math.max(a.channels, 1)
     var sum = 0.0; var sumSq = 0.0
     var mn = 0.0; var mx = 0.0; var zc = 0
-    var prevNonNeg = true
     var i = 0
     while (i < n) {
       val v = a.samples(i) / 32768.0
       sum += v; sumSq += v * v
-      if (i == 0) { mn = v; mx = v; prevNonNeg = v >= 0 }
+      if (i == 0) { mn = v; mx = v }
       else {
         if (v < mn) mn = v
         if (v > mx) mx = v
-        val nonNeg = v >= 0
-        if (nonNeg != prevNonNeg) zc += 1
-        prevNonNeg = nonNeg
       }
+      // same-channel predecessor: sign flip = one true zero-crossing
+      if (i >= ch && ((a.samples(i) >= 0) != (a.samples(i - ch) >= 0)))
+        zc += 1
       i += 1
     }
     Array(a.channels.toFloat, a.sampleRate / 1000.0f, a.frames.toFloat,

@@ -34,11 +34,22 @@ import org.apache.spark.sql.functions._
   * breaking it: 761/772/776 batches across three runs of the same
   * 50 000-row query — r10, found by the sf1 oracle gate). The ranged
   * frame is therefore pinned with persist(MEMORY_AND_DISK): one
-  * shuffle feeds both passes by construction. Eviction is safe — a
-  * recomputed partition re-reads the SAME shuffle with the partitioner
-  * object's already-computed bounds. The handle stays cached for the
-  * caller's lifetime (metadata-sized relative to the input's source;
-  * Spark evicts LRU under pressure).
+  * shuffle feeds both passes by construction. Block eviction is safe —
+  * a recomputed partition re-reads the SAME shuffle with the
+  * partitioner object's already-computed bounds.
+  *
+  * The pin is a RESOURCE, and it is the FULL ranged input, not
+  * metadata: Dataset.persist registers a strong CacheManager entry
+  * that no LRU or GC ever drops (only blocks are evicted; the entry —
+  * and its disk blocks — live until unpersist). A long-running driver
+  * that calls this operator per query and never releases would
+  * accumulate one full-input cache entry per call. Callers MUST
+  * therefore call [[releasePins]] once the returned frame's results
+  * are materialized and no further action will run on it (the
+  * query-loop harnesses Bench/Verify do so between queries); releasing
+  * EARLY is the one forbidden move — a later action on a released
+  * frame replans the exchange and can draw different bounds, which is
+  * exactly the silent-rank bug the pin exists to prevent.
   *
   * The sort key must be a TOTAL order (append a unique tiebreaker, as
   * the declared contract's `(c_acctbal, c_custkey)` does). Under a
@@ -46,6 +57,31 @@ import org.apache.spark.sql.functions._
   * exact; with ties the caller must layer a per-key min on top.
   */
 object DistributedRank {
+
+  /** Every ranged frame pinned since the last [[releasePins]] — the
+    * explicit lifecycle for the correctness persist (see class doc).
+    * A registry, not auto-expiry: unpersisting while a consumer might
+    * still act on the frame would silently reintroduce the
+    * different-bounds rank bug, so only the CALLER knows when release
+    * is safe. */
+  private val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def pin(df: DataFrame): DataFrame = synchronized {
+    pins += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  /** Unpersists every frame pinned since the last call and returns how
+    * many were released. Call at a query boundary — after the results
+    * of every frame returned by this operator have been materialized
+    * and no further action will run on them. Safe to call when nothing
+    * is pinned. */
+  def releasePins(): Int = synchronized {
+    val n = pins.size
+    pins.foreach(_.unpersist(blocking = false))
+    pins.clear()
+    n
+  }
 
   /** Adds `_gr_rank` (global 1-based row number, bigint), `nt`
     * (NTILE(`numBuckets`), int) and `pct` (PERCENT_RANK, double) to
@@ -85,12 +121,12 @@ object DistributedRank {
     */
   def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
       parts: Int = 32): DataFrame = {
-    // persist = the one-partitioning pin (see class doc: correctness,
-    // not caching — unpinned branches can draw different range bounds)
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
+    // pin = the one-partitioning guarantee (see class doc: correctness,
+    // not caching — unpinned branches can draw different range bounds;
+    // released by the caller via releasePins at its query boundary)
+    val ranged = pin(df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_gr_pid", spark_partition_id())
-      .withColumn("_gr_v", valueCol.cast("bigint"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_gr_v", valueCol.cast("bigint")))
     val wOff = Window.orderBy(col("_gr_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy(col("_gr_pid"))
@@ -108,11 +144,11 @@ object DistributedRank {
   private def ranked(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
       parts: Int): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
-    // persist = the one-partitioning pin (see class doc: correctness,
-    // not caching — unpinned branches can draw different range bounds)
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("_gr_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin = the one-partitioning guarantee (see class doc: correctness,
+    // not caching — unpinned branches can draw different range bounds;
+    // released by the caller via releasePins at its query boundary)
+    val ranged = pin(df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_gr_pid", spark_partition_id()))
     // Pass 1: per-partition counts -> start offsets. <= `parts` rows, so
     // the orderBy-without-partition window here is metadata-sized.
     val wOff = Window.orderBy(col("_gr_pid"))

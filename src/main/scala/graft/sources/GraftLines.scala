@@ -124,14 +124,22 @@ object GraftLines {
     * stale row count would be served as an exact result. The recorded
     * byte length is the staleness detector: any consumer that treats
     * `rows` as EXACT must require `#len == FileStatus.getLen` and
-    * degrade to a real scan otherwise. The length check is
-    * defense-in-depth, not a proof — a same-name rewrite that both
-    * drops rows and grows surviving values could coincidentally
-    * preserve the byte length — but every current write path mints a
-    * fresh file name per commit (versioned tables by construction,
-    * batch writes by job-tagged names), so a same-name rewrite cannot
-    * occur today; if one is ever introduced, record a content token
-    * (mtime or header checksum) alongside the length. */
+    * degrade to a real scan otherwise. Why the length check is a real
+    * staleness PROOF for every current same-name rewrite (not mere
+    * defense-in-depth): the only paths that republish under an
+    * existing name are (a) the fast-path COW DELETE
+    * ([[rewriteWithoutMatches]], nameOverride = the old base name),
+    * which is removal-only — surviving lines are byte-identical, so a
+    * changed row count ALWAYS changes the length (every dropped row
+    * was >= 1 byte + newline); and (b) streaming epoch replacement on
+    * a plain directory (`part-<pid>-e<E>-<task>` names), where a
+    * retried epoch deterministically rewrites the SAME rows, so an
+    * unchanged length accompanies an unchanged count. A future rewrite
+    * path that both changes the row set AND rewrites surviving values
+    * under one name would break the proof (counts could change at a
+    * coincidentally-preserved length) — such a path must mint fresh
+    * names or record a content token (mtime / header checksum) beside
+    * the length. */
   val StatsLenMarker = "#len"
 
   /** Opt-in TIME TRAVEL, as a table feature (the Delta/Iceberg
@@ -557,16 +565,23 @@ object GraftLines {
     }
     if (stale.isEmpty) return (files.size, 0)
     val sconf = new SerializableConfiguration(conf)
-    // nullFillMissing: a column added by ALTER TABLE after a file was
-    // written reads as uniform NULL — the recomputed stats must state
-    // what a read RETURNS, and for non-evolved files the flag is inert
+    // Each file is recounted against ITS OWN header schema — exactly
+    // what GlWriter recorded when the file landed, so the refreshed
+    // lines are writer-parity by construction. Using one table-level
+    // schema here would be wrong on a schema-evolved table: whichever
+    // file happened to sort first would dictate the column set, and a
+    // column it lacks (ALTER TABLE ADD after it was written) would
+    // silently lose its recorded stats on every OTHER file — a
+    // file-order-dependent pruning regression. Per-file schemas also
+    // make nullFillMissing moot: nothing in a file's own header can be
+    // missing from that file.
     val lines = spark.sparkContext
       .parallelize(stale, math.min(stale.size, 64))
       .flatMap { case (f, len) =>
         val base = new Path(f).getName
-        val acc = new GlStatsAcc(schema)
-        val r = new GlReader(f, schema, Array.empty, None, sconf.value,
-          nullFillMissing = true)
+        val fileSchema = headerSchemaOfFile(f, sconf.value)
+        val acc = new GlStatsAcc(fileSchema)
+        val r = new GlReader(f, fileSchema, Array.empty, None, sconf.value)
         try { while (r.next()) acc.add(r.get()) } finally r.close()
         acc.lines(len).map(l => s"$base\t$l")
       }.collect().toSeq
@@ -584,6 +599,17 @@ object GraftLines {
 
   /** Schema from the header of the first data file (one driver-side
     * directory listing — the same cost every path-based source pays). */
+  /** One FILE's own header schema — executor-safe (takes the Hadoop
+    * conf explicitly instead of reaching for SparkSession.active).
+    * The authority for what THAT file stores; see [[refreshStats]]. */
+  private[sources] def headerSchemaOfFile(file: String,
+      conf: org.apache.hadoop.conf.Configuration): StructType = {
+    val p = new Path(file)
+    val in = p.getFileSystem(conf).open(p)
+    val br = new BufferedReader(new InputStreamReader(in, UTF_8))
+    try parseHeader(br.readLine(), file) finally br.close()
+  }
+
   private[sources] def readHeaderSchema(dir: String): StructType = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val path = new Path(dir)

@@ -123,6 +123,7 @@ class DistributedRankSpec extends AnyFunSuite {
   }
 
   test("one pinned range partitioning feeds both passes (cache pin)") {
+    graft.operators.DistributedRank.releasePins()
     val df = viaDistributed(4, parts = 8)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
@@ -133,16 +134,31 @@ class DistributedRankSpec extends AnyFunSuite {
     // collided — RangePartitioner's sample seed includes the RDD id, so
     // independent materializations draw different bounds). The operator
     // now pins the ranged frame with persist; the executed plan must
-    // show BOTH passes reading the in-memory relation and it must be
-    // the only range exchange in the tree.
-    // (The test query's final orderBy adds its own range exchange and
-    // AQE's toString repeats subtrees, so counting "rangepartitioning"
-    // occurrences proves nothing — the cache scans ARE the pin: a
-    // consumer reading the in-memory relation cannot resample bounds.)
+    // show BOTH passes reading the in-memory relation — a consumer on
+    // the cached frame cannot resample bounds. (This does NOT also
+    // claim a unique range exchange: the test query's final orderBy
+    // adds its own, and AQE's toString repeats subtrees, so counting
+    // "rangepartitioning" occurrences proves nothing either way. The
+    // pinned RELATION carrying the range exchange is asserted below
+    // instead.)
     val cacheScans = "InMemoryTableScan".r.findAllIn(plan).length
     assert(cacheScans >= 2,
       s"expected both passes on the cached ranged frame, " +
         s"found $cacheScans cache scans:\n$plan")
+    // the pin wraps the RANGED frame: the in-memory relation's cache
+    // builder itself must carry the range exchange, proving the bounds
+    // the offsets described are the bounds the data rows have
+    assert(plan.contains("InMemoryRelation")
+        && plan.contains("rangepartitioning"),
+      s"expected the cached relation to carry the range exchange:\n$plan")
+    // lifecycle: the pin is a registered resource and releasePins is
+    // the explicit boundary — this call must find the frames this
+    // query pinned (one per viaDistributed invocation) and drop them
+    val released = graft.operators.DistributedRank.releasePins()
+    assert(released >= 1,
+      s"expected at least one pinned frame to release, got $released")
+    assert(graft.operators.DistributedRank.releasePins() == 0,
+      "second release must find nothing — the registry is cleared")
   }
 
   test("plan range-partitions the data — no single-task sort of rows") {

@@ -959,6 +959,62 @@ class GraftLinesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gl_test.db3.ev")
   }
 
+  test("refreshStats recounts each file against its OWN header schema") {
+    // Mixed-vintage table: file A written before ADD COLUMN (header
+    // k,s), file B after (header k,s,n2). refreshStats must NOT pick
+    // one table-level schema (whichever file sorts first would
+    // dictate the column set, and n2's recorded stats would vanish
+    // from file B's refreshed lines whenever A sorts first — a
+    // file-order-dependent pruning regression); each file's own
+    // header is the writer-parity authority.
+    spark.conf.set("spark.sql.catalog.gl_test", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gl_test.warehouse", s"$dir/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gl_test.db3")
+    spark.sql("DROP TABLE IF EXISTS gl_test.db3.ev2")
+    spark.sql("CREATE TABLE gl_test.db3.ev2 (k BIGINT, s STRING) " +
+      "USING graftlines")
+    spark.sql("INSERT INTO gl_test.db3.ev2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gl_test.db3.ev2 ADD COLUMN n2 BIGINT")
+    spark.sql("INSERT INTO gl_test.db3.ev2 VALUES (3, 'c', 30), (4, 'd', 40)")
+    val p = s"$dir/warehouse/db3/ev2"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val mp = new org.apache.hadoop.fs.Path(p, "_graft_stats")
+    val fs = mp.getFileSystem(hconf)
+    def manifest(): List[String] = {
+      val src = scala.io.Source.fromInputStream(fs.open(mp), "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    // legacy simulation: strip every #len line so both files are stale
+    val legacy = manifest().filterNot(_.split("\t")(2) == "#len")
+    val w = new java.io.OutputStreamWriter(fs.create(mp, true), "UTF-8")
+    try legacy.foreach { l => w.write(l); w.write('\n') } finally w.close()
+    val (examined, refreshed) =
+      graft.sources.GraftLines.refreshStats(p, spark)
+    assert(examined == refreshed && examined >= 2,
+      s"($examined, $refreshed)")
+    // post-evolution files' n2 min/max stats SURVIVE the refresh, and
+    // pre-evolution files (which lack n2 in their headers) contribute
+    // none — per-file schemas, not first-file-wins
+    val after = manifest().map(_.split("\t", -1))
+    val n2Lines = after.filter(f => f(2) == "n2")
+    val kLines = after.filter(f => f(2) == "k")
+    assert(n2Lines.nonEmpty && n2Lines.length < kLines.length,
+      s"expected n2 lines for the evolved files only, got:\n" +
+        after.map(_.mkString("\t")).mkString("\n"))
+    assert(n2Lines.map(_(4).toLong).min == 30L
+        && n2Lines.map(_(5).toLong).max == 40L,
+      s"n2 min/max must cover (30, 40): ${n2Lines.map(_.mkString("\t"))}")
+    // the refresh restored writer-parity lines: evolved reads and the
+    // exact-count fast path both still correct
+    assert(spark.table("gl_test.db3.ev2").count() == 4L)
+    assert(spark.table("gl_test.db3.ev2")
+      .filter($"n2" === 30L).count() == 1L)
+    assert(graft.sources.GraftLines.refreshStats(p, spark)
+        == ((examined, 0)),
+      "everything verifiably fresh after the back-fill")
+    spark.sql("DROP TABLE gl_test.db3.ev2")
+  }
+
   test("catalog CREATE refuses a directory holding leftover .gl files") {
     spark.conf.set("spark.sql.catalog.gl_test", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gl_test.warehouse", s"$dir/warehouse")

@@ -82,6 +82,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.samples.toSeq == samples.toSeq)
   }
 
+  test("zero-crossings count within a channel, not across interleave") {
+    import graft.multimodal.Multimodal
+    // stereo: L constant +1000, R constant -1000 — neither channel ever
+    // crosses zero, but ADJACENT interleaved samples alternate sign at
+    // every boundary (the bug this test pins: counting those would give
+    // samples.length - 1 = 7)
+    val steady = Wav.Audio(16000, 2, 16,
+      Array[Short](1000, -1000, 1000, -1000, 1000, -1000, 1000, -1000))
+    assert(Multimodal.audioFeatures(steady)(7) == 0f,
+      "constant-sign channels must have zero crossings")
+    // stereo where EACH channel alternates sign every frame: 3 true
+    // crossings per channel = 6 total
+    val alt = Wav.Audio(16000, 2, 16,
+      Array[Short](1000, 500, -1000, -500, 1000, 500, -1000, -500))
+    assert(Multimodal.audioFeatures(alt)(7) == 6f)
+    // mono stays the consecutive-sample count (golden value unchanged):
+    // signs + - + - → 3 crossings
+    val mono = Wav.Audio(8000, 1, 16, Array[Short](5, -5, 5, -5))
+    assert(Multimodal.audioFeatures(mono)(7) == 3f)
+  }
+
   test("WAV golden header bytes (canonical 44-byte PCM header)") {
     val b = Wav.encode(Array[Short](258), 16000, 1)
     assert(b.length == 46)
