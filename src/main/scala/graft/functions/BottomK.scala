@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -106,7 +105,7 @@ object BottomK {
       override def bufferEncoder: Encoder[Heap] =
         Encoders.javaSerialization[Heap]
       override def outputEncoder: Encoder[Array[Long]] =
-        BottomKEncoders.longArray
+        ExpressionEncoderHelp.longArray
     }
 
   /** bottomK(hash, id, weight) -> array(n_kept, id_sum, weight_sum) */
@@ -114,8 +113,4 @@ object BottomK {
     udaf(aggregator,
         Encoders.tuple(Encoders.LONG, Encoders.LONG, Encoders.LONG))
       .apply(h, id, w)
-}
-
-private object BottomKEncoders {
-  val longArray: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }

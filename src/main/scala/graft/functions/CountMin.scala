@@ -61,8 +61,12 @@ object CountMin {
   /** column form: cms(col) -> array<bigint> sketch */
   def cms(c: Column): Column = udaf(aggregator).apply(c)
 
-  /** point estimate: min over the key's depth cells. */
-  def estimate(sketch: Seq[Long], key: String): Long = {
+  /** point estimate: min over the key's depth cells. Null-safe on the
+    * registered SQL surface (the reduce() rule applies here too): a
+    * NULL sketch (outer join) or NULL key yields NULL instead of
+    * NPE-ing the task. */
+  def estimate(sketch: Seq[Long], key: String): java.lang.Long = {
+    if (sketch == null || key == null) return null
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
@@ -70,7 +74,7 @@ object CountMin {
       if (v < best) best = v
       r += 1
     }
-    best
+    java.lang.Long.valueOf(best)
   }
 
   private val estimateUdf =

@@ -90,6 +90,9 @@ object FreqItems {
     * (no false negatives). */
   def heavyHitters(bytes: Array[Byte], noFalsePositives: Boolean)
       : Seq[(String, Long, Long, Long)] = {
+    // NULL sketch (outer join / never-aggregated group) -> NULL result,
+    // the package's sketch-surface rule — not an NPE-ed task
+    if (bytes == null) return null
     val sk = deserialize(bytes)
     val et = if (noFalsePositives) ErrorType.NO_FALSE_POSITIVES
              else ErrorType.NO_FALSE_NEGATIVES

@@ -110,10 +110,20 @@ object KllQuantile {
   def kllMerge(c: Column): Column = udaf(mergeAggregator).apply(c)
 
   /** Quantile estimate from sketch bytes, INCLUSIVE search criteria
-    * (the DataSketches default: rank of v counts rows <= v). */
-  def estimate(bytes: Array[Byte], q: Double): Double =
-    KllDoublesSketch.heapify(Memory.wrap(bytes))
-      .getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+    * (the DataSketches default: rank of v counts rows <= v).
+    * Null-safe like [[ThetaSketch]]'s estimate: a NULL sketch (outer
+    * join) or an EMPTY one (group whose values were all NULL —
+    * getQuantile throws SketchesArgumentException on it) yields NULL,
+    * matching what AVG/percentile_approx return for such a group,
+    * instead of failing the query. */
+  def estimate(bytes: Array[Byte], q: Double): java.lang.Double =
+    if (bytes == null) null
+    else {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+      if (sk.isEmpty) null
+      else java.lang.Double.valueOf(
+        sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+    }
 
   private val estimateUdf =
     udf((bytes: Array[Byte], q: Double) => estimate(bytes, q))
@@ -122,9 +132,12 @@ object KllQuantile {
     estimateUdf(sketch, q)
 
   /** Exact n retained by the sketch (total stream weight) — lets
-    * callers sanity-check coverage without a second aggregate. */
+    * callers sanity-check coverage without a second aggregate.
+    * NULL sketch -> NULL (an empty sketch legitimately reports 0). */
   private val countUdf = udf((bytes: Array[Byte]) =>
-    KllDoublesSketch.heapify(Memory.wrap(bytes)).getN)
+    if (bytes == null) null
+    else java.lang.Long.valueOf(
+      KllDoublesSketch.heapify(Memory.wrap(bytes)).getN))
 
   def kllCount(sketch: Column): Column = countUdf(sketch)
 }

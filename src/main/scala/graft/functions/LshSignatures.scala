@@ -31,10 +31,31 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // NULL is produced for a dimension mismatch and for NULL elements
+  // (below), even when the array input itself is non-null
+  override def nullable: Boolean = true
+
   @transient private lazy val tables = planes.length / bits
 
+  // plane-set shape is fixed at construction (analysis time): every
+  // plane must share one dimension, or the per-plane loops below
+  // could walk past a short plane's end
+  require(planes.nonEmpty && planes.forall(_.length == planes(0).length),
+    s"lsh_sigs: ${planes.length} planes must share one dimension")
+
+  /** A vector whose length differs from the plane dimension, or one
+    * carrying NULL elements, yields NULL — the [[FloatDot]] rule.
+    * Truncating to the shorter side (or reading NULL slots as 0.0)
+    * would hash the embedding into a plausible-but-wrong bucket: near
+    * duplicates silently missed, spurious candidates silently added,
+    * and nothing downstream can tell. */
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    val dims = planes(0).length
+    val nv = v.numElements()
+    if (nv != dims) return null
+    var i = 0
+    while (i < nv) { if (v.isNullAt(i)) return null; i += 1 }
     val out = new Array[Int](tables)
     var p = 0
     var t = 0
@@ -43,10 +64,9 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
       var j = 0
       while (j < bits) {
         val hp = planes(p)
-        val n = math.min(v.numElements(), hp.length)
         var acc = 0.0
-        var i = 0
-        while (i < n) { acc += v.getFloat(i).toDouble * hp(i); i += 1 }
+        var i2 = 0
+        while (i2 < nv) { acc += v.getFloat(i2).toDouble * hp(i2); i2 += 1 }
         if (acc >= 0) sig |= 1 << j
         j += 1; p += 1
       }
@@ -68,23 +88,37 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
       val t = ctx.freshName("t")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val dims = planes(0).length
+      // mirror of nullSafeEval: dimension mismatch or a NULL element
+      // -> NULL signature set (the FloatDot rule — never a truncated
+      // or zero-filled plausible-but-wrong bucket)
       s"""
-         |int[] $out = new int[$tables];
-         |int $p = 0;
-         |for (int $t = 0; $t < $tables; $t++) {
-         |  int $sig = 0;
-         |  for (int $j = 0; $j < $bits; $j++, $p++) {
-         |    double[] $hp = $planesRef[$p];
-         |    int $n = java.lang.Math.min($v.numElements(), $hp.length);
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
-         |      $acc += ((double) $v.getFloat($i)) * $hp[$i];
-         |    }
-         |    if ($acc >= 0) $sig |= 1 << $j;
+         |int $n = $v.numElements();
+         |if ($n != $dims) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    if ($v.isNullAt($k)) { ${ev.isNull} = true; break; }
          |  }
-         |  $out[$t] = $sig;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if (!${ev.isNull}) {
+         |  int[] $out = new int[$tables];
+         |  int $p = 0;
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    int $sig = 0;
+         |    for (int $j = 0; $j < $bits; $j++, $p++) {
+         |      double[] $hp = $planesRef[$p];
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $acc += ((double) $v.getFloat($i)) * $hp[$i];
+         |      }
+         |      if ($acc >= 0) $sig |= 1 << $j;
+         |    }
+         |    $out[$t] = $sig;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 

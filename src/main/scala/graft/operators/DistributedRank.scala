@@ -58,28 +58,36 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
-  /** Every ranged frame pinned since the last [[releasePins]] — the
-    * explicit lifecycle for the correctness persist (see class doc).
-    * A registry, not auto-expiry: unpersisting while a consumer might
-    * still act on the frame would silently reintroduce the
-    * different-bounds rank bug, so only the CALLER knows when release
-    * is safe. */
-  private val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Every ranged frame pinned BY THE CURRENT THREAD since its last
+    * [[releasePins]] — the explicit lifecycle for the correctness
+    * persist (see class doc). Thread-scoped, not process-global: a
+    * multi-query driver running rank queries on concurrent threads
+    * must not have one query's boundary release unpersist another's
+    * still-in-flight frame (replanning a released frame can draw
+    * different range bounds — the silent-rank bug the pin prevents).
+    * Build the frame and release it on the SAME thread. And a
+    * registry, not auto-expiry: only the caller knows when release is
+    * safe. */
+  private val pins =
+    ThreadLocal.withInitial[scala.collection.mutable.ArrayBuffer[DataFrame]](
+      () => scala.collection.mutable.ArrayBuffer.empty[DataFrame])
 
-  private def pin(df: DataFrame): DataFrame = synchronized {
-    pins += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def pin(df: DataFrame): DataFrame = {
+    pins.get() +=
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
 
-  /** Unpersists every frame pinned since the last call and returns how
-    * many were released. Call at a query boundary — after the results
-    * of every frame returned by this operator have been materialized
-    * and no further action will run on them. Safe to call when nothing
-    * is pinned. */
-  def releasePins(): Int = synchronized {
-    val n = pins.size
-    pins.foreach(_.unpersist(blocking = false))
-    pins.clear()
+  /** Unpersists every frame THIS THREAD pinned since its last call and
+    * returns how many were released. Call at a query boundary — after
+    * the results of every frame this thread obtained from the operator
+    * have been materialized and no further action will run on them.
+    * Safe to call when nothing is pinned. */
+  def releasePins(): Int = {
+    val mine = pins.get()
+    val n = mine.size
+    mine.foreach(_.unpersist(blocking = false))
+    mine.clear()
     n
   }
 
@@ -105,11 +113,17 @@ object DistributedRank {
     val wKey = Window.partitionBy(sortCols: _*)
     ranked(df, sortCols, numBuckets, parts)
       .withColumn("_gr_rank", min(col("_gr_rank")).over(wKey))
-      .withColumn("pct", when(col("_gr_total") > 1,
-          (col("_gr_rank") - 1).cast("double") / (col("_gr_total") - 1))
-        .otherwise(lit(0.0)))
+      .withColumn("pct", pctCol)
       .drop("_gr_total")
   }
+
+  /** PERCENT_RANK from `_gr_rank` / `_gr_total`: (rank-1)/(total-1),
+    * 0.0 for the single-row edge — shared by the plain and tie-safe
+    * paths so the semantics cannot diverge. */
+  private def pctCol: Column =
+    when(col("_gr_total") > 1,
+      (col("_gr_rank") - 1).cast("double") / (col("_gr_total") - 1))
+    .otherwise(lit(0.0))
 
   /** Adds `_gr_psum` — the exact global running sum of `valueCol`
     * (bigint) over the total `sortCols` order — via the same two-pass
@@ -172,14 +186,11 @@ object DistributedRank {
         s"""(_gr_rank - (_gr_total % $numBuckets)
            |  * (_gr_total div $numBuckets + 1) - 1)
            | div (_gr_total div $numBuckets)""".stripMargin) + lit(1L))
-    val pct = when(col("_gr_total") > 1,
-        (col("_gr_rank") - 1).cast("double") / (col("_gr_total") - 1))
-      .otherwise(lit(0.0))
     ranged
       .join(broadcast(offsets), Seq("_gr_pid"))
       .withColumn("_gr_rank", col("_gr_off") + row_number().over(wLocal))
       .withColumn("nt", nt.cast("int"))
-      .withColumn("pct", pct)
+      .withColumn("pct", pctCol)
       .drop("_gr_pid", "_gr_off")
   }
 }

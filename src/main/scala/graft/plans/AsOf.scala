@@ -42,14 +42,28 @@ object AsOf {
         (h.child, true)
       case other => (other, false)
     }
+    // type check at ANALYSIS time (the MinHash rule): the physical
+    // operators read keys with getLong/getTimestamp-shaped casts, so a
+    // wrong-typed column would otherwise surface as a per-task
+    // ClassCastException inside every executor instead of one clear
+    // driver-side error
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        name: String) =
-      plan.output.find(_.name == name).getOrElse(
+        name: String, expected: org.apache.spark.sql.types.DataType,
+        role: String) = {
+      val a = plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name)}"))
+      require(a.dataType == expected,
+        s"as-of join: $role column $name must be $expected, " +
+          s"is ${a.dataType}")
+      a
+    }
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     GraftPlanBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
-      attr(lPlan, leftUserCol), attr(lPlan, leftTimeCol),
-      attr(rPlan, rightUserCol), attr(rPlan, rightTimeCol), direction,
+      attr(lPlan, leftUserCol, LongType, "left key"),
+      attr(lPlan, leftTimeCol, TimestampType, "left time"),
+      attr(rPlan, rightUserCol, LongType, "right key"),
+      attr(rPlan, rightTimeCol, TimestampType, "right time"), direction,
       broadcastRight = bcast))
   }
 }

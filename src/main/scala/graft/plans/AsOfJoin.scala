@@ -193,7 +193,10 @@ case class AsOfJoinExec(
             out(i) = lRow.get(i, leftTypes(i)); i += 1
           }
           out(nFields) = asOf
-          proj(InternalRow.fromSeq(out.toIndexedSeq))
+          // GenericInternalRow wraps the array directly — fromSeq over
+          // toIndexedSeq would copy the values twice per emitted row
+          proj(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(out))
         }
       }
     }
@@ -301,7 +304,9 @@ case class BroadcastAsOfJoinExec(
           out(i) = lRow.get(i, leftTypes(i)); i += 1
         }
         out(nFields) = asOf
-        proj(InternalRow.fromSeq(out.toIndexedSeq))
+        // GenericInternalRow wraps the array directly (no double copy)
+        proj(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(out))
       }
     }
   }

@@ -18,6 +18,41 @@ class AggSpec extends AnyFunSuite {
     assert(math.abs(got2 - math.pow(120.0, 0.2)) < 1e-12)
   }
 
+  test("sketch SQL surfaces are null-safe: NULL/empty in, NULL out") {
+    import spark.implicits._
+    // all-NULL group: the aggregates skip NULLs (valid empty sketch /
+    // empty buffer); the SCALAR surfaces must then yield NULL — the
+    // AVG/percentile_approx convention — never throw or NPE the task
+    val allNull = Seq[java.lang.Double](null, null).toDF("x")
+    val kllRow = allNull
+      .agg(graft.functions.KllQuantile.kll(col("x")).as("sk"))
+      .select(graft.functions.KllQuantile
+        .kllEstimate(col("sk"), lit(0.5)).as("est"))
+      .head
+    assert(kllRow.isNullAt(0),
+      "kll_estimate over an all-NULL group must be NULL")
+    val geoRow = allNull
+      .agg(graft.functions.GeoMean.geomean(col("x")).as("g")).head
+    assert(geoRow.isNullAt(0),
+      "geomean over an all-NULL group must be NULL (like EXP(AVG(LN)))")
+    // NULL sketch columns (the outer-join case): every estimate
+    // surface returns NULL instead of failing
+    val nullSketch = Seq(Tuple1(null: Array[Byte]))
+      .toDF("sk")
+    assert(nullSketch.select(graft.functions.KllQuantile
+        .kllEstimate(col("sk"), lit(0.5))).head.isNullAt(0))
+    assert(nullSketch.select(graft.functions.KllQuantile
+        .kllCount(col("sk"))).head.isNullAt(0))
+    assert(nullSketch.select(graft.functions.FreqItems
+        .hitters(col("sk"))).head.isNullAt(0))
+    val nullCms = Seq((null: Seq[Long], "tok"), (Seq(1L, 2L), null))
+      .toDF("sk", "key")
+    val cmsOut = nullCms.select(graft.functions.CountMin
+      .cmsEstimate(col("sk"), col("key"))).collect()
+    assert(cmsOut.forall(_.isNullAt(0)),
+      "cms_estimate must be NULL for a NULL sketch or NULL key")
+  }
+
   test("approx_count_distinct within 5% of exact (q_agg_approx_hll, sf0.01)") {
     val r = SparkEntry.queries("q_agg_approx_hll")(spark, TestSpark.sf001).head()
     val approx = r.getLong(0).toDouble

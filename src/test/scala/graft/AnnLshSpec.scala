@@ -32,6 +32,32 @@ class AnnLshSpec extends AnyFunSuite {
       s"LSH buckets barely prune: $perQ candidates of $corpus corpus")
   }
 
+  test("lsh_sigs is null-safe: NULL element or wrong dims -> NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2 planes of dim 3, 1 bit each -> 2 tables
+    val planes = Array(Array(1.0, 0.0, 0.0), Array(0.0, -1.0, 0.0))
+    graft.functions.LshSignatures.register(spark, "lsh_test_sigs",
+      planes, bits = 1)
+    val rows = Seq(
+      Seq[java.lang.Float](1f, 2f, 3f),        // valid
+      Seq[java.lang.Float](1f, null, 3f),      // NULL element
+      Seq[java.lang.Float](1f, 2f),            // dims mismatch (short)
+      Seq[java.lang.Float](1f, 2f, 3f, 4f))    // dims mismatch (long)
+      .toDF("v")
+      .select(expr("lsh_test_sigs(cast(v as array<float>))").as("sigs"))
+      .collect()
+    assert(!rows(0).isNullAt(0)
+        && rows(0).getSeq[Int](0) == Seq(1, 0),
+      s"valid vector must sign-hash: ${rows(0)}")
+    // hashing a NULL slot as 0.0 or truncating to the shorter side
+    // would route the embedding to a plausible-but-wrong bucket with
+    // no error — the FloatDot rule says NULL instead
+    assert(rows(1).isNullAt(0), "NULL element must yield NULL")
+    assert(rows(2).isNullAt(0), "short vector must yield NULL")
+    assert(rows(3).isNullAt(0), "long vector must yield NULL")
+  }
+
   test("PQ ANN recall@5 with 16x16 codebooks on sf0.01") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -254,6 +254,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"broadcast build needs no sort on either side:\n$plan")
   }
 
+  test("wrong-typed key/time columns fail at analysis, not per task") {
+    import spark.implicits._
+    // an INT key (or a non-TIMESTAMP time) would otherwise surface as
+    // a ClassCastException inside every executor task — the MinHash
+    // rule: coerce/reject at analysis time with one clear error
+    val l = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts") // k is INT, not the required LONG
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("rk", "rts")
+    val e = intercept[IllegalArgumentException](
+      graft.plans.AsOf.join(l, r, "k", "ts", "rk", "rts"))
+    assert(e.getMessage.contains("k must be LongType"), e.getMessage)
+    val l2 = Seq((1L, 5L)).toDF("k", "ts") // LONG time, not TIMESTAMP
+    val e2 = intercept[IllegalArgumentException](
+      graft.plans.AsOf.join(l2, r, "k", "ts", "rk", "rts"))
+    assert(e2.getMessage.contains("ts must be TimestampType"),
+      e2.getMessage)
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))

@@ -161,6 +161,26 @@ class DistributedRankSpec extends AnyFunSuite {
       "second release must find nothing — the registry is cleared")
   }
 
+  test("pin registry is thread-scoped: a foreign release frees nothing") {
+    // a multi-query driver runs rank queries on concurrent threads; one
+    // query's boundary release must never unpersist another's
+    // still-in-flight frame (replanning a released frame can draw
+    // different range bounds — the silent-rank bug the pin prevents)
+    graft.operators.DistributedRank.releasePins()
+    val df = viaDistributed(4, parts = 8)
+    df.collect() // this thread now holds >=1 pin
+    var foreign = -1
+    val t = new Thread(() => {
+      foreign = graft.operators.DistributedRank.releasePins()
+    })
+    t.start(); t.join()
+    assert(foreign == 0,
+      s"another thread's release must not see this thread's pins, " +
+        s"released $foreign")
+    assert(graft.operators.DistributedRank.releasePins() >= 1,
+      "the owning thread's pins must survive the foreign release")
+  }
+
   test("plan range-partitions the data — no single-task sort of rows") {
     val plan = viaDistributed(4, parts = 8).queryExecution
       .executedPlan.toString
