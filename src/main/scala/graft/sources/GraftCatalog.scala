@@ -333,8 +333,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // the new name is minted here — reserved-prefix rule applies (and
     // this is also the migration path for a stranded `_graft*` name)
     (newIdent.namespace() :+ newIdent.name()).foreach(checkCreatable)
+    // the destination namespace must already exist — implicitly minting
+    // it here would let a typo'd rename invent a namespace no CREATE
+    // NAMESPACE ever declared (the session-catalog convention)
+    if (!namespaceExists(newIdent.namespace()))
+      throw new NoSuchNamespaceException(name() +: newIdent.namespace())
     val dst = tablePath(newIdent)
-    fs.mkdirs(dst.getParent)
     require(fs.rename(tablePath(oldIdent), dst),
       s"graftlines catalog: rename $oldIdent -> $newIdent failed")
   }

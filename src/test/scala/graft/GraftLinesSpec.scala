@@ -407,6 +407,18 @@ class GraftLinesSpec extends AnyFunSuite {
       "RENAME TO ns.rescued")
     assert(spark.table("graft_guard.ns.rescued").head().getLong(0) == 7L)
     spark.sql("DROP TABLE graft_guard.ns.rescued")
+    // RENAME must not mint a namespace no CREATE NAMESPACE declared —
+    // a typo'd destination fails instead of silently inventing one
+    val e6 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_guard.ns.ctaslit RENAME TO nspace_typo.ctaslit"))
+    // Spark surfaces the catalog's NoSuchNamespaceException as
+    // SCHEMA_NOT_FOUND naming the missing schema
+    assert(e6.getMessage.toLowerCase.contains("nspace_typo")
+        && (e6.getMessage.toLowerCase.contains("schema")
+          || e6.getMessage.toLowerCase.contains("namespace")),
+      e6.getMessage)
+    assert(spark.table("graft_guard.ns.ctaslit").count() == 1L,
+      "the failed rename must leave the source table untouched")
   }
 
   test("a file with an out-of-range bucket id degrades the keyed scan") {

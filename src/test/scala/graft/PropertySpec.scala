@@ -176,6 +176,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap distinct bytes are canonical under any merge split") {
+    import graft.functions.BitmapDistinct
+    // the bitmap is a pure function of the key SET: toBytes truncates
+    // to the highest set word, so equal sets must give byte-equal
+    // payloads whatever growth path / partition split built them —
+    // that is what makes a STORED bitmap column reaggregatable
+    val keysGen: Gen[List[Long]] =
+      Gen.listOfN(400, Gen.chooseNum(0L, 5000L))
+    cases(keysGen, n = 4).foreach { keys =>
+      val ref = {
+        val b = BitmapDistinct.buildAgg.zero
+        keys.foreach(k => BitmapDistinct.buildAgg.reduce(b, Long.box(k)))
+        BitmapDistinct.buildAgg.finish(b)
+      }
+      assert(BitmapDistinct.mergeAgg.finish({
+        val b = BitmapDistinct.mergeAgg.zero
+        BitmapDistinct.mergeAgg.reduce(b, ref)
+      }) == keys.distinct.length.toLong, "cardinality = |key set|")
+      Seq(2, 5, 9).foreach { parts =>
+        val merged = keys.zipWithIndex.groupBy(_._2 % parts).values
+          .map { chunk =>
+            val b = BitmapDistinct.buildAgg.zero
+            chunk.foreach { case (k, _) =>
+              BitmapDistinct.buildAgg.reduce(b, Long.box(k)) }
+            b
+          }.reduce(BitmapDistinct.buildAgg.merge)
+        assert(BitmapDistinct.buildAgg.finish(merged).toSeq == ref.toSeq,
+          s"parts=$parts: split-built bitmap bytes must be canonical")
+      }
+    }
+  }
+
+  test("WAV/BMP round trips are bit-exact over random payloads") {
+    import graft.multimodal.{Bmp, Wav}
+    // encode->decode->encode must reproduce the original bytes for any
+    // sample/pixel content — the property that makes the codecs safe
+    // as a storage format, beyond MultimodalSpec's golden vectors
+    val wavGen = for {
+      ch <- Gen.chooseNum(1, 3)
+      frames <- Gen.chooseNum(0, 200)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      samples <- Gen.listOfN(ch * frames,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (samples.map(_.toShort).toArray, rate, ch)
+    cases(wavGen, n = 6).foreach { case (samples, rate, ch) =>
+      val bytes = Wav.encode(samples, rate, ch)
+      val a = Wav.decode(bytes)
+      assert(a.sampleRate == rate && a.channels == ch
+        && a.samples.toSeq == samples.toSeq)
+      assert(Wav.encode(a.samples, a.sampleRate, a.channels)
+        .toSeq == bytes.toSeq, "re-encode must be bit-exact")
+    }
+    val bmpGen = for {
+      w <- Gen.chooseNum(1, 9) // widths across all 4-byte pad phases
+      h <- Gen.chooseNum(1, 6)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 0xffffff))
+    } yield (w, h, px.toArray)
+    cases(bmpGen, n = 6).foreach { case (w, h, px) =>
+      val bytes = Bmp.encode(w, h, px)
+      val img = Bmp.decode(bytes)
+      assert(img.width == w && img.height == h
+        && img.pixels.toSeq == px.toSeq)
+      assert(Bmp.encode(img.width, img.height, img.pixels)
+        .toSeq == bytes.toSeq, "re-encode must be bit-exact")
+    }
+  }
+
   test("bottom-k heap matches sort-take-k whatever the merge split") {
     import graft.functions.BottomK
     val triplesGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(250,
