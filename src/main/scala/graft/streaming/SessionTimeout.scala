@@ -30,7 +30,20 @@ object SessionTimeout {
     * here, ValueState+timers in [[SessionTimers]]): feed sorted
     * incoming event micros into the open session; a gap > 30 min
     * closes it. Returns (closed sessions as (user, start_us, n), the
-    * surviving open session). `incoming` must be non-empty. */
+    * surviving open session). `incoming` must be non-empty.
+    *
+    * The open session's bounds are monotone: an event that falls
+    * within the gap extends `last` to max(last, t) and `start` to
+    * min(start, t) — never backward/forward past what was already
+    * observed. A cross-batch out-of-order event (admissible up to the
+    * watermark delay) that merely lands INSIDE the open span must not
+    * shrink `last`: setting last = t would make the NEXT event's gap
+    * measure from the stale earlier point and spuriously split the
+    * session (state last 10:00, a batch delivering 9:35 then 10:20
+    * would split, though the sorted truth is one session) — and a
+    * shrunken last also shrinks the timeout expiry, letting an
+    * already-armed stale timer in [[SessionTimers]] wrongly seal the
+    * live session. */
   private[streaming] def fold(user: Long, open: Option[(Long, Long, Long)],
       incoming: Array[Long])
       : (Seq[(Long, Long, Long)], (Long, Long, Long)) = {
@@ -39,7 +52,8 @@ object SessionTimeout {
     var cur = open
     incoming.foreach { t =>
       cur = cur match {
-        case Some((st, la, n)) if t - la <= gapUs => Some((st, t, n + 1))
+        case Some((st, la, n)) if t - la <= gapUs =>
+          Some((math.min(st, t), math.max(la, t), n + 1))
         case Some((st, _, n)) => closed += ((user, st, n)); Some((t, t, 1L))
         case None => Some((t, t, 1L))
       }

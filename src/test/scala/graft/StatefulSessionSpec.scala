@@ -48,4 +48,5 @@ class StatefulSessionSpec extends AnyFunSuite {
     assert(sessions == declarative,
       s"diff: ${(sessions -- declarative).take(3)} / ${(declarative -- sessions).take(3)}")
   }
+
 }
