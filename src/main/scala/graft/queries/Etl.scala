@@ -217,28 +217,36 @@ object Etl extends QueryGroup {
             min(col("node")).as("min_node"), max(col("node")).as("max_node"))
           .orderBy(col("hop"))
       },
-      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+      // AS MATERIALIZED throughout: DuckDB inlines CTEs per reference,
+      // and the h_k/v_k frontier chain re-expands the whole prefix
+      // (and e0's 6M-row DISTINCT) exponentially with hop count — the
+      // 51 GB spill this oracle needed at sf1 was plan shape, not data
+      Some("""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c,
         |         l_suppkey * 2 + 1 AS sn
         |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT c AS src, sn AS dst FROM e0
+        |e AS MATERIALIZED (SELECT c AS src, sn AS dst FROM e0
         |      UNION ALL SELECT sn, c FROM e0),
-        |v0 AS (SELECT 2::BIGINT AS node, 0 AS hop),
-        |h1 AS (SELECT DISTINCT dst AS node FROM e
+        |v0 AS MATERIALIZED (SELECT 2::BIGINT AS node, 0 AS hop),
+        |h1 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e
         |       JOIN v0 ON e.src = v0.node
         |       WHERE dst NOT IN (SELECT node FROM v0)),
-        |v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM h1),
-        |h2 AS (SELECT DISTINCT dst AS node FROM e
+        |v1 AS MATERIALIZED (SELECT * FROM v0
+        |       UNION ALL SELECT node, 1 FROM h1),
+        |h2 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e
         |       JOIN h1 ON e.src = h1.node
         |       WHERE dst NOT IN (SELECT node FROM v1)),
-        |v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM h2),
-        |h3 AS (SELECT DISTINCT dst AS node FROM e
+        |v2 AS MATERIALIZED (SELECT * FROM v1
+        |       UNION ALL SELECT node, 2 FROM h2),
+        |h3 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e
         |       JOIN h2 ON e.src = h2.node
         |       WHERE dst NOT IN (SELECT node FROM v2)),
-        |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM h3),
-        |h4 AS (SELECT DISTINCT dst AS node FROM e
+        |v3 AS MATERIALIZED (SELECT * FROM v2
+        |       UNION ALL SELECT node, 3 FROM h3),
+        |h4 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e
         |       JOIN h3 ON e.src = h3.node
         |       WHERE dst NOT IN (SELECT node FROM v3)),
-        |v4 AS (SELECT * FROM v3 UNION ALL SELECT node, 4 FROM h4)
+        |v4 AS MATERIALIZED (SELECT * FROM v3
+        |       UNION ALL SELECT node, 4 FROM h4)
         |SELECT hop, COUNT(*)::BIGINT AS n_nodes,
         |  MIN(node) AS min_node, MAX(node) AS max_node
         |FROM v4 GROUP BY hop ORDER BY hop""".stripMargin)),
@@ -1783,11 +1791,14 @@ object Etl extends QueryGroup {
             (lit(3.0) * col("n_triangles") / col("n_wedges"))
               .as("clustering"))
       },
-      Some("""WITH e AS (
+      // e/deg AS MATERIALIZED: DuckDB would otherwise inline e's
+      // full-lineitem DISTINCT at each of its six reference sites
+      // (three of them inside the triangle self-join)
+      Some("""WITH e AS MATERIALIZED (
         |  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
         |  FROM (SELECT l_partkey % 137 AS x, l_suppkey % 137 AS y
         |        FROM lineitem) WHERE x <> y),
-        |deg AS (SELECT n, COUNT(*)::BIGINT AS deg FROM (
+        |deg AS MATERIALIZED (SELECT n, COUNT(*)::BIGINT AS deg FROM (
         |          SELECT a AS n FROM e UNION ALL SELECT b FROM e)
         |        GROUP BY n),
         |w AS (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT)
@@ -1855,25 +1866,33 @@ object Etl extends QueryGroup {
           .orderBy(col("rank_units").desc, col("node"))
           .limit(15)
       },
-      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+      // every CTE is AS MATERIALIZED: DuckDB inlines a CTE at EVERY
+      // reference site, so the r1->r2->r3 chain re-expands e (and e
+      // re-expands e0's 6M-row DISTINCT twice) exponentially with
+      // iteration depth — at sf1 the inlined plan exhausted ~100 GB of
+      // RAM plus 79 GB of spill on an 11.7M-edge graph that
+      // materializes in MBs. Same values, same types; Postgres accepts
+      // the same hint.
+      Some("""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c,
         |         l_suppkey * 2 + 1 AS sn
         |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT c AS src, sn AS dst FROM e0
+        |e AS MATERIALIZED (SELECT c AS src, sn AS dst FROM e0
         |      UNION ALL SELECT sn, c FROM e0),
-        |deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
-        |nn AS (SELECT COUNT(*)::BIGINT AS n FROM deg),
-        |c0 AS (SELECT (1000000000000 // n) AS r0u,
+        |deg AS MATERIALIZED (SELECT src, COUNT(*)::BIGINT AS deg
+        |       FROM e GROUP BY src),
+        |nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM deg),
+        |c0 AS MATERIALIZED (SELECT (1000000000000 // n) AS r0u,
         |         (15 * (1000000000000 // n)) // 100 AS tp FROM nn),
-        |r1 AS (SELECT e.dst AS node,
+        |r1 AS MATERIALIZED (SELECT e.dst AS node,
         |         MIN(c0.tp) + (85 * SUM(c0.r0u // deg.deg)) // 100 AS r
         |       FROM e JOIN deg ON e.src = deg.src CROSS JOIN c0
         |       GROUP BY e.dst),
-        |r2 AS (SELECT e.dst AS node,
+        |r2 AS MATERIALIZED (SELECT e.dst AS node,
         |         MIN(c0.tp) + (85 * SUM(r1.r // deg.deg)) // 100 AS r
         |       FROM e JOIN deg ON e.src = deg.src
         |         JOIN r1 ON e.src = r1.node CROSS JOIN c0
         |       GROUP BY e.dst),
-        |r3 AS (SELECT e.dst AS node,
+        |r3 AS MATERIALIZED (SELECT e.dst AS node,
         |         MIN(c0.tp) + (85 * SUM(r2.r // deg.deg)) // 100 AS r
         |       FROM e JOIN deg ON e.src = deg.src
         |         JOIN r2 ON e.src = r2.node CROSS JOIN c0
@@ -1945,25 +1964,30 @@ object Etl extends QueryGroup {
           .orderBy(col("n_nodes").desc, col("community"))
           .limit(20)
       },
-      Some("""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c,
+      // AS MATERIALIZED throughout: the l1->l2->l3 chain would
+      // otherwise re-inline each predecessor round (and e0's 6M-row
+      // DISTINCT) at every reference — exponential plan expansion with
+      // round count, the q_graph_pagerank failure mode
+      Some("""WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS c,
         |         l_suppkey * 2 + 1 AS sn
         |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT c AS src, sn AS dst FROM e0
+        |e AS MATERIALIZED (SELECT c AS src, sn AS dst FROM e0
         |      UNION ALL SELECT sn, c FROM e0),
-        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-        |l1 AS (SELECT dst AS node,
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
+        |       FROM e),
+        |l1 AS MATERIALIZED (SELECT dst AS node,
         |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
         |           % 4194304) AS label
         |       FROM (SELECT e.dst, l0.label, COUNT(*)::BIGINT AS cnt
         |             FROM e JOIN l0 ON e.src = l0.node
         |             GROUP BY e.dst, l0.label) t GROUP BY dst),
-        |l2 AS (SELECT dst AS node,
+        |l2 AS MATERIALIZED (SELECT dst AS node,
         |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
         |           % 4194304) AS label
         |       FROM (SELECT e.dst, l1.label, COUNT(*)::BIGINT AS cnt
         |             FROM e JOIN l1 ON e.src = l1.node
         |             GROUP BY e.dst, l1.label) t GROUP BY dst),
-        |l3 AS (SELECT dst AS node,
+        |l3 AS MATERIALIZED (SELECT dst AS node,
         |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
         |           % 4194304) AS label
         |       FROM (SELECT e.dst, l2.label, COUNT(*)::BIGINT AS cnt
