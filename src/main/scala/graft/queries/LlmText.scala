@@ -701,13 +701,13 @@ object LlmText extends QueryGroup {
               / col("n_eval"), 4).as("rate"))
           .orderBy(col("lang"))
       },
-      Some("""WITH w AS (SELECT doc_id, lang,
+      Some("""WITH w AS MATERIALIZED (SELECT doc_id, lang,
         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER % 10
         |           AS bucket,
         |         string_split(text, ' ') AS w
         |       FROM documents
         |       WHERE len(string_split(text, ' ')) >= 5),
-        |sh AS (SELECT doc_id, lang, bucket,
+        |sh AS MATERIALIZED (SELECT doc_id, lang, bucket,
         |         unnest(list_transform(range(1, len(w)-3),
         |           i -> md5(w[i]||'_'||w[i+1]||'_'||w[i+2]||'_'||w[i+3]||'_'||w[i+4])))
         |           AS sh

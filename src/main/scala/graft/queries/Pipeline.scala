@@ -263,12 +263,16 @@ object Pipeline extends QueryGroup {
             round(col("score"), 4).as("score"))
           .orderBy(col("lang"), col("r"))
       },
-      Some("""WITH tok AS (SELECT doc_id, lang,
+      // tok/tf/df AS MATERIALIZED: DuckDB inlines per reference, and
+      // tok (the full-corpus unnest) is referenced from tf, df and the
+      // scoring join — one tokenize, not three (the q_graph_pagerank
+      // CTE-inlining lesson applied to the linear-multiplicity family)
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
         |         unnest(string_split(lower(text), ' ')) AS tok
         |       FROM documents),
-        |tf AS (SELECT lang, tok, COUNT(*)::BIGINT AS tf
+        |tf AS MATERIALIZED (SELECT lang, tok, COUNT(*)::BIGINT AS tf
         |       FROM tok GROUP BY 1, 2),
-        |df AS (SELECT tok, COUNT(*)::BIGINT AS df
+        |df AS MATERIALIZED (SELECT tok, COUNT(*)::BIGINT AS df
         |       FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
         |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
         |scored AS (SELECT tf.lang, tf.tok, tf.tf, df.df,
@@ -341,10 +345,13 @@ object Pipeline extends QueryGroup {
             col("tf_merge"), col("tf_window"),
             round(col("score_raw"), 4).as("score"))
       },
-      Some("""WITH tok AS (SELECT doc_id, lang,
+      // tok AS MATERIALIZED: referenced by dl/tf/df/gs — one
+      // full-corpus tokenize instead of four under DuckDB's
+      // per-reference CTE inlining
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
         |         unnest(string_split(lower(text), ' ')) AS tok
         |       FROM documents),
-        |dl AS (SELECT doc_id, lang, COUNT(*)::BIGINT AS dl
+        |dl AS MATERIALIZED (SELECT doc_id, lang, COUNT(*)::BIGINT AS dl
         |       FROM tok GROUP BY 1, 2),
         |tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM tok
         |       WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2),
@@ -425,11 +432,13 @@ object Pipeline extends QueryGroup {
               / (col("c1") + col("v")))), 4).as("xent"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH docs AS (SELECT doc_id, lang,
+      // docs/big AS MATERIALIZED: big (the full-corpus bigram unnest)
+      // feeds c1, c2 AND the scoring join — one expansion, not three
+      Some("""WITH docs AS MATERIALIZED (SELECT doc_id, lang,
         |         string_split(lower(text), ' ') AS w
         |       FROM documents
         |       WHERE len(string_split(lower(text), ' ')) >= 2),
-        |big AS (SELECT doc_id, lang,
+        |big AS MATERIALIZED (SELECT doc_id, lang,
         |          unnest(w[1:len(w) - 1]) AS w1,
         |          unnest(w[2:len(w)]) AS w2
         |        FROM docs),
@@ -805,13 +814,13 @@ object Pipeline extends QueryGroup {
         merges.toSeq.toDF("round", "sym_a", "sym_b", "n_pair")
           .orderBy(col("round"))
       },
-      Some("""WITH tok0 AS (
+      Some("""WITH tok0 AS MATERIALIZED (
         |  SELECT regexp_replace(t, '(.)', '<\1>', 'g') AS sy,
         |         COUNT(*)::BIGINT AS w
         |  FROM (SELECT unnest(regexp_extract_all(lower(text),
         |          '[a-z0-9]+')) AS t FROM documents) u
         |  GROUP BY t),
-        |p1 AS (SELECT string_split(p, '|')[1] AS pa,
+        |p1 AS MATERIALIZED (SELECT string_split(p, '|')[1] AS pa,
         |         string_split(p, '|')[2] AS pb, SUM(w) AS cnt
         |       FROM (SELECT w, unnest(list_transform(range(1, len(a)),
         |               i -> a[i] || '|' || a[i+1])) AS p
@@ -820,10 +829,10 @@ object Pipeline extends QueryGroup {
         |             WHERE len(a) >= 2) y
         |       GROUP BY pa, pb ORDER BY cnt DESC, pa || '|' || pb
         |       LIMIT 1),
-        |tok1 AS (SELECT replace(sy, '<' || p1.pa || '><' || p1.pb || '>',
+        |tok1 AS MATERIALIZED (SELECT replace(sy, '<' || p1.pa || '><' || p1.pb || '>',
         |           '<' || p1.pa || p1.pb || '>') AS sy, w
         |         FROM tok0 CROSS JOIN p1),
-        |p2 AS (SELECT string_split(p, '|')[1] AS pa,
+        |p2 AS MATERIALIZED (SELECT string_split(p, '|')[1] AS pa,
         |         string_split(p, '|')[2] AS pb, SUM(w) AS cnt
         |       FROM (SELECT w, unnest(list_transform(range(1, len(a)),
         |               i -> a[i] || '|' || a[i+1])) AS p
@@ -832,10 +841,10 @@ object Pipeline extends QueryGroup {
         |             WHERE len(a) >= 2) y
         |       GROUP BY pa, pb ORDER BY cnt DESC, pa || '|' || pb
         |       LIMIT 1),
-        |tok2 AS (SELECT replace(sy, '<' || p2.pa || '><' || p2.pb || '>',
+        |tok2 AS MATERIALIZED (SELECT replace(sy, '<' || p2.pa || '><' || p2.pb || '>',
         |           '<' || p2.pa || p2.pb || '>') AS sy, w
         |         FROM tok1 CROSS JOIN p2),
-        |p3 AS (SELECT string_split(p, '|')[1] AS pa,
+        |p3 AS MATERIALIZED (SELECT string_split(p, '|')[1] AS pa,
         |         string_split(p, '|')[2] AS pb, SUM(w) AS cnt
         |       FROM (SELECT w, unnest(list_transform(range(1, len(a)),
         |               i -> a[i] || '|' || a[i+1])) AS p
