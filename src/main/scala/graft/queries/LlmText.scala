@@ -447,7 +447,11 @@ object LlmText extends QueryGroup {
               .cast(IntegerType).as("hamming"))
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH sigs AS (
+      // sigs AS MATERIALIZED: the self-join references it twice, and
+      // inlining recomputes the md5-per-token 60-bit signature pass
+      // per side — materialized, it runs once (the all-pairs join
+      // itself is the oracle's deliberate cost and is unchanged)
+      Some("""WITH sigs AS MATERIALIZED (
         |  SELECT doc_id, lang,
         |    list_sum(list_transform(range(0, 60), j ->
         |      CASE WHEN list_sum(list_transform(toks, tok ->
