@@ -28,3 +28,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// RetrySpec needs maxTaskFailures > 1, which is a SparkContext-level
+// setting (`local[4, 2]`) — it cannot share the one-attempt session
+// every other suite uses, so it runs in its own forked JVM. The two
+// groups run sequentially (ForkedTestGroup limit), keeping the suite's
+// resource profile identical to the ungrouped run.
+Test / testGrouping := {
+  val forkOpts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withEnvVars((Test / envVars).value)
+  val (retry, rest) =
+    (Test / definedTests).value.partition(_.name == "graft.RetrySpec")
+  Seq(
+    new Tests.Group("retry", retry, Tests.SubProcess(forkOpts)),
+    new Tests.Group("main", rest, Tests.SubProcess(forkOpts)),
+  ).filter(_.tests.nonEmpty)
+}
+Global / concurrentRestrictions += Tags.limit(Tags.ForkedTestGroup, 1)
