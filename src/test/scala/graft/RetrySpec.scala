@@ -102,6 +102,10 @@ class RetrySpec extends AnyFunSuite {
     val names = fs.listStatus(new Path(out)).map(_.getPath.getName).toSeq
     assert(names.count(_.endsWith(".gl")) === 4,
       s"expected 4 committed files, saw: $names")
+    // the killed attempt's partial staging bytes were removed by the
+    // task-level abort — a retry must not leak debris either
+    assert(!names.exists(_.endsWith(".staging")),
+      s"failed attempt left staging debris: $names")
     // a pushed filter plans off the manifest the commit wrote — it
     // must see the retried task's stats, not the dead attempt's
     assert(spark.read.format("graftlines").load(out)
@@ -133,6 +137,10 @@ class RetrySpec extends AnyFunSuite {
     val g2 = spark.read.format("graftlines").option("versionAsOf", "2")
       .load(out)
     assert(g2.agg(sum(col("k"))).head().getLong(0) === (0L until 1000L).sum)
+    // versioned task abort cleans its staging bytes too
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    assert(!names.exists(_.endsWith(".staging")),
+      s"failed attempt left staging debris: $names")
   }
 
   test("DistributedRank global ranks survive a retried task of the pinned frame") {
