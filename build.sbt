@@ -34,7 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // groups run sequentially (ForkedTestGroup limit), keeping the suite's
 // resource profile identical to the ungrouped run.
 Test / testGrouping := {
-  val forkOpts = ForkOptions()
+  // start from the configured fork options (they carry workingDirectory
+  // = baseDirectory and the output strategy) instead of a bare
+  // ForkOptions(), which would run test JVMs in sbt's process cwd
+  val forkOpts = (Test / forkOptions).value
     .withRunJVMOptions((Test / javaOptions).value.toVector)
     .withEnvVars((Test / envVars).value)
   val (retry, rest) =

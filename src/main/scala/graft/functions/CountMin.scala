@@ -64,9 +64,12 @@ object CountMin {
   /** point estimate: min over the key's depth cells. Null-safe on the
     * registered SQL surface (the reduce() rule applies here too): a
     * NULL sketch (outer join) or NULL key yields NULL instead of
-    * NPE-ing the task. */
+    * NPE-ing the task — and so does an array that is not a cms()
+    * sketch at all (wrong length), which would otherwise index out of
+    * bounds inside every executor task. */
   def estimate(sketch: Seq[Long], key: String): java.lang.Long = {
     if (sketch == null || key == null) return null
+    if (sketch.length != depth * width) return null
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
@@ -88,10 +91,4 @@ object CountMin {
     s.udf.register("cms_estimate",
       (sketch: Seq[Long], key: String) => estimate(sketch, key))
   }
-}
-
-private object ExpressionEncoderHelp {
-  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-  implicit val longArray: Encoder[Array[Long]] =
-    ExpressionEncoder[Array[Long]]()
 }

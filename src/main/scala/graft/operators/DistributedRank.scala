@@ -58,37 +58,56 @@ import org.apache.spark.sql.functions._
   */
 object DistributedRank {
 
-  /** Every ranged frame pinned BY THE CURRENT THREAD since its last
-    * [[releasePins]] — the explicit lifecycle for the correctness
-    * persist (see class doc). Thread-scoped, not process-global: a
+  /** Every ranged frame pinned since its last release, grouped by the
+    * PINNING thread's id — the explicit lifecycle for the correctness
+    * persist (see class doc). [[releasePins]] is thread-scoped: a
     * multi-query driver running rank queries on concurrent threads
     * must not have one query's boundary release unpersist another's
     * still-in-flight frame (replanning a released frame can draw
     * different range bounds — the silent-rank bug the pin prevents).
-    * Build the frame and release it on the SAME thread. And a
-    * registry, not auto-expiry: only the caller knows when release is
-    * safe. */
-  private val pins =
-    ThreadLocal.withInitial[scala.collection.mutable.ArrayBuffer[DataFrame]](
-      () => scala.collection.mutable.ArrayBuffer.empty[DataFrame])
+    * Build the frame and release it on the SAME thread. The registry
+    * itself is process-global (a map keyed by thread id, NOT a
+    * ThreadLocal), so pins made by a retired pool thread are never
+    * stranded — [[releaseAllPins]] can reach every pin from any
+    * thread. And a registry, not auto-expiry: only the caller knows
+    * when release is safe. */
+  private val pins = scala.collection.mutable.Map
+    .empty[Long, scala.collection.mutable.ArrayBuffer[DataFrame]]
 
-  private def pin(df: DataFrame): DataFrame = {
-    pins.get() +=
+  private def pin(df: DataFrame): DataFrame = pins.synchronized {
+    pins.getOrElseUpdate(Thread.currentThread.getId,
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]) +=
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
   }
+
+  private def drain(
+      buf: Option[scala.collection.mutable.ArrayBuffer[DataFrame]]): Int =
+    buf.fold(0) { b =>
+      b.foreach(_.unpersist(blocking = false)); b.size
+    }
 
   /** Unpersists every frame THIS THREAD pinned since its last call and
     * returns how many were released. Call at a query boundary — after
     * the results of every frame this thread obtained from the operator
     * have been materialized and no further action will run on them.
     * Safe to call when nothing is pinned. */
-  def releasePins(): Int = {
-    val mine = pins.get()
-    val n = mine.size
-    mine.foreach(_.unpersist(blocking = false))
-    mine.clear()
-    n
+  def releasePins(): Int =
+    drain(pins.synchronized(pins.remove(Thread.currentThread.getId)))
+
+  /** Unpersists every pin from EVERY thread — the janitor escape hatch
+    * for drivers whose pinning threads are pooled or already retired.
+    * Only safe when no rank query is in flight anywhere in the process
+    * (shutdown, or a known-idle boundary): releasing a frame another
+    * thread is still acting on reintroduces the different-bounds rank
+    * bug. Returns how many frames were released. */
+  def releaseAllPins(): Int = {
+    val all = pins.synchronized {
+      val snapshot = pins.values.toList
+      pins.clear()
+      snapshot
+    }
+    all.map(b => drain(Some(b))).sum
   }
 
   /** Adds `_gr_rank` (global 1-based row number, bigint), `nt`

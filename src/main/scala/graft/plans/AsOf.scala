@@ -10,7 +10,9 @@ object AsOf {
     * key (NULL if none) — direction "backward" (default): greatest
     * strictly-earlier right time; "forward": smallest strictly-later;
     * "nearest": closer of the two, ties backward.
-    * Key columns must be LONG, time columns TIMESTAMP.
+    * Key columns must be LONG; time columns TIMESTAMP or
+    * TIMESTAMP_NTZ (both micros-backed), same flavor on both sides;
+    * `asof_ts` carries the right side's flavor.
     *
     * Wrapping the right side in `functions.broadcast(...)` selects the
     * broadcast build: the small side ships to every executor as a sorted
@@ -48,22 +50,31 @@ object AsOf {
     // ClassCastException inside every executor instead of one clear
     // driver-side error
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-        name: String, expected: org.apache.spark.sql.types.DataType,
+        name: String,
+        expected: Seq[org.apache.spark.sql.types.DataType],
         role: String) = {
       val a = plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name)}"))
-      require(a.dataType == expected,
-        s"as-of join: $role column $name must be $expected, " +
-          s"is ${a.dataType}")
+      require(expected.contains(a.dataType),
+        s"as-of join: $role column $name must be " +
+          s"${expected.mkString(" or ")}, is ${a.dataType}")
       a
     }
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // both timestamp flavors are micros-as-Long to the physical
+    // operators, so either works — but the two sides must agree (an
+    // instant vs a wall-clock time are not comparable quantities)
+    val lTime =
+      attr(lPlan, leftTimeCol, Seq(TimestampType, TimestampNTZType),
+        "left time")
+    val rTime =
+      attr(rPlan, rightTimeCol, Seq(lTime.dataType), "right time")
     GraftPlanBridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
-      attr(lPlan, leftUserCol, LongType, "left key"),
-      attr(lPlan, leftTimeCol, TimestampType, "left time"),
-      attr(rPlan, rightUserCol, LongType, "right key"),
-      attr(rPlan, rightTimeCol, TimestampType, "right time"), direction,
-      broadcastRight = bcast))
+      attr(lPlan, leftUserCol, Seq(LongType), "left key"), lTime,
+      attr(rPlan, rightUserCol, Seq(LongType), "right key"), rTime,
+      direction, broadcastRight = bcast,
+      asOfOutput = org.apache.spark.sql.catalyst.expressions
+        .AttributeReference("asof_ts", rTime.dataType, nullable = true)()))
   }
 }

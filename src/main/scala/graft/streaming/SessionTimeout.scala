@@ -43,22 +43,43 @@ object SessionTimeout {
     * would split, though the sorted truth is one session) — and a
     * shrunken last also shrinks the timeout expiry, letting an
     * already-armed stale timer in [[SessionTimers]] wrongly seal the
-    * live session. */
+    * live session.
+    *
+    * Out-of-order events EARLIER than `start - gap` are NOT part of
+    * the open session (a naive `t - last <= gap` guard is vacuously
+    * true for any early t and would corrupt `start`): the fold
+    * gap-splits the whole batch into runs, merges the open interval
+    * in by position (an interval bridging two runs fuses all three),
+    * and seals every session earlier than the latest one. With only
+    * one open session in state, an early session seals as soon as it
+    * is observed — the best achievable without retaining raw events. */
   private[streaming] def fold(user: Long, open: Option[(Long, Long, Long)],
       incoming: Array[Long])
       : (Seq[(Long, Long, Long)], (Long, Long, Long)) = {
-    val closed =
-      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    var cur = open
+    // gap-split the sorted batch into runs (start, last, n)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     incoming.foreach { t =>
-      cur = cur match {
-        case Some((st, la, n)) if t - la <= gapUs =>
-          Some((math.min(st, t), math.max(la, t), n + 1))
-        case Some((st, _, n)) => closed += ((user, st, n)); Some((t, t, 1L))
-        case None => Some((t, t, 1L))
-      }
+      if (runs.nonEmpty && t - runs.last._2 <= gapUs) {
+        val (s, l, n) = runs.last
+        runs(runs.size - 1) = (s, math.max(l, t), n + 1)
+      } else runs += ((t, t, 1L))
     }
-    (closed.toSeq, cur.get)
+    // splice the open interval in by start order, then gap-merge once;
+    // the interval-proximity test (next.start - prev.last <= gap) also
+    // covers overlap, so a run inside the open span merges cleanly
+    open.foreach { o =>
+      val i = runs.indexWhere(_._1 >= o._1)
+      if (i < 0) runs += o else runs.insert(i, o)
+    }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    runs.foreach { r =>
+      if (merged.nonEmpty && r._1 - merged.last._2 <= gapUs) {
+        val (s, l, n) = merged.last
+        merged(merged.size - 1) = (s, math.max(l, r._2), n + r._3)
+      } else merged += r
+    }
+    // the latest session stays open; everything earlier seals now
+    (merged.init.toSeq.map(s => (user, s._1, s._3)), merged.last)
   }
 
   /** flatMapGroupsWithState body: emits `(user_id, start_us, n)` for

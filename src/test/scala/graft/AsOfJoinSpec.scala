@@ -273,6 +273,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       e2.getMessage)
   }
 
+  test("TIMESTAMP_NTZ time columns join like TIMESTAMP; mixing flavors is rejected") {
+    import spark.implicits._
+    // both flavors are micros-as-Long to the physical operators, so a
+    // session reading NTZ parquet (or spark.sql.timestampType=NTZ)
+    // must not be rejected at analysis — but an instant joined against
+    // a wall-clock time is not a comparable quantity, so MIXED flavors
+    // still fail with one clear driver-side error
+    val l = Seq((10L, "2024-01-01 10:00:00"), (10L, "2024-01-01 12:00:00"))
+      .toDF("user_id", "s")
+      .withColumn("ts", $"s".cast("timestamp_ntz")).drop("s")
+    val r = Seq((10L, "2024-01-01 09:30:00"), (10L, "2024-01-01 11:00:00"))
+      .toDF("c_user", "s")
+      .withColumn("c_ts", $"s".cast("timestamp_ntz")).drop("s")
+    val out = graft.plans.AsOf.join(l, r, "user_id", "ts", "c_user", "c_ts")
+      .orderBy("ts").select("asof_ts").collect()
+    assert(out.map(_.get(0).toString) ===
+      Array("2024-01-01T09:30", "2024-01-01T11:00"),
+      out.mkString(","))
+    // asof_ts carries the right side's flavor
+    val schema = graft.plans.AsOf
+      .join(l, r, "user_id", "ts", "c_user", "c_ts").schema
+    assert(schema("asof_ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType, schema.treeString)
+    val rTz = Seq((10L, java.sql.Timestamp.valueOf("2024-01-01 09:30:00")))
+      .toDF("c_user", "c_ts")
+    val e = intercept[IllegalArgumentException](
+      graft.plans.AsOf.join(l, rTz, "user_id", "ts", "c_user", "c_ts"))
+    assert(e.getMessage.contains("right time column c_ts must be"),
+      e.getMessage)
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))

@@ -44,6 +44,18 @@ class CountMinSpec extends AnyFunSuite {
       s"sql=$viaSql column=$viaColumn (exact count of 'a' is 3)")
   }
 
+  test("a non-sketch array estimates NULL instead of indexing out of bounds") {
+    // shape hardening (the ab8899a rule): an array<bigint> column that
+    // is not a cms() sketch — wrong length — must degrade to NULL on
+    // the SQL surface, not IndexOutOfBoundsException in every task
+    graft.functions.CountMin.register(spark)
+    val viaSql = spark.sql(
+      "SELECT cms_estimate(array(1L, 2L, 3L), 'tok') AS e").head()
+    assert(viaSql.isNullAt(0), s"short array must yield NULL: $viaSql")
+    assert(graft.functions.CountMin.estimate(Seq(1L, 2L), "tok") == null)
+    assert(graft.functions.CountMin.estimate(null, "tok") == null)
+  }
+
   test("merging partial sketches equals the single-pass sketch") {
     val agg = graft.functions.CountMin.aggregator
     val keys = (0 until 500).map(i => s"tok_${i % 37}")

@@ -181,6 +181,26 @@ class DistributedRankSpec extends AnyFunSuite {
       "the owning thread's pins must survive the foreign release")
   }
 
+  test("releaseAllPins reaches pins made by a retired thread") {
+    // the registry is a map keyed by thread id, NOT a ThreadLocal: a
+    // pool thread that pinned and then died must not strand its pins
+    // as a permanent CacheManager leak — the janitor API frees them
+    graft.operators.DistributedRank.releaseAllPins()
+    var pinned = 0
+    val worker = new Thread(() => {
+      viaDistributed(4, parts = 8).collect()
+      pinned = 1
+    })
+    worker.start(); worker.join()
+    assert(pinned == 1, "worker must have pinned before dying")
+    assert(graft.operators.DistributedRank.releasePins() == 0,
+      "this thread pinned nothing — per-thread release stays scoped")
+    assert(graft.operators.DistributedRank.releaseAllPins() >= 1,
+      "the dead worker's pins must be releasable from any thread")
+    assert(graft.operators.DistributedRank.releaseAllPins() == 0,
+      "second global release must find nothing")
+  }
+
   test("plan range-partitions the data — no single-task sort of rows") {
     val plan = viaDistributed(4, parts = 8).queryExecution
       .executedPlan.toString

@@ -30,4 +30,44 @@ class SessionFoldSpec extends AnyFunSuite {
     assert(c3 == Seq((7L, 540L * m, 3L)) && cur3._3 == 1L,
       s"past-gap event must close the open session: $c3 / $cur3")
   }
+
+  test("event earlier than start - gap forms its own closed session") {
+    import SessionTimeout.fold
+    val m = 60L * 1000 * 1000
+    // open 9:00..10:00; an admissible straggler at 8:00 is a FULL GAP
+    // before the session start — `t - last <= gap` is vacuously true
+    // for any early t, so a naive guard would absorb it and corrupt
+    // start_us to 8:00; the truth is a separate, already-sealed session
+    val open = Some((540L * m, 600L * m, 3L))
+    val (closed, cur) = fold(7L, open, Array(480L * m))
+    assert(closed == Seq((7L, 480L * m, 1L)),
+      s"the 8:00 straggler seals alone: $closed")
+    assert(cur == ((540L * m, 600L * m, 3L)),
+      s"the open session must be untouched: $cur")
+    // two early stragglers within one gap of EACH OTHER are ONE closed
+    // session, not two singletons
+    val (c2, cur2) = fold(7L, open, Array(480L * m, 490L * m))
+    assert(c2 == Seq((7L, 480L * m, 2L)) && cur2 == open.get,
+      s"early events gap-merge among themselves: $c2 / $cur2")
+    // early events CHAINING up to the open session merge into it:
+    // 8:35 -> 8:50 (15 min) -> 9:00 (10 min) is one session from 8:35
+    val (c3, cur3) = fold(7L, open, Array(515L * m, 530L * m))
+    assert(c3.isEmpty && cur3 == ((515L * m, 600L * m, 5L)),
+      s"a chain bridging into the open span extends start: $cur3")
+  }
+
+  test("the open interval can bridge two otherwise-split runs") {
+    import SessionTimeout.fold
+    val m = 60L * 1000 * 1000
+    // runs end 8:50 / start 9:40 (50 min apart — split on their own),
+    // but the open 9:00..9:20 is within a gap of BOTH: all three fuse
+    val open = Some((540L * m, 560L * m, 2L))
+    val (closed, cur) = fold(7L, open, Array(530L * m, 580L * m))
+    assert(closed.isEmpty && cur == ((530L * m, 580L * m, 4L)),
+      s"open interval bridges the runs: $closed / $cur")
+    // and a batch run strictly inside the open span just counts in
+    val (c2, cur2) = fold(7L, open, Array(545L * m, 550L * m))
+    assert(c2.isEmpty && cur2 == ((540L * m, 560L * m, 4L)),
+      s"in-span run merges without moving bounds: $cur2")
+  }
 }
