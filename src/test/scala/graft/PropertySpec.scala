@@ -395,4 +395,5 @@ class PropertySpec extends AnyFunSuite {
         == live.size, s"case $i live count")
     }
   }
+
 }

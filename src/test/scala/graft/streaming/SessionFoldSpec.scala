@@ -70,4 +70,47 @@ class SessionFoldSpec extends AnyFunSuite {
     assert(c2.isEmpty && cur2 == ((540L * m, 560L * m, 4L)),
       s"in-span run merges without moving bounds: $cur2")
   }
+
+  test("fold equals the sorted-truth gap split for any in-order batch split") {
+    // property law over random event sets (raw Gen + fixed seeds, the
+    // PropertySpec convention): (1) one batch from empty state must
+    // equal the plain gap split of the sorted events; (2) the same
+    // events as two IN-ORDER batches with state carried between must
+    // produce the same closed sessions + open session — the
+    // cross-batch law both state stores rely on
+    import SessionTimeout.{fold, gapUs}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val step = gapUs / 3 // events land 0..20 gaps apart in thirds
+    val evGen = Gen.listOfN(24, Gen.chooseNum(0L, 60L)).map(
+      _.map(_ * step).distinct.sorted.toArray).suchThat(_.nonEmpty)
+    def gapSplit(ts: Array[Long]): Seq[(Long, Long, Long)] =
+      ts.foldLeft(Vector.empty[(Long, Long, Long)]) { (acc, t) =>
+        acc.lastOption match {
+          case Some((s, l, n)) if t - l <= gapUs =>
+            acc.init :+ ((s, t, n + 1))
+          case _ => acc :+ ((t, t, 1L))
+        }
+      }
+    val cases = (0 until 12).flatMap(i =>
+      evGen.apply(Gen.Parameters.default, Seed(1789L + i)))
+    assert(cases.size >= 10, "generator must yield cases")
+    cases.foreach { ts =>
+      val truth = gapSplit(ts)
+      // law 1: single batch from empty state
+      val (closed, open) = fold(9L, None, ts)
+      assert(closed.map(c => (c._2, c._3)) ==
+        truth.init.map(s => (s._1, s._3)) && open == truth.last,
+        s"single-batch fold diverges from gap split on ${ts.toSeq}")
+      // law 2: any in-order two-batch split agrees with one batch
+      (1 until ts.length).foreach { cut =>
+        val (b1, b2) = ts.splitAt(cut)
+        val (c1, o1) = fold(9L, None, b1)
+        val (c2, o2) = fold(9L, Some(o1), b2)
+        assert((c1 ++ c2).map(c => (c._2, c._3)) ==
+          truth.init.map(s => (s._1, s._3)) && o2 == truth.last,
+          s"two-batch fold diverges at cut $cut on ${ts.toSeq}")
+      }
+    }
+  }
 }
