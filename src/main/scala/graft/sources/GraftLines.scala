@@ -344,18 +344,37 @@ object GraftLines {
     * manifest or none — same discipline as the stats manifest). Unlike
     * stats, a failed generation publish FAILS the commit: the
     * generation manifest is the source of truth for what a versioned
-    * read returns, not an optimization. */
+    * read returns, not an optimization.
+    *
+    * A destination that ALREADY exists fails the commit loudly: two
+    * committers that both computed `n` as the next generation would
+    * otherwise last-writer-win on filesystems whose rename clobbers
+    * (Hadoop's local FS does; HDFS's rename-onto-existing fails and
+    * is the true compare-and-swap) — and since each job's DATA file
+    * names are job-unique, the manifest is the one place the race
+    * surfaces. The residual check-then-rename window is the documented
+    * honest limit: serialize writers through the catalog. */
   private[sources] def writeGen(dir: String, n: Int, baseNames: Seq[String],
       conf: org.apache.hadoop.conf.Configuration,
       epoch: Option[Long] = None): Unit = {
     val p = genPath(dir, n)
     val fs = p.getFileSystem(conf)
+    require(!fs.exists(p),
+      s"graftlines: generation manifest $p already exists — concurrent " +
+        "committers race on the generation number; serialize writers " +
+        "through the catalog")
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
     try {
       epoch.foreach { e => w.write(s"#epoch:$e"); w.write('\n') }
       baseNames.sorted.foreach { b => w.write(b); w.write('\n') }
     } finally w.close()
+    // re-check at the last instant: the first check ran before the tmp
+    // write, and a racer may have published while we streamed it out
+    require(!fs.exists(p),
+      s"graftlines: generation manifest $p already exists — concurrent " +
+        "committers race on the generation number; serialize writers " +
+        "through the catalog")
     require(fs.rename(tmp, p),
       s"graftlines: failed publishing generation manifest $p")
   }

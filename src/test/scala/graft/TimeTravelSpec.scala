@@ -228,4 +228,47 @@ class TimeTravelSpec extends AnyFunSuite {
     val e = intercept[Exception](delta(2, 9).collect())
     assert(e.getMessage.contains("excludeFilesOfVersion"))
   }
+
+  test("two racing appenders never corrupt the table: distinct gens or a loud loser") {
+    // the connector's documented multi-writer posture: the generation
+    // manifest is the commit's compare-and-swap point, so two
+    // concurrent appends either serialize onto DISTINCT generations or
+    // exactly one fails loudly ("concurrent committers") — never a
+    // silent last-writer-wins that orphans a committed job. The race
+    // is real scheduling, so BOTH legal outcomes are asserted.
+    val p = s"$dir/race"
+    markVersioned(p)
+    Seq(0L).toDF("v").write.format("graftlines").mode("append").save(p)
+    val errs =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (1 to 2).map { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          spark.range(i * 10, i * 10 + 5).selectExpr("id AS v")
+            .write.format("graftlines").mode("append").save(p)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    assert(errs.size <= 1, s"at most one loser: ${errs.size}")
+    errs.forEach { t =>
+      val msg = Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("concurrent committers") ||
+        msg.contains("already exists"),
+        s"loser must fail the concurrent-commit way, got: $t")
+    }
+    // whatever happened, the surviving table is consistent: the latest
+    // generation lists only live files and holds the seed row plus
+    // every WINNING append's rows
+    val rows = spark.read.format("graftlines").load(p)
+      .select("v").collect().map(_.getLong(0)).toSet
+    val winners = 2 - errs.size
+    assert(rows.contains(0L), "the seed commit must survive")
+    val appended = rows - 0L
+    assert(appended.size == winners * 5,
+      s"$winners winning appends must land exactly, got $rows")
+  }
 }

@@ -61,4 +61,28 @@ class GlInternalsSpec extends AnyFunSuite {
       s"only the damaged line may drop, got ${stats.keySet}")
     assert(stats("good.gl").rows == 10 && stats("good2.gl").rows == 7)
   }
+
+  test("publishing an already-published generation fails the commit loudly") {
+    // two committers that both computed N as the next generation must
+    // not last-writer-win: data file names are job-unique, so the
+    // generation manifest is the ONE place a concurrent-commit race
+    // surfaces — and Hadoop's local-FS rename clobbers an existing
+    // destination, so without the exists guard the second publish
+    // would silently orphan the first job's commit
+    val dir = "/tmp/graft_gen_cas_spec"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    GraftLines.writeGen(dir, 3, Seq("part-a.gl"), conf)
+    val e = intercept[IllegalArgumentException](
+      GraftLines.writeGen(dir, 3, Seq("part-b.gl"), conf))
+    assert(e.getMessage.contains("concurrent committers"), e.getMessage)
+    // the loser must not have damaged the winner's manifest
+    assert(GraftLines.readGen(dir, 3, conf) == Seq("part-a.gl"),
+      "the first publish must survive the failed second intact")
+    // a DIFFERENT generation still publishes fine
+    GraftLines.writeGen(dir, 4, Seq("part-b.gl"), conf)
+    assert(GraftLines.readGen(dir, 4, conf) == Seq("part-b.gl"))
+  }
 }
