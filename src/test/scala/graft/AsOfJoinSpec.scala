@@ -304,6 +304,56 @@ class AsOfJoinSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("all directions × both physical forms match a brute-force oracle on random data") {
+    // differential law over random timestamp sets (raw Gen + fixed
+    // seeds): dense duplicate timestamps on both sides, equal left and
+    // right times (strictness boundaries), users present on only one
+    // side — the co-partitioned merge AND the broadcast build must
+    // both reproduce a per-row brute-force scan in every direction
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 19L)))
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    def brute(left: Seq[(Long, Long)], right: Seq[(Long, Long)],
+        dir: String): Seq[Option[Long]] =
+      left.map { case (u, t) =>
+        val mine = right.collect { case (`u`, rt) => rt }
+        val back = mine.filter(_ < t).maxOption
+        val fwd = mine.filter(_ > t).minOption
+        dir match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) => Some(if (f - t < t - b) f else b)
+            case (b, f) => b.orElse(f)
+          }
+        }
+      }
+    (0 until 4).flatMap(i => Gen.zip(rowGen, rowGen)
+      .apply(Gen.Parameters.default, Seed(4242L + i)))
+      .foreach { case (lRaw, rRaw) =>
+        val l = lRaw.zipWithIndex
+          .map { case ((u, t), i) => (i.toLong, u, ts(t)) }
+          .toDF("event_id", "user_id", "ts")
+        val r = rRaw.map { case (u, t) => (u, ts(t)) }.toDF("c_user", "c_ts")
+        Seq("backward", "forward", "nearest").foreach { dir =>
+          val want = brute(lRaw, rRaw, dir).map(_.map(ts).orNull)
+          Seq(r, broadcast(r)).zip(Seq("merge", "broadcast")).foreach {
+            case (rhs, form) =>
+              val got = graft.plans.AsOf
+                .join(l, rhs, "user_id", "ts", "c_user", "c_ts", dir)
+                .orderBy("event_id").select("asof_ts")
+                .collect().map(row => row.get(0)).toSeq
+              assert(got == want,
+                s"$dir/$form diverges from brute force on " +
+                  s"left=$lRaw right=$rRaw")
+          }
+        }
+      }
+  }
+
   test("rows with no earlier click get NULL asof_ts") {
     import spark.implicits._
     val l = Seq((1L, 10L, "2024-01-01 10:00:00"))

@@ -77,6 +77,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("both algorithms match a union-find oracle on random graphs") {
+    // differential law over ScalaCheck-shaped random graphs (raw Gen +
+    // fixed seeds, the PropertySpec convention): min-label AND star
+    // contraction must both equal a driver-side union-find's exact
+    // partition — same membership, and the representative is each
+    // component's MIN vertex id (the declared label contract)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      // min-id representative: path-compress once more, roots are
+      // already the min of their tree by the max-points-to-min union
+      parent.keys.toSeq.map(k => k -> find(k)).toMap
+    }
+    (0 until 6).flatMap(i =>
+      edgeGen.apply(Gen.Parameters.default, Seed(2026L + i))).foreach { es =>
+      // self-loops are legal input (a vertex alone in its component)
+      val truth = unionFind(es)
+      val got = cc(es)
+      val gotStar = ccStar(es)
+      assert(got == truth, s"min-label != union-find on $es")
+      assert(gotStar == truth, s"star != union-find on $es")
+    }
+  }
+
   test("labels never leave the JVM via the driver: output is a plan") {
     // label() returns a DataFrame, not collected rows — downstream
     // grouping stays distributed. Sanity: cluster the sf0.001 near-dup
