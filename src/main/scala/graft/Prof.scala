@@ -9,7 +9,9 @@ object Prof {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone","UTC")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_prof")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("PROF_SF_DIR", "/root/testdata/sf0.1")
     spark.range(1000).selectExpr("sum(id)").count()

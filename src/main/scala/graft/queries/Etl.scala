@@ -1326,7 +1326,13 @@ object Etl extends QueryGroup {
       "q_etl_jdbc_sink",
       (s, d) => {
         // reference A7: POST to REST->PostgreSQL; here: real JDBC round
-        // trip through embedded Derby (the only DB in this offline env)
+        // trip through embedded Derby (the only DB in this offline env).
+        // Derby writes its boot log to cwd unless told otherwise —
+        // keep run droppings out of the repo root (idempotent: the
+        // property is read once at Derby boot, so only the first
+        // setting in a JVM matters)
+        if (System.getProperty("derby.stream.error.file") == null)
+          System.setProperty("derby.stream.error.file", "/tmp/derby.log")
         val url = "jdbc:derby:memory:graftdb;create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

@@ -11,6 +11,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable warehouses out of the repo root (run droppings)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
