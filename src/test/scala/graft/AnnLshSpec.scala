@@ -58,6 +58,56 @@ class AnnLshSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(0), "long vector must yield NULL")
   }
 
+  test("lsh_sigs codegen and interpreted eval agree with a plain-Scala reference") {
+    // the expression ships two implementations — nullSafeEval and the
+    // doGenCode mirror — and the DataFrame path exercises only the
+    // codegen one; a drift between them would bucket the SAME vector
+    // differently depending on plan shape. Random vectors (fixed
+    // seeds) check codegen (via the projection) == interpreted (direct
+    // eval) == an independent sign-hash in plain Scala, including the
+    // acc >= 0 sign boundary (zero dot products hash to bit set)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rnd = new scala.util.Random(77)
+    val dims = 6
+    val planes = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian()))
+    val bits = 4 // 8 planes / 4 bits = 2 tables
+    graft.functions.LshSignatures.register(spark, "lsh_diff_sigs",
+      planes, bits)
+    def reference(v: Seq[Float]): Seq[Int] =
+      planes.grouped(bits).map { table =>
+        table.zipWithIndex.foldLeft(0) { case (sig, (hp, j)) =>
+          val acc = v.zip(hp).map { case (x, w) => x.toDouble * w }.sum
+          if (acc >= 0) sig | (1 << j) else sig
+        }
+      }.toSeq
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-8, 8))
+      .map(_.map(i => i.toFloat / 2)) // exact halves: no float noise,
+                                      // and zeros hit the >= 0 boundary
+    val vecs = (0 until 24).flatMap(i =>
+      vecGen.apply(Gen.Parameters.default, Seed(9000L + i)))
+    assert(vecs.size >= 20)
+    // codegen path: through a projection
+    val viaDf = vecs.toDF("v")
+      .select(expr("lsh_diff_sigs(cast(v as array<float>))").as("sigs"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    // interpreted path: direct expression eval on catalyst values
+    val viaEval = vecs.map { v =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v.toArray,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))
+      graft.functions.LshSignatures(lit, planes, bits).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+    }
+    val want = vecs.map(reference)
+    assert(viaDf == want, "codegen diverges from the reference")
+    assert(viaEval == want, "interpreted eval diverges from the reference")
+  }
+
   test("PQ ANN recall@5 with 16x16 codebooks on sf0.01") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
