@@ -41,6 +41,41 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fdot codegen and interpreted eval agree with a plain-Scala reference") {
+    // same three-way parity law as lsh_sigs (AnnLshSpec): the
+    // projection path runs doGenCode, direct eval runs nullSafeEval —
+    // a drift between the mirrors would score the same pair
+    // differently depending on plan shape. Exact-half floats keep the
+    // comparison noise-free; accumulation order is ascending in all
+    // three, so doubles match bit-for-bit
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.FloatDot.register(spark)
+    val vecGen = Gen.listOfN(5, Gen.chooseNum(-8, 8)).map(_.map(_.toFloat / 2))
+    val pairs = (0 until 20).flatMap(i => Gen.zip(vecGen, vecGen)
+      .apply(Gen.Parameters.default, Seed(3100L + i)))
+    assert(pairs.size >= 16)
+    val want = pairs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble }
+    }
+    val viaDf = pairs.toDF("a", "b")
+      .selectExpr("fdot(cast(a as array<float>), cast(b as array<float>))")
+      .collect().map(_.getDouble(0)).toSeq
+    val viaEval = pairs.map { case (a, b) =>
+      def lit(v: Seq[Float]) =
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          v.toArray, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))
+      graft.functions.FloatDot(lit(a), lit(b)).eval(null)
+        .asInstanceOf[Double]
+    }
+    assert(viaDf == want, "codegen diverges from the reference")
+    assert(viaEval == want, "interpreted eval diverges from the reference")
+  }
+
   test("fdot yields NULL for length mismatch and NULL elements") {
     val spark = TestSpark.spark
     graft.functions.FloatDot.register(spark)
