@@ -32,7 +32,7 @@ object Bench {
       // DIFFERENT grouping than the one the oracle verified
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_bench")
+      .config("spark.sql.warehouse.dir", GraftTmp.dir("warehouse_bench"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/classloading once so the first timed query doesn't

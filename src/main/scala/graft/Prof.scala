@@ -10,7 +10,7 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_prof")
+      .config("spark.sql.warehouse.dir", GraftTmp.dir("warehouse_prof"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("PROF_SF_DIR", "/root/testdata/sf0.1")

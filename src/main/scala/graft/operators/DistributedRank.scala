@@ -66,16 +66,23 @@ object DistributedRank {
     * still-in-flight frame (replanning a released frame can draw
     * different range bounds — the silent-rank bug the pin prevents).
     * Build the frame and release it on the SAME thread. The registry
-    * itself is process-global (a map keyed by thread id, NOT a
-    * ThreadLocal), so pins made by a retired pool thread are never
-    * stranded — [[releaseAllPins]] can reach every pin from any
-    * thread. And a registry, not auto-expiry: only the caller knows
-    * when release is safe. */
+    * itself is process-global (a map keyed by a per-thread token
+    * object, NOT a ThreadLocal holding the pins), so pins made by a
+    * retired pool thread are never stranded — [[releaseAllPins]] can
+    * reach every pin from any thread. The key is a token rather than
+    * the thread id because the JDK documents ids as reusable after
+    * thread death: a recycled id would hand a dead thread's pins to an
+    * unrelated new thread, whose boundary release could then unpersist
+    * a frame some consumer still holds. And a registry, not
+    * auto-expiry: only the caller knows when release is safe. */
   private val pins = scala.collection.mutable.Map
-    .empty[Long, scala.collection.mutable.ArrayBuffer[DataFrame]]
+    .empty[AnyRef, scala.collection.mutable.ArrayBuffer[DataFrame]]
+
+  /** Identity token per thread — never recycled, unlike thread ids. */
+  private val token = ThreadLocal.withInitial[AnyRef](() => new Object)
 
   private def pin(df: DataFrame): DataFrame = pins.synchronized {
-    pins.getOrElseUpdate(Thread.currentThread.getId,
+    pins.getOrElseUpdate(token.get(),
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]) +=
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df
@@ -93,7 +100,7 @@ object DistributedRank {
     * have been materialized and no further action will run on them.
     * Safe to call when nothing is pinned. */
   def releasePins(): Int =
-    drain(pins.synchronized(pins.remove(Thread.currentThread.getId)))
+    drain(pins.synchronized(pins.remove(token.get())))
 
   /** Unpersists every pin from EVERY thread — the janitor escape hatch
     * for drivers whose pinning threads are pooled or already retired.

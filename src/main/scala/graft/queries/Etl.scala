@@ -1332,7 +1332,8 @@ object Etl extends QueryGroup {
         // property is read once at Derby boot, so only the first
         // setting in a JVM matters)
         if (System.getProperty("derby.stream.error.file") == null)
-          System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+          System.setProperty("derby.stream.error.file",
+            graft.GraftTmp.dir("derby.log"))
         val url = "jdbc:derby:memory:graftdb;create=true"
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

@@ -363,20 +363,32 @@ object GraftLines {
       s"graftlines: generation manifest $p already exists — concurrent " +
         "committers race on the generation number; serialize writers " +
         "through the catalog")
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
-    val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
+    // writer-unique tmp name (the data-file staging discipline): a
+    // shared tmp would let two racers truncate or steal each other's
+    // in-flight manifest, corrupting the very CAS the exists checks add
+    val tmp = new Path(p.getParent,
+      p.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
     try {
-      epoch.foreach { e => w.write(s"#epoch:$e"); w.write('\n') }
-      baseNames.sorted.foreach { b => w.write(b); w.write('\n') }
-    } finally w.close()
-    // re-check at the last instant: the first check ran before the tmp
-    // write, and a racer may have published while we streamed it out
-    require(!fs.exists(p),
-      s"graftlines: generation manifest $p already exists — concurrent " +
-        "committers race on the generation number; serialize writers " +
-        "through the catalog")
-    require(fs.rename(tmp, p),
-      s"graftlines: failed publishing generation manifest $p")
+      val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
+      try {
+        epoch.foreach { e => w.write(s"#epoch:$e"); w.write('\n') }
+        baseNames.sorted.foreach { b => w.write(b); w.write('\n') }
+      } finally w.close()
+      // re-check at the last instant: the first check ran before the
+      // tmp write, and a racer may have published while we streamed it
+      require(!fs.exists(p),
+        s"graftlines: generation manifest $p already exists — concurrent " +
+          "committers race on the generation number; serialize writers " +
+          "through the catalog")
+      require(fs.rename(tmp, p),
+        s"graftlines: failed publishing generation manifest $p")
+    } catch {
+      case t: Throwable =>
+        // the loser (or a crashed publish) must not leave its tmp as a
+        // permanent dropping in the table directory
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   /** The planner's file source: generation-resolved on versioned

@@ -12,7 +12,7 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // keep saveAsTable warehouses out of the repo root (run droppings)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_test")
+      .config("spark.sql.warehouse.dir", GraftTmp.dir("warehouse_test"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
