@@ -207,6 +207,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a cross-batch early straggler seals alone and leaves the open " +
+      "session intact (watermark delay > gap)") {
+    // end-to-end witness of the fold's disorder semantics through the
+    // real engine: with a 2-hour watermark delay an event a FULL GAP
+    // before the open session's start is admissible in a later batch —
+    // it must emit as its own closed session, never be absorbed into
+    // the open one (which would corrupt start_us in the sealed output)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = ms.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "2 hours")
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        graft.streaming.SessionTimeout.update)
+      .toDF("user_id", "start_us", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_ooo_spec").start()
+    def emitted() = spark.table("session_ooo_spec")
+      .as[(Long, Long, Long)].collect().toSet
+    def us(s: String) = ts(s).toInstant.getEpochSecond * 1000000L
+    try {
+      // epoch 1: the open session 10:00..10:05
+      ms.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "open session must not emit early")
+      // epoch 2: a straggler at 08:30 — above the current watermark
+      // (10:05 - 2 h = 08:05, so it is NOT dropped as late) yet a full
+      // gap before the open session's 10:00 start: it seals ALONE,
+      // immediately
+      ms.addData((1L, ts("2024-01-01 08:30:00")))
+      q.processAllAvailable()
+      assert(emitted() == Set((1L, us("2024-01-01 08:30:00"), 1L)),
+        s"straggler must seal alone, got ${emitted()}")
+      // epoch 3: push the watermark past the open session's timeout —
+      // the sealed output must carry the UNCORRUPTED 10:00 start and
+      // n=2 (absorbing the straggler would have made it 08:30 / 3)
+      ms.addData((2L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      assert(emitted().contains((1L, us("2024-01-01 10:00:00"), 2L)),
+        s"open session must seal with intact bounds, got ${emitted()}")
+    } finally q.stop()
+  }
+
   test("SessionTimers seals an idle user's session via an event-time " +
       "timer with no new input for that key") {
     import spark.implicits._
