@@ -271,4 +271,60 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(appended.size == winners * 5,
       s"$winners winning appends must land exactly, got $rows")
   }
+
+  test("six retrying appenders all converge: every row lands exactly once") {
+    // the optimistic-concurrency soak: N writers each append one
+    // distinct row, retrying on a concurrent-commit loss (the caller
+    // protocol the loud CAS failure enables). Every append must land
+    // EXACTLY once, generations must be gap-free and strictly
+    // sequential, and no staging or tmp debris may survive — the
+    // convergence a catalog-less multi-writer would rely on
+    val p = s"$dir/soak"
+    markVersioned(p)
+    Seq(-1L).toDF("v").write.format("graftlines").mode("append").save(p)
+    val writers = 6
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until writers).map { i =>
+      new Thread(() => {
+        try {
+          gate.await()
+          var done = false
+          var tries = 0
+          while (!done) {
+            tries += 1
+            require(tries <= 40, s"writer $i starved after 40 tries")
+            try {
+              Seq(i.toLong).toDF("v")
+                .write.format("graftlines").mode("append").save(p)
+              done = true
+            } catch {
+              case t: Throwable
+                  if (Option(t.getMessage).getOrElse("") +
+                    Option(t.getCause).map(_.getMessage).getOrElse(""))
+                    .contains("concurrent committers") => // retry
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    assert(failures.isEmpty, s"no writer may starve or crash: $failures")
+    val rows = spark.read.format("graftlines").load(p)
+      .select("v").collect().map(_.getLong(0)).toSeq.sorted
+    assert(rows == (-1L until writers.toLong).toSeq,
+      s"every append exactly once, got $rows")
+    // generations are gap-free (no number was burned silently) and no
+    // tmp/staging debris survived the losers' retries
+    val fs = hfs(p)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName)
+    val gens = names.filter(_.startsWith(GraftLines.GenPrefix))
+      .flatMap(_.stripPrefix(GraftLines.GenPrefix).toIntOption).sorted
+    assert(gens.toSeq == (1 to writers + 1).toSeq,
+      s"generations must be sequential and gap-free, got ${gens.toSeq}")
+    assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".staging")),
+      s"no debris may survive: ${names.toSeq.sorted}")
+  }
 }
