@@ -380,14 +380,50 @@ object GraftLines {
         s"graftlines: generation manifest $p already exists — concurrent " +
           "committers race on the generation number; serialize writers " +
           "through the catalog")
-      require(fs.rename(tmp, p),
-        s"graftlines: failed publishing generation manifest $p")
+      if (fs.getScheme == "file" && publishByLink(fs, tmp, p)) {
+        // local filesystems: POSIX rename CLOBBERS an existing
+        // destination, so check-then-rename has a real lost-commit
+        // window (the 6-writer soak hit it). link(2) is the atomic
+        // publish-or-fail primitive there: it creates the destination
+        // complete (same inode as the fully-written tmp) and FAILS if
+        // it already exists. publishByLink throws the loud
+        // concurrent-committers error on that failure; false means
+        // links are unsupported on this mount -> rename fallback below
+        fs.delete(tmp, false)
+      } else {
+        // HDFS and friends: rename-onto-existing fails, so the rename
+        // itself is the compare-and-swap
+        require(fs.rename(tmp, p),
+          s"graftlines: failed publishing generation manifest $p")
+      }
     } catch {
       case t: Throwable =>
         // the loser (or a crashed publish) must not leave its tmp as a
         // permanent dropping in the table directory
         try fs.delete(tmp, false) catch { case _: Throwable => () }
         throw t
+    }
+  }
+
+  /** Atomic local-FS publish: hard-link `tmp` to `p` — link(2) fails
+    * if `p` exists, atomically, which POSIX rename does not. Returns
+    * false when the mount does not support hard links (caller falls
+    * back to rename and its documented window); throws the loud
+    * concurrent-committers error when `p` already exists. */
+  private def publishByLink(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: Path, p: Path): Boolean = {
+    val src = java.nio.file.Paths.get(
+      fs.makeQualified(tmp).toUri.getPath)
+    val dst = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+    try { java.nio.file.Files.createLink(dst, src); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"graftlines: generation manifest $p already exists — " +
+            "concurrent committers race on the generation number; " +
+            "serialize writers through the catalog")
+      case _: UnsupportedOperationException => false
+      case _: java.nio.file.FileSystemException => false
     }
   }
 
@@ -459,18 +495,28 @@ object GraftLines {
   /** Retention sweep for versioned tables: keep the newest `keepLast`
     * generations, delete older generation manifests and every data
     * file no RETAINED generation references, and drop the dead files'
-    * stats lines. All O(files) driver metadata — data never moves.
+    * stats lines. Files NO generation ever referenced — the orphans a
+    * failed commit leaves after its data renames but before its
+    * manifest publish — are reclaimed even when no generation expires,
+    * so `expireVersions(dir, keepLast >= generations)` doubles as an
+    * orphan-only GC. All O(files) driver metadata — data never moves.
+    * Must not run concurrently with a committer: an in-flight commit's
+    * renamed-but-not-yet-manifested files look exactly like orphans
+    * (maintenance is a table-quiet operation, like vacuum everywhere).
     * Returns (expired generations, deleted data files). */
   def expireVersions(dir: String, keepLast: Int,
       conf: org.apache.hadoop.conf.Configuration): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "expireVersions must keep at least one generation")
     val fs = new Path(dir).getFileSystem(conf)
     val gens = genVersions(dir, conf)
+    // a dir with no generations is NOT a versioned table: treating its
+    // directory-listed files as "unreferenced" would delete live data
+    if (gens.isEmpty) return (Nil, Nil)
     val (drop, keep) = gens.splitAt(math.max(0, gens.length - keepLast))
-    if (drop.isEmpty) return (Nil, Nil)
     val live = keep.flatMap(readGen(dir, _, conf)).toSet
     val dead = listDataFiles(dir, conf)
       .filter(f => !live.contains(new Path(f).getName))
+    if (drop.isEmpty && dead.isEmpty) return (Nil, Nil)
     dead.foreach(f => fs.delete(new Path(f), false))
     drop.foreach(n => fs.delete(genPath(dir, n), false))
     mergeStats(dir, conf,

@@ -326,5 +326,31 @@ class TimeTravelSpec extends AnyFunSuite {
       s"generations must be sequential and gap-free, got ${gens.toSeq}")
     assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".staging")),
       s"no debris may survive: ${names.toSeq.sorted}")
+    // the losers' aborted attempts leave renamed-but-unreferenced data
+    // files (invisible to every read — manifests are the truth);
+    // expireVersions with keepLast >= generations is the orphan-only
+    // GC: it must reclaim exactly those and expire nothing
+    def manifestLines(g: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p,
+        s"${GraftLines.GenPrefix}$g"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filterNot(_.startsWith("#")).toList
+      finally in.close()
+    }
+    val referenced = gens.flatMap(manifestLines).toSet
+    val orphansBefore = names
+      .filter(n => n.endsWith(".gl") && !n.startsWith("_"))
+      .filterNot(referenced)
+    val (expired, deleted) = GraftLines.expireVersions(p, 100, hconf)
+    assert(expired.isEmpty, s"nothing may expire under keepLast=100: $expired")
+    assert(deleted.map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .sorted.toSeq == orphansBefore.sorted.toSeq,
+      s"orphan GC must reclaim exactly the unreferenced files: $deleted")
+    // every generation still replays after the sweep
+    gens.foreach { g =>
+      val n = spark.read.format("graftlines")
+        .option("versionAsOf", g).load(p).count()
+      assert(n == g, s"generation $g must still read $g rows, got $n")
+    }
   }
 }
