@@ -405,6 +405,36 @@ object GraftLines {
     }
   }
 
+  /** Atomic local-FS same-name replace: publish `staged` over `dst`
+    * with POSIX rename, which replaces the destination in place — no
+    * instant leaves the file absent (the delete-then-rename fallback
+    * has exactly that crash window). Ordered around the checksummed
+    * local FS's `.crc` sidecars so every intermediate state READS
+    * correctly: the stale sidecar is dropped first (a data file with
+    * no sidecar reads unverified; new-data-under-old-crc would fail
+    * every read), then the one atomic data move, then the sidecar
+    * restore — and after the move succeeds there is no falling back,
+    * because the new data is already live. Returns false (caller uses
+    * delete+rename) only when the move itself cannot run. */
+  private def replaceByMove(fs: org.apache.hadoop.fs.FileSystem,
+      staged: Path, dst: Path): Boolean = {
+    def crc(q: Path) = new Path(q.getParent, "." + q.getName + ".crc")
+    def nio(q: Path) =
+      java.nio.file.Paths.get(fs.makeQualified(q).toUri.getPath)
+    try {
+      fs.delete(crc(dst), false)
+      java.nio.file.Files.move(nio(staged), nio(dst),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => return false }
+    // best-effort sidecar restore: a failure here leaves dst readable
+    // (unverified) and must not trigger the fallback — the survivors
+    // are already published
+    try {
+      if (!fs.rename(crc(staged), crc(dst))) fs.delete(crc(staged), false)
+    } catch { case _: Exception => () }
+    true
+  }
+
   /** Atomic local-FS publish: hard-link `tmp` to `p` — link(2) fails
     * if `p` exists, atomically, which POSIX rename does not. Returns
     * false when the mount does not support hard links (caller falls
@@ -883,12 +913,15 @@ object GraftLines {
 
   /** Executor-side copy-on-write rewrite for DELETE: stream `file`,
     * drop every row satisfying the conjunction of `filters`, land the
-    * survivors under the file's own name (staged write, then
-    * delete-original + rename — the per-file publish window is the
-    * documented non-atomicity of a logless COW delete; the catalog/
-    * manifest layer is the transactional answer, as for writes).
-    * Returns the file's fresh stats lines, or Nil when every row
-    * matched and the file was simply deleted. */
+    * survivors under the file's own name. On local filesystems the
+    * same-name publish is ATOMIC (POSIX rename replaces the original
+    * in place — [[replaceByMove]]), so no crash instant leaves the
+    * file absent; elsewhere it is staged write + delete-original +
+    * rename, whose per-file window is the documented non-atomicity of
+    * a logless COW delete (the catalog/manifest layer is the
+    * transactional answer, as for writes). Returns the file's fresh
+    * stats lines, or Nil when every row matched and the file was
+    * simply deleted. */
   private[sources] def rewriteWithoutMatches(file: String,
       schema: StructType, filters: Array[Filter],
       conf: org.apache.hadoop.conf.Configuration,
@@ -923,10 +956,13 @@ object GraftLines {
     reader.close()
     writer.commit() match {
       case GlCommitted(Some(staged), Some(fin), lines) =>
-        require(fs.delete(p, false),
-          s"graftlines delete: could not remove $file before publish")
-        require(fs.rename(new Path(staged), new Path(fin)),
-          s"graftlines delete: could not publish rewritten $fin")
+        if (!(fs.getScheme == "file"
+            && replaceByMove(fs, new Path(staged), new Path(fin)))) {
+          require(fs.delete(p, false),
+            s"graftlines delete: could not remove $file before publish")
+          require(fs.rename(new Path(staged), new Path(fin)),
+            s"graftlines delete: could not publish rewritten $fin")
+        }
         lines.map(l => s"$base\t$l")
       case _ => // no survivors: the whole file is deleted
         fs.delete(p, false)

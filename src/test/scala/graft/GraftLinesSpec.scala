@@ -1185,6 +1185,19 @@ class GraftLinesSpec extends AnyFunSuite {
     // rewritten file's fresh stats still prune scans correctly
     val q = spark.table("graft_del.ns.t").filter($"k" === 10L)
     assert(q.count() == 0)
+    // the atomic same-name publish must keep the directory's checksum
+    // convention coherent (step 3 of replaceByMove): IF this FS writes
+    // .crc sidecars (cache-dependent on local FS), the rewritten file
+    // must carry one like its untouched peers — a missing sidecar is
+    // fine, a stale one would fail every read. And no .staging debris
+    // (data or sidecar) may survive
+    val names = hfs.listStatus(tdir).map(_.getPath.getName).toSet
+    if (names.exists(_.endsWith(".crc"))) glFiles().foreach { f =>
+      assert(names.contains("." + f.getName + ".crc"),
+        s"rewritten ${f.getName} must keep its checksum sidecar: $names")
+    }
+    assert(!names.exists(_.contains(".staging")),
+      s"no staging debris may survive the rewrite: $names")
     // predicates the metadata path cannot evaluate exactly
     // (canDeleteWhere false) fall through to the group-based COW
     // rewrite and still delete EXACTLY — never approximately
