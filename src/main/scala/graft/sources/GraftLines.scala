@@ -902,12 +902,21 @@ object GraftLines {
           finally br.close()
         }
       if (existing.isEmpty && newLines.isEmpty) { fs.delete(p, false); return }
-      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      // writer-unique tmp (concurrent merges are last-writer-wins by
+      // design — stats are best-effort — but they must not corrupt
+      // each other's in-flight bytes), published with the same atomic
+      // same-name replace as the COW rewrite so no crash instant
+      // leaves the manifest absent (absence costs pruning + exact
+      // counts table-wide until the next merge)
+      val tmp = new Path(p.getParent,
+        p.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
       val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
       try (existing ++ newLines).foreach { l => w.write(l); w.write('\n') }
       finally w.close()
-      fs.delete(p, false)
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      if (!(fs.getScheme == "file" && replaceByMove(fs, tmp, p))) {
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      }
     } catch { case _: Exception => () }
   }
 
