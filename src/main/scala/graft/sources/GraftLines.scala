@@ -380,7 +380,7 @@ object GraftLines {
         s"graftlines: generation manifest $p already exists — concurrent " +
           "committers race on the generation number; serialize writers " +
           "through the catalog")
-      if (fs.getScheme == "file" && publishByLink(fs, tmp, p)) {
+      if (isLocalScheme(fs) && publishByLink(fs, tmp, p)) {
         // local filesystems: POSIX rename CLOBBERS an existing
         // destination, so check-then-rename has a real lost-commit
         // window (the 6-writer soak hit it). link(2) is the atomic
@@ -388,8 +388,17 @@ object GraftLines {
         // complete (same inode as the fully-written tmp) and FAILS if
         // it already exists. publishByLink throws the loud
         // concurrent-committers error on that failure; false means
-        // links are unsupported on this mount -> rename fallback below
-        fs.delete(tmp, false)
+        // links are unsupported on this mount -> rename fallback below.
+        // Post-publish work is BEST-EFFORT: the manifest is durable,
+        // so failing the commit here would be a phantom failure a
+        // retrying caller turns into duplicate rows
+        try {
+          def crc(q: Path) = new Path(q.getParent, "." + q.getName + ".crc")
+          // carry the checksum sidecar to the destination (the
+          // manifest is the source of truth — keep it verifiable)
+          if (!fs.rename(crc(tmp), crc(p))) fs.delete(crc(tmp), false)
+        } catch { case _: Exception => () }
+        try fs.delete(tmp, false) catch { case _: Exception => () }
       } else {
         // HDFS and friends: rename-onto-existing fails, so the rename
         // itself is the compare-and-swap
@@ -404,6 +413,13 @@ object GraftLines {
         throw t
     }
   }
+
+  /** Non-throwing local-scheme probe: FileSystem.getScheme's base
+    * implementation THROWS UnsupportedOperationException, so a
+    * third-party FS that doesn't override it must take the portable
+    * rename path, not break every commit. */
+  private def isLocalScheme(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    try "file" == fs.getUri.getScheme catch { case _: Exception => false }
 
   /** Atomic local-FS same-name replace: publish `staged` over `dst`
     * with POSIX rename, which replaces the destination in place — no
@@ -428,18 +444,26 @@ object GraftLines {
     } catch { case _: Exception => return false }
     // best-effort sidecar restore: a failure here leaves dst readable
     // (unverified) and must not trigger the fallback — the survivors
-    // are already published
+    // are already published. A THROWING rename still cleans the staged
+    // sidecar (otherwise it leaks as permanent '..x.staging.crc'
+    // debris no sweep matches)
     try {
       if (!fs.rename(crc(staged), crc(dst))) fs.delete(crc(staged), false)
-    } catch { case _: Exception => () }
+    } catch { case _: Exception =>
+      try fs.delete(crc(staged), false) catch { case _: Exception => () }
+    }
     true
   }
 
   /** Atomic local-FS publish: hard-link `tmp` to `p` — link(2) fails
     * if `p` exists, atomically, which POSIX rename does not. Returns
-    * false when the mount does not support hard links (caller falls
-    * back to rename and its documented window); throws the loud
-    * concurrent-committers error when `p` already exists. */
+    * false ONLY when the mount does not support hard links (caller
+    * falls back to rename and its documented window); throws the loud
+    * concurrent-committers error when `p` already exists, and
+    * rethrows any OTHER failure — falling back to the clobbering
+    * rename on a transient error (EIO, ENOSPC) would silently
+    * reintroduce the exact lost-commit window this primitive closes,
+    * whereas a loud commit failure is safely retryable. */
   private def publishByLink(fs: org.apache.hadoop.fs.FileSystem,
       tmp: Path, p: Path): Boolean = {
     val src = java.nio.file.Paths.get(
@@ -453,7 +477,12 @@ object GraftLines {
             "concurrent committers race on the generation number; " +
             "serialize writers through the catalog")
       case _: UnsupportedOperationException => false
-      case _: java.nio.file.FileSystemException => false
+      case e: java.nio.file.FileSystemException
+          // ENOTSUP/EPERM are how linkless mounts (some FUSE/network
+          // local mounts) surface; anything else is a real I/O error
+          if Option(e.getReason).exists(r =>
+            r.contains("not supported") || r.contains("not permitted")) =>
+        false
     }
   }
 
@@ -910,12 +939,21 @@ object GraftLines {
       // counts table-wide until the next merge)
       val tmp = new Path(p.getParent,
         p.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
-      val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
-      try (existing ++ newLines).foreach { l => w.write(l); w.write('\n') }
-      finally w.close()
-      if (!(fs.getScheme == "file" && replaceByMove(fs, tmp, p))) {
-        fs.delete(p, false)
-        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      try {
+        val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
+        try (existing ++ newLines).foreach { l => w.write(l); w.write('\n') }
+        finally w.close()
+        if (!(isLocalScheme(fs) && replaceByMove(fs, tmp, p))) {
+          fs.delete(p, false)
+          if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+        }
+      } catch {
+        case t: Throwable =>
+          // the uniquely-named tmp must not accumulate as permanent
+          // debris across failed merges (the old fixed name at least
+          // self-overwrote)
+          try fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw t
       }
     } catch { case _: Exception => () }
   }
@@ -965,7 +1003,7 @@ object GraftLines {
     reader.close()
     writer.commit() match {
       case GlCommitted(Some(staged), Some(fin), lines) =>
-        if (!(fs.getScheme == "file"
+        if (!(isLocalScheme(fs)
             && replaceByMove(fs, new Path(staged), new Path(fin)))) {
           require(fs.delete(p, false),
             s"graftlines delete: could not remove $file before publish")

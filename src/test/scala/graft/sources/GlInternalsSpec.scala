@@ -69,7 +69,7 @@ class GlInternalsSpec extends AnyFunSuite {
     // surfaces — and Hadoop's local-FS rename clobbers an existing
     // destination, so without the exists guard the second publish
     // would silently orphan the first job's commit
-    val dir = "/tmp/graft_gen_cas_spec"
+    val dir = graft.GraftTmp.dir("gen_cas_spec")
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
