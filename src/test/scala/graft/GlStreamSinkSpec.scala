@@ -222,6 +222,47 @@ class GlStreamSinkSpec extends AnyFunSuite {
     } finally qOut.stop()
   }
 
+  test("a batch writer interleaved with the streaming sink serializes cleanly") {
+    // the Delta-style mixed workload: one versioned table, a live
+    // streaming sink AND occasional batch appends. Each epoch commit
+    // recomputes the next generation from disk, so a batch commit
+    // landing between epochs is picked up — its generation carried,
+    // its rows preserved — and generations stay sequential. (A truly
+    // simultaneous collision is the loud CAS failure; interleaved is
+    // the common case and must just work.)
+    import spark.implicits._
+    val p = freshDir("mixed_writers")
+    val cp = freshDir("mixed_writers_cp")
+    markVersioned(p)
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "stream1"))
+      q.processAllAvailable()
+      // batch append while the stream is between epochs
+      Seq((100L, "batch")).toDF("k", "s")
+        .write.format("graftlines").mode("append").save(p)
+      mem.addData((2L, "stream2"))
+      q.processAllAvailable()
+      assert(readBack(p) == Seq((1L, "stream1"), (2L, "stream2"),
+        (100L, "batch")),
+        "both writers' rows must survive the interleave")
+      val gens = graft.sources.GlStreamingTestHarness.genVersions(p, hconf)
+      assert(gens == Seq(1, 2, 3),
+        s"three sequential generations (epoch, batch, epoch): $gens")
+      // the second epoch's generation carries the batch rows forward
+      assert(spark.read.format("graftlines")
+        .option("versionAsOf", 3).load(p).count() == 3)
+      // and the epoch ledger only counts the STREAM's commits
+      assert(graft.sources.GlStreamingTestHarness
+        .committedEpochs(p, hconf).size == 2,
+        "batch generations must not register as committed epochs")
+    } finally q.stop()
+  }
+
   test("Complete output mode is rejected loudly") {
     val p = freshDir("complete_rejected")
     val cp = freshDir("complete_rejected_cp")
