@@ -91,14 +91,18 @@ object FreqItems {
   def heavyHitters(bytes: Array[Byte], noFalsePositives: Boolean)
       : Seq[(String, Long, Long, Long)] = {
     // NULL sketch (outer join / never-aggregated group) -> NULL result,
-    // the package's sketch-surface rule — not an NPE-ed task
+    // the package's sketch-surface rule — not an NPE-ed task; and so
+    // do MALFORMED bytes (the cms_estimate shape rule on every scalar
+    // sketch surface — aggregates still reject garbage loudly)
     if (bytes == null) return null
-    val sk = deserialize(bytes)
-    val et = if (noFalsePositives) ErrorType.NO_FALSE_POSITIVES
-             else ErrorType.NO_FALSE_NEGATIVES
-    sk.getFrequentItems(et).toSeq
-      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
-      .sortBy { case (item, est, _, _) => (-est, item) }
+    try {
+      val sk = deserialize(bytes)
+      val et = if (noFalsePositives) ErrorType.NO_FALSE_POSITIVES
+               else ErrorType.NO_FALSE_NEGATIVES
+      sk.getFrequentItems(et).toSeq
+        .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+        .sortBy { case (item, est, _, _) => (-est, item) }
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   /** Column form: array of (item, est, lb, ub) structs, proven-frequent

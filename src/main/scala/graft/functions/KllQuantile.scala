@@ -115,15 +115,20 @@ object KllQuantile {
     * join) or an EMPTY one (group whose values were all NULL —
     * getQuantile throws SketchesArgumentException on it) yields NULL,
     * matching what AVG/percentile_approx return for such a group,
-    * instead of failing the query. */
+    * instead of failing the query — and so do bytes that are not a
+    * KLL sketch at all (the cms_estimate shape rule: a malformed
+    * binary column degrades on the scalar surface, never
+    * exception-storms every task; the AGGREGATE merge surfaces still
+    * reject garbage loudly, because silently skipping inputs would
+    * under-count). */
   def estimate(bytes: Array[Byte], q: Double): java.lang.Double =
     if (bytes == null) null
-    else {
+    else try {
       val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
       if (sk.isEmpty) null
       else java.lang.Double.valueOf(
         sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
-    }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   private val estimateUdf =
     udf((bytes: Array[Byte], q: Double) => estimate(bytes, q))
@@ -136,8 +141,9 @@ object KllQuantile {
     * NULL sketch -> NULL (an empty sketch legitimately reports 0). */
   private val countUdf = udf((bytes: Array[Byte]) =>
     if (bytes == null) null
-    else java.lang.Long.valueOf(
-      KllDoublesSketch.heapify(Memory.wrap(bytes)).getN))
+    else try java.lang.Long.valueOf(
+      KllDoublesSketch.heapify(Memory.wrap(bytes)).getN)
+    catch { case scala.util.control.NonFatal(_) => null })
 
   def kllCount(sketch: Column): Column = countUdf(sketch)
 }

@@ -166,17 +166,22 @@ object ThetaSketch {
     Sketches.heapifyCompactSketch(Memory.wrap(bytes)).getEstimate
 
   private val estimateUdf = udf((bytes: Array[Byte]) =>
-    if (bytes == null) null else java.lang.Double.valueOf(estimate(bytes)))
+    if (bytes == null) null
+    else try java.lang.Double.valueOf(estimate(bytes))
+    catch { case scala.util.control.NonFatal(_) => null })
 
-  /** Estimate from sketch bytes; null-safe (null sketch -> null). */
+  /** Estimate from sketch bytes; null-safe (null or MALFORMED sketch
+    * -> NULL — the scalar-surface shape rule; aggregates still reject
+    * garbage loudly). */
   def thetaEstimate(sketch: Column): Column = estimateUdf(sketch)
 
   private val aNotBUdf = udf((a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) null
-    else SetOperation.builder().buildANotB()
+    else try SetOperation.builder().buildANotB()
       .aNotB(Sketches.heapifyCompactSketch(Memory.wrap(a)),
         Sketches.heapifyCompactSketch(Memory.wrap(b)))
-      .toByteArray)
+      .toByteArray
+    catch { case scala.util.control.NonFatal(_) => null })
 
   /** theta_a_not_b(a, b): scalar set difference on sketch bytes. */
   def thetaAnotB(a: Column, b: Column): Column = aNotBUdf(a, b)

@@ -53,6 +53,32 @@ class AggSpec extends AnyFunSuite {
       "cms_estimate must be NULL for a NULL sketch or NULL key")
   }
 
+  test("scalar sketch surfaces degrade to NULL on malformed bytes") {
+    import spark.implicits._
+    // the cms_estimate shape rule extended to every binary scalar
+    // surface: a column that is not the expected sketch's wire form
+    // (wrong type fed through a join, truncated bytes) must yield
+    // NULL, never exception-storm each task. The AGGREGATE merge
+    // surfaces deliberately keep rejecting garbage loudly — silently
+    // skipping inputs would under-count
+    val junk = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("sk")
+    assert(junk.select(graft.functions.KllQuantile
+      .kllEstimate(col("sk"), lit(0.5))).head.isNullAt(0),
+      "kll_estimate on junk bytes must be NULL")
+    assert(junk.select(graft.functions.KllQuantile
+      .kllCount(col("sk"))).head.isNullAt(0),
+      "kll_count on junk bytes must be NULL")
+    assert(junk.select(graft.functions.ThetaSketch
+      .thetaEstimate(col("sk"))).head.isNullAt(0),
+      "theta_estimate on junk bytes must be NULL")
+    assert(junk.select(graft.functions.ThetaSketch
+      .thetaAnotB(col("sk"), col("sk"))).head.isNullAt(0),
+      "theta_a_not_b on junk bytes must be NULL")
+    assert(junk.select(graft.functions.FreqItems
+      .hitters(col("sk"))).head.isNullAt(0),
+      "freq-items hitters on junk bytes must be NULL")
+  }
+
   test("approx_count_distinct within 5% of exact (q_agg_approx_hll, sf0.01)") {
     val r = SparkEntry.queries("q_agg_approx_hll")(spark, TestSpark.sf001).head()
     val approx = r.getLong(0).toDouble
