@@ -73,11 +73,6 @@ object Bench {
       val (t1, e1) = time(fn)
       System.gc()
       val (t2, e2) = time(fn)
-      // query boundary: release DistributedRank's correctness pins so a
-      // 200-query loop holds at most ONE query's cached frames (the
-      // second timed run above still warms off the first run's pin via
-      // CacheManager plan equality — release only AFTER both runs)
-      graft.operators.DistributedRank.releasePins()
       name -> (math.min(t1, t2), t1, t2, e1.orElse(e2))
     }
     def jesc(s: String): String =

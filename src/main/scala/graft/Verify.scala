@@ -37,9 +37,6 @@ object Verify {
             .delete(p, true)
         } catch { case _: Exception => () }
       }
-      // query boundary: release DistributedRank's correctness pins so
-      // the 200-query dump holds at most one query's cached frames
-      graft.operators.DistributedRank.releasePins()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

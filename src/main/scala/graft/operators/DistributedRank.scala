@@ -1,120 +1,216 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Distributed two-pass global ranking (VERDICT r1 #9 / r2 #6: the
   * window family's 100x scale answer).
   *
   * `Window.orderBy` with no partition key funnels every row through ONE
-  * task — semantically exact and harmless on a dimension table (which
-  * is why q_win_ntile_pctrank keeps it), but a scale-killer on a fact
-  * table. This operator computes the same NTILE / PERCENT_RANK / global
-  * row number with no single-task global sort:
+  * task — semantically exact and harmless on a dimension table, but a
+  * scale-killer on a fact table. This operator computes the same NTILE
+  * / PERCENT_RANK / global row number with no single-task global sort:
   *
-  *   1. range-repartition on the sort key, so partitions are globally
-  *      ordered BETWEEN themselves (Spark samples split points);
-  *   2. count rows per range partition — one row per PARTITION, not per
-  *      data row — and prefix-sum the counts into partition start
-  *      offsets (a window over at most `parts` rows);
-  *   3. broadcast-join the offsets back onto the ranged data by
-  *      partition id; partition offset + local row_number is then the
-  *      exact global row number, computed independently per partition.
+  *   1. draw explicit range SPLIT POINTS for the sort key once, at
+  *      operator-call time, and freeze them as literals (see below);
+  *   2. assign every row a range-bucket id `_gr_pid` with a balanced
+  *      binary-search expression over those literals — a pure,
+  *      codegen-friendly function of the row's own key, O(log parts)
+  *      struct comparisons per row;
+  *   3. count rows per bucket — one row per BUCKET, not per data row —
+  *      and prefix-sum the counts into bucket start offsets (a window
+  *      over at most `parts` rows);
+  *   4. broadcast-join the offsets back onto the data by bucket id;
+  *      bucket offset + local row_number (a window PARTITIONED by
+  *      `_gr_pid`, so the data shuffles once, on the bucket id) is then
+  *      the exact global row number, computed independently per bucket.
   *
-  * Both passes MUST observe the SAME range partitioning, and that is a
-  * CORRECTNESS requirement, not an optimization: RangePartitioner
-  * samples its split points with a seed derived from the underlying
-  * RDD id, so two independent materializations of the "same"
-  * repartitionByRange can draw slightly different bounds — the offsets
-  * would then describe a partitioning the data rows don't have, and
-  * global ranks silently duplicate or skip. ReusedExchange usually
-  * provides that single materialization, but it is plan-shape
-  * dependent (a downstream coalesce + file write at sf1 was measured
-  * breaking it: 761/772/776 batches across three runs of the same
-  * 50 000-row query — r10, found by the sf1 oracle gate). The ranged
-  * frame is therefore pinned with persist(MEMORY_AND_DISK): one
-  * shuffle feeds both passes by construction. Block eviction is safe —
-  * a recomputed partition re-reads the SAME shuffle with the
-  * partitioner object's already-computed bounds.
+  * Determinism is BY CONSTRUCTION, not by plan shape: `_gr_pid` depends
+  * only on the row's key and the frozen literal bounds, so every
+  * re-materialization, task retry, or downstream plan change (the r10
+  * sf1 bug: a coalesce(1) file write broke ReusedExchange and Spark's
+  * RangePartitioner — whose sample seed folds in the RDD id — drew
+  * different bounds per materialization, silently colliding ranks)
+  * computes identical bucket ids. This replaces the r10 interim fix,
+  * which pinned the entire ranged input with persist(MEMORY_AND_DISK) —
+  * correct, but a full-fact-table cache entry per call at 100 TB. There
+  * is no persist and no pin lifecycle here; nothing to release.
   *
-  * The pin is a RESOURCE, and it is the FULL ranged input, not
-  * metadata: Dataset.persist registers a strong CacheManager entry
-  * that no LRU or GC ever drops (only blocks are evicted; the entry —
-  * and its disk blocks — live until unpersist). A long-running driver
-  * that calls this operator per query and never releases would
-  * accumulate one full-input cache entry per call. Callers MUST
-  * therefore call [[releasePins]] once the returned frame's results
-  * are materialized and no further action will run on it (the
-  * query-loop harnesses Bench/Verify do so between queries); releasing
-  * EARLY is the one forbidden move — a later action on a released
-  * frame replans the exchange and can draw different bounds, which is
-  * exactly the silent-rank bug the pin exists to prevent.
+  * Bound quality affects only BALANCE, never correctness: with skewed
+  * or unlucky samples some buckets are larger, with an empty sample
+  * everything lands in bucket 0 (the degenerate-but-exact single
+  * partition). The bounds come from ONE sketch job over the input — a
+  * deterministic fixed-seed reservoir per input partition, the same
+  * cost class as the sampling pass Spark's own RangePartitioner runs —
+  * followed by a driver-side sort of the ~`20*parts` candidates under
+  * Catalyst's InterpretedOrdering (the exact comparator the runtime
+  * sort and `<=` use, nulls-first per field) and an evenly-spaced
+  * weighted pick. Candidate weighting is rows-represented-per-
+  * candidate, so differently-sized input partitions don't tilt the
+  * split points.
   *
-  * The sort key must be a TOTAL order (append a unique tiebreaker, as
-  * the declared contract's `(c_acctbal, c_custkey)` does). Under a
-  * total order rank == row_number, which makes NTILE and PERCENT_RANK
-  * exact; with ties the caller must layer a per-key min on top.
+  * Scale note: the data's one shuffle is HASH on `_gr_pid` (the window
+  * exchange). With `parts` ≈ the shuffle partition count, balls-in-bins
+  * leaves ~1/e of reducers empty; pass `parts` at 2–4x the intended
+  * parallelism on a real cluster so every reducer draws work. The
+  * offsets frame stays ≤ `parts` rows — metadata — at any setting.
+  *
+  * The sort key must be an ascending TOTAL order of non-SortOrder
+  * columns (append a unique tiebreaker, as the declared contract's
+  * `(c_acctbal, c_custkey)` does). Under a total order rank ==
+  * row_number, which makes NTILE and PERCENT_RANK exact; with ties use
+  * [[withRankColsTieSafe]]. NULL keys sort first (asc nulls-first),
+  * exactly as the window form does: the bucket expression's struct
+  * comparison and the per-bucket window sort share Spark's one
+  * interpreted ordering.
   */
 object DistributedRank {
 
-  /** Every ranged frame pinned since its last release, grouped by the
-    * PINNING thread's id — the explicit lifecycle for the correctness
-    * persist (see class doc). [[releasePins]] is thread-scoped: a
-    * multi-query driver running rank queries on concurrent threads
-    * must not have one query's boundary release unpersist another's
-    * still-in-flight frame (replanning a released frame can draw
-    * different range bounds — the silent-rank bug the pin prevents).
-    * Build the frame and release it on the SAME thread. The registry
-    * itself is process-global (a map keyed by a per-thread token
-    * object, NOT a ThreadLocal holding the pins), so pins made by a
-    * retired pool thread are never stranded — [[releaseAllPins]] can
-    * reach every pin from any thread. The key is a token rather than
-    * the thread id because the JDK documents ids as reusable after
-    * thread death: a recycled id would hand a dead thread's pins to an
-    * unrelated new thread, whose boundary release could then unpersist
-    * a frame some consumer still holds. And a registry, not
-    * auto-expiry: only the caller knows when release is safe. */
-  private val pins = scala.collection.mutable.Map
-    .empty[AnyRef, scala.collection.mutable.ArrayBuffer[DataFrame]]
-
-  /** Identity token per thread — never recycled, unlike thread ids. */
-  private val token = ThreadLocal.withInitial[AnyRef](() => new Object)
-
-  private def pin(df: DataFrame): DataFrame = pins.synchronized {
-    pins.getOrElseUpdate(token.get(),
-      scala.collection.mutable.ArrayBuffer.empty[DataFrame]) +=
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df
+  /** Split points for `sortCols` over `df`: up to `parts - 1` key
+    * structs, ascending, deduplicated. ONE deterministic sketch job
+    * (fixed-seed reservoir per input partition, InternalRow on the
+    * wire — no per-row external conversion); the ~`20*parts` sampled
+    * candidates sort in the DRIVER under Catalyst's own
+    * InterpretedOrdering — the same field-by-field asc-nulls-first
+    * comparator Spark's sort and the bucket expression's `<=` use, so
+    * the picks cannot diverge from runtime ordering. The result is
+    * driver-side metadata (the same class as the offset broadcast)
+    * that callers embed as literals.
+    */
+  private[graft] def collectBounds(df: DataFrame, sortCols: Seq[Column],
+      parts: Int): Seq[Row] = {
+    if (parts <= 1) return Nil
+    val keyed = df.select(struct(sortCols: _*).as("_gr_key"))
+    val keyType = keyed.schema.head.dataType
+    val rdd = keyed.queryExecution.toRdd
+    val nIn = math.max(rdd.getNumPartitions, 1)
+    // ~20 candidates per requested bucket, spread over input partitions
+    val perPart = math.min(4096,
+      math.max(16, (20L * parts / nIn).toInt + 1))
+    // one pass: fixed-seed reservoir + exact count per input partition.
+    // The seed folds in only the partition INDEX — never the RDD id or
+    // a clock — so the same input draws the same candidates every call.
+    // Rows are retained via copy(): the scan iterator reuses its row.
+    val sketch = rdd.mapPartitionsWithIndex { (idx, it) =>
+      val rng = new java.util.Random(0x9E3779B97F4A7C15L ^ idx)
+      val buf = new Array[org.apache.spark.sql.catalyst.InternalRow](perPart)
+      var n = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        if (n < perPart) buf(n.toInt) = r.copy()
+        else {
+          val j = math.floor(rng.nextDouble() * (n + 1)).toLong
+          if (j < perPart) buf(j.toInt) = r.copy()
+        }
+        n += 1
+      }
+      Iterator.single((n, buf.take(math.min(n, perPart.toLong).toInt)))
+    }.collect()
+    val total = sketch.map(_._1).sum
+    if (total == 0L) return Nil
+    // weight = rows each candidate represents, so differently-sized
+    // input partitions don't tilt the split points
+    val cand = sketch.toSeq.flatMap { case (n, rows) =>
+      val w = if (rows.isEmpty) 0.0 else n.toDouble / rows.length
+      rows.toSeq.map(r => (r, w))
+    }
+    val ord = org.apache.spark.sql.catalyst.expressions.InterpretedOrdering
+      .forSchema(Seq(keyType))
+    val sorted = cand.sortBy(_._1)(ord)
+    val w = sorted.map(_._2).sum
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(keyType)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var cum = 0.0
+    var j = 1
+    sorted.foreach { case (r, cw) =>
+      cum += cw
+      if (j < parts && cum >= w * j / parts) {
+        if (out.isEmpty || ord.compare(out.last, r) != 0) out += r
+        // one heavy candidate can span several targets; it still yields
+        // ONE split point (duplicates would bucket identically anyway)
+        while (j < parts && cum >= w * j / parts) j += 1
+      }
+    }
+    val nFields = keyType.asInstanceOf[StructType].length
+    out.toSeq.map(r => toScala(r.getStruct(0, nFields)).asInstanceOf[Row])
   }
 
-  private def drain(
-      buf: Option[scala.collection.mutable.ArrayBuffer[DataFrame]]): Int =
-    buf.fold(0) { b =>
-      b.foreach(_.unpersist(blocking = false)); b.size
-    }
+  /** A collected bound as ONE struct Literal node typed exactly as the
+    * key schema (field names included — struct comparison requires
+    * type equality). A `struct(lit(_).cast(_))` spelling would be
+    * ~10 expression nodes per bound that every downstream analysis
+    * re-resolves; with 31 bounds inside a when-tree that is real
+    * per-query planning time for zero runtime difference. */
+  private def boundLit(b: Row, key: StructType): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(b, key))
 
-  /** Unpersists every frame THIS THREAD pinned since its last call and
-    * returns how many were released. Call at a query boundary — after
-    * the results of every frame this thread obtained from the operator
-    * have been materialized and no further action will run on them.
-    * Safe to call when nothing is pinned. */
-  def releasePins(): Int =
-    drain(pins.synchronized(pins.remove(token.get())))
+  /** Bucket id in [0, bounds.length] as a balanced when/otherwise tree:
+    * O(log parts) struct comparisons per row, all codegen'd. Bucket i
+    * holds keys in (bounds(i-1), bounds(i)]; keys above the last bound
+    * (and, via struct ordering, inner-NULL keys below the first) land
+    * in the end buckets, matching asc nulls-first window order.
+    */
+  private def bucketCol(key: Column, bounds: IndexedSeq[Column]): Column = {
+    def tree(lo: Int, hi: Int): Column =
+      if (lo == hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(key <= bounds(mid), tree(lo, mid)).otherwise(tree(mid + 1, hi))
+      }
+    if (bounds.isEmpty) lit(0) else tree(0, bounds.length)
+  }
 
-  /** Unpersists every pin from EVERY thread — the janitor escape hatch
-    * for drivers whose pinning threads are pooled or already retired.
-    * Only safe when no rank query is in flight anywhere in the process
-    * (shutdown, or a known-idle boundary): releasing a frame another
-    * thread is still acting on reintroduces the different-bounds rank
-    * bug. Returns how many frames were released. */
-  def releaseAllPins(): Int = {
-    val all = pins.synchronized {
-      val snapshot = pins.values.toList
-      pins.clear()
-      snapshot
+  /** `df` plus `_gr_pid`: the frozen-literal range-bucket id for
+    * `sortCols` (see class doc — pure function of the row, so every
+    * consumer and every retry sees the same bucketing). The result is
+    * hash-repartitioned on `_gr_pid` so the offsets aggregate and the
+    * data window both hang off ONE exchange (ReusedExchange): upstream
+    * lineage — possibly an expensive sub-pipeline, as in the sweep-line
+    * caller — is computed once by the exchange's map stage, not once
+    * per consumer. Unlike the r10 persist pin this sharing is a pure
+    * OPTIMIZATION: if a plan shape ever defeats reuse, both consumers
+    * still bucket identically off the literal bounds.
+    *
+    * `boundsFrom`, when given, is a CHEAP PROXY to sample instead of
+    * `df` itself — legitimate precisely because bounds affect only
+    * balance: a caller whose input is an expensive sub-pipeline (the
+    * sweep-line's session deltas) can hand any frame whose columns
+    * match a PREFIX of `sortCols` in data type and approximate the key
+    * distribution (raw event timestamps for session endpoints), and
+    * the sketch job scans that instead of recomputing the pipeline.
+    * Bucketing then splits on the prefix only — rows equal on the
+    * prefix co-bucket (order across buckets still holds; a
+    * low-cardinality prefix costs balance, never correctness).
+    */
+  private def withBucket(df: DataFrame, sortCols: Seq[Column],
+      parts: Int, boundsFrom: Option[(DataFrame, Seq[Column])]): DataFrame = {
+    val (srcDf, srcCols) = boundsFrom.getOrElse((df, sortCols))
+    val k = srcCols.length
+    require(k >= 1 && k <= sortCols.length,
+      s"boundsFrom must cover a non-empty prefix of sortCols: $k")
+    val keyPrefix = struct(sortCols.take(k): _*)
+    val keyType = df.select(keyPrefix.as("_gr_key")).schema.head
+      .dataType.asInstanceOf[StructType]
+    if (boundsFrom.isDefined) {
+      val srcType = srcDf.select(struct(srcCols: _*).as("_gr_key")).schema
+        .head.dataType.asInstanceOf[StructType]
+      require(srcType.fields.map(_.dataType).toSeq ==
+        keyType.fields.map(_.dataType).toSeq,
+        s"boundsFrom column types ${srcType.simpleString} must match " +
+          s"the sortCols prefix ${keyType.simpleString}")
     }
-    all.map(b => drain(Some(b))).sum
+    // the literal is typed with DF's OWN prefix struct (field names
+    // included — struct comparison requires exact type equality), so a
+    // proxy frame with different column names still binds correctly
+    val bounds = collectBounds(srcDf, srcCols, parts)
+      .map(boundLit(_, keyType)).toIndexedSeq
+    df.withColumn("_gr_pid", bucketCol(keyPrefix, bounds))
+      .repartition(parts, col("_gr_pid"))
   }
 
   /** Adds `_gr_rank` (global 1-based row number, bigint), `nt`
@@ -153,20 +249,17 @@ object DistributedRank {
 
   /** Adds `_gr_psum` — the exact global running sum of `valueCol`
     * (bigint) over the total `sortCols` order — via the same two-pass
-    * range-partition scheme as the ranks: per-partition sums prefix
-    * into start offsets (metadata-sized window), local running sums
-    * add the broadcast offset. No single-task global sort; the interval
+    * frozen-bounds scheme as the ranks: per-bucket sums prefix into
+    * start offsets (metadata-sized window), local running sums add the
+    * broadcast offset. No single-task global sort; the interval
     * sweep-line primitive (concurrency counting, inventory balance)
     * at fact-table scale. `sortCols` must be a total order.
     */
   def withRunningSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
-      parts: Int = 32): DataFrame = {
-    // pin = the one-partitioning guarantee (see class doc: correctness,
-    // not caching — unpinned branches can draw different range bounds;
-    // released by the caller via releasePins at its query boundary)
-    val ranged = pin(df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("_gr_pid", spark_partition_id())
-      .withColumn("_gr_v", valueCol.cast("bigint")))
+      parts: Int = 32,
+      boundsFrom: Option[(DataFrame, Seq[Column])] = None): DataFrame = {
+    val ranged = withBucket(df, sortCols, parts, boundsFrom)
+      .withColumn("_gr_v", valueCol.cast("bigint"))
     val wOff = Window.orderBy(col("_gr_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranged.groupBy(col("_gr_pid"))
@@ -184,12 +277,8 @@ object DistributedRank {
   private def ranked(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
       parts: Int): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
-    // pin = the one-partitioning guarantee (see class doc: correctness,
-    // not caching — unpinned branches can draw different range bounds;
-    // released by the caller via releasePins at its query boundary)
-    val ranged = pin(df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("_gr_pid", spark_partition_id()))
-    // Pass 1: per-partition counts -> start offsets. <= `parts` rows, so
+    val ranged = withBucket(df, sortCols, parts, None)
+    // Pass 1: per-bucket counts -> start offsets. <= `parts` rows, so
     // the orderBy-without-partition window here is metadata-sized.
     val wOff = Window.orderBy(col("_gr_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -198,7 +287,7 @@ object DistributedRank {
       .select(col("_gr_pid"),
         coalesce(sum(col("_gr_cnt")).over(wOff), lit(0L)).as("_gr_off"),
         sum(col("_gr_cnt")).over(Window.partitionBy()).as("_gr_total"))
-    // Pass 2: local row_number per range partition + broadcast offset.
+    // Pass 2: local row_number per bucket + broadcast offset.
     val wLocal = Window.partitionBy(col("_gr_pid")).orderBy(sortCols: _*)
     val q = expr("_gr_total div " + numBuckets)
     val r = expr("_gr_total % " + numBuckets)

@@ -517,9 +517,16 @@ object Windows extends QueryGroup {
           // +1 sorts before -1 at equal t: touching sessions count as
           // concurrent, and a 1-event session peaks at its own instant
           .withColumn("nd", -col("delta"))
+        // bounds proxy: session endpoints ARE event timestamps, so the
+        // raw events scan approximates the delta-t distribution at a
+        // fraction of the session pipeline's cost — the sketch job
+        // scans parquet instead of recomputing the windows (bounds are
+        // balance-only, so a proxy can never change the result)
         graft.operators.DistributedRank.withRunningSum(deltas,
             Seq(col("t"), col("nd"), col("user_id"), col("sid")),
-            col("delta"))
+            col("delta"),
+            boundsFrom = Some((Tables.events(s, d).select(col("ts")),
+              Seq(col("ts")))))
           .groupBy(date_trunc("day", col("t")).as("day"))
           .agg(max(col("_gr_psum")).as("max_conc"),
             sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_start"),

@@ -96,8 +96,8 @@ class DistributedRankSpec extends AnyFunSuite {
         Tables.events(spark, TestSpark.sf001).select(col("event_id")),
         Seq("event_id"), parts = 8)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"),
-      s"expected a range exchange in:\n$plan")
+    assert(plan.contains("hashpartitioning(_gr_pid"),
+      s"expected a hash exchange on the bucket id in:\n$plan")
     assert(plan.contains("windowspecdefinition(_gr_pid"),
       s"expected pid-partitioned data window in:\n$plan")
   }
@@ -122,94 +122,95 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("one pinned range partitioning feeds both passes (cache pin)") {
-    graft.operators.DistributedRank.releasePins()
-    val df = viaDistributed(4, parts = 8)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    // Correctness of the offset join requires both consumers to observe
-    // the SAME range partition boundaries. ReusedExchange used to carry
-    // that, but it is plan-shape dependent (r10: a downstream
-    // coalesce(1) file write at sf1 broke reuse and ranks silently
-    // collided — RangePartitioner's sample seed includes the RDD id, so
-    // independent materializations draw different bounds). The operator
-    // now pins the ranged frame with persist; the executed plan must
-    // show BOTH passes reading the in-memory relation — a consumer on
-    // the cached frame cannot resample bounds. (This does NOT also
-    // claim a unique range exchange: the test query's final orderBy
-    // adds its own, and AQE's toString repeats subtrees, so counting
-    // "rangepartitioning" occurrences proves nothing either way. The
-    // pinned RELATION carrying the range exchange is asserted below
-    // instead.)
-    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).length
-    assert(cacheScans >= 2,
-      s"expected both passes on the cached ranged frame, " +
-        s"found $cacheScans cache scans:\n$plan")
-    // the pin wraps the RANGED frame: the in-memory relation's cache
-    // builder itself must carry the range exchange, proving the bounds
-    // the offsets described are the bounds the data rows have
-    assert(plan.contains("InMemoryRelation")
-        && plan.contains("rangepartitioning"),
-      s"expected the cached relation to carry the range exchange:\n$plan")
-    // lifecycle: the pin is a registered resource and releasePins is
-    // the explicit boundary — this call must find the frames this
-    // query pinned (one per viaDistributed invocation) and drop them
-    val released = graft.operators.DistributedRank.releasePins()
-    assert(released >= 1,
-      s"expected at least one pinned frame to release, got $released")
-    assert(graft.operators.DistributedRank.releasePins() == 0,
-      "second release must find nothing — the registry is cleared")
+  test("bounds are frozen literals: re-materialization cannot shift ranks") {
+    // The exact r10 sf1 failure shape: a downstream coalesce(1) file
+    // write broke ReusedExchange, the two passes re-materialized the
+    // ranged frame independently, and RangePartitioner (sample seed
+    // folds in the RDD id) drew DIFFERENT bounds per materialization —
+    // ranks silently collided. Bounds are now collected once and
+    // embedded as literals, so the bucket id is a pure function of the
+    // row: any plan shape, any number of materializations, same ranks.
+    val ranked = graft.operators.DistributedRank.withRankCols(
+      Tables.customer(spark, TestSpark.sf001)
+        .select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")), numBuckets = 4, parts = 8)
+    val n = Tables.customer(spark, TestSpark.sf001).count()
+    val out = GraftTmp.dir("rank_bounds_spec")
+    ranked.coalesce(1).write.mode("overwrite").parquet(out)
+    val ranks = spark.read.parquet(out)
+      .select(col("_gr_rank")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranks == (1L to n),
+      "ranks must be exactly 1..N through a coalesce(1) write")
+    // and a second, independent materialization of the SAME frame
+    // agrees row-for-row (nothing resamples: the bounds are literals)
+    val a = ranked.orderBy(col("c_custkey")).collect().map(_.toString).toSeq
+    val b = ranked.orderBy(col("c_custkey")).collect().map(_.toString).toSeq
+    assert(a == b, "two materializations must agree exactly")
+    // no persist pin anywhere: the old design's full-input cache entry
+    // (a 100 TB liability and an explicit release lifecycle) is gone
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the operator must not register cache entries")
   }
 
-  test("pin registry is thread-scoped: a foreign release frees nothing") {
-    // a multi-query driver runs rank queries on concurrent threads; one
-    // query's boundary release must never unpersist another's
-    // still-in-flight frame (replanning a released frame can draw
-    // different range bounds — the silent-rank bug the pin prevents)
-    graft.operators.DistributedRank.releasePins()
-    val df = viaDistributed(4, parts = 8)
-    df.collect() // this thread now holds >=1 pin
-    var foreign = -1
-    val t = new Thread(() => {
-      foreign = graft.operators.DistributedRank.releasePins()
-    })
-    t.start(); t.join()
-    assert(foreign == 0,
-      s"another thread's release must not see this thread's pins, " +
-        s"released $foreign")
-    assert(graft.operators.DistributedRank.releasePins() >= 1,
-      "the owning thread's pins must survive the foreign release")
+  test("a bounds proxy on a key prefix changes nothing but balance") {
+    import spark.implicits._
+    // proxy = a DIFFERENT frame (shifted distribution, different column
+    // name, prefix only) — the running sum must still be exact, because
+    // bounds only place bucket boundaries, never reorder rows
+    val df = (1 to 500).map(i => (i.toLong % 37, i.toLong, 1L))
+      .toDF("k", "id", "v")
+    val proxy = (1 to 100).map(i => (i * 5L % 37))
+      .toDF("other_name")
+    val plain = graft.operators.DistributedRank
+      .withRunningSum(df, Seq(col("k"), col("id")), col("v"), parts = 8)
+      .select(col("k"), col("id"), col("_gr_psum"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaProxy = graft.operators.DistributedRank
+      .withRunningSum(df, Seq(col("k"), col("id")), col("v"), parts = 8,
+        boundsFrom = Some((proxy, Seq(col("other_name")))))
+      .select(col("k"), col("id"), col("_gr_psum"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaProxy == plain)
+    // and a type-mismatched proxy is a loud error, not silent drift
+    val bad = Seq(1.5).toDF("other_name")
+    intercept[IllegalArgumentException] {
+      graft.operators.DistributedRank.withRunningSum(df,
+        Seq(col("k"), col("id")), col("v"), parts = 8,
+        boundsFrom = Some((bad, Seq(col("other_name")))))
+    }
   }
 
-  test("releaseAllPins reaches pins made by a retired thread") {
-    // the registry is a map keyed by thread id, NOT a ThreadLocal: a
-    // pool thread that pinned and then died must not strand its pins
-    // as a permanent CacheManager leak — the janitor API frees them
-    graft.operators.DistributedRank.releaseAllPins()
-    var pinned = 0
-    val worker = new Thread(() => {
-      viaDistributed(4, parts = 8).collect()
-      pinned = 1
-    })
-    worker.start(); worker.join()
-    assert(pinned == 1, "worker must have pinned before dying")
-    assert(graft.operators.DistributedRank.releasePins() == 0,
-      "this thread pinned nothing — per-thread release stays scoped")
-    assert(graft.operators.DistributedRank.releaseAllPins() >= 1,
-      "the dead worker's pins must be releasable from any thread")
-    assert(graft.operators.DistributedRank.releaseAllPins() == 0,
-      "second global release must find nothing")
+  test("two independent operator calls draw identical bounds") {
+    // the sketch seed folds in only the partition index — same input,
+    // same candidates, same split points, every call
+    val df = Tables.customer(spark, TestSpark.sf001)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val key = Seq(col("c_acctbal"), col("c_custkey"))
+    val b1 = graft.operators.DistributedRank.collectBounds(df, key, 8)
+    val b2 = graft.operators.DistributedRank.collectBounds(df, key, 8)
+    assert(b1.nonEmpty, "sf0.01 customer must yield split points")
+    assert(b1 == b2, s"bounds must be deterministic: $b1 vs $b2")
   }
 
-  test("plan range-partitions the data — no single-task sort of rows") {
-    val plan = viaDistributed(4, parts = 8).queryExecution
-      .executedPlan.toString
-    assert(plan.contains("rangepartitioning"),
-      s"expected a range exchange in:\n$plan")
-    // the only unpartitioned window must be over the per-partition
-    // counts (8 rows), never over the data: the data-side window
-    // carries the _gr_pid partition spec
+  test("plan buckets the data — no single-task sort, no cache, no range exchange") {
+    val inner = graft.operators.DistributedRank.withRankCols(
+      Tables.customer(spark, TestSpark.sf001)
+        .select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal"), col("c_custkey")), numBuckets = 4, parts = 8)
+    inner.collect()
+    val plan = inner.queryExecution.executedPlan.toString
+    // the data's one shuffle is HASH on the frozen-literal bucket id;
+    // the only unpartitioned window is over the per-bucket counts
+    // (<= `parts` rows), never over the data
+    assert(plan.contains("hashpartitioning(_gr_pid"),
+      s"expected a hash exchange on the bucket id in:\n$plan")
     assert(plan.contains("windowspecdefinition(_gr_pid"),
       s"expected pid-partitioned data window in:\n$plan")
+    assert(!plan.contains("windowspecdefinition(c_acctbal"),
+      s"data must never flow through an un-keyed window in:\n$plan")
+    assert(!plan.contains("InMemoryRelation"),
+      s"no persist pin may remain in:\n$plan")
+    assert(!plan.contains("rangepartitioning"),
+      s"no RangePartitioner (nondeterministic bounds) may remain in:\n$plan")
   }
 }

@@ -163,11 +163,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_win_ntile_pctrank carries no single-task global sort") {
     // VERDICT r4 #2: the contract query now routes through
-    // DistributedRank. The data must flow through a RANGE exchange and
-    // a window partitioned by _gr_pid; the only unpartitioned window
-    // may be the per-partition offset prefix-sum (<= `parts` rows).
+    // DistributedRank. The data must flow through a HASH exchange on
+    // the frozen-literal bucket id (r11: explicit bounds replaced the
+    // range exchange + persist pin) and a window partitioned by
+    // _gr_pid; the only unpartitioned window may be the per-bucket
+    // offset prefix-sum (<= `parts` rows).
     val p = plan("q_win_ntile_pctrank")
-    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("hashpartitioning(_gr_pid"), p)
     assert(p.contains("windowspecdefinition(_gr_pid"), p)
     // an unpartitioned ntile/percent_rank window over the DATA would
     // show the acctbal sort key inside an un-keyed window spec
@@ -194,9 +196,9 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("q_sample_shuffle ranks via range exchange, never one task") {
+  test("q_sample_shuffle ranks via bucket-id exchange, never one task") {
     val p = plan("q_sample_shuffle")
-    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("hashpartitioning(_gr_pid"), p)
     // the only unpartitioned window is the metadata-sized offset frame
     // (<= 32 rows); the corpus itself must never funnel through a
     // global single-partition sort
@@ -386,9 +388,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_agg_histogram_equidepth ntiles via range exchange, not one task") {
+  test("q_agg_histogram_equidepth ntiles via bucket-id exchange, not one task") {
     val p = plan("q_agg_histogram_equidepth")
-    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("hashpartitioning(_gr_pid"), p)
     assert(p.contains("windowspecdefinition(_gr_pid"), p)
     assert(!p.contains("windowspecdefinition(l_extendedprice"), p)
   }
@@ -400,9 +402,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_ts_concurrency running sum rides a range exchange, not one task") {
+  test("q_ts_concurrency running sum rides a bucket-id exchange, not one task") {
     val p = plan("q_ts_concurrency")
-    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("hashpartitioning(_gr_pid"), p)
     assert(p.contains("windowspecdefinition(_gr_pid"), p)
     // an unpartitioned running sum over the deltas would put the sweep
     // key `t` inside an un-keyed window spec

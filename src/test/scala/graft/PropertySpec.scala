@@ -302,6 +302,75 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("three-way rank law: scala reference = window = distributed, any parts") {
+    import spark.implicits._
+    // THREE independent implementations (the proven as-of/CC oracle
+    // pattern): a plain-Scala sort, Spark's single-task window, and the
+    // two-pass frozen-bounds ranker — on heavy-duplicate keys so the
+    // sampled split points land BETWEEN equal k values on different ids
+    val gen: Gen[List[(Long, Long)]] = Gen.listOfN(90,
+      Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 100000L)))
+    cases(gen, 4).foreach { rows =>
+      val data = rows.distinct // (k, id) unique: the total-order precondition
+      val df = data.toDF("k", "id")
+      val n = data.size.toLong
+      // impl 1: plain Scala. row_number over the (k, id) total order;
+      // rank/percent_rank over the tied k-only order; textbook NTILE.
+      val sorted = data.sortBy(t => (t._1, t._2))
+      val rowNum = sorted.zipWithIndex
+        .map { case (t, i) => t -> (i + 1L) }.toMap
+      def ntileRef(r: Long, nb: Long): Long = {
+        val q = n / nb; val rem = n % nb
+        if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+        else rem + (r - rem * (q + 1) - 1) / q + 1
+      }
+      def pctRef(r: Long): Double =
+        if (n > 1) (r - 1).toDouble / (n - 1) else 0.0
+      val rankRef = data.map(t =>
+        t -> (1L + data.count(_._1 < t._1))).toMap
+      // impl 2: the single-window form
+      val wTot = org.apache.spark.sql.expressions.Window
+        .orderBy($"k", $"id")
+      val wK = org.apache.spark.sql.expressions.Window.orderBy($"k")
+      df.select($"k", $"id", row_number().over(wTot).cast("long").as("rn"),
+          ntile(4).over(wTot).cast("long").as("nt"),
+          percent_rank().over(wTot).as("pct"),
+          rank().over(wK).cast("long").as("rk"),
+          percent_rank().over(wK).as("pk"))
+        .collect().foreach { r =>
+          val t = (r.getLong(0), r.getLong(1))
+          assert(r.getLong(2) == rowNum(t) && r.getLong(3) ==
+            ntileRef(rowNum(t), 4) && r.getDouble(4) == pctRef(rowNum(t)),
+            s"window total-order mismatch at $t")
+          assert(r.getLong(5) == rankRef(t)
+            && r.getDouble(6) == pctRef(rankRef(t)),
+            s"window tie mismatch at $t")
+        }
+      // impl 3: DistributedRank, across partition counts
+      Seq(1, 3, 8).foreach { parts =>
+        graft.operators.DistributedRank
+          .withRankCols(df, Seq($"k", $"id"), numBuckets = 4, parts)
+          .select($"k", $"id", $"_gr_rank", $"nt", $"pct")
+          .collect().foreach { r =>
+            val t = (r.getLong(0), r.getLong(1))
+            assert(r.getLong(2) == rowNum(t)
+              && r.getInt(3).toLong == ntileRef(rowNum(t), 4)
+              && r.getDouble(4) == pctRef(rowNum(t)),
+              s"distributed mismatch at $t parts=$parts")
+          }
+        graft.operators.DistributedRank
+          .withRankColsTieSafe(df, Seq($"k"), numBuckets = 4, parts)
+          .select($"k", $"id", $"_gr_rank", $"pct")
+          .collect().foreach { r =>
+            val t = (r.getLong(0), r.getLong(1))
+            assert(r.getLong(2) == rankRef(t)
+              && r.getDouble(3) == pctRef(rankRef(t)),
+              s"tie-safe mismatch at $t parts=$parts")
+          }
+      }
+    }
+  }
+
   test("graftlines block splits are invariant: any split size, same rows") {
     import spark.implicits._
     // hostile string alphabet: escapes, tabs, newlines, multi-byte

@@ -31,9 +31,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    phantom rows;
   *  - the versioned commit path (generation manifests list exactly
   *    the winning attempts' files);
-  *  - DistributedRank's two-pass global ranks, whose correctness pin
-  *    (persist) must hold when a task of the pinned frame is
-  *    recomputed after a failure.
+  *  - DistributedRank's two-pass global ranks, whose bucket ids must
+  *    be identical when a task of the bucketed frame is recomputed
+  *    after a failure (by construction since r11: the bounds are
+  *    frozen literals, so a retried task cannot resample them).
   *
   * This suite runs in its OWN forked JVM (build.sbt testGrouping):
   * maxTaskFailures is a SparkContext-level setting, so it cannot
@@ -53,7 +54,9 @@ class RetrySpec extends AnyFunSuite {
     s
   }
 
-  private val dir = "/tmp/graft_retry_spec"
+  // per-user scratch (honors java.io.tmpdir): a hardcoded shared /tmp
+  // path is the exact multi-user collision GraftTmp exists to avoid
+  private val dir = GraftTmp.dir("retry_spec")
 
   /** Pass `through` rows of the chosen partition, then throw — on the
     * FIRST attempt only. The retry (attempt 1) streams the partition
@@ -143,10 +146,10 @@ class RetrySpec extends AnyFunSuite {
       s"failed attempt left staging debris: $names")
   }
 
-  test("DistributedRank global ranks survive a retried task of the pinned frame") {
+  test("DistributedRank global ranks survive a retried task of the bucketed frame") {
     import spark.implicits._
     // adversarial order: ranks must come from the sort key, and the
-    // retried task recomputes its partition of the PINNED ranged frame
+    // retried task recomputes its partition with the SAME literal bounds
     val df = failFirstAttempt(
       spark.range(0, 5000).select((col("id") * 2654435761L % 9973).as("s"),
         col("id")).repartition(4).as[(Long, Long)],
@@ -155,13 +158,11 @@ class RetrySpec extends AnyFunSuite {
       .withRankCols(df, Seq(col("s"), col("id")), numBuckets = 4)
     val got = ranked.select(col("s"), col("id"), col("_gr_rank"))
       .orderBy(col("_gr_rank")).collect()
-    try {
-      assert(got.length === 5000)
-      // ranks are exactly 1..N with no gap or duplicate, in sort order
-      assert(got.map(_.getLong(2)).toSeq === (1L to 5000L))
-      val sorted = got.map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(sorted === sorted.sorted)
-    } finally graft.operators.DistributedRank.releasePins()
+    assert(got.length === 5000)
+    // ranks are exactly 1..N with no gap or duplicate, in sort order
+    assert(got.map(_.getLong(2)).toSeq === (1L to 5000L))
+    val sorted = got.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sorted === sorted.sorted)
   }
 
   test("shuffle aggregation result is identical with and without a task retry") {
