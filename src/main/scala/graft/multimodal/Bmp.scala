@@ -124,6 +124,31 @@ object Bmp {
       case _: IllegalArgumentException => None
     }
 
+  /** Nearest-neighbor resample to `w`x`h` — real pixels, not metadata.
+    * Pixel-center mapping (src = floor((dst + 0.5) * srcDim / dstDim),
+    * all-integer arithmetic, so the output is bit-deterministic across
+    * JVMs and partitions) — the standard NN downsample a training
+    * pipeline runs before feature extraction. Upsampling replicates
+    * pixels with the same mapping. */
+  def resizeNearest(img: Image, w: Int, h: Int): Image = {
+    require(w >= 1 && h >= 1, s"bad target dimensions ${w}x$h")
+    if (w == img.width && h == img.height) return img
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      // (2y+1)*srcH / (2h) = floor((y+0.5)*srcH/h); < srcH for y < h
+      val sy = ((2L * y + 1) * img.height / (2L * h)).toInt
+      var x = 0
+      while (x < w) {
+        val sx = ((2L * x + 1) * img.width / (2L * w)).toInt
+        out(y * w + x) = img.pixels(sy * img.width + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, out)
+  }
+
   /** Cheap magic sniff. */
   def looksLike(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M'

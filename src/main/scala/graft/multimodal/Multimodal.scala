@@ -187,10 +187,78 @@ object Multimodal {
         .as("frame_idx"))
   }
 
-  /** resize stub: recompute metadata, mark payload for re-decode */
+  /** resize METADATA only: the planner-side op (declares the target
+    * dimensions downstream stages should assume) — the pixel work is
+    * [[resizePayloads]]. Kept as its own stage because a real pipeline
+    * often plans against target dims without touching payloads (e.g.
+    * when the decode+resize runs fused later). */
   def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta", struct(
       lit(w).as("width"), lit(h).as("height"),
       col("meta.sample_rate").as("sample_rate"),
       col("meta.n_frames").as("n_frames")))
+
+  /** REAL resize: decode each BMP payload, nearest-neighbor resample
+    * to `w`x`h` ([[Bmp.resizeNearest]] — integer pixel-center mapping,
+    * bit-deterministic), re-encode, and update the metadata. Payloads
+    * that are not decodable BMPs pass through byte-identical with only
+    * the metadata updated — same never-kill-the-stage rule as
+    * [[decode]]; map-only (zero shuffle), one codec context per
+    * partition. */
+  def resizePayloads(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val projected = media.select(col("media_id"), col("kind"),
+      col("payload"), col("meta"))
+    projected.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val resized =
+          if (Bmp.looksLike(payload))
+            Bmp.tryDecode(payload)
+              .map(img => Bmp.encode(w, h,
+                Bmp.resizeNearest(img, w, h).pixels))
+              .getOrElse(payload)
+          else payload
+        val m = r.getAs[Row]("meta")
+        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), resized,
+          Row(w, h, m.get(2), m.get(3)))
+      }
+    }(enc)
+  }
+
+  /** REAL frame-sampling over audio payloads: decode each WAV, keep
+    * every `everyK`-th frame ([[Wav.sampleEveryK]] — fixed stride, all
+    * channels, interleaving preserved), re-encode 16-bit PCM, and
+    * update meta.sample_rate / meta.n_frames from the DECODED result.
+    * Non-WAV payloads pass through byte-identical with metadata
+    * untouched. Map-only, one codec context per partition —
+    * [[sampleFrames]] remains the metadata-index twin for callers that
+    * only need frame indices, not resampled bytes. */
+  def samplePcmFrames(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"samplePcmFrames: everyK must be >= 1, got $everyK")
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val projected = media.select(col("media_id"), col("kind"),
+      col("payload"), col("meta"))
+    projected.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val m = r.getAs[Row]("meta")
+        // sniff before tryDecode: a corpus of mostly-non-WAV payloads
+        // must not pay one constructed exception per row (the
+        // q_try_funcs lesson)
+        val decoded =
+          if (Wav.looksLike(payload)) Wav.tryDecode(payload) else None
+        decoded match {
+          case Some(a) =>
+            val s = Wav.sampleEveryK(a, everyK)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+              Wav.encode(s.samples, s.sampleRate, s.channels),
+              Row(m.get(0), m.get(1), s.sampleRate, s.frames))
+          case None =>
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+              payload, m)
+        }
+      }
+    }(enc)
+  }
 }

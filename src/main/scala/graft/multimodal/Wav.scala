@@ -146,6 +146,27 @@ object Wav {
       case _: IllegalArgumentException => None
     }
 
+  /** Fixed-stride frame sampler — real samples, not metadata: keeps
+    * frames 0, k, 2k, … with ALL channels of each kept frame
+    * (interleaving preserved). This is decimation without an
+    * anti-alias filter — the frame-exemplar shape a training pipeline
+    * wants, not a hi-fi resampler — so the declared sample rate scales
+    * down by the same stride (floored at 1). Deterministic: pure index
+    * arithmetic, no float math. */
+  def sampleEveryK(a: Audio, k: Int): Audio = {
+    require(k >= 1, s"stride must be >= 1, got $k")
+    if (k == 1) return a
+    val ch = math.max(a.channels, 1)
+    val kept = (a.frames + k - 1) / k
+    val out = new Array[Short](kept * ch)
+    var f = 0
+    while (f < kept) {
+      System.arraycopy(a.samples, f * k * ch, out, f * ch, ch)
+      f += 1
+    }
+    Audio(math.max(1, a.sampleRate / k), a.channels, a.bitsPerSample, out)
+  }
+
   /** True if the payload carries the RIFF/WAVE magic — a cheap sniff
     * that avoids the exception path for clearly-non-WAV payloads. */
   def looksLike(bytes: Array[Byte]): Boolean =

@@ -244,4 +244,95 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.opaqueFeatures("opaque".getBytes("UTF-8")))
     assert(f.forall(_.getInt(2) > 0))            // n_bytes carried
   }
+
+  test("BMP nearest-neighbor resize: golden 4x4 -> 2x2 pixels") {
+    // distinct pixel per cell so the mapping is unambiguous: with
+    // pixel-center mapping floor((d+0.5)*4/2) the 2x2 picks sources
+    // (1,1) (3,1) (1,3) (3,3)
+    val px = (0 until 16).map(i => 0x010101 * (i + 1)).toArray
+    val img = Bmp.Image(4, 4, px)
+    val small = Bmp.resizeNearest(img, 2, 2)
+    assert(small.width == 2 && small.height == 2)
+    assert(small.pixels.toSeq == Seq(px(1 * 4 + 1), px(1 * 4 + 3),
+      px(3 * 4 + 1), px(3 * 4 + 3)))
+    // identity is a no-op; upsample replicates deterministically
+    assert(Bmp.resizeNearest(img, 4, 4) eq img)
+    val up = Bmp.resizeNearest(Bmp.Image(1, 1, Array(0xABCDEF)), 3, 2)
+    assert(up.pixels.toSeq == Seq.fill(6)(0xABCDEF))
+    // golden through the BYTES: encode -> resize -> encode is stable
+    val viaBytes = Bmp.decode(Bmp.encode(4, 4, px))
+    assert(Bmp.resizeNearest(viaBytes, 2, 2).pixels.toSeq ==
+      small.pixels.toSeq)
+  }
+
+  test("WAV fixed-stride frame sampling: golden stereo stride 3") {
+    // 7 stereo frames; stride 3 keeps frames 0, 3, 6 with BOTH channels
+    val samples = (0 until 14).map(i => i.toShort).toArray // L,R pairs
+    val a = Wav.Audio(48000, 2, 16, samples)
+    val s = Wav.sampleEveryK(a, 3)
+    assert(s.channels == 2 && s.frames == 3)
+    assert(s.samples.toSeq == Seq[Short](0, 1, 6, 7, 12, 13))
+    assert(s.sampleRate == 16000, "decimation scales the declared rate")
+    // stride 1 is a no-op; a stride past the end keeps frame 0 only
+    assert(Wav.sampleEveryK(a, 1) eq a)
+    assert(Wav.sampleEveryK(a, 100).samples.toSeq == Seq[Short](0, 1))
+  }
+
+  test("resizePayloads rewrites real pixels through the Spark path") {
+    import spark.implicits._
+    val px = (0 until 16).map(i => 0x010101 * (i + 1)).toArray
+    val bmp = Bmp.encode(4, 4, px)
+    val df = Seq(
+      (1L, "image", bmp, (4, 4, 0, 0)),
+      (2L, "video", "not media".getBytes("UTF-8"), (0, 0, 0, 9)))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("n_frames"))
+          .as("meta"))
+    val out = Multimodal.resizePayloads(df, 2, 2)
+      .orderBy("media_id").collect()
+    // the image payload is a REAL re-encoded 2x2 BMP with the golden
+    // nearest-neighbor pixels, and the metadata follows
+    val dec = Bmp.decode(out(0).getAs[Array[Byte]]("payload"))
+    assert(dec.width == 2 && dec.height == 2)
+    assert(dec.pixels.toSeq == Seq(px(5), px(7), px(13), px(15)))
+    assert(out(0).getAs[org.apache.spark.sql.Row]("meta").getInt(0) == 2)
+    // non-BMP passes through byte-identical, metadata dims updated
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq ==
+      "not media".getBytes("UTF-8").toSeq)
+    val m1 = out(1).getAs[org.apache.spark.sql.Row]("meta")
+    assert(m1.getInt(0) == 2 && m1.getInt(3) == 9)
+    // and the downstream decode sees the NEW dimensions
+    val feats = Multimodal.extractFeatures(
+      Multimodal.resizePayloads(df, 2, 2)).orderBy("media_id").collect()
+    assert(feats(0).getSeq[Float](3)(0) == 2f)
+    assert(feats(0).getSeq[Float](3)(1) == 2f)
+  }
+
+  test("samplePcmFrames rewrites real PCM through the Spark path") {
+    import spark.implicits._
+    val samples = (0 until 14).map(i => i.toShort).toArray
+    val wav = Wav.encode(samples, 48000, 2)
+    val df = Seq(
+      (1L, "audio", wav, (0, 0, 48000, 7)),
+      (2L, "video", "not media".getBytes("UTF-8"), (0, 0, 0, 9)))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("n_frames"))
+          .as("meta"))
+    val out = Multimodal.samplePcmFrames(df, 3)
+      .orderBy("media_id").collect()
+    val dec = Wav.decode(out(0).getAs[Array[Byte]]("payload"))
+    assert(dec.samples.toSeq == Seq[Short](0, 1, 6, 7, 12, 13))
+    assert(dec.sampleRate == 16000 && dec.channels == 2)
+    val m0 = out(0).getAs[org.apache.spark.sql.Row]("meta")
+    assert(m0.getInt(2) == 16000 && m0.getInt(3) == 3,
+      "meta must follow the DECODED resample, not the old values")
+    // non-WAV passes through byte-identical, metadata untouched
+    assert(out(1).getAs[Array[Byte]]("payload").toSeq ==
+      "not media".getBytes("UTF-8").toSeq)
+    assert(out(1).getAs[org.apache.spark.sql.Row]("meta").getInt(3) == 9)
+  }
 }

@@ -243,6 +243,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("frame-sample composes; NN resize picks only source pixels") {
+    import graft.multimodal.{Bmp, Wav}
+    // stride composition: sampling every j-th then every k-th frame IS
+    // sampling every (j*k)-th — samples AND the declared rate (nested
+    // floor division composes exactly on positive ints)
+    val audioGen = for {
+      ch <- Gen.chooseNum(1, 3)
+      frames <- Gen.chooseNum(0, 150)
+      j <- Gen.chooseNum(1, 5)
+      k <- Gen.chooseNum(1, 5)
+      samples <- Gen.listOfN(ch * frames,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (Wav.Audio(44100, ch, 16, samples.map(_.toShort).toArray), j, k)
+    cases(audioGen, n = 8).foreach { case (a, j, k) =>
+      val twice = Wav.sampleEveryK(Wav.sampleEveryK(a, j), k)
+      val once = Wav.sampleEveryK(a, j * k)
+      assert(twice.samples.toSeq == once.samples.toSeq, s"j=$j k=$k")
+      assert(twice.sampleRate == once.sampleRate, s"j=$j k=$k")
+    }
+    // NN resize: exact dims, every output pixel IS some input pixel
+    // (no blending/invention), and the mapping is deterministic
+    val resizeGen = for {
+      w <- Gen.chooseNum(1, 9); h <- Gen.chooseNum(1, 6)
+      tw <- Gen.chooseNum(1, 12); th <- Gen.chooseNum(1, 8)
+      px <- Gen.listOfN(w * h, Gen.chooseNum(0, 0xffffff))
+    } yield (Bmp.Image(w, h, px.toArray), tw, th)
+    cases(resizeGen, n = 8).foreach { case (img, tw, th) =>
+      val r = Bmp.resizeNearest(img, tw, th)
+      assert(r.width == tw && r.height == th
+        && r.pixels.length == tw * th)
+      val src = img.pixels.toSet
+      assert(r.pixels.forall(src.contains), "NN must not invent pixels")
+      assert(Bmp.resizeNearest(img, tw, th).pixels.toSeq ==
+        r.pixels.toSeq, "resize must be deterministic")
+    }
+  }
+
   test("bottom-k heap matches sort-take-k whatever the merge split") {
     import graft.functions.BottomK
     val triplesGen: Gen[List[(Long, Long, Long)]] = Gen.listOfN(250,
