@@ -400,8 +400,16 @@ object GraftLines {
         } catch { case _: Exception => () }
         try fs.delete(tmp, false) catch { case _: Exception => () }
       } else {
-        // HDFS and friends: rename-onto-existing fails, so the rename
-        // itself is the compare-and-swap
+        // HDFS: rename-onto-existing fails atomically in the NameNode,
+        // so the rename itself is the compare-and-swap. That guarantee
+        // is SCHEME-SPECIFIC: object-store connectors (S3A, GCS)
+        // implement rename as a client-side exists-check + copy, which
+        // reopens the same check-then-rename window the link(2) path
+        // closes on local mounts. On such stores this branch is
+        // best-effort only — concurrent committers there must be
+        // serialized through the catalog (the exists() check above is
+        // the loud first line of defense), or the table should live on
+        // a filesystem with atomic no-clobber rename.
         require(fs.rename(tmp, p),
           s"graftlines: failed publishing generation manifest $p")
       }
@@ -554,17 +562,24 @@ object GraftLines {
   /** Retention sweep for versioned tables: keep the newest `keepLast`
     * generations, delete older generation manifests and every data
     * file no RETAINED generation references, and drop the dead files'
-    * stats lines. Files NO generation ever referenced — the orphans a
-    * failed commit leaves after its data renames but before its
-    * manifest publish — are reclaimed even when no generation expires,
-    * so `expireVersions(dir, keepLast >= generations)` doubles as an
-    * orphan-only GC. All O(files) driver metadata — data never moves.
-    * Must not run concurrently with a committer: an in-flight commit's
-    * renamed-but-not-yet-manifested files look exactly like orphans
-    * (maintenance is a table-quiet operation, like vacuum everywhere).
+    * stats lines. All O(files) driver metadata — data never moves.
+    *
+    * `gcOrphans` (default OFF) additionally reclaims files NO
+    * generation ever referenced — the leftovers a failed commit leaves
+    * after its data renames but before its manifest publish — so
+    * `expireVersions(dir, keepLast >= generations, gcOrphans = true)`
+    * doubles as an orphan-only GC. Opt-in because it changes the
+    * safety contract visibly at the call site: without it a call with
+    * `keepLast >= generations` is a guaranteed no-op, with it an
+    * IN-FLIGHT commit's renamed-but-not-yet-manifested files look
+    * exactly like orphans and would be swept. Either way the sweep
+    * must not run concurrently with a committer (maintenance is a
+    * table-quiet operation, like vacuum everywhere) — the flag just
+    * keeps the no-expiry call harmless for callers who treat it so.
     * Returns (expired generations, deleted data files). */
   def expireVersions(dir: String, keepLast: Int,
-      conf: org.apache.hadoop.conf.Configuration): (Seq[Int], Seq[String]) = {
+      conf: org.apache.hadoop.conf.Configuration,
+      gcOrphans: Boolean = false): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "expireVersions must keep at least one generation")
     val fs = new Path(dir).getFileSystem(conf)
     val gens = genVersions(dir, conf)
@@ -573,8 +588,18 @@ object GraftLines {
     if (gens.isEmpty) return (Nil, Nil)
     val (drop, keep) = gens.splitAt(math.max(0, gens.length - keepLast))
     val live = keep.flatMap(readGen(dir, _, conf)).toSet
-    val dead = listDataFiles(dir, conf)
-      .filter(f => !live.contains(new Path(f).getName))
+    val listed = listDataFiles(dir, conf)
+    val dead =
+      if (gcOrphans) listed.filter(f => !live.contains(new Path(f).getName))
+      else {
+        // only files an EXPIRING generation referenced: never-manifested
+        // files stay untouched unless the caller opted into orphan GC
+        val droppedRefs = drop.flatMap(readGen(dir, _, conf)).toSet
+        listed.filter { f =>
+          val n = new Path(f).getName
+          !live.contains(n) && droppedRefs.contains(n)
+        }
+      }
     if (drop.isEmpty && dead.isEmpty) return (Nil, Nil)
     dead.foreach(f => fs.delete(new Path(f), false))
     drop.foreach(n => fs.delete(genPath(dir, n), false))

@@ -16,7 +16,7 @@ class TimeTravelSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val dir = "/tmp/graft_tt_spec"
+  private val dir = GraftTmp.dir("tt_spec")
 
   private def hconf = spark.sparkContext.hadoopConfiguration
   private def hfs(p: String) =
@@ -341,7 +341,13 @@ class TimeTravelSpec extends AnyFunSuite {
     val orphansBefore = names
       .filter(n => n.endsWith(".gl") && !n.startsWith("_"))
       .filterNot(referenced)
-    val (expired, deleted) = GraftLines.expireVersions(p, 100, hconf)
+    // without the opt-in, keepLast >= generations stays a guaranteed
+    // no-op even with orphans on disk (the pre-r10 safety contract)
+    val noop = GraftLines.expireVersions(p, 100, hconf)
+    assert(noop == ((Nil, Nil)),
+      s"no-expiry call without gcOrphans must be a no-op: $noop")
+    val (expired, deleted) =
+      GraftLines.expireVersions(p, 100, hconf, gcOrphans = true)
     assert(expired.isEmpty, s"nothing may expire under keepLast=100: $expired")
     assert(deleted.map(f => new org.apache.hadoop.fs.Path(f).getName)
       .sorted.toSeq == orphansBefore.sorted.toSeq,
@@ -352,5 +358,141 @@ class TimeTravelSpec extends AnyFunSuite {
         .option("versionAsOf", g).load(p).count()
       assert(n == g, s"generation $g must still read $g rows, got $n")
     }
+  }
+
+  test("readers racing commits and retention never observe a torn state") {
+    // The read-side twin of the 6-writer soak: the link(2)-CAS publish
+    // proved write-side convergence; this interleaves LATEST reads,
+    // time-travel replays, change-feed deltas, and a retention sweep
+    // with live retrying committers, asserting no reader ever sees a
+    // half-published generation (a listed manifest is complete by
+    // publish atomicity), a torn row set, or a GC'd-but-referenced
+    // file.
+    val p = s"$dir/rsoak"
+    markVersioned(p)
+    Seq(-1L).toDF("v").write.format("graftlines").mode("append").save(p)
+    val writers = 3
+    val perWriter = 5
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writersLeft = new java.util.concurrent.atomic.AtomicInteger(writers)
+    def listedGens(): Seq[Int] = hfs(p)
+      .listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName)
+      .filter(_.startsWith(GraftLines.GenPrefix))
+      .flatMap(_.stripPrefix(GraftLines.GenPrefix).toIntOption)
+      .sorted.toSeq
+    val writerThreads = (0 until writers).map { i =>
+      new Thread(() => {
+        try (0 until perWriter).foreach { k =>
+          var done = false
+          var tries = 0
+          while (!done) {
+            tries += 1
+            require(tries <= 60, s"writer $i starved after 60 tries")
+            try {
+              Seq(i * 100L + k).toDF("v")
+                .write.format("graftlines").mode("append").save(p)
+              done = true
+            } catch {
+              case t: Throwable
+                  if (Option(t.getMessage).getOrElse("") +
+                    Option(t.getCause).map(_.getMessage).getOrElse(""))
+                    .contains("concurrent committers") => // retry
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+        finally writersLeft.decrementAndGet()
+      })
+    }
+    // a committed generation is immutable: remember first-seen content
+    val seen = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+    val readerThreads = (0 until 2).map { r =>
+      new Thread(() => {
+        try {
+          var lastLatest = 0L
+          while (writersLeft.get() > 0) {
+            // LATEST: never throws, never tears (no dup, base row
+            // present), and row counts only grow — generations are
+            // linear, so a reader can never travel backwards
+            val latest = spark.read.format("graftlines").load(p)
+              .select("v").collect().map(_.getLong(0)).toSeq
+            assert(latest.distinct.size == latest.size,
+              s"reader $r: torn latest read $latest")
+            assert(latest.contains(-1L), s"reader $r: base row missing")
+            assert(latest.size >= lastLatest,
+              s"reader $r: latest went backwards ${latest.size} < $lastLatest")
+            lastLatest = latest.size
+            // TIME TRAVEL on the newest listed generation: gen g holds
+            // exactly g rows (append-only), byte-stable across reads
+            val g = listedGens().last
+            val rows = spark.read.format("graftlines")
+              .option("versionAsOf", g).load(p)
+              .select("v").collect().map(_.getLong(0)).sorted.toSeq
+            assert(rows.size == g,
+              s"reader $r: generation $g must read $g rows, got $rows")
+            val prev = seen.putIfAbsent(g, rows)
+            assert(prev == null || prev == rows,
+              s"reader $r: generation $g changed: $prev -> $rows")
+            // CHANGE FEED: the delta between consecutive generations of
+            // an append-only history is exactly the one appended row
+            if (g >= 2) {
+              val delta = spark.read.format("graftlines")
+                .option("versionAsOf", g)
+                .option("excludeFilesOfVersion", g - 1)
+                .load(p).count()
+              assert(delta == 1,
+                s"reader $r: delta($g, ${g - 1}) must be 1 row, got $delta")
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    // retention racing the commits: with gcOrphans OFF and nothing old
+    // enough to expire, every sweep must be a strict no-op — never
+    // deleting an in-flight commit's renamed-but-unmanifested files
+    val vacuumThread = new Thread(() => {
+      try while (writersLeft.get() > 0) {
+        val swept = GraftLines.expireVersions(p, keepLast = 100, hconf)
+        assert(swept == ((Nil, Nil)),
+          s"no-expiry sweep under live commits must be a no-op: $swept")
+      } catch { case t: Throwable => failures.add(t) }
+    })
+    (writerThreads ++ readerThreads :+ vacuumThread).foreach(_.start())
+    (writerThreads ++ readerThreads :+ vacuumThread).foreach(_.join())
+    assert(failures.isEmpty, s"soak failures: $failures")
+    val total = 1 + writers * perWriter
+    assert(listedGens() == (1 to total),
+      "generations must be gap-free after the soak")
+
+    // phase 2: REAL deletion racing readers. Overwrite supersedes every
+    // append file, then a keepLast=1 sweep reclaims them while readers
+    // replay the retained generation — which must stay exact
+    // throughout (no GC'd-but-referenced file).
+    Seq(999L).toDF("v").write.format("graftlines").mode("overwrite").save(p)
+    val gFinal = total + 1
+    val stopPhase2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val phase2Readers = (0 until 2).map { r =>
+      new Thread(() => {
+        try while (!stopPhase2.get()) {
+          val rows = spark.read.format("graftlines")
+            .option("versionAsOf", gFinal).load(p)
+            .select("v").collect().map(_.getLong(0)).toSeq
+          assert(rows == Seq(999L),
+            s"phase2 reader $r: retained generation torn: $rows")
+          assert(spark.read.format("graftlines").load(p).count() == 1)
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    phase2Readers.foreach(_.start())
+    val (expired2, deleted2) = GraftLines.expireVersions(p, 1, hconf)
+    stopPhase2.set(true)
+    phase2Readers.foreach(_.join())
+    assert(failures.isEmpty, s"phase-2 soak failures: $failures")
+    assert(expired2 == (1 until gFinal), s"must expire all appends: $expired2")
+    assert(deleted2.nonEmpty, "superseded append files must be reclaimed")
+    // the retained generation still replays exactly after the sweep
+    assert(spark.read.format("graftlines").option("versionAsOf", gFinal)
+      .load(p).select("v").collect().map(_.getLong(0)).toSeq == Seq(999L))
   }
 }
