@@ -352,7 +352,7 @@ object MicMacEtl {
     * natural-key order, duplicates share an id) with NO single-task
     * global sort. The distinct natural keys — already unique, so
     * DistributedRank's total-order precondition holds — are globally
-    * numbered by the two-pass range-partitioned ranker, then joined
+    * numbered by the two-pass frozen-bounds ranker, then joined
     * back on the key (an equi-join that shuffles on the key, or
     * broadcasts when the dimension is small). Ids are bigint: a
     * high-cardinality key can exceed Int range.

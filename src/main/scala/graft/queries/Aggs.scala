@@ -214,9 +214,9 @@ object Aggs extends QueryGroup {
       // skew diagnostics actually want (equi-WIDTH buckets collapse
       // under skew). The bucket assignment is global NTILE, which is
       // exactly the single-task-sort hazard q_win_ntile_distributed
-      // solved — so the plan routes through DistributedRank (range
-      // repartition + broadcast prefix offsets) and the fact table
-      // never funnels through one task. (l_orderkey, l_linenumber)
+      // solved — so the plan routes through DistributedRank (frozen-
+      // literal range buckets + broadcast prefix offsets) and the fact
+      // table never funnels through one task. (l_orderkey, l_linenumber)
       // breaks ties into a total order, making NTILE — and the
       // per-bucket min/max/sum — a pure function of the data.
       "q_agg_histogram_equidepth",

@@ -729,13 +729,14 @@ object Pipeline extends QueryGroup {
       // resumes, and engines; rand() delivers none of that). Order =
       // the total (md5(doc_id), doc_id) sort — content-independent,
       // seedable by salting the hash, and stable by construction. The
-      // global position comes from operators/DistributedRank (range
-      // repartition + broadcast prefix offsets, PlanSpec-pinned family
-      // — NEVER a single-task window sort, which is exactly how naive
-      // ROW_NUMBER() OVER (ORDER BY …) dies at 100 TB); positions then
+      // global position comes from operators/DistributedRank (frozen-
+      // literal range buckets + broadcast prefix offsets, PlanSpec-
+      // pinned family — NEVER a single-task window sort, which is
+      // exactly how naive ROW_NUMBER() OVER (ORDER BY …) dies at
+      // 100 TB); positions then
       // pack into 64-doc training batches whose composition the oracle
       // pins exactly (id/char sums per batch — set equality, not just
-      // counts). One range shuffle + metadata-sized offset frame total.
+      // counts). One bucket-id shuffle + metadata-sized offset frame.
       "q_sample_shuffle",
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -117,9 +117,10 @@ object Windows extends QueryGroup {
       // `Window.orderBy(...)` with no partitionBy — semantically exact
       // but it funnels every row through ONE task's sort, the plan
       // VERDICT r4 flagged as the repo's last scale-killer. The
-      // contract query therefore routes through DistributedRank (range
-      // repartition + broadcast prefix offsets — no single-task sort;
-      // PlanSpec pins that shape), which passes the identical oracle.
+      // contract query therefore routes through DistributedRank
+      // (frozen-literal range buckets + broadcast prefix offsets — no
+      // single-task sort; PlanSpec pins that shape), which passes the
+      // identical oracle.
       "q_win_ntile_pctrank",
       (s, d) => {
         graft.operators.DistributedRank.withRankCols(
@@ -488,9 +489,9 @@ object Windows extends QueryGroup {
       // (t, +1-before--1, user, sid) order IS the concurrency curve.
       // The textbook form is an unpartitioned window — one task sorts
       // the fact table, the r4 scale-killer — so the sum rides
-      // DistributedRank.withRunningSum: range-repartition on the sort
-      // key, per-partition sums prefix into broadcast offsets, local
-      // running sums finish independently. All-integer output, bitwise
+      // DistributedRank.withRunningSum: frozen-literal range buckets
+      // on the sort key, per-bucket sums prefix into broadcast
+      // offsets, local running sums finish independently. All-integer output, bitwise
       // oracle (whose ROWS-window form states the same total order).
       "q_ts_concurrency",
       (s, d) => {
