@@ -180,6 +180,36 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled bounds keep buckets balanced on smooth data") {
+    // balance is the ONE property the sketch can silently lose without
+    // failing any correctness gate — pin it: on near-uniform keys the
+    // largest range bucket must stay within a small factor of the mean
+    import spark.implicits._
+    val n = 20000
+    val rows = (1 to n).map(i => ((i * 2654435761L) % 1000003, i.toLong))
+    val df = rows.toDF("k", "id").repartition(8)
+    val parts = 16
+    val bounds = graft.operators.DistributedRank
+      .collectBounds(df, Seq(col("k"), col("id")), parts)
+      .map(b => (b.getLong(0), b.getLong(1)))
+    assert(bounds.size >= parts - 4,
+      s"expected ~${parts - 1} split points, got ${bounds.size}")
+    assert(bounds == bounds.sorted, "split points must be ascending")
+    // bucket sizes under the operator's own semantics: bucket i holds
+    // keys in (bounds(i-1), bounds(i)] under the (k, id) tuple order
+    import scala.math.Ordering.Implicits._
+    val sizes = rows.groupBy(key =>
+        bounds.indexWhere(key <= _) match {
+          case -1 => bounds.size
+          case i => i
+        })
+      .values.map(_.size).toSeq
+    assert(sizes.sum == n)
+    val mean = n.toDouble / (bounds.size + 1)
+    assert(sizes.max <= 2.5 * mean,
+      s"largest bucket ${sizes.max} vs mean $mean — sketch degenerated")
+  }
+
   test("two independent operator calls draw identical bounds") {
     // the sketch seed folds in only the partition index — same input,
     // same candidates, same split points, every call
