@@ -206,6 +206,11 @@ object Multimodal {
     * [[decode]]; map-only (zero shuffle), one codec context per
     * partition. */
   def resizePayloads(media: DataFrame, w: Int, h: Int): DataFrame = {
+    // eager, driver-side: bad dimensions must fail at plan time, not
+    // per-row in an executor (or worse, silently stamp bogus metadata
+    // when no row happens to be a decodable BMP)
+    require(w >= 1 && h >= 1,
+      s"resizePayloads: target dimensions must be >= 1, got ${w}x$h")
     val enc = RowEncoder.encoderFor(mediaSchema)
     val projected = media.select(col("media_id"), col("kind"),
       col("payload"), col("meta"))

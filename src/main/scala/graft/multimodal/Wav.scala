@@ -155,8 +155,16 @@ object Wav {
     * arithmetic, no float math. */
   def sampleEveryK(a: Audio, k: Int): Audio = {
     require(k >= 1, s"stride must be >= 1, got $k")
-    if (k == 1) return a
     val ch = math.max(a.channels, 1)
+    if (k == 1) {
+      // decode accepts a data chunk that does not divide into whole
+      // frames; a partial trailing frame is not a frame to keep, and
+      // encode (rightly) refuses misaligned sample arrays — normalize
+      // here so the k=1 path cannot leak the tail downstream
+      return if (a.samples.length % ch == 0) a
+      else Audio(a.sampleRate, a.channels, a.bitsPerSample,
+        java.util.Arrays.copyOf(a.samples, a.frames * ch))
+    }
     val kept = (a.frames + k - 1) / k
     val out = new Array[Short](kept * ch)
     var f = 0

@@ -335,4 +335,50 @@ class MultimodalSpec extends AnyFunSuite {
       "not media".getBytes("UTF-8").toSeq)
     assert(out(1).getAs[org.apache.spark.sql.Row]("meta").getInt(3) == 9)
   }
+
+  test("one misaligned WAV cannot kill samplePcmFrames, even at k=1") {
+    import spark.implicits._
+    // a structurally valid WAV whose data chunk does NOT divide into
+    // whole stereo frames (3 samples, 2 channels): decode accepts it,
+    // and the k=1 shortcut used to hand the misaligned array straight
+    // to encode, whose alignment require threw INSIDE the task —
+    // violating the stage's never-kill-the-stage rule
+    val aligned = Wav.encode(Array[Short](1, 2, 3, 4), 8000, 2)
+    val misaligned = java.util.Arrays.copyOf(aligned, aligned.length - 2)
+    // patch RIFF + data chunk sizes for the 2 bytes we cut
+    def put32(b: Array[Byte], o: Int, v: Int): Unit = (0 until 4)
+      .foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    put32(misaligned, 4, misaligned.length - 8)
+    put32(misaligned, 40, 6)
+    assert(Wav.tryDecode(misaligned).exists(_.samples.length == 3))
+    val df = Seq((1L, "audio", misaligned, (0, 0, 8000, 1)))
+      .toDF("media_id", "kind", "payload", "m")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("sample_rate"), col("m._4").as("n_frames"))
+          .as("meta"))
+    Seq(1, 2).foreach { k =>
+      val out = Multimodal.samplePcmFrames(df, k).collect()
+      val dec = Wav.decode(out(0).getAs[Array[Byte]]("payload"))
+      // the partial trailing frame is dropped, whole frames survive
+      assert(dec.samples.toSeq == Seq[Short](1, 2), s"k=$k")
+    }
+    // and aligned input at k=1 stays the identity
+    val a = Wav.decode(aligned)
+    assert(Wav.sampleEveryK(a, 1) eq a)
+  }
+
+  test("resizePayloads rejects bad target dimensions at plan time") {
+    import spark.implicits._
+    val df = Seq((1L, "image", Array[Byte](1, 2)))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(lit(1).as("width"), lit(1).as("height"),
+        lit(0).as("sample_rate"), lit(0).as("n_frames")))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePayloads(df, 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePayloads(df, 5, -1)
+    }
+  }
 }
