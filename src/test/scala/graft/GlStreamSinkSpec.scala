@@ -16,7 +16,7 @@ class GlStreamSinkSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val dir = "/tmp/graft_glsink_spec"
+  private val dir = GraftTmp.dir("glsink_spec")
 
   private def hconf = spark.sparkContext.hadoopConfiguration
 
@@ -261,6 +261,80 @@ class GlStreamSinkSpec extends AnyFunSuite {
         .committedEpochs(p, hconf).size == 2,
         "batch generations must not register as committed epochs")
     } finally q.stop()
+  }
+
+  test("batch readers racing the epoch stream never observe a torn epoch") {
+    // the streaming twin of TimeTravelSpec's reader soak: epochs commit
+    // through the sink's ledger path while concurrent readers assert
+    // (a) LATEST is always a complete, contiguous epoch prefix — an
+    // epoch is visible whole or not at all; (b) replays of a committed
+    // generation are immutable; (c) visibility is monotonic per reader
+    val p = freshDir("v_readers")
+    markVersioned(p)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val epochs = 40
+    val rowsPer = 3
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val doneWriting = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // epoch 0 lands BEFORE the race: an empty versioned table is a
+    // loud read error by design (no .gl files), not a torn state
+    val h = new graft.sources.GlStreamingTestHarness(p, schema)
+    h.writeEpoch(0L, (0 until rowsPer).map(j => (j.toLong, s"e0-$j")))
+    val writer = new Thread(() => {
+      try (1 until epochs).foreach { e =>
+        h.writeEpoch(e.toLong,
+          (0 until rowsPer).map(j => (e * 10L + j, s"e$e-$j")))
+      } catch { case t: Throwable => failures.add(t) }
+      finally doneWriting.set(true)
+    })
+    val seen = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+    val readers = (0 until 2).map { r =>
+      new Thread(() => {
+        try {
+          var lastPrefix = -1L
+          while (!doneWriting.get()) {
+            val ks = spark.read.format("graftlines").load(p)
+              .select("k").collect().map(_.getLong(0)).sorted.toSeq
+            // complete contiguous prefix: epoch e contributes exactly
+            // rowsPer keys e*10+j — any partial epoch is a torn read
+            val byEpoch = ks.groupBy(_ / 10)
+            byEpoch.foreach { case (e, rows) =>
+              assert(rows.size == rowsPer,
+                s"reader $r: epoch $e torn ($rows)")
+            }
+            val es = byEpoch.keys.toSeq.sorted
+            assert(es == (0L until es.size),
+              s"reader $r: epochs must be a contiguous prefix: $es")
+            assert(es.size >= lastPrefix,
+              s"reader $r: visibility went backwards")
+            lastPrefix = es.size
+            // a committed generation is immutable on replay
+            if (es.nonEmpty) {
+              val g = es.size // gen g = epochs 0..g-1
+              val replay = spark.read.format("graftlines")
+                .option("versionAsOf", g).load(p)
+                .select("k").collect().map(_.getLong(0)).sorted.toSeq
+              assert(replay.size == g * rowsPer,
+                s"reader $r: gen $g must hold ${g * rowsPer} rows")
+              val prev = seen.putIfAbsent(g, replay)
+              assert(prev == null || prev == replay,
+                s"reader $r: generation $g changed content")
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    (readers :+ writer).foreach(_.start())
+    (readers :+ writer).foreach(_.join())
+    assert(failures.isEmpty, s"streaming reader soak failures: $failures")
+    assert(graft.sources.GlStreamingTestHarness
+      .committedEpochs(p, hconf) == (0L until epochs.toLong).toSet)
+    assert(readBack(p).size == epochs * rowsPer)
   }
 
   test("Complete output mode is rejected loudly") {
