@@ -392,7 +392,7 @@ object Etl extends QueryGroup {
       // gives a hashable double.
       "q_etl_partitioned_sink",
       (s, d) => {
-        val out = "/tmp/graft_part_sink"
+        val out = graft.GraftTmp.dir("part_sink")
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"),
             col("l_linestatus"), col("l_returnflag"))
@@ -418,7 +418,7 @@ object Etl extends QueryGroup {
       // schema keeps types deterministic (no sampling inference).
       "q_etl_json_roundtrip",
       (s, d) => {
-        val out = "/tmp/graft_json_sink"
+        val out = graft.GraftTmp.dir("json_sink")
         Tables.documents(s, d).select(col("doc_id"), col("lang"),
             col("n_chars").cast("long").as("n_chars"))
           .write.mode("overwrite").json(out)
@@ -442,7 +442,7 @@ object Etl extends QueryGroup {
       // Explicit schema on read (never inferSchema — FIXTURES.md rule).
       "q_etl_csv_roundtrip",
       (s, d) => {
-        val out = "/tmp/graft_csv_sink"
+        val out = graft.GraftTmp.dir("csv_sink")
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
           .write.mode("overwrite").option("header", "true").csv(out)
@@ -468,7 +468,7 @@ object Etl extends QueryGroup {
       // type mapping survives it (integral/string columns, exact).
       "q_etl_orc_roundtrip",
       (s, d) => {
-        val out = "/tmp/graft_orc_sink"
+        val out = graft.GraftTmp.dir("orc_sink")
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
           .write.mode("overwrite").orc(out)
@@ -499,7 +499,7 @@ object Etl extends QueryGroup {
       // — the property that matters when 1000 executors wrote the data.
       "q_source_dsv2",
       (s, d) => {
-        val out = "/tmp/graft_gl_sink"
+        val out = graft.GraftTmp.dir("gl_sink")
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_returnflag"))
@@ -535,7 +535,7 @@ object Etl extends QueryGroup {
       // per status with decimal-exact sums.
       "q_etl_snapshot",
       (s, d) => {
-        val base = "/tmp/graft_snap"
+        val base = graft.GraftTmp.dir("snap")
         val p = new org.apache.hadoop.fs.Path(base)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -601,7 +601,7 @@ object Etl extends QueryGroup {
       // snapshot op; the DATA never moves for the clone itself.
       "q_etl_shallow_clone",
       (s, d) => {
-        val base = "/tmp/graft_clone"
+        val base = graft.GraftTmp.dir("clone")
         val p = new org.apache.hadoop.fs.Path(base)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -673,7 +673,7 @@ object Etl extends QueryGroup {
       // data files themselves never move.
       "q_etl_vacuum",
       (s, d) => {
-        val base = "/tmp/graft_vacuum"
+        val base = graft.GraftTmp.dir("vacuum")
         val p = new org.apache.hadoop.fs.Path(base)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -738,7 +738,7 @@ object Etl extends QueryGroup {
       // pushed shape here).
       "q_source_dsv2_agg",
       (s, d) => {
-        val out = "/tmp/graft_gl_agg_sink"
+        val out = graft.GraftTmp.dir("gl_agg_sink")
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             col("l_returnflag"))
@@ -776,7 +776,7 @@ object Etl extends QueryGroup {
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+          graft.GraftTmp.dir("warehouse"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.part_cat")
         Tables.part(s, d)
@@ -818,7 +818,7 @@ object Etl extends QueryGroup {
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+          graft.GraftTmp.dir("warehouse"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.part_evo")
         Tables.part(s, d)
@@ -869,7 +869,7 @@ object Etl extends QueryGroup {
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+          graft.GraftTmp.dir("warehouse"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_del")
         Tables.orders(s, d)
@@ -908,7 +908,7 @@ object Etl extends QueryGroup {
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+          graft.GraftTmp.dir("warehouse"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_upd")
         Tables.orders(s, d)
@@ -957,7 +957,7 @@ object Etl extends QueryGroup {
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+          graft.GraftTmp.dir("warehouse"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_merge")
         val orders = Tables.orders(s, d)
@@ -1014,7 +1014,7 @@ object Etl extends QueryGroup {
       // of z per status, decimal-exact price sums — all integer-exact).
       "q_etl_zorder",
       (s, d) => {
-        val out = "/tmp/graft_zorder_sink"
+        val out = graft.GraftTmp.dir("zorder_sink")
         Tables.orders(s, d)
           .withColumn("ck", expr("o_custkey & 65535"))
           .withColumn("dy",
@@ -1072,7 +1072,7 @@ object Etl extends QueryGroup {
       // working on the compacted layout.
       "q_etl_table_compact",
       (s, d) => {
-        val p = "/tmp/graft_gl_compact"
+        val p = graft.GraftTmp.dir("gl_compact")
         val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(hp, true)
@@ -1122,8 +1122,8 @@ object Etl extends QueryGroup {
       // to historical write patterns.
       "q_etl_compaction",
       (s, d) => {
-        val small = "/tmp/graft_compact_in"
-        val out = "/tmp/graft_compact_out"
+        val small = graft.GraftTmp.dir("compact_in")
+        val out = graft.GraftTmp.dir("compact_out")
         Tables.orders(s, d).repartition(64)
           .write.mode("overwrite").parquet(small)
         s.read.schema(Tables.ordersSchema).parquet(small)
@@ -1156,7 +1156,7 @@ object Etl extends QueryGroup {
       // is set per-write via option(), not session-wide.
       "q_etl_partition_overwrite",
       (s, d) => {
-        val dir = "/tmp/graft_dyn_overwrite"
+        val dir = graft.GraftTmp.dir("dyn_overwrite")
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"),
             col("l_returnflag"))
@@ -1198,7 +1198,7 @@ object Etl extends QueryGroup {
       // external table on the session catalog.
       "q_etl_overwrite_static",
       (s, d) => {
-        val dir = "/tmp/graft_static_overwrite"
+        val dir = graft.GraftTmp.dir("static_overwrite")
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"), col("l_linestatus"),
             col("l_returnflag"))
@@ -1436,7 +1436,7 @@ object Etl extends QueryGroup {
       // every group they should.
       "q_etl_schema_evolution",
       (s, d) => {
-        val dir = "/tmp/graft_schema_evo"
+        val dir = graft.GraftTmp.dir("schema_evo")
         // Clear the WHOLE table dir first: per-generation overwrite only
         // replaces gen=1/gen=2, so a stale gen=N from an older run (or a
         // crashed concurrent one) would otherwise pollute the mergeSchema
@@ -1609,7 +1609,7 @@ object Etl extends QueryGroup {
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+          graft.GraftTmp.dir("warehouse"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_tt")
         Tables.orders(s, d)
@@ -1633,7 +1633,7 @@ object Etl extends QueryGroup {
           | WHERE o_orderstatus = 'P' AND o_custkey < 500""".stripMargin)
         // physical contract: later commits deleted nothing of v1
         val tdir = new org.apache.hadoop.fs.Path(
-          "/tmp/graft_warehouse/contract/orders_tt")
+          graft.GraftTmp.dir("warehouse") + "/contract/orders_tt")
         val fs = tdir.getFileSystem(s.sparkContext.hadoopConfiguration)
         val names = fs.listStatus(tdir).map(_.getPath.getName)
         require(names.exists(n => n.endsWith(".gl") && n.contains("-g1")),
@@ -1696,7 +1696,7 @@ object Etl extends QueryGroup {
       (s, d) => {
         // one warehouse constant feeds BOTH the catalog conf and the
         // path-based delta reads below — they must never drift apart
-        val warehouse = "/tmp/graft_warehouse"
+        val warehouse = graft.GraftTmp.dir("warehouse")
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse", warehouse)

@@ -528,8 +528,8 @@ object Joins extends QueryGroup {
       // partition key.
       "q_join_storage_part",
       (s, d) => {
-        val pc = "/tmp/graft_spj_cust"
-        val ps = "/tmp/graft_spj_supp"
+        val pc = graft.GraftTmp.dir("spj_cust")
+        val ps = graft.GraftTmp.dir("spj_supp")
         Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"),
             expr("cast(cast(c_acctbal as decimal(18,2)) * 100 as bigint)")
@@ -601,7 +601,7 @@ object Joins extends QueryGroup {
         s.conf.set("spark.sql.catalog.graft_cat",
           "graft.sources.GraftCatalog")
         s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-          "/tmp/graft_warehouse")
+          graft.GraftTmp.dir("warehouse"))
         s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.contract")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.orders_bkt")
         s.sql("DROP TABLE IF EXISTS graft_cat.contract.customer_bkt")
@@ -671,8 +671,8 @@ object Joins extends QueryGroup {
       // never spelled against the fact. Oracle: the same join.
       "q_join_dpp",
       (s, d) => {
-        val fact = "/tmp/graft_dpp_fact"
-        val dim = "/tmp/graft_dpp_dim"
+        val fact = graft.GraftTmp.dir("dpp_fact")
+        val dim = graft.GraftTmp.dir("dpp_dim")
         Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"), col("l_linestatus"), col("l_returnflag"))

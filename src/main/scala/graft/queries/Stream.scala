@@ -698,7 +698,7 @@ object Stream extends QueryGroup {
       // so the oracle is the plain batch aggregate in exact cents.
       "q_stream_foreachbatch",
       (s, d) => {
-        val out = "/tmp/graft_fb_sink"
+        val out = graft.GraftTmp.dir("fb_sink")
         val p = new org.apache.hadoop.fs.Path(out)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
@@ -870,8 +870,8 @@ object Stream extends QueryGroup {
       // O(manifest), executors read only the NEW files.
       "q_stream_table_source",
       (s, d) => {
-        val p = "/tmp/graft_stream_tbl"
-        val out = "/tmp/graft_stream_tbl_sink"
+        val p = graft.GraftTmp.dir("stream_tbl")
+        val out = graft.GraftTmp.dir("stream_tbl_sink")
         val hfs = new org.apache.hadoop.fs.Path(p)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         Seq(p, out).foreach(x => hfs.delete(
@@ -938,7 +938,7 @@ object Stream extends QueryGroup {
       // file writes — the same cost profile as the batch sink.
       "q_stream_table_sink",
       (s, d) => {
-        val out = "/tmp/graft_gl_stream_sink"
+        val out = graft.GraftTmp.dir("gl_stream_sink")
         val cp = out + "_cp"
         val hfs = new org.apache.hadoop.fs.Path(out)
           .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -14,7 +14,7 @@ class GlStreamSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val dir = "/tmp/graft_glstream_spec"
+  private val dir = GraftTmp.dir("glstream_spec")
 
   private def hconf = spark.sparkContext.hadoopConfiguration
 

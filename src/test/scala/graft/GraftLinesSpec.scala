@@ -21,7 +21,7 @@ class GraftLinesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private val dir = "/tmp/graft_gl_spec"
+  private val dir = GraftTmp.dir("gl_spec")
 
   // sparkPlan, not executedPlan: AQE wraps shuffling plans in
   // AdaptiveSparkPlanExec whose collect() does not descend; pushdown

@@ -422,7 +422,7 @@ class PropertySpec extends AnyFunSuite {
     val tableGen: Gen[List[(Long, Option[String])]] =
       Gen.chooseNum(1, 40).flatMap(n =>
         Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 99L), cellGen)))
-    val dir = "/tmp/graft_prop_split"
+    val dir = GraftTmp.dir("prop_split")
     val key = "spark.sql.files.maxPartitionBytes"
     val prev = spark.conf.get(key)
     try cases(tableGen, 6).zipWithIndex.foreach { case (rows, i) =>
@@ -462,7 +462,7 @@ class PropertySpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graft_prop",
       "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_prop.warehouse",
-      "/tmp/graft_prop_cdf")
+      GraftTmp.dir("prop_cdf"))
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_prop.ns")
     cases(histGen, 4).zipWithIndex.foreach { case (ops, i) =>
       val t = s"graft_prop.ns.cdf$i"
@@ -482,7 +482,7 @@ class PropertySpec extends AnyFunSuite {
           spark.sql(s"DELETE FROM $t WHERE k % $p = $r")
       }
       val latest = 1 + ops.length
-      val tdir = s"/tmp/graft_prop_cdf/ns/cdf$i"
+      val tdir = s"${GraftTmp.dir("prop_cdf")}/ns/cdf$i"
       def full(v: Int) = spark.read.format("graftlines")
         .option("versionAsOf", v).load(tdir)
       def delta(v: Int, m: Int) = spark.read.format("graftlines")

@@ -130,7 +130,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // lets parquet min/max stats prune scans on either interleaved
     // dimension
     SparkEntry.queries("q_etl_zorder")(spark, TestSpark.sf0001).collect()
-    val files = new java.io.File("/tmp/graft_zorder_sink").listFiles()
+    val files = new java.io.File(graft.GraftTmp.dir("zorder_sink")).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
     assert(files.length > 1, "need multiple files to prove disjointness")
     val ranges = files.flatMap { f =>

@@ -42,7 +42,7 @@ class GlInternalsSpec extends AnyFunSuite {
   }
 
   test("a corrupt stats line drops only itself, never the whole manifest") {
-    val dir = "/tmp/graft_stats_line_spec"
+    val dir = graft.GraftTmp.dir("stats_line_spec")
     val conf = new org.apache.hadoop.conf.Configuration()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
