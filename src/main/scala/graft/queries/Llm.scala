@@ -136,15 +136,25 @@ object Llm extends QueryGroup {
         """array_distinct(transform(sequence(0, size(w)-3),
           | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
         .as("s"))
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // join on a 64-bit shingle hash, not the string — smaller shuffle
-    // rows and cheaper equality at scale (collisions only shrink the
-    // intersection estimate by ~n²/2^64 — negligible)
-    val hashed = sh.select(col("doc_id"), col("lang"),
-      xxhash64(col("s")).as("s"))
-    val a = hashed.select(col("doc_id").as("a"), col("lang"), col("s"))
-    val b = hashed.select(col("doc_id").as("b"),
-      col("lang").as("lang_b"), col("s").as("s_b"))
+    // One per-doc aggregate carries BOTH the hashed shingle list and
+    // the set size — the r10 q_dedup_pipeline single-exchange shape,
+    // back-ported (r11): the old form aggregated sz from a SECOND pass
+    // over the scan -> split -> explode subtree and attached sza/szb
+    // through two extra shuffle joins; here sz rides the exploded join
+    // rows (8 bytes/row) and both self-join sides reuse the one
+    // doc-aggregate exchange. Hashes, not strings, on the wire —
+    // smaller shuffle rows and cheaper equality at scale (collisions
+    // only shrink the intersection estimate by ~n²/2^64 — negligible).
+    val docAgg = sh
+      .select(col("doc_id"), col("lang"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+    val ex = docAgg.select(col("doc_id"), col("lang"), col("sz"),
+      explode(col("hs")).as("s"))
+    val a = ex.select(col("doc_id").as("a"), col("lang"), col("s"),
+      col("sz").as("sza"))
+    val b = ex.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+      col("s").as("s_b"), col("sz").as("szb"))
     // SHUFFLE_HASH (r3): same Scratch-measured result as the simhash
     // band join — shingle keys are dense, so sort-merge pays to sort
     // both exploded sides before enumerating shared-shingle pairs;
@@ -154,9 +164,9 @@ object Llm extends QueryGroup {
     a.join(b.hint("shuffle_hash"),
         col("lang") === col("lang_b") && col("s") === col("s_b")
           && col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
-      .join(sz.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-      .join(sz.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("i"), first(col("sza")).as("sza"),
+        first(col("szb")).as("szb"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -606,7 +616,17 @@ object Llm extends QueryGroup {
             .filter(col("cr") <= n)
             .select(col(idCol), col("cell").as(out))
         }
-        val assign = nearestCells(emb, 1, "vec_id", "cell")
+        // corpus-side assignment is a map-side-combinable argmax, not a
+        // sort window: the window form shuffles + sorts all 16 crossJoin
+        // rows per vector (the query's largest intermediate) just to
+        // keep rank 1; min_by partial-aggregates them on the scan side
+        // (same min_by-struct tie idiom as the PQ encode step). The
+        // window stays only for the metadata-sized nprobe=6 probe path.
+        val assign = emb.crossJoin(broadcast(cent))
+          .withColumn("ccos", cos)
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cell"),
+            struct(-col("ccos"), col("cell"))).as("cell"))
         val probes = nearestCells(
           emb.filter(col("vec_id") < 10), 6, "vec_id", "p_cell")
           .select(col("vec_id").as("qid"), col("p_cell"))
@@ -655,9 +675,19 @@ object Llm extends QueryGroup {
       (s, d) => {
         graft.functions.FloatDot.register(s)
         val emb = Tables.embeddings(s, d)
+          // zero-norm guard (the input class q_sim_quantized /
+          // q_sim_refine already exclude): an all-zero embedding would
+          // NaN its normalization and, if its vec_id were < 16 / < 10,
+          // silently poison a codebook column or a query's whole ADC
+          // table — and this query has no oracle to catch it
+          .filter(expr(s"$l2Expr > 0D"))
+          // norm once per ROW: transform's lambda re-evaluates its body
+          // per element, so an inlined norm would cost 64 fdot calls
+          // (4096 multiply-adds) per vector instead of one
+          .withColumn("nrm", expr(l2Expr))
           .withColumn("nemb",
-            expr(s"transform(embedding, x -> cast(x / $l2Expr as double))"))
-        // (m, cid, c_sub): 8 subspaces x 16 centroids
+            expr("transform(embedding, x -> cast(x / nrm as double))"))
+        // (m, cid, c_sub): 16 subspaces x 16 centroids
         val cb = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"),
             explode(expr("""transform(sequence(0, 15),
