@@ -572,7 +572,13 @@ object Llm extends QueryGroup {
       "q_sim_ann_lsh",
       (s, d) => {
         graft.functions.FloatDot.register(s)
-        val emb = Tables.embeddings(s, d).withColumn("nrm", expr(l2Expr))
+        // zero-norm guard (same class as IVF/PQ): a zero vector hashes
+        // to a valid bucket (every plane dot is 0, sign bit set) and
+        // its NaN cosine would then rank #1 under desc in any bucket
+        // it shares — invisible to the recall gate, which only checks
+        // overlap with the exact top-5
+        val emb = Tables.embeddings(s, d)
+          .withColumn("nrm", expr(l2Expr)).filter(col("nrm") > 0d)
         val cand = AnnLsh.candidates(s, d)
         val q = emb.select(col("vec_id").as("qid"),
           col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
@@ -601,7 +607,13 @@ object Llm extends QueryGroup {
       "q_sim_ann_ivf",
       (s, d) => {
         graft.functions.FloatDot.register(s)
-        val emb = Tables.embeddings(s, d).withColumn("nrm", expr(l2Expr))
+        // zero-norm guard, same input class PQ excludes: a zero-norm
+        // corpus vector NaNs the final exact cosine re-rank, and NaN
+        // sorts FIRST under desc — it would rank #1 for every query
+        // probing its cell, invisible to the recall gate. Norm is
+        // computed once and the filter reuses the column.
+        val emb = Tables.embeddings(s, d)
+          .withColumn("nrm", expr(l2Expr)).filter(col("nrm") > 0d)
         val cent = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
             col("nrm").as("c_nrm"))
@@ -675,16 +687,18 @@ object Llm extends QueryGroup {
       (s, d) => {
         graft.functions.FloatDot.register(s)
         val emb = Tables.embeddings(s, d)
+          // norm once per ROW: transform's lambda re-evaluates its body
+          // per element, so an inlined norm would cost 64 fdot calls
+          // (4096 multiply-adds) per vector instead of one — and the
+          // zero-norm guard below filters on the same column instead of
+          // re-evaluating fdot a second time per row.
+          .withColumn("nrm", expr(l2Expr))
           // zero-norm guard (the input class q_sim_quantized /
           // q_sim_refine already exclude): an all-zero embedding would
           // NaN its normalization and, if its vec_id were < 16 / < 10,
           // silently poison a codebook column or a query's whole ADC
           // table — and this query has no oracle to catch it
-          .filter(expr(s"$l2Expr > 0D"))
-          // norm once per ROW: transform's lambda re-evaluates its body
-          // per element, so an inlined norm would cost 64 fdot calls
-          // (4096 multiply-adds) per vector instead of one
-          .withColumn("nrm", expr(l2Expr))
+          .filter(col("nrm") > 0d)
           .withColumn("nemb",
             expr("transform(embedding, x -> cast(x / nrm as double))"))
         // (m, cid, c_sub): 16 subspaces x 16 centroids
