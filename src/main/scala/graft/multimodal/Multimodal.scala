@@ -200,11 +200,16 @@ object Multimodal {
 
   /** REAL resize: decode each BMP payload, nearest-neighbor resample
     * to `w`x`h` ([[Bmp.resizeNearest]] — integer pixel-center mapping,
-    * bit-deterministic), re-encode, and update the metadata. Payloads
-    * that are not decodable BMPs pass through byte-identical with only
-    * the metadata updated — same never-kill-the-stage rule as
-    * [[decode]]; map-only (zero shuffle), one codec context per
-    * partition. */
+    * bit-deterministic), re-encode, and update width/height from the
+    * re-encoded result. Payloads that are not decodable BMPs pass
+    * through byte-identical with metadata UNTOUCHED — meta follows the
+    * payload, exactly as [[samplePcmFrames]] does for audio; stamping
+    * target dims onto a pass-through row would hand mixed-kind media
+    * tables image dims on audio rows whose sample_rate says otherwise
+    * (ADVICE r11). [[resizeMeta]] remains the planner-side all-rows
+    * declaration for callers that want the old stamp. Same
+    * never-kill-the-stage rule as [[decode]]; map-only (zero shuffle),
+    * one codec context per partition. */
   def resizePayloads(media: DataFrame, w: Int, h: Int): DataFrame = {
     // eager, driver-side: bad dimensions must fail at plan time, not
     // per-row in an executor (or worse, silently stamp bogus metadata
@@ -217,16 +222,21 @@ object Multimodal {
     projected.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
+        val m = r.getAs[Row]("meta")
         val resized =
           if (Bmp.looksLike(payload))
             Bmp.tryDecode(payload)
               .map(img => Bmp.encode(w, h,
                 Bmp.resizeNearest(img, w, h).pixels))
-              .getOrElse(payload)
-          else payload
-        val m = r.getAs[Row]("meta")
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), resized,
-          Row(w, h, m.get(2), m.get(3)))
+          else None
+        resized match {
+          case Some(bytes) =>
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), bytes,
+              Row(w, h, m.get(2), m.get(3)))
+          case None =>
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+              payload, m)
+        }
       }
     }(enc)
   }

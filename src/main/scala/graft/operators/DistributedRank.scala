@@ -141,13 +141,24 @@ object DistributedRank {
 
   /** A collected bound as ONE struct Literal node typed exactly as the
     * key schema (field names included — struct comparison requires
-    * type equality). A `struct(lit(_).cast(_))` spelling would be
-    * ~10 expression nodes per bound that every downstream analysis
-    * re-resolves; with 31 bounds inside a when-tree that is real
-    * per-query planning time for zero runtime difference. */
+    * type equality, though `sameType` ignores nullability). A
+    * `struct(lit(_).cast(_))` spelling would be ~10 expression nodes
+    * per bound that every downstream analysis re-resolves; with 31
+    * bounds inside a when-tree that is real per-query planning time for
+    * zero runtime difference.
+    *
+    * Fields are forced NULLABLE in the literal's type: the sampled row
+    * may carry NULL key fields (NULLs sort first and are perfectly
+    * valid split points), and a nullable `boundsFrom` proxy can feed
+    * bounds to a df whose own key schema is non-nullable — freezing a
+    * NULL into a literal declared non-nullable would violate Catalyst's
+    * nullability invariant (codegen may skip the null check and read
+    * garbage). Comparison binding is unaffected: BinaryComparison
+    * checks `sameType`, which ignores nullability. */
   private def boundLit(b: Row, key: StructType): Column =
     org.apache.spark.sql.GraftPlanBridge.column(
-      org.apache.spark.sql.catalyst.expressions.Literal.create(b, key))
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        b, StructType(key.fields.map(_.copy(nullable = true)))))
 
   /** Bucket id in [0, bounds.length] as a balanced when/otherwise tree:
     * O(log parts) struct comparisons per row, all codegen'd. Bucket i
@@ -217,11 +228,15 @@ object DistributedRank {
     * (NTILE(`numBuckets`), int) and `pct` (PERCENT_RANK, double) to
     * `df`, ordered by `sortCols`. Intermediate `_gr_*` helper columns
     * are dropped; `_gr_rank` is kept for callers that want the raw
-    * rank.
+    * rank. `boundsFrom` is the same cheap-proxy knob as
+    * [[withRunningSum]]'s (see [[withBucket]]): rank callers with an
+    * expensive upstream pipeline can sample a raw-table stand-in
+    * instead of paying a full extra materialization for the sketch job.
     */
   def withRankCols(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
-      parts: Int = 32): DataFrame =
-    ranked(df, sortCols, numBuckets, parts).drop("_gr_total")
+      parts: Int = 32,
+      boundsFrom: Option[(DataFrame, Seq[Column])] = None): DataFrame =
+    ranked(df, sortCols, numBuckets, parts, boundsFrom).drop("_gr_total")
 
   /** Exact under DUPLICATE sort keys: `_gr_rank` and `pct` follow
     * `rank()` / `percent_rank()` window semantics (equal keys share the
@@ -231,9 +246,10 @@ object DistributedRank {
     * group, exactly as window NTILE is.
     */
   def withRankColsTieSafe(df: DataFrame, sortCols: Seq[Column],
-      numBuckets: Int, parts: Int = 32): DataFrame = {
+      numBuckets: Int, parts: Int = 32,
+      boundsFrom: Option[(DataFrame, Seq[Column])] = None): DataFrame = {
     val wKey = Window.partitionBy(sortCols: _*)
-    ranked(df, sortCols, numBuckets, parts)
+    ranked(df, sortCols, numBuckets, parts, boundsFrom)
       .withColumn("_gr_rank", min(col("_gr_rank")).over(wKey))
       .withColumn("pct", pctCol)
       .drop("_gr_total")
@@ -275,9 +291,10 @@ object DistributedRank {
   }
 
   private def ranked(df: DataFrame, sortCols: Seq[Column], numBuckets: Int,
-      parts: Int): DataFrame = {
+      parts: Int,
+      boundsFrom: Option[(DataFrame, Seq[Column])] = None): DataFrame = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
-    val ranged = withBucket(df, sortCols, parts, None)
+    val ranged = withBucket(df, sortCols, parts, boundsFrom)
     // Pass 1: per-bucket counts -> start offsets. <= `parts` rows, so
     // the orderBy-without-partition window here is metadata-sized.
     val wOff = Window.orderBy(col("_gr_pid"))

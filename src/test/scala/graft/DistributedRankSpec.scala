@@ -180,6 +180,46 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("rank path accepts a bounds proxy and a NULL-sampling proxy is safe") {
+    import spark.implicits._
+    // (a) withRankCols via proxy == without: bounds place boundaries,
+    // never reorder — parity with withRunningSum's knob (ADVICE r11)
+    val df = (1 to 500).map(i => ((i * 7L) % 37, i.toLong))
+      .toDF("k", "id")
+    val proxy = (1 to 100).map(i => (i * 5L % 37)).toDF("other_name")
+    def ranksOf(bf: Option[(org.apache.spark.sql.DataFrame,
+        Seq[org.apache.spark.sql.Column])]) =
+      graft.operators.DistributedRank.withRankCols(df,
+          Seq(col("k"), col("id")), numBuckets = 4, parts = 8,
+          boundsFrom = bf)
+        .select(col("id"), col("_gr_rank"), col("nt"), col("pct"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(ranksOf(Some((proxy, Seq(col("other_name"))))) == ranksOf(None))
+    // (b) a NULLABLE proxy whose samples include NULLs must not violate
+    // the literal's nullability invariant (ADVICE r11: a NULL frozen
+    // into a non-nullable-typed literal lets codegen read garbage).
+    // Every proxy value NULL makes NULL split points all but certain.
+    val nullProxy = (1 to 100).map(_ => None: Option[Long])
+      .toDF("other_name")
+    val viaNulls = graft.operators.DistributedRank.withRankCols(df,
+        Seq(col("k"), col("id")), numBuckets = 4, parts = 8,
+        boundsFrom = Some((nullProxy, Seq(col("other_name")))))
+      .select(col("id"), col("_gr_rank"), col("nt"), col("pct"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaNulls == ranksOf(None),
+      "NULL split points may cost balance, never rank correctness")
+    // (c) tie-safe variant exposes the same knob
+    val tieSafe = graft.operators.DistributedRank.withRankColsTieSafe(df,
+        Seq(col("k")), numBuckets = 4, parts = 8,
+        boundsFrom = Some((proxy, Seq(col("other_name")))))
+      .select(col("id"), col("_gr_rank")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = Window.orderBy(col("k"))
+    val wantTie = df.select(col("id"), rank().over(w).cast("long").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tieSafe == wantTie)
+  }
+
   test("sampled bounds keep buckets balanced on smooth data") {
     // balance is the ONE property the sketch can silently lose without
     // failing any correctness gate — pin it: on near-uniform keys the

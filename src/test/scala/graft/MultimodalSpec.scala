@@ -298,11 +298,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dec.width == 2 && dec.height == 2)
     assert(dec.pixels.toSeq == Seq(px(5), px(7), px(13), px(15)))
     assert(out(0).getAs[org.apache.spark.sql.Row]("meta").getInt(0) == 2)
-    // non-BMP passes through byte-identical, metadata dims updated
+    // non-BMP passes through byte-identical, metadata UNTOUCHED — meta
+    // follows the payload (an audio row must not acquire image dims;
+    // resizeMeta is the all-rows planner stamp for callers that want it)
     assert(out(1).getAs[Array[Byte]]("payload").toSeq ==
       "not media".getBytes("UTF-8").toSeq)
     val m1 = out(1).getAs[org.apache.spark.sql.Row]("meta")
-    assert(m1.getInt(0) == 2 && m1.getInt(3) == 9)
+    assert(m1.getInt(0) == 0 && m1.getInt(3) == 9)
     // and the downstream decode sees the NEW dimensions
     val feats = Multimodal.extractFeatures(
       Multimodal.resizePayloads(df, 2, 2)).orderBy("media_id").collect()
