@@ -352,8 +352,16 @@ object GraftLines {
     * (Hadoop's local FS does; HDFS's rename-onto-existing fails and
     * is the true compare-and-swap) — and since each job's DATA file
     * names are job-unique, the manifest is the one place the race
-    * surfaces. The residual check-then-rename window is the documented
-    * honest limit: serialize writers through the catalog. */
+    * surfaces.
+    *
+    * On stores WITHOUT an atomic no-clobber primitive (S3A/GCS
+    * implement rename as exists-check + copy), set
+    * `graft.lines.commit.coordinator=jdbc` to arbitrate the publish
+    * through [[GlCommitCoordinator]] — the CAS moves to a shared
+    * database's `(dir, gen)` primary key and the filesystem's rename
+    * semantics stop mattering. With the default `fs` mode the
+    * residual check-then-rename window on such stores remains the
+    * documented honest limit: serialize writers through the catalog. */
   private[sources] def writeGen(dir: String, n: Int, baseNames: Seq[String],
       conf: org.apache.hadoop.conf.Configuration,
       epoch: Option[Long] = None): Unit = {
@@ -380,7 +388,14 @@ object GraftLines {
         s"graftlines: generation manifest $p already exists — concurrent " +
           "committers race on the generation number; serialize writers " +
           "through the catalog")
-      if (isLocalScheme(fs) && publishByLink(fs, tmp, p)) {
+      val arbiter = GlCommitCoordinator.forConf(conf)
+      if (arbiter.isDefined) {
+        // externally-arbitrated CAS (object-store mode): the claims
+        // table serializes generation n; rename semantics no longer
+        // carry the correctness load. Throws the same loud
+        // "concurrent committers" error on a lost race.
+        arbiter.get.publish(fs, dir, n, tmp, p)
+      } else if (isLocalScheme(fs) && publishByLink(fs, tmp, p)) {
         // local filesystems: POSIX rename CLOBBERS an existing
         // destination, so check-then-rename has a real lost-commit
         // window (the 6-writer soak hit it). link(2) is the atomic

@@ -1,0 +1,52 @@
+package graft.sources
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+/** Test shim with OBJECT-STORE rename semantics (the S3A/GCS model):
+  * `rename` is a client-side exists-check + copy + delete — NOT an
+  * atomic no-clobber primitive — while object VISIBILITY stays atomic
+  * (a destination appears whole or not at all, like an S3 PUT/COPY;
+  * the staging+ATOMIC_MOVE below models that). A deliberate sleep
+  * between the check and the copy widens the race window so a soak
+  * can actually hit it. `getScheme`/`getUri` report `glcopy`, so
+  * GraftLines' local-FS link(2) CAS is NOT taken and the publish path
+  * exercises exactly what a real object store would.
+  *
+  * Registered per-test via `fs.glcopy.impl`; paths look like
+  * `glcopy:/abs/local/path` and are backed by the local disk. */
+class CopyRenameFileSystem extends RawLocalFileSystem {
+
+  override def getScheme: String = "glcopy"
+  override def getUri: URI = URI.create("glcopy:///")
+
+  private val rnd = new java.util.Random()
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (exists(dst)) return false                 // the check...
+    if (!exists(src)) return false
+    if (getFileStatus(src).isDirectory)
+      return super.rename(src, dst)               // (dirs: out of scope)
+    try Thread.sleep(1 + rnd.nextInt(8))          // ...then the window...
+    catch { case _: InterruptedException => Thread.currentThread.interrupt() }
+    // ...then the non-CAS copy, with atomic whole-object visibility
+    val srcFile = pathToFile(src).toPath
+    val dstFile = pathToFile(dst).toPath
+    val hidden = dstFile.resolveSibling(
+      "." + dstFile.getFileName + "." + java.util.UUID.randomUUID() + ".cprn")
+    try {
+      java.nio.file.Files.copy(srcFile, hidden)
+      java.nio.file.Files.move(hidden, dstFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case _: java.io.IOException =>
+        try java.nio.file.Files.deleteIfExists(hidden)
+        catch { case _: Exception => () }
+        return false
+    }
+    delete(src, false)
+    true
+  }
+}

@@ -1,0 +1,262 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftTmp, TestSpark}
+
+/** Object-store-safe commit coordination (r11 VERDICT #1): with the
+  * JDBC arbiter configured, the graftlines generation publish must be
+  * exactly-once even on a filesystem whose rename is a non-atomic
+  * exists-check + copy ([[CopyRenameFileSystem]] — the S3A/GCS
+  * semantics under which the default fs-CAS is documented
+  * best-effort). Covers: the two-committer CAS, the >=6 retrying
+  * writers soak end-to-end through the DSv2 writer, and crashed-winner
+  * recovery (a claim without a manifest is completed from the claim's
+  * recorded tmp bytes by the next conflicting committer). */
+class GlObjectStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val root = GraftTmp.dir("globjstore_spec")
+  private val jdbcUrl = "jdbc:derby:memory:glcas;create=true"
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** Run `body` with the shim FS registered and the JDBC coordinator
+    * active, restoring the shared conf afterwards (suites in the
+    * forked test JVM run sequentially, so scoping is safe). */
+  private def withCoordinator[A](body: => A): A = {
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        GraftTmp.dir("derby_glcas.log"))
+    hconf.set("fs.glcopy.impl",
+      classOf[CopyRenameFileSystem].getName)
+    hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
+    hconf.set(GlCommitCoordinator.UrlKey, jdbcUrl)
+    hconf.set(GlCommitCoordinator.DriverKey,
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    try body
+    finally {
+      hconf.unset(GlCommitCoordinator.ModeKey)
+      hconf.unset(GlCommitCoordinator.UrlKey)
+      hconf.unset(GlCommitCoordinator.DriverKey)
+    }
+  }
+
+  private def markVersioned(p: String): Unit = {
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(hconf)
+    fs.delete(hp, true)
+    fs.mkdirs(hp)
+    fs.create(new Path(hp, GraftLines.VersionMarker), true).close()
+  }
+
+  private def manifestLines(p: String, g: Int): Seq[String] = {
+    val fs = new Path(p).getFileSystem(hconf)
+    val in = fs.open(new Path(p, s"${GraftLines.GenPrefix}$g"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filterNot(_.startsWith("#")).toList
+    finally in.close()
+  }
+
+  test("shim FS really has object-store rename semantics (no-clobber is NOT atomic)") {
+    val fs = new Path(s"glcopy:$root/semantics").getFileSystem({
+      hconf.set("fs.glcopy.impl", classOf[CopyRenameFileSystem].getName)
+      hconf
+    })
+    val d = new Path(s"glcopy:$root/semantics")
+    fs.mkdirs(d)
+    assert(fs.getUri.getScheme == "glcopy",
+      "the shim must NOT be scheme file, or the link(2) CAS would engage")
+    val a = new Path(d, "a"); val b = new Path(d, "b")
+    fs.create(a, true).close()
+    fs.create(b, true).close()
+    assert(!fs.rename(a, b), "rename onto existing returns false (check)")
+    assert(fs.exists(a), "a failed rename must not consume the source")
+    fs.delete(b, false)
+    assert(fs.rename(a, b), "rename to a free name copies + deletes")
+    assert(!fs.exists(a) && fs.exists(b))
+  }
+
+  test("two committers on one generation: JDBC CAS admits exactly one") {
+    withCoordinator {
+      val dir = s"glcopy:$root/cas2"
+      markVersioned(dir)
+      val errs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = Seq("part-a.gl", "part-b.gl").map { base =>
+        new Thread(() => {
+          try {
+            gate.await()
+            GraftLines.writeGen(dir, 1, Seq(base), hconf)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(errs.size == 1,
+        s"exactly one committer must lose loudly, got ${errs.size}: $errs")
+      assert(Option(errs.peek.getMessage).getOrElse("")
+        .contains("concurrent committers"),
+        s"the loss must be the loud retryable error: ${errs.peek}")
+      // the published manifest is exactly one committer's content, and
+      // the claims table sealed generation 1
+      val lines = manifestLines(dir, 1)
+      assert(lines == Seq("part-a.gl") || lines == Seq("part-b.gl"),
+        s"manifest must be one committer's content, got $lines")
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          s"SELECT complete FROM gl_commits WHERE dir = '$dir' AND gen = 1")
+        assert(rs.next() && rs.getInt(1) == 1, "the claim must be sealed")
+        assert(!rs.next(), "exactly one claim row for (dir, 1)")
+      } finally c.close()
+      // no tmp debris from either committer
+      val fs = new Path(dir).getFileSystem(hconf)
+      val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      assert(!names.exists(_.endsWith(".tmp")),
+        s"no tmp debris may survive: ${names.toSeq.sorted}")
+    }
+  }
+
+  test("crashed winner is recovered from the claim's recorded tmp bytes") {
+    withCoordinator {
+      val dir = s"glcopy:$root/recover"
+      markVersioned(dir)
+      // gen 1: a normal commit
+      GraftLines.writeGen(dir, 1, Seq("part-seed.gl"), hconf)
+      // simulate a winner that claimed gen 2 and crashed BEFORE the
+      // publish rename: its tmp manifest is durable, its claim row is
+      // unsealed, and no generation-2 manifest exists
+      val fs = new Path(dir).getFileSystem(hconf)
+      val p2 = new Path(dir, s"${GraftLines.GenPrefix}2")
+      val crashedTmp = new Path(dir, p2.getName + ".crashed-winner.tmp")
+      val w = new java.io.OutputStreamWriter(
+        fs.create(crashedTmp, true), java.nio.charset.StandardCharsets.UTF_8)
+      try { w.write("part-seed.gl\n"); w.write("part-crashed.gl\n") }
+      finally w.close()
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val ps = c.prepareStatement(
+          "INSERT INTO gl_commits (dir, gen, tmp, complete) " +
+            "VALUES (?, 2, ?, 0)")
+        ps.setString(1, dir); ps.setString(2, crashedTmp.getName)
+        ps.executeUpdate(); ps.close()
+      } finally c.close()
+      // another committer races for gen 2: it must lose LOUDLY (its
+      // own content retries at gen 3) and, in losing, complete the
+      // crashed winner's publish
+      val e = intercept[IllegalArgumentException] {
+        GraftLines.writeGen(dir, 2, Seq("part-other.gl"), hconf)
+      }
+      assert(e.getMessage.contains("concurrent committers"))
+      assert(manifestLines(dir, 2) ==
+        Seq("part-seed.gl", "part-crashed.gl"),
+        "recovery must publish the crashed winner's recorded bytes " +
+          "VERBATIM (byte copy, in the order the winner wrote them)")
+      val c2 = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c2.createStatement().executeQuery(
+          s"SELECT complete FROM gl_commits WHERE dir = '$dir' AND gen = 2")
+        assert(rs.next() && rs.getInt(1) == 1,
+          "recovery must seal the recovered claim")
+      } finally c2.close()
+      assert(!fs.exists(crashedTmp),
+        "recovery sweeps the recovered winner's tmp")
+      // and the loser's retry protocol works: gen 3 commits cleanly
+      GraftLines.writeGen(dir, 3, Seq("part-other.gl"), hconf)
+      assert(manifestLines(dir, 3) == Seq("part-other.gl"))
+    }
+  }
+
+  test("six retrying appenders through copy-rename FS: exactly once, gap-free") {
+    withCoordinator {
+      val p = s"glcopy:$root/soak"
+      markVersioned(p)
+      Seq(-1L).toDF("v").coalesce(1)
+        .write.format("graftlines").mode("append").save(p)
+      val writers = 6
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ts = (0 until writers).map { i =>
+        new Thread(() => {
+          try {
+            gate.await()
+            var done = false
+            var tries = 0
+            while (!done) {
+              tries += 1
+              require(tries <= 40, s"writer $i starved after 40 tries")
+              try {
+                Seq(i.toLong).toDF("v").coalesce(1)
+                  .write.format("graftlines").mode("append").save(p)
+                done = true
+              } catch {
+                case t: Throwable
+                    if (Option(t.getMessage).getOrElse("") +
+                      Option(t.getCause).map(_.getMessage).getOrElse(""))
+                      .contains("concurrent committers") => // retry
+              }
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+      assert(failures.isEmpty, s"no writer may starve or crash: $failures")
+      // every append landed exactly once — the lost-commit window the
+      // copy-rename store reopens under fs-mode CAS stays closed
+      val rows = spark.read.format("graftlines").load(p)
+        .select("v").collect().map(_.getLong(0)).toSeq.sorted
+      assert(rows == (-1L until writers.toLong).toSeq,
+        s"every append exactly once, got $rows")
+      // generations are gap-free and sequential; no debris
+      val fs = new Path(p).getFileSystem(hconf)
+      val names = fs.listStatus(new Path(p)).map(_.getPath.getName)
+      val gens = names.filter(_.startsWith(GraftLines.GenPrefix))
+        .flatMap(_.stripPrefix(GraftLines.GenPrefix).toIntOption).sorted
+      assert(gens.toSeq == (1 to writers + 1).toSeq,
+        s"generations must be sequential and gap-free, got ${gens.toSeq}")
+      assert(!names.exists(n => n.endsWith(".tmp") || n.endsWith(".staging")),
+        s"no debris may survive: ${names.toSeq.sorted}")
+      // every generation replays (manifests reference only live files)
+      gens.foreach { g =>
+        val n = spark.read.format("graftlines")
+          .option("versionAsOf", g).load(p).count()
+        assert(n == g, s"generation $g must read $g rows, got $n")
+      }
+      // the claims table agrees: one sealed row per generation
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT gen, complete FROM gl_commits " +
+            s"WHERE dir = '$p' ORDER BY gen")
+        val claims = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getInt(1), r.getInt(2))).toList
+        assert(claims.map(_._1) == (1 to writers + 1).toList,
+          s"one claim per generation, got $claims")
+        assert(claims.forall(_._2 == 1), s"all claims sealed: $claims")
+      } finally c.close()
+    }
+  }
+
+  test("jdbc mode without a URL, and unknown modes, fail loudly at commit time") {
+    hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
+    hconf.unset(GlCommitCoordinator.UrlKey)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GlCommitCoordinator.forConf(hconf)
+      }
+      assert(e.getMessage.contains(GlCommitCoordinator.UrlKey))
+      hconf.set(GlCommitCoordinator.ModeKey, "zookeeper")
+      val e2 = intercept[IllegalArgumentException] {
+        GlCommitCoordinator.forConf(hconf)
+      }
+      assert(e2.getMessage.contains("zookeeper"),
+        "a typo'd mode must not silently fall back to best-effort fs")
+    } finally hconf.unset(GlCommitCoordinator.ModeKey)
+  }
+}
