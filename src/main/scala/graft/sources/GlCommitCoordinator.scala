@@ -66,6 +66,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * only the DRIVER connects — generation publish is a per-job-commit,
   * driver-side event, so the arbiter sees O(commits) traffic, never
   * O(tasks).
+  *
+  * The claims table grows one row per committed generation — the same
+  * O(generations) metadata the manifests themselves already cost; a
+  * deployment that prunes old generations with expireVersions can
+  * prune sealed claim rows below the retention floor on the same
+  * schedule (a sealed row is never consulted again: conflicts resolve
+  * against the manifest on disk first).
   */
 private[sources] object GlCommitCoordinator {
 

@@ -182,6 +182,7 @@ class GlObjectStoreSpec extends AnyFunSuite {
       val failures =
         new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val gate = new java.util.concurrent.CountDownLatch(1)
+      val writersLeft = new java.util.concurrent.atomic.AtomicInteger(writers)
       val ts = (0 until writers).map { i =>
         new Thread(() => {
           try {
@@ -203,10 +204,33 @@ class GlObjectStoreSpec extends AnyFunSuite {
               }
             }
           } catch { case t: Throwable => failures.add(t) }
+          finally writersLeft.decrementAndGet()
         })
       }
-      ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
-      assert(failures.isEmpty, s"no writer may starve or crash: $failures")
+      // readers race the arbitrated commits: the copy-implemented
+      // manifest publish must still be ALL-OR-NOTHING to a reader
+      // (whole-object visibility) — never a torn or backwards LATEST
+      val readers = (0 until 2).map { r =>
+        new Thread(() => {
+          try {
+            gate.await()
+            var last = 0
+            while (writersLeft.get() > 0) {
+              val rows = spark.read.format("graftlines").load(p)
+                .select("v").collect().map(_.getLong(0)).toSeq
+              assert(rows.distinct.size == rows.size,
+                s"reader $r: torn latest read $rows")
+              assert(rows.contains(-1L), s"reader $r: seed row missing")
+              assert(rows.size >= last,
+                s"reader $r: latest went backwards ${rows.size} < $last")
+              last = rows.size
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      (ts ++ readers).foreach(_.start()); gate.countDown()
+      (ts ++ readers).foreach(_.join())
+      assert(failures.isEmpty, s"no writer/reader may fail: $failures")
       // every append landed exactly once — the lost-commit window the
       // copy-rename store reopens under fs-mode CAS stays closed
       val rows = spark.read.format("graftlines").load(p)
