@@ -18,40 +18,51 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * primitive: a JDBC table with a `(dir, gen)` primary key, the same
   * shape as the public Delta-on-S3 answer (a DynamoDB conditional PUT
   * arbitrating `(tablePath, version)`), reachable from any committer.
+  * The key is the FULLY QUALIFIED table path (`fs.makeQualified`), so
+  * equivalent spellings — trailing slash, scheme-relative — cannot
+  * bypass the CAS by claiming under different strings.
   *
   * Protocol (per generation publish; the manifest tmp file is already
   * fully written and durable before this runs):
   *
   *   1. CLAIM: `INSERT (dir, gen, tmp, complete=0)` — the primary key
   *      makes exactly one committer win generation `gen`. The claim
-  *      records the winner's tmp MANIFEST NAME, which is what makes
-  *      every later step clobber-safe: anyone who publishes `gen`
-  *      publishes those exact bytes, so a racing copy is idempontent,
-  *      never a lost commit.
-  *   2. PUBLISH: rename tmp -> final manifest name. Exclusive by the
-  *      claim; even a copy-implemented rename is safe.
+  *      records the winner's tmp MANIFEST NAME and is PERMANENT (never
+  *      rolled back): from this instant, generation `gen` IS those
+  *      bytes, which is what makes every later step clobber-safe —
+  *      anyone who publishes `gen` publishes the same recorded bytes,
+  *      so racing copies are idempotent, never lost commits, and no
+  *      fencing between a publisher and a recoverer is needed.
+  *   2. PUBLISH: rename tmp -> final manifest name (exclusive by the
+  *      claim; even a copy-implemented rename is safe). If the rename
+  *      fails and nobody has published yet, fall back to a staged COPY
+  *      of the same bytes; only if that also fails is the commit IN
+  *      DOUBT (see below).
   *   3. SEAL: `UPDATE complete=1`, then best-effort delete of the tmp.
   *
   * A LOSING claim (PK conflict) reads the winning row:
   *   - manifest on disk, or `complete=1`: a normal lost race — the
   *     loud "concurrent committers" error the callers' retry loops
   *     already handle (recompute the next generation, restage, retry).
-  *   - manifest missing and `complete=0`: the winner crashed between
-  *     claim and publish. RECOVER: copy the RECORDED tmp (durable,
-  *     complete at claim time) to the final name, seal the row, then
-  *     fail loudly anyway — the loser's own commit still lost the
-  *     race for `gen` and must retry at `gen + 1`. Recovery publishes
-  *     the crashed winner's commit, exactly like Delta's "fix the
-  *     log" pass; a client that died mid-commit may thus still have
-  *     its commit land (standard in-doubt semantics).
+  *   - manifest missing and `complete=0`: the winner crashed (or is
+  *     slow) between claim and publish. RECOVER: copy the RECORDED tmp
+  *     (durable, complete at claim time) to the final name, seal the
+  *     row, then fail loudly anyway — the loser's own commit content
+  *     must retry at `gen + 1`. Recovery completes the claimed commit,
+  *     exactly like Delta's "fix the log" pass; a slow winner whose
+  *     rename then finds the manifest in place reports SUCCESS (its
+  *     bytes are what landed — anything else would double-append).
   *
   * Crash matrix: claim+crash -> recovered by the next conflicting
   * committer (identical bytes, any number of racing recoverers).
-  * Publish+crash-before-seal -> manifest exists; conflicters see it
-  * and fail loudly; the row is sealed opportunistically. Publish
-  * FAILURE (transient IO) -> the winner rolls the claim back
-  * (`DELETE ... complete=0`) so the generation is cleanly retryable;
-  * if even the rollback fails the claim stays and recovery applies.
+  * Publish+crash-before-seal -> manifest exists; conflicters see it,
+  * seal opportunistically, and fail loudly. Rename AND copy both fail
+  * with no manifest (store outage) -> [[GlCommitInDoubtException]]:
+  * the claim and its tmp bytes are LEFT IN PLACE and the next
+  * committer completes the commit when the store recovers — the
+  * caller must treat the append as possibly-committed (the standard
+  * in-doubt outcome of every arbitrated commit protocol), not blindly
+  * re-append.
   *
   * Selection is per-table-commit via Hadoop conf (set
   * `spark.hadoop.*` on the session or per-op): {{{
@@ -65,14 +76,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * record a 1000-executor deployment already has: its catalog), and
   * only the DRIVER connects — generation publish is a per-job-commit,
   * driver-side event, so the arbiter sees O(commits) traffic, never
-  * O(tasks).
+  * O(tasks). Mixing arbitrated and fs-mode committers on one table is
+  * undefined by contract (the arbiter cannot see fs-mode publishes).
   *
   * The claims table grows one row per committed generation — the same
   * O(generations) metadata the manifests themselves already cost; a
   * deployment that prunes old generations with expireVersions can
-  * prune sealed claim rows below the retention floor on the same
-  * schedule (a sealed row is never consulted again: conflicts resolve
-  * against the manifest on disk first).
+  * prune SEALED claim rows below the retention floor on the same
+  * schedule (generation numbers are monotone, so a pruned generation
+  * is never recomputed and its row is never consulted again).
   */
 private[sources] object GlCommitCoordinator {
 
@@ -96,12 +108,23 @@ private[sources] object GlCommitCoordinator {
         throw new IllegalArgumentException(
           s"graftlines: unknown $ModeKey '$other' (expected fs or jdbc)")
     }
+
+  /** URLs whose gl_commits table is known usable — the per-commit DDL
+    * probe runs once per JVM per database, not once per publish. */
+  private[sources] val ensured =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
+
+/** The commit reached the arbiter (the claim is recorded, its bytes
+  * are durable) but the manifest could not be published and the
+  * outcome is not yet visible: the next committer WILL complete it.
+  * Callers must not treat this as a clean failure — re-appending the
+  * same rows double-commits once the store recovers. */
+final class GlCommitInDoubtException(msg: String, cause: Throwable)
+  extends java.io.IOException(msg, cause)
 
 private[sources] final class JdbcCoordinator(url: String,
     driver: Option[String]) {
-
-  import GlCommitCoordinator._
 
   private def connect(): Connection = {
     driver.foreach(Class.forName)
@@ -115,37 +138,48 @@ private[sources] final class JdbcCoordinator(url: String,
     "23505" == e.getSQLState ||
       e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException]
 
+  /** Create-if-absent, once per JVM per database URL. A failed CREATE
+    * is fine as long as the table is USABLE (probe) — a least-
+    * privilege DML-only user on a pre-created production table gets a
+    * permission error here, not "already exists", and must still
+    * commit. If the probe also fails, the original failure surfaces. */
   private def ensureTable(c: Connection): Unit = {
+    if (GlCommitCoordinator.ensured.contains(url)) return
     val st = c.createStatement()
-    try st.executeUpdate(
-      "CREATE TABLE gl_commits (" +
-        "dir VARCHAR(1024) NOT NULL, gen INT NOT NULL, " +
-        "tmp VARCHAR(256) NOT NULL, complete INT NOT NULL, " +
-        "PRIMARY KEY (dir, gen))")
-    catch {
-      // X0Y32: Derby "already exists"; 42S01/42P07: H2/Postgres
-      case e: SQLException
-          if Set("X0Y32", "42S01", "42P07")(e.getSQLState) ||
-            Option(e.getMessage).exists(_.toLowerCase
-              .contains("already exists")) => ()
+    try {
+      try st.executeUpdate(
+        "CREATE TABLE gl_commits (" +
+          "dir VARCHAR(1024) NOT NULL, gen INT NOT NULL, " +
+          "tmp VARCHAR(256) NOT NULL, complete INT NOT NULL, " +
+          "PRIMARY KEY (dir, gen))")
+      catch {
+        case e: SQLException =>
+          val probe = c.createStatement()
+          try probe.executeQuery(
+            "SELECT dir, gen, tmp, complete FROM gl_commits WHERE 1 = 0")
+            .close()
+          catch { case _: SQLException => throw e }
+          finally probe.close()
+      }
+      GlCommitCoordinator.ensured.add(url)
     } finally st.close()
   }
 
-  private def claim(c: Connection, dir: String, n: Int,
+  private def claim(c: Connection, key: String, n: Int,
       tmpName: String): Boolean = {
     val ps = c.prepareStatement(
       "INSERT INTO gl_commits (dir, gen, tmp, complete) VALUES (?, ?, ?, 0)")
-    try { ps.setString(1, dir); ps.setInt(2, n); ps.setString(3, tmpName)
+    try { ps.setString(1, key); ps.setInt(2, n); ps.setString(3, tmpName)
       ps.executeUpdate(); true }
     catch { case e: SQLException if isDup(e) => false }
     finally ps.close()
   }
 
-  private def recordedTmp(c: Connection, dir: String, n: Int)
+  private def recordedTmp(c: Connection, key: String, n: Int)
       : Option[(String, Boolean)] = {
     val ps = c.prepareStatement(
       "SELECT tmp, complete FROM gl_commits WHERE dir = ? AND gen = ?")
-    try { ps.setString(1, dir); ps.setInt(2, n)
+    try { ps.setString(1, key); ps.setInt(2, n)
       val rs = ps.executeQuery()
       try if (rs.next()) Some((rs.getString(1), rs.getInt(2) == 1))
       else None
@@ -153,33 +187,23 @@ private[sources] final class JdbcCoordinator(url: String,
     } finally ps.close()
   }
 
-  private def seal(c: Connection, dir: String, n: Int): Unit = {
+  private def seal(c: Connection, key: String, n: Int): Unit = {
     val ps = c.prepareStatement(
       "UPDATE gl_commits SET complete = 1 WHERE dir = ? AND gen = ?")
-    try { ps.setString(1, dir); ps.setInt(2, n); ps.executeUpdate() }
+    try { ps.setString(1, key); ps.setInt(2, n); ps.executeUpdate() }
     finally ps.close()
   }
 
-  private def rollback(c: Connection, dir: String, n: Int,
-      tmpName: String): Unit = {
-    val ps = c.prepareStatement(
-      "DELETE FROM gl_commits WHERE dir = ? AND gen = ? AND tmp = ? " +
-        "AND complete = 0")
-    try { ps.setString(1, dir); ps.setInt(2, n); ps.setString(3, tmpName)
-      ps.executeUpdate() }
-    finally ps.close()
-  }
-
-  private def lostRace(p: Path): Nothing =
+  private def lostRace(p: Path, detail: String): Nothing =
     throw new IllegalArgumentException(
-      s"graftlines: generation manifest $p already exists — concurrent " +
-        "committers race on the generation number (arbitrated by the " +
-        "commit coordinator); retry at the next generation")
+      s"graftlines: lost the commit-coordinator claim for generation " +
+        s"manifest $p ($detail) — concurrent committers race on the " +
+        "generation number; retry at the next generation")
 
   /** Bytes of `src` republished under `dst` with object-store-PUT
-    * visibility: staged to a recoverer-unique name first, then one
+    * visibility: staged to a publisher-unique name first, then one
     * rename — `dst` appears complete or not at all, and `src` is NOT
-    * consumed (racing recoverers each stage their own copy of the
+    * consumed (racing publishers each stage their own copy of the
     * same claim-recorded bytes, so whoever lands last lands the same
     * content). A false rename means someone else already published —
     * success, by identical bytes. */
@@ -199,71 +223,79 @@ private[sources] final class JdbcCoordinator(url: String,
   /** Publish `tmp` as generation manifest `p`, arbitrated through the
     * claims table. Throws the loud "concurrent committers" error on a
     * lost race (after recovering a crashed winner's publish if there
-    * is one to recover). */
+    * is one to recover), and [[GlCommitInDoubtException]] when the
+    * claim is placed but no publish could land (the caller's tmp must
+    * then be LEFT IN PLACE — it is the recovery source). */
   def publish(fs: FileSystem, dir: String, n: Int, tmp: Path,
       p: Path): Unit = {
+    // canonical arbitration key: equivalent spellings of one physical
+    // directory must collide in the claims table, not bypass it
+    val key = fs.makeQualified(new Path(dir)).toString
     val c = connect()
     try {
       c.setAutoCommit(true)
       ensureTable(c)
-      if (claim(c, dir, n, tmp.getName)) {
-        // we own generation n exclusively: even a copy-implemented
-        // rename cannot lose to anyone. If the rename fails but the
-        // destination EXISTS while we still hold the claim, a racing
-        // conflicter recovered OUR claim (it publishes the tmp bytes
-        // the claim records — our bytes): that is success, and
-        // reporting a loss instead would make the caller retry an
-        // append that already landed (double commit). An out-of-band
-        // committer bypassing the arbiter is the one other writer of
-        // p; mixing arbitrated and fs-mode committers on one table is
-        // undefined by contract.
-        val ok =
+      if (claim(c, key, n, tmp.getName)) {
+        // the claim is ours and PERMANENT: generation n is now defined
+        // as tmp's bytes. Publish by rename; if the destination turns
+        // out to exist, a racing conflicter recovered OUR claim with
+        // OUR bytes — success either way (reporting a loss would make
+        // the caller retry an append that already landed).
+        val renamed =
           try fs.rename(tmp, p)
+          catch { case _: Throwable => false }
+        if (!renamed && !fs.exists(p)) {
+          // rename unavailable (some stores) or transiently failing:
+          // complete our own claim by staged copy of the same bytes
+          try copyPublish(fs, tmp, p)
           catch {
-            case t: Throwable =>
-              if (fs.exists(p)) { seal(c, dir, n); true }
-              else { rollback(c, dir, n, tmp.getName); throw t }
+            case t: Throwable if !fs.exists(p) =>
+              throw new GlCommitInDoubtException(
+                s"graftlines: generation $n of $key is CLAIMED but the " +
+                  s"manifest $p could not be published; the claim and " +
+                  s"its recorded tmp ${tmp.getName} are left in place " +
+                  "and the next committer will complete this commit — " +
+                  "treat the append as possibly-committed, do not " +
+                  "blindly re-append", t)
           }
-        if (!ok) {
-          if (fs.exists(p)) seal(c, dir, n)
-          else {
-            // transient publish failure: release the claim so the
-            // generation stays cleanly retryable, then fail loudly
-            rollback(c, dir, n, tmp.getName)
-            throw new java.io.IOException(
-              s"graftlines: failed publishing generation manifest $p")
-          }
-        } else seal(c, dir, n)
+        }
+        seal(c, key, n)
+        // tmp is consumed by a successful rename; after a copy-publish
+        // (or a recoverer's publish) sweep it best-effort — only after
+        // the seal, so no conflicter still needs it as recovery source
+        try { if (fs.exists(tmp)) fs.delete(tmp, false) }
+        catch { case _: Exception => () }
       } else {
         // lost the claim: recover a crashed winner first, then fail
         // loudly — our own commit content must retry at the next gen
-        recordedTmp(c, dir, n) match {
-          case Some((_, true)) => lostRace(p)
+        recordedTmp(c, key, n) match {
+          case Some((_, true)) => lostRace(p, "generation already sealed")
           case Some((winnerTmp, false)) =>
             if (!fs.exists(p)) {
               val src = new Path(p.getParent, winnerTmp)
               // the copy can fail mid-flight if the (merely slow, not
-              // crashed) winner renames the tmp away under us — then
-              // p exists and recovery is moot, not an error
+              // crashed) winner publishes and sweeps its tmp under us —
+              // then p exists and recovery is moot, not an error
               try { if (fs.exists(src)) copyPublish(fs, src, p) }
               catch { case t: Throwable => if (!fs.exists(p)) throw t }
               require(fs.exists(p),
-                s"graftlines: generation $n of $dir is claimed but its " +
+                s"graftlines: generation $n of $key is claimed but its " +
                   s"recorded tmp manifest $winnerTmp is gone — " +
                   "unrecoverable claim; clear the gl_commits row after " +
                   "confirming no committer is alive")
             }
             // seal opportunistically (the winner may have crashed
             // between publish and seal); best-effort tmp sweep
-            seal(c, dir, n)
+            seal(c, key, n)
             try { val src = new Path(p.getParent, winnerTmp)
               if (fs.exists(src)) fs.delete(src, false)
             } catch { case _: Exception => () }
-            lostRace(p)
+            lostRace(p, "generation claimed and recovered")
           case None =>
-            // claim row vanished between our INSERT failure and the
-            // read: the winner rolled back — genuinely retryable
-            lostRace(p)
+            // the row vanished between our INSERT failure and the
+            // read — only external surgery deletes claim rows, but the
+            // loss itself is real and retryable either way
+            lostRace(p, "claim row no longer present")
         }
       }
     } finally c.close()

@@ -429,6 +429,12 @@ object GraftLines {
           s"graftlines: failed publishing generation manifest $p")
       }
     } catch {
+      case d: GlCommitInDoubtException =>
+        // the arbiter holds a claim recording THIS tmp as generation
+        // n's bytes: it is the recovery source the next committer
+        // publishes from — deleting it would wedge the generation
+        // behind the non-retryable unrecoverable-claim error
+        throw d
       case t: Throwable =>
         // the loser (or a crashed publish) must not leave its tmp as a
         // permanent dropping in the table directory

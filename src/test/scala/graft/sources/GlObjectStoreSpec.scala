@@ -54,6 +54,12 @@ class GlObjectStoreSpec extends AnyFunSuite {
     fs.create(new Path(hp, GraftLines.VersionMarker), true).close()
   }
 
+  /** The arbitration key the coordinator uses: the fully-qualified
+    * table path (equivalent spellings must collide, not bypass). */
+  private def claimKey(dir: String): String =
+    new Path(dir).getFileSystem(hconf)
+      .makeQualified(new Path(dir)).toString
+
   private def manifestLines(p: String, g: Int): Seq[String] = {
     val fs = new Path(p).getFileSystem(hconf)
     val in = fs.open(new Path(p, s"${GraftLines.GenPrefix}$g"))
@@ -110,7 +116,8 @@ class GlObjectStoreSpec extends AnyFunSuite {
       val c = DriverManager.getConnection(jdbcUrl)
       try {
         val rs = c.createStatement().executeQuery(
-          s"SELECT complete FROM gl_commits WHERE dir = '$dir' AND gen = 1")
+          "SELECT complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' AND gen = 1")
         assert(rs.next() && rs.getInt(1) == 1, "the claim must be sealed")
         assert(!rs.next(), "exactly one claim row for (dir, 1)")
       } finally c.close()
@@ -143,7 +150,7 @@ class GlObjectStoreSpec extends AnyFunSuite {
         val ps = c.prepareStatement(
           "INSERT INTO gl_commits (dir, gen, tmp, complete) " +
             "VALUES (?, 2, ?, 0)")
-        ps.setString(1, dir); ps.setString(2, crashedTmp.getName)
+        ps.setString(1, claimKey(dir)); ps.setString(2, crashedTmp.getName)
         ps.executeUpdate(); ps.close()
       } finally c.close()
       // another committer races for gen 2: it must lose LOUDLY (its
@@ -160,7 +167,8 @@ class GlObjectStoreSpec extends AnyFunSuite {
       val c2 = DriverManager.getConnection(jdbcUrl)
       try {
         val rs = c2.createStatement().executeQuery(
-          s"SELECT complete FROM gl_commits WHERE dir = '$dir' AND gen = 2")
+          "SELECT complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' AND gen = 2")
         assert(rs.next() && rs.getInt(1) == 1,
           "recovery must seal the recovered claim")
       } finally c2.close()
@@ -169,6 +177,73 @@ class GlObjectStoreSpec extends AnyFunSuite {
       // and the loser's retry protocol works: gen 3 commits cleanly
       GraftLines.writeGen(dir, 3, Seq("part-other.gl"), hconf)
       assert(manifestLines(dir, 3) == Seq("part-other.gl"))
+    }
+  }
+
+  test("equivalent path spellings share one claim key (no CAS bypass)") {
+    withCoordinator {
+      val dir = s"glcopy:$root/canon"
+      markVersioned(dir)
+      // commit under a trailing-slash spelling of the same directory
+      GraftLines.writeGen(s"$dir/", 1, Seq("part-a.gl"), hconf)
+      // a committer using the plain spelling must CONFLICT on gen 1,
+      // not claim a parallel row and silently clobber
+      val e = intercept[Exception] {
+        GraftLines.writeGen(dir, 1, Seq("part-b.gl"), hconf)
+      }
+      assert((Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("concurrent committers") ||
+        e.getMessage.contains("already exists"),
+        s"second spelling must conflict loudly, got: $e")
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT count(*) FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' AND gen = 1")
+        assert(rs.next() && rs.getInt(1) == 1,
+          "both spellings must arbitrate under ONE canonical key")
+      } finally c.close()
+    }
+  }
+
+  test("a slow winner recovered by a racer reports success, not a loss") {
+    withCoordinator {
+      // the double-append guard: if a conflicter recovers a claim
+      // whose owner is merely slow, the owner's publish finds the
+      // manifest already in place — with its OWN bytes — and must
+      // return success (a reported loss would make the caller retry
+      // an append that already landed). Simulate by pre-publishing
+      // the winner's exact tmp bytes under the final name after the
+      // tmp is written but before writeGen's rename runs: writeGen's
+      // own pre-checks sit before the tmp write, so drive the
+      // coordinator directly the way writeGen does.
+      val dir = s"glcopy:$root/slowwin"
+      markVersioned(dir)
+      val fs = new Path(dir).getFileSystem(hconf)
+      val p = new Path(dir, s"${GraftLines.GenPrefix}1")
+      val tmp = new Path(dir, p.getName + ".slow-winner.tmp")
+      val w = new java.io.OutputStreamWriter(
+        fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8)
+      try w.write("part-slow.gl\n") finally w.close()
+      // racer publishes the same bytes first (what a recoverer does)
+      val staged = new Path(dir, p.getName + ".racer.tmp")
+      val w2 = new java.io.OutputStreamWriter(
+        fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8)
+      try w2.write("part-slow.gl\n") finally w2.close()
+      assert(fs.rename(staged, p))
+      // the slow winner now claims and publishes: rename returns false
+      // (dst exists) — it must seal and SUCCEED, and sweep its tmp
+      GlCommitCoordinator.forConf(hconf).get.publish(fs, dir, 1, tmp, p)
+      assert(manifestLines(dir, 1) == Seq("part-slow.gl"))
+      assert(!fs.exists(tmp), "the winner sweeps its tmp after sealing")
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' AND gen = 1")
+        assert(rs.next() && rs.getInt(1) == 1, "the claim must be sealed")
+      } finally c.close()
     }
   }
 
@@ -257,7 +332,7 @@ class GlObjectStoreSpec extends AnyFunSuite {
       try {
         val rs = c.createStatement().executeQuery(
           "SELECT gen, complete FROM gl_commits " +
-            s"WHERE dir = '$p' ORDER BY gen")
+            s"WHERE dir = '${claimKey(p)}' ORDER BY gen")
         val claims = Iterator.continually(rs)
           .takeWhile(_.next()).map(r => (r.getInt(1), r.getInt(2))).toList
         assert(claims.map(_._1) == (1 to writers + 1).toList,
