@@ -24,6 +24,13 @@ class CopyRenameFileSystem extends RawLocalFileSystem {
   private val rnd = new java.util.Random()
 
   override def rename(src: Path, dst: Path): Boolean = {
+    // simulated store outage for manifest publishes (the in-doubt
+    // test): every rename TOWARD a generation manifest fails, exactly
+    // as an object store mid-outage fails its COPY — the claim is
+    // already placed, so the commit must go in doubt, not lost
+    if (CopyRenameFileSystem.failManifestPublishes.get()
+        && dst.getName.startsWith("_graft_gen.")
+        && !dst.getName.contains(".tmp")) return false
     if (exists(dst)) return false                 // the check...
     if (!exists(src)) return false
     if (getFileStatus(src).isDirectory)
@@ -49,4 +56,12 @@ class CopyRenameFileSystem extends RawLocalFileSystem {
     delete(src, false)
     true
   }
+}
+
+object CopyRenameFileSystem {
+  /** When set, every rename that would PUBLISH a generation manifest
+    * fails (returns false) — the simulated outage window for the
+    * in-doubt commit test. Staged/tmp writes still succeed, exactly
+    * like a store whose PUTs work but whose publish COPY is failing. */
+  val failManifestPublishes = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

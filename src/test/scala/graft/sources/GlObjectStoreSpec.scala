@@ -247,6 +247,61 @@ class GlObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("in-doubt commit: claim survives the outage and the next committer completes it") {
+    withCoordinator {
+      val dir = s"glcopy:$root/indoubt"
+      markVersioned(dir)
+      GraftLines.writeGen(dir, 1, Seq("part-seed.gl"), hconf)
+      val fs = new Path(dir).getFileSystem(hconf)
+      // outage: the store accepts writes but every manifest publish
+      // fails — rename AND the staged-copy fallback both can't land
+      CopyRenameFileSystem.failManifestPublishes.set(true)
+      val d = try {
+        intercept[GlCommitInDoubtException] {
+          GraftLines.writeGen(dir, 2, Seq("part-indoubt.gl"), hconf)
+        }
+      } finally CopyRenameFileSystem.failManifestPublishes.set(false)
+      assert(d.getMessage.contains("possibly-committed"))
+      // the claim's recovery bytes are LEFT IN PLACE (writeGen's
+      // catch-all must not sweep them) and the claim is unsealed
+      val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      val tmps = names.filter(_.endsWith(".tmp"))
+      assert(tmps.length == 1,
+        s"exactly the claim-recorded tmp must survive, got ${tmps.toSeq}")
+      assert(!fs.exists(new Path(dir, s"${GraftLines.GenPrefix}2")),
+        "no generation-2 manifest may exist during the outage")
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT tmp, complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' AND gen = 2")
+        assert(rs.next() && rs.getString(1) == tmps.head
+          && rs.getInt(2) == 0,
+          "the claim must record the surviving tmp, unsealed")
+      } finally c.close()
+      // store recovers; the NEXT committer of gen 2 completes the
+      // in-doubt commit (its own content loses loudly and retries)
+      val e = intercept[IllegalArgumentException] {
+        GraftLines.writeGen(dir, 2, Seq("part-other.gl"), hconf)
+      }
+      assert(e.getMessage.contains("concurrent committers"))
+      assert(manifestLines(dir, 2) == Seq("part-indoubt.gl"),
+        "recovery must land the in-doubt commit's bytes")
+      val c2 = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c2.createStatement().executeQuery(
+          "SELECT complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' AND gen = 2")
+        assert(rs.next() && rs.getInt(1) == 1, "recovery seals the claim")
+      } finally c2.close()
+      // the loser retries cleanly at gen 3, and no debris remains
+      GraftLines.writeGen(dir, 3, Seq("part-other.gl"), hconf)
+      val after = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      assert(!after.exists(_.endsWith(".tmp")),
+        s"recovery must sweep the recovered tmp: ${after.toSeq.sorted}")
+    }
+  }
+
   test("six retrying appenders through copy-rename FS: exactly once, gap-free") {
     withCoordinator {
       val p = s"glcopy:$root/soak"
