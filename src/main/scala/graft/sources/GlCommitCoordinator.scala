@@ -220,6 +220,23 @@ private[sources] final class JdbcCoordinator(url: String,
     finally { try fs.delete(staged, false) catch { case _: Exception => () } }
   }
 
+  /** Retire the SEALED claim rows of expired generations — called by
+    * expireVersions on the same schedule that deletes their manifests.
+    * Unsealed rows are never touched (an unsealed claim is a live or
+    * recoverable commit, not history). */
+  def pruneClaims(fs: FileSystem, dir: String, gens: Seq[Int]): Unit = {
+    if (gens.isEmpty) return
+    val key = fs.makeQualified(new Path(dir)).toString
+    val c = connect()
+    try {
+      val ps = c.prepareStatement(
+        "DELETE FROM gl_commits WHERE dir = ? AND gen = ? AND complete = 1")
+      try gens.foreach { g =>
+        ps.setString(1, key); ps.setInt(2, g); ps.executeUpdate()
+      } finally ps.close()
+    } finally c.close()
+  }
+
   /** Publish `tmp` as generation manifest `p`, arbitrated through the
     * claims table. Throws the loud "concurrent committers" error on a
     * lost race (after recovering a crashed winner's publish if there

@@ -624,6 +624,14 @@ object GraftLines {
     if (drop.isEmpty && dead.isEmpty) return (Nil, Nil)
     dead.foreach(f => fs.delete(new Path(f), false))
     drop.foreach(n => fs.delete(genPath(dir, n), false))
+    // arbitrated tables: retire the dropped generations' claim rows on
+    // the same schedule as their manifests (sealed rows only — they
+    // are never consulted again because generation numbers are
+    // monotone; best-effort, the rows are audit metadata by now)
+    if (drop.nonEmpty)
+      GlCommitCoordinator.forConf(conf).foreach { c =>
+        try c.pruneClaims(fs, dir, drop) catch { case _: Exception => () }
+      }
     mergeStats(dir, conf,
       dropNames = dead.map(new Path(_).getName).toSet, newLines = Nil)
     (drop, dead)

@@ -397,6 +397,74 @@ class GlObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming epochs through copy-rename FS: exactly-once, replay swallowed") {
+    withCoordinator {
+      // the streaming sink's epoch ledger IS the generation manifest
+      // (#epoch: first line) — under the arbiter its publish goes
+      // through the same claims CAS, so exactly-once must hold on a
+      // store with copy-rename semantics, including a checkpoint
+      // restart that replays the last micro-batch
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val p = s"glcopy:$root/stream"
+      markVersioned(p)
+      val cp = graft.GraftTmp.dir("globjstore_stream_cp")
+      val fs = new Path(p).getFileSystem(hconf)
+      fs.delete(new Path(cp), true)
+      val mem = MemoryStream[(Long, String)](spark)
+      mem.addData((1L, "a"), (2L, "b"))
+      val q1 = mem.toDF().toDF("k", "s")
+        .writeStream.format("graftlines")
+        .option("path", p).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      try q1.processAllAvailable() finally q1.stop()
+      // restart over the same checkpoint: the engine may replay the
+      // last epoch; the arbitrated ledger must swallow it
+      mem.addData((3L, "c"))
+      val q2 = mem.toDF().toDF("k", "s")
+        .writeStream.format("graftlines")
+        .option("path", p).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      try q2.processAllAvailable() finally q2.stop()
+      val rows = spark.read.format("graftlines").load(p)
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"exactly-once across restart on the copy-rename store: $rows")
+      // each non-empty epoch claimed + sealed exactly one generation
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT gen, complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(p)}' ORDER BY gen")
+        val claims = Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => (r.getInt(1), r.getInt(2))).toList
+        assert(claims.map(_._1) == List(1, 2) && claims.forall(_._2 == 1),
+          s"one sealed claim per epoch generation, got $claims")
+      } finally c.close()
+    }
+  }
+
+  test("expireVersions retires the dropped generations' claim rows") {
+    withCoordinator {
+      val dir = s"glcopy:$root/prune"
+      markVersioned(dir)
+      (1 to 4).foreach(g =>
+        GraftLines.writeGen(dir, g, Seq(s"part-$g.gl"), hconf))
+      val (dropped, _) = GraftLines.expireVersions(dir, keepLast = 2, hconf)
+      assert(dropped == Seq(1, 2))
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT gen FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' ORDER BY gen")
+        val left = Iterator.continually(rs)
+          .takeWhile(_.next()).map(_.getInt(1)).toList
+        assert(left == List(3, 4),
+          s"claim rows must follow manifest retention, got $left")
+      } finally c.close()
+    }
+  }
+
   test("jdbc mode without a URL, and unknown modes, fail loudly at commit time") {
     hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
     hconf.unset(GlCommitCoordinator.UrlKey)
