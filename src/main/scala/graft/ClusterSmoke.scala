@@ -39,7 +39,10 @@ object ClusterSmoke {
     "q_source_dsv2",           // graftlines DSv2 scan + pushdown
     "q_stream_stateful",       // flatMapGroupsWithState across JVMs
     "q_dedup_exact",           // md5-normalize dedup (custom exprs)
-    "q_sim_cosine_topk")       // fdot codegen expression on executors
+    "q_sim_cosine_topk",       // fdot codegen expression on executors
+    "q_join_broadcast",        // broadcast actually crossing processes
+    "q_agg_pricing_summary",   // partial+final hash agg over the wire
+    "q_agg_udaf_geomean")      // custom Aggregator serialization
 
   private def session(master: String): SparkSession = {
     val b = SparkSession.builder()
