@@ -165,13 +165,41 @@ private[sources] final class JdbcCoordinator(url: String,
     } finally st.close()
   }
 
-  private def claim(c: Connection, key: String, n: Int,
-      tmpName: String): Boolean = {
+  /** The claim CAS, with the ambiguous-ack case resolved: a
+    * non-duplicate SQLException from the INSERT (connection dropped
+    * between the server applying the row and the client hearing back —
+    * the classic in-doubt write) is VERIFIED by re-reading the row.
+    * Our tmp recorded -> the claim landed, we won; someone else's ->
+    * we lost; no row -> the INSERT definitely failed (plain throw is
+    * safe, no claim references the tmp); verify-read also failing ->
+    * in-doubt, because the row may exist recording our tmp and a
+    * swept tmp would wedge the generation. */
+  private def claimed(c: Connection, key: String, n: Int, tmp: Path,
+      p: Path): Boolean = {
     val ps = c.prepareStatement(
       "INSERT INTO gl_commits (dir, gen, tmp, complete) VALUES (?, ?, ?, 0)")
-    try { ps.setString(1, key); ps.setInt(2, n); ps.setString(3, tmpName)
-      ps.executeUpdate(); true }
-    catch { case e: SQLException if isDup(e) => false }
+    try { ps.setString(1, key); ps.setInt(2, n)
+      ps.setString(3, tmp.getName); ps.executeUpdate(); true }
+    catch {
+      case e: SQLException if isDup(e) => false
+      case e: SQLException =>
+        val row =
+          try recordedTmp(c, key, n)
+          catch {
+            case _: SQLException =>
+              throw new GlCommitInDoubtException(
+                s"graftlines: the claim INSERT for generation $n of " +
+                  s"$key failed ambiguously and could not be verified; " +
+                  s"the tmp ${tmp.getName} is left in place in case the " +
+                  "claim landed — treat the append as " +
+                  "possibly-committed, do not blindly re-append", e)
+          }
+        row match {
+          case Some((t, _)) if t == tmp.getName => true
+          case Some(_) => false
+          case None => throw e
+        }
+    }
     finally ps.close()
   }
 
@@ -220,21 +248,28 @@ private[sources] final class JdbcCoordinator(url: String,
     finally { try fs.delete(staged, false) catch { case _: Exception => () } }
   }
 
-  /** Retire the SEALED claim rows of expired generations — called by
-    * expireVersions on the same schedule that deletes their manifests.
-    * Unsealed rows are never touched (an unsealed claim is a live or
-    * recoverable commit, not history). */
+  /** Retire the claim rows of expired generations — called by
+    * expireVersions on the same schedule that deletes their manifests,
+    * and ONLY for generations whose manifests it just verified on disk
+    * (its `drop` list comes from the directory's generation listing).
+    * A verified-published generation is history whether or not its
+    * winner lived to seal it, so no `complete` filter: filtering on
+    * sealed would leak one unprunable row per crash-between-publish-
+    * and-seal that no conflicter ever raced. One range DELETE (the
+    * drop list is the ascending prefix of the existing generations,
+    * and an unresolved in-doubt claim is always ABOVE the newest
+    * manifest — commits cannot advance past it — so it can never sit
+    * below the retention floor). */
   def pruneClaims(fs: FileSystem, dir: String, gens: Seq[Int]): Unit = {
     if (gens.isEmpty) return
     val key = fs.makeQualified(new Path(dir)).toString
     val c = connect()
     try {
       val ps = c.prepareStatement(
-        "DELETE FROM gl_commits WHERE dir = ? AND gen = ? AND complete = 1")
-      try gens.foreach { g =>
-        ps.setString(1, key); ps.setInt(2, g); ps.executeUpdate()
-      } finally ps.close()
-    } finally c.close()
+        "DELETE FROM gl_commits WHERE dir = ? AND gen <= ?")
+      try { ps.setString(1, key); ps.setInt(2, gens.max); ps.executeUpdate() }
+      finally ps.close()
+    } finally { try c.close() catch { case _: Exception => () } }
   }
 
   /** Publish `tmp` as generation manifest `p`, arbitrated through the
@@ -252,22 +287,35 @@ private[sources] final class JdbcCoordinator(url: String,
     try {
       c.setAutoCommit(true)
       ensureTable(c)
-      if (claim(c, key, n, tmp.getName)) {
-        // the claim is ours and PERMANENT: generation n is now defined
-        // as tmp's bytes. Publish by rename; if the destination turns
-        // out to exist, a racing conflicter recovered OUR claim with
-        // OUR bytes — success either way (reporting a loss would make
-        // the caller retry an append that already landed).
+      if (claimed(c, key, n, tmp, p)) {
+        // The claim is ours and PERMANENT: generation n is now defined
+        // as tmp's bytes, and from here EVERY outcome must resolve to
+        // either confirmed-success or in-doubt — never a plain throw,
+        // because a plain throw makes writeGen sweep the tmp that the
+        // claim records as the recovery source (wedging the
+        // generation) and makes the caller re-append rows that may
+        // have landed (double commit).
+        //
+        // Publish by rename; if the destination turns out to exist, a
+        // racing conflicter recovered OUR claim with OUR bytes —
+        // success either way. Probes that themselves fail (an
+        // object-store exists() can 503 mid-outage) count as
+        // not-confirmed, never as a raw error.
+        def confirmed: Boolean =
+          try fs.exists(p) catch { case _: Throwable => false }
         val renamed =
           try fs.rename(tmp, p)
           catch { case _: Throwable => false }
-        if (!renamed && !fs.exists(p)) {
+        if (!renamed && !confirmed) {
           // rename unavailable (some stores) or transiently failing:
-          // complete our own claim by staged copy of the same bytes
+          // complete our own claim by staged copy of the same bytes.
+          // A failure here with the manifest in place is the slow-
+          // winner-recovered-by-a-racer case (our tmp may even be
+          // swept already): success, by identical bytes.
           try copyPublish(fs, tmp, p)
           catch {
-            case t: Throwable if !fs.exists(p) =>
-              throw new GlCommitInDoubtException(
+            case t: Throwable =>
+              if (!confirmed) throw new GlCommitInDoubtException(
                 s"graftlines: generation $n of $key is CLAIMED but the " +
                   s"manifest $p could not be published; the claim and " +
                   s"its recorded tmp ${tmp.getName} are left in place " +
@@ -276,10 +324,11 @@ private[sources] final class JdbcCoordinator(url: String,
                   "blindly re-append", t)
           }
         }
-        seal(c, key, n)
-        // tmp is consumed by a successful rename; after a copy-publish
-        // (or a recoverer's publish) sweep it best-effort — only after
-        // the seal, so no conflicter still needs it as recovery source
+        // manifest confirmed: the seal and the tmp sweep are both
+        // BEST-EFFORT (conflicters seal opportunistically, the tmp is
+        // dead weight once p exists) — failing the commit for either
+        // would be a phantom failure the caller turns into duplicates
+        try seal(c, key, n) catch { case _: Exception => () }
         try { if (fs.exists(tmp)) fs.delete(tmp, false) }
         catch { case _: Exception => () }
       } else {
@@ -315,6 +364,6 @@ private[sources] final class JdbcCoordinator(url: String,
             lostRace(p, "claim row no longer present")
         }
       }
-    } finally c.close()
+    } finally { try c.close() catch { case _: Exception => () } }
   }
 }

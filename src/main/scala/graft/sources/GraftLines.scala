@@ -625,13 +625,16 @@ object GraftLines {
     dead.foreach(f => fs.delete(new Path(f), false))
     drop.foreach(n => fs.delete(genPath(dir, n), false))
     // arbitrated tables: retire the dropped generations' claim rows on
-    // the same schedule as their manifests (sealed rows only — they
-    // are never consulted again because generation numbers are
-    // monotone; best-effort, the rows are audit metadata by now)
+    // the same schedule as their manifests. The WHOLE step is
+    // best-effort — including coordinator resolution: a misconfigured
+    // conf (jdbc mode, missing URL) must not turn an expiry that
+    // already deleted files into a hard failure that also skips the
+    // stats merge below. The rows are audit metadata by now (each
+    // dropped generation's manifest was just verified on disk).
     if (drop.nonEmpty)
-      GlCommitCoordinator.forConf(conf).foreach { c =>
-        try c.pruneClaims(fs, dir, drop) catch { case _: Exception => () }
-      }
+      try GlCommitCoordinator.forConf(conf)
+        .foreach(_.pruneClaims(fs, dir, drop))
+      catch { case _: Exception => () }
     mergeStats(dir, conf,
       dropNames = dead.map(new Path(_).getName).toSet, newLines = Nil)
     (drop, dead)

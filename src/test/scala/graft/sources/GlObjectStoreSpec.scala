@@ -450,6 +450,15 @@ class GlObjectStoreSpec extends AnyFunSuite {
       markVersioned(dir)
       (1 to 4).foreach(g =>
         GraftLines.writeGen(dir, g, Seq(s"part-$g.gl"), hconf))
+      // simulate a winner that crashed between publish and seal and
+      // was never conflicted: manifest on disk, row unsealed — the
+      // prune must retire it anyway (a published generation is
+      // history regardless of seal state), or the row leaks forever
+      val c0 = DriverManager.getConnection(jdbcUrl)
+      try c0.createStatement().executeUpdate(
+        "UPDATE gl_commits SET complete = 0 " +
+          s"WHERE dir = '${claimKey(dir)}' AND gen = 1")
+      finally c0.close()
       val (dropped, _) = GraftLines.expireVersions(dir, keepLast = 2, hconf)
       assert(dropped == Seq(1, 2))
       val c = DriverManager.getConnection(jdbcUrl)
