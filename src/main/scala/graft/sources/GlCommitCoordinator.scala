@@ -131,6 +131,13 @@ private[sources] final class JdbcCoordinator(url: String,
     DriverManager.getConnection(url)
   }
 
+  /** Cleanup that must never supersede the outcome already decided —
+    * a `ps.close()` throwing on a dead connection would replace a
+    * successful claim (or a deliberate in-doubt classification) with
+    * a plain SQLException that writeGen treats as a definite failure. */
+  private def quietly(f: => Unit): Unit =
+    try f catch { case _: Exception => () }
+
   /** 23505 is the SQL-standard unique-violation SQLState (Derby,
     * Postgres, H2); fall back to the JDBC exception subclass for
     * drivers that subclass instead. */
@@ -168,14 +175,22 @@ private[sources] final class JdbcCoordinator(url: String,
   /** The claim CAS, with the ambiguous-ack case resolved: a
     * non-duplicate SQLException from the INSERT (connection dropped
     * between the server applying the row and the client hearing back —
-    * the classic in-doubt write) is VERIFIED by re-reading the row.
+    * the classic in-doubt write) is VERIFIED by re-reading the row,
+    * first on the same connection and, if that connection is the
+    * casualty, once more on a FRESH one (in the motivating TCP-reset
+    * case the same-connection read always fails, and a reconnect
+    * resolves the commit normally instead of punting to a human).
     * Our tmp recorded -> the claim landed, we won; someone else's ->
-    * we lost; no row -> the INSERT definitely failed (plain throw is
-    * safe, no claim references the tmp); verify-read also failing ->
-    * in-doubt, because the row may exist recording our tmp and a
-    * swept tmp would wedge the generation. */
-  private def claimed(c: Connection, key: String, n: Int, tmp: Path,
-      p: Path): Boolean = {
+    * we lost. No row visible, or verify unreachable -> in-doubt with
+    * the tmp kept: on a direct single-session connection an absent
+    * row means the INSERT failed, but behind a pooler/HA proxy the
+    * statement can still complete server-side AFTER the verify read —
+    * re-throwing a plain error there would sweep the tmp a
+    * late-landing claim records, wedging the generation. The
+    * conservative cost is one orphaned `.tmp` when the INSERT truly
+    * failed (the original cause rides along in the exception). */
+  private def claimed(c: Connection, key: String, n: Int,
+      tmp: Path): Boolean = {
     val ps = c.prepareStatement(
       "INSERT INTO gl_commits (dir, gen, tmp, complete) VALUES (?, ?, ?, 0)")
     try { ps.setString(1, key); ps.setInt(2, n)
@@ -183,24 +198,31 @@ private[sources] final class JdbcCoordinator(url: String,
     catch {
       case e: SQLException if isDup(e) => false
       case e: SQLException =>
-        val row =
-          try recordedTmp(c, key, n)
-          catch {
-            case _: SQLException =>
-              throw new GlCommitInDoubtException(
-                s"graftlines: the claim INSERT for generation $n of " +
-                  s"$key failed ambiguously and could not be verified; " +
-                  s"the tmp ${tmp.getName} is left in place in case the " +
-                  "claim landed — treat the append as " +
-                  "possibly-committed, do not blindly re-append", e)
+        val row: Option[Option[(String, Boolean)]] =
+          (try Some(recordedTmp(c, key, n))
+          catch { case _: SQLException => None }).orElse {
+            try {
+              val c2 = connect()
+              try Some(recordedTmp(c2, key, n))
+              finally quietly(c2.close())
+            } catch { case _: Exception => None }
           }
         row match {
-          case Some((t, _)) if t == tmp.getName => true
-          case Some(_) => false
-          case None => throw e
+          case Some(Some((t, _))) if t == tmp.getName => true
+          case Some(Some(_)) => false
+          case _ =>
+            throw new GlCommitInDoubtException(
+              s"graftlines: the claim INSERT for generation $n of " +
+                s"$key failed without a visible claim row (cause " +
+                "attached); on a direct connection the claim did not " +
+                "land, but behind a pooler it may still complete — " +
+                s"the tmp ${tmp.getName} is left in place and a " +
+                "late-landing claim will be recovered by the next " +
+                "committer; treat the append as possibly-committed, " +
+                "do not blindly re-append", e)
         }
     }
-    finally ps.close()
+    finally quietly(ps.close())
   }
 
   private def recordedTmp(c: Connection, key: String, n: Int)
@@ -287,7 +309,7 @@ private[sources] final class JdbcCoordinator(url: String,
     try {
       c.setAutoCommit(true)
       ensureTable(c)
-      if (claimed(c, key, n, tmp, p)) {
+      if (claimed(c, key, n, tmp)) {
         // The claim is ours and PERMANENT: generation n is now defined
         // as tmp's bytes, and from here EVERY outcome must resolve to
         // either confirmed-success or in-doubt — never a plain throw,
@@ -351,11 +373,13 @@ private[sources] final class JdbcCoordinator(url: String,
                   "confirming no committer is alive")
             }
             // seal opportunistically (the winner may have crashed
-            // between publish and seal); best-effort tmp sweep
-            seal(c, key, n)
-            try { val src = new Path(p.getParent, winnerTmp)
-              if (fs.exists(src)) fs.delete(src, false)
-            } catch { case _: Exception => () }
+            // between publish and seal) — BEST-EFFORT, like the
+            // winner's: the manifest is in place, so a seal error here
+            // must still surface as the contractual loud lost-race
+            // signal, not a raw SQLException; best-effort tmp sweep
+            quietly(seal(c, key, n))
+            quietly { val src = new Path(p.getParent, winnerTmp)
+              if (fs.exists(src)) fs.delete(src, false) }
             lostRace(p, "generation claimed and recovered")
           case None =>
             // the row vanished between our INSERT failure and the

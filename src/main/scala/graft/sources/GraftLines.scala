@@ -634,7 +634,14 @@ object GraftLines {
     if (drop.nonEmpty)
       try GlCommitCoordinator.forConf(conf)
         .foreach(_.pruneClaims(fs, dir, drop))
-      catch { case _: Exception => () }
+      catch { case e: Exception =>
+        // swallowed, but never silently: a typo'd URL or revoked
+        // DELETE grant would otherwise leak one claim row per
+        // generation forever with nothing anywhere to reveal it
+        System.err.println(s"[graftlines] expireVersions: claim-row " +
+          s"prune for $dir gens<=${drop.max} failed (expiry itself " +
+          s"succeeded): ${e.getMessage}")
+      }
     mergeStats(dir, conf,
       dropNames = dead.map(new Path(_).getName).toSet, newLines = Nil)
     (drop, dead)

@@ -474,6 +474,79 @@ class GlObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("ambiguous claim INSERT: landed-but-ack-lost resolves to a normal win") {
+    // the classic in-doubt write: the arbiter applies the INSERT but
+    // the client never hears back. claimed() must verify by re-read
+    // and proceed as the winner — not fail, not double-claim.
+    FaultyJdbc.register()
+    hconf.set("fs.glcopy.impl", classOf[CopyRenameFileSystem].getName)
+    hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
+    hconf.set(GlCommitCoordinator.UrlKey, FaultyJdbc.url)
+    hconf.set(GlCommitCoordinator.DriverKey,
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    try {
+      val dir = s"glcopy:$root/ambig_landed"
+      markVersioned(dir)
+      FaultyJdbc.mode.set(1) // next INSERT executes, then the ack is lost
+      try GraftLines.writeGen(dir, 1, Seq("part-ambig.gl"), hconf)
+      finally FaultyJdbc.mode.set(0)
+      assert(manifestLines(dir, 1) == Seq("part-ambig.gl"),
+        "the verified-landed claim must publish normally")
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT count(*), max(complete) FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' AND gen = 1")
+        assert(rs.next() && rs.getInt(1) == 1 && rs.getInt(2) == 1,
+          "exactly one sealed claim — no double-claim from the retry read")
+      } finally c.close()
+    } finally {
+      hconf.unset(GlCommitCoordinator.ModeKey)
+      hconf.unset(GlCommitCoordinator.UrlKey)
+      hconf.unset(GlCommitCoordinator.DriverKey)
+    }
+  }
+
+  test("ambiguous claim INSERT: not-landed and unverifiable both go in-doubt, then clear") {
+    FaultyJdbc.register()
+    hconf.set("fs.glcopy.impl", classOf[CopyRenameFileSystem].getName)
+    hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
+    hconf.set(GlCommitCoordinator.UrlKey, FaultyJdbc.url)
+    hconf.set(GlCommitCoordinator.DriverKey,
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    try {
+      val dir = s"glcopy:$root/ambig_lost"
+      markVersioned(dir)
+      val fs = new Path(dir).getFileSystem(hconf)
+      // (a) INSERT fails WITHOUT landing; the verify read sees no row.
+      // Conservative classification is in-doubt (behind a pooler the
+      // row could still land late) with the tmp kept.
+      FaultyJdbc.mode.set(2)
+      val d1 = try intercept[GlCommitInDoubtException] {
+        GraftLines.writeGen(dir, 1, Seq("part-a.gl"), hconf)
+      } finally FaultyJdbc.mode.set(0)
+      assert(d1.getMessage.contains("possibly-committed"))
+      assert(fs.listStatus(new Path(dir))
+        .exists(_.getPath.getName.endsWith(".tmp")),
+        "the tmp must be kept in case the claim lands late")
+      // (b) INSERT fails AND every verify read fails (arbiter down):
+      // in-doubt again, never a plain throw that would sweep the tmp
+      FaultyJdbc.mode.set(3)
+      val d2 = try intercept[GlCommitInDoubtException] {
+        GraftLines.writeGen(dir, 1, Seq("part-b.gl"), hconf)
+      } finally FaultyJdbc.mode.set(0)
+      assert(d2.getMessage.contains("possibly-committed"))
+      // neither attempt actually claimed, so a healthy committer of
+      // gen 1 proceeds cleanly with its own content
+      GraftLines.writeGen(dir, 1, Seq("part-c.gl"), hconf)
+      assert(manifestLines(dir, 1) == Seq("part-c.gl"))
+    } finally {
+      hconf.unset(GlCommitCoordinator.ModeKey)
+      hconf.unset(GlCommitCoordinator.UrlKey)
+      hconf.unset(GlCommitCoordinator.DriverKey)
+    }
+  }
+
   test("jdbc mode without a URL, and unknown modes, fail loudly at commit time") {
     hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
     hconf.unset(GlCommitCoordinator.UrlKey)
