@@ -84,11 +84,20 @@ class GraftLines extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GlTable(properties.get("path"), schema)
+    new GlTable(properties.get("path"), schema,
+      // path-based reads of schema-evolved directories (compact's
+      // union-schema rewrite, ad-hoc reads of catalog table dirs)
+      // can opt into the catalog's missing-column-reads-NULL rule
+      nullFillMissing = "true".equalsIgnoreCase(
+        properties.get(GraftLines.NullFillOption)))
 }
 
 object GraftLines {
   val Ext = ".gl"
+  /** Read option: `true` gives a path-based read the catalog rule for
+    * schema-evolved directories — a requested column missing from a
+    * file's own header reads NULL instead of erroring. */
+  val NullFillOption = "graft.nullFillMissing"
   /** Synthetic metadata column every reader can produce: the path of
     * the data file holding the row (`SELECT _file FROM t`) — the
     * lineage/debugging column real formats expose, and the group id
@@ -622,7 +631,22 @@ object GraftLines {
         }
       }
     if (drop.isEmpty && dead.isEmpty) return (Nil, Nil)
-    dead.foreach(f => fs.delete(new Path(f), false))
+    // delete results are CHECKED before the manifests go: a silently
+    // failed delete (false + file still present) whose referencing
+    // manifests were then dropped becomes unreclaimable for a
+    // gcOrphans=false caller (no droppedRefs set will ever list it
+    // again) while the return value reports it deleted. Failing here
+    // keeps every manifest intact, so a rerun recomputes the same
+    // dead set and retries; files that DID delete are simply no
+    // longer listed.
+    val failedDead = dead.filter { f =>
+      val p = new Path(f)
+      !fs.delete(p, false) && fs.exists(p)
+    }
+    require(failedDead.isEmpty,
+      s"graftlines: expireVersions could not delete ${failedDead.size} " +
+        s"file(s) (${failedDead.take(3).mkString(", ")}…) — manifests " +
+        "kept; rerun after resolving")
     drop.foreach(n => fs.delete(genPath(dir, n), false))
     // arbitrated tables: retire the dropped generations' claim rows on
     // the same schedule as their manifests. The WHOLE step is
@@ -678,11 +702,31 @@ object GraftLines {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
+    // the generation the rewrite is OF — captured before the Spark
+    // job so a commit landing mid-compact collides LOUDLY at publish
+    // time (see below) instead of being silently omitted from the
+    // compacted generation and later reclaimed as expired
+    val snapshotGen = genVersions(dir, conf).lastOption.getOrElse(0)
     val before = resolveDataFileStatuses(dir, conf, None).map(_._1)
     if (before.size <= maxFiles) return (before.size, before.size)
+    // read with the UNION of the LIVE files' own header schemas (plus
+    // null-fill): a schema-evolved table holds files with different
+    // column sets, and inferring from whichever file lists first would
+    // either silently DROP an evolved column from the rewrite (old
+    // narrow header first — permanent data loss once the originals
+    // expire) or fail the read (wide header first, narrow file missing
+    // a column without null-fill). First-appearance order keeps the
+    // uniform-schema case byte-identical to the old inference.
+    val unionSchema = before.foldLeft(new StructType()) { (acc, f) =>
+      headerSchemaOfFile(f, conf).fields.foldLeft(acc) { (a, fld) =>
+        if (a.fieldNames.contains(fld.name)) a else a.add(fld)
+      }
+    }
     val scratch = new Path(dir, ".compact-scratch").toString
     fs.delete(new Path(scratch), true)
-    spark.read.format("graftlines").load(dir)
+    spark.read.schema(unionSchema)
+      .option(NullFillOption, "true")
+      .format("graftlines").load(dir)
       .coalesce(maxFiles)
       .write.format("graftlines").mode("overwrite").save(scratch)
     val moved = listDataFiles(scratch, conf).zipWithIndex.map {
@@ -721,12 +765,31 @@ object GraftLines {
         s"graftlines: compact failed moving $base -> $nb")
     }
     if (isVersioned(dir, conf)) {
-      val next = genVersions(dir, conf).lastOption.getOrElse(0) + 1
-      writeGen(dir, next, moved.map(_._2), conf)
+      // publish at snapshotGen + 1, NOT a freshly-listed last + 1: if
+      // a commit landed while the rewrite job ran, that commit took
+      // this number and the writeGen CAS fails loudly — aborting the
+      // compact (correct: its input snapshot is stale) instead of
+      // publishing a generation that silently omits the new commit's
+      // files. The moved-in compacted files then remain as
+      // unmanifested orphans, the same debris class as a lost
+      // append's, reclaimable via expireVersions(gcOrphans = true).
+      writeGen(dir, snapshotGen + 1, moved.map(_._2), conf)
       if (statLines.nonEmpty)
         mergeStats(dir, conf, dropNames = Set.empty, newLines = statLines)
     } else {
-      before.foreach(f => fs.delete(new Path(f), false))
+      // a delete reporting false (permissions, locks) with the file
+      // still on disk would leave the old rows alive NEXT TO their
+      // compacted copies — silent permanent duplication, with the
+      // file's stats line already dropped so nothing ever flags it
+      val failed = before.filter { f =>
+        val p = new Path(f)
+        !fs.delete(p, false) && fs.exists(p)
+      }
+      require(failed.isEmpty,
+        s"graftlines: compact could not delete ${failed.size} " +
+          s"pre-compact file(s) (${failed.take(3).mkString(", ")}…) — " +
+          "aborting before the stats merge; rows would otherwise be " +
+          "duplicated next to their compacted copies")
       mergeStats(dir, conf,
         dropNames = before.map(new Path(_).getName).toSet,
         newLines = statLines, replaceAll = true)

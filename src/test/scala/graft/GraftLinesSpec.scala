@@ -549,6 +549,39 @@ class GraftLinesSpec extends AnyFunSuite {
     assert(spark.read.format("graftlines").load(pv).count() == 30)
   }
 
+  test("compact preserves evolved columns on schema-evolved tables") {
+    // files with two different headers coexist after ALTER ADD; the
+    // rewrite must read the UNION of the live headers (null-filled),
+    // not whichever file lists first — a narrow-first inference would
+    // silently drop the evolved column from the compacted files and a
+    // later expire would destroy the only copies
+    spark.conf.set("spark.sql.catalog.graft_cevo",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cevo.warehouse",
+      s"$dir/cevo_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cevo.ns")
+    spark.sql("DROP TABLE IF EXISTS graft_cevo.ns.evo")
+    spark.sql(
+      "CREATE TABLE graft_cevo.ns.evo (k BIGINT, s STRING) USING graftlines")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2)
+      .writeTo("graft_cevo.ns.evo").append()
+    spark.sql("ALTER TABLE graft_cevo.ns.evo ADD COLUMNS (c BIGINT)")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "s", "c").repartition(2)
+      .writeTo("graft_cevo.ns.evo").append()
+    val before = spark.table("graft_cevo.ns.evo")
+      .collect().map(_.toString).sorted.toSeq
+    assert(before.size == 4 && before.exists(_.contains("40")),
+      s"fixture must carry the evolved column: $before")
+    val tblDir = s"$dir/cevo_wh/ns/evo"
+    val (nb, na) = GraftLines.compact(tblDir, 1, spark)
+    // at least one narrow-header and one wide-header file went in
+    assert(nb >= 2 && na == 1, s"$nb -> $na")
+    val after = spark.table("graft_cevo.ns.evo")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before,
+      "compaction must not change data OR drop evolved columns")
+  }
+
   test("reported statistics shrink with pruning: bytes and exact rows") {
     val p = s"$dir/repstats"
     Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "s").coalesce(1)

@@ -23,6 +23,15 @@ class CopyRenameFileSystem extends RawLocalFileSystem {
 
   private val rnd = new java.util.Random()
 
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    // simulated failing DELETE for data files (the retention tests):
+    // reports false with the file left on disk — the quiet failure
+    // mode expireVersions/compact must detect, not assume away
+    if (CopyRenameFileSystem.failDataFileDeletes.get()
+        && p.getName.endsWith(".gl")) return false
+    super.delete(p, recursive)
+  }
+
   override def rename(src: Path, dst: Path): Boolean = {
     // simulated store outage for manifest publishes (the in-doubt
     // test): every rename TOWARD a generation manifest fails, exactly
@@ -64,4 +73,9 @@ object CopyRenameFileSystem {
     * in-doubt commit test. Staged/tmp writes still succeed, exactly
     * like a store whose PUTs work but whose publish COPY is failing. */
   val failManifestPublishes = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** When set, deleting any `.gl` data file returns false with the
+    * file left in place — the silent-failure mode whose detection the
+    * retention paths are tested on. */
+  val failDataFileDeletes = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

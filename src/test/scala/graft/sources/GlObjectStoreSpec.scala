@@ -547,6 +547,39 @@ class GlObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a silently-failing DELETE aborts retention with manifests kept, then clears") {
+    // fs-mode, no coordinator — the hazard is the filesystem's:
+    // delete() returning false with the file left on disk. expire
+    // must fail LOUDLY with every manifest intact (a rerun recomputes
+    // the same dead set), never drop the manifests and report the
+    // still-present file as deleted (unreclaimable leak + clean-
+    // looking return value).
+    hconf.set("fs.glcopy.impl", classOf[CopyRenameFileSystem].getName)
+    val p = s"glcopy:$root/faildel"
+    markVersioned(p)
+    Seq(1L).toDF("v").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    // overwrite: gen 2 lists ONLY its own file, so gen 1's becomes
+    // dead under keepLast=1
+    Seq(2L).toDF("v").coalesce(1)
+      .write.format("graftlines").mode("overwrite").save(p)
+    CopyRenameFileSystem.failDataFileDeletes.set(true)
+    val e = try intercept[IllegalArgumentException] {
+      GraftLines.expireVersions(p, keepLast = 1, hconf)
+    } finally CopyRenameFileSystem.failDataFileDeletes.set(false)
+    assert(e.getMessage.contains("manifests kept"))
+    // both generations still fully readable — nothing was half-swept
+    assert(spark.read.format("graftlines").option("versionAsOf", 1)
+      .load(p).count() == 1)
+    assert(spark.read.format("graftlines").load(p)
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // with deletes healthy again the same sweep succeeds
+    val (expired, deleted) = GraftLines.expireVersions(p, 1, hconf)
+    assert(expired == Seq(1) && deleted.size == 1)
+    assert(spark.read.format("graftlines").load(p)
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("jdbc mode without a URL, and unknown modes, fail loudly at commit time") {
     hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
     hconf.unset(GlCommitCoordinator.UrlKey)
