@@ -48,8 +48,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * loudly: every other ALTER (drop/rename/retype/reorder would
   * re-interpret bytes on disk), partitioned CREATE (the format has no
   * partition-directory reader yet), adopting a directory that already
-  * holds `.gl` files, and rename across namespaces on stores where
-  * directory rename is not atomic.
+  * holds `.gl` files or `_graft*` markers, and rename across
+  * namespaces on stores where directory rename is not atomic.
+  *
+  * Identifier resolution is BYTE-EXACT (a name maps to its directory
+  * verbatim) — the usual contract of filesystem-backed catalogs: on a
+  * case-sensitive store `Events` and `events` are two tables; on a
+  * case-insensitive local FS they alias. Spark's `caseSensitive`
+  * setting governs column resolution, not catalog object names.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
@@ -132,10 +138,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     try GraftLines.parseHeader(br.readLine(), sf.toString) finally br.close()
   }
 
-  private def writeSchema(dir: Path, schema: StructType): Unit = {
-    val w = new OutputStreamWriter(fs.create(schemaFile(dir), true), UTF_8)
-    try { w.write(GraftLines.header(schema)); w.write('\n') }
-    finally w.close()
+  /** Publish `_graft_schema`. `exclusive = true` (CREATE) uses the
+    * filesystem's no-overwrite create as the one-winner CAS — two
+    * racing CREATE TABLE for one identifier cannot both succeed (the
+    * exists() pre-check alone is check-then-act). `exclusive = false`
+    * (ALTER) REPLACES the file atomically where the store can
+    * (same-name POSIX move), never in place: `fs.create(sf, true)`
+    * truncates first, so a concurrent reader would see an empty
+    * header and a crash mid-write would strand the table unreadable
+    * forever with tableExists still true. */
+  private def writeSchema(dir: Path, schema: StructType,
+      exclusive: Boolean): Unit = {
+    val sf = schemaFile(dir)
+    if (exclusive) {
+      val w = new OutputStreamWriter(fs.create(sf, false), UTF_8)
+      try { w.write(GraftLines.header(schema)); w.write('\n') }
+      finally w.close()
+    } else {
+      val tmp = new Path(dir,
+        GraftCatalog.SchemaName + "." +
+          java.util.UUID.randomUUID().toString + ".tmp")
+      val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
+      try { w.write(GraftLines.header(schema)); w.write('\n') }
+      finally w.close()
+      if (!GraftLines.replaceByMove(fs, tmp, sf)) {
+        // non-POSIX fallback: rename-onto-existing fails on HDFS, so
+        // delete + rename with its (documented) brief absent window
+        try {
+          fs.delete(sf, false)
+          require(fs.rename(tmp, sf),
+            s"graftlines catalog: failed publishing schema $sf")
+        } catch { case t: Throwable =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          throw t
+        }
+      }
+    }
   }
 
   /** Catalog-managed tables read with `nullFillMissing = true`: the
@@ -247,22 +285,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "format stores no nullability, so the constraint would be " +
           "silently dropped; declare the column nullable")
     }
+    // the namespace must already exist — implicitly minting it via the
+    // mkdirs below would let a typo'd CREATE TABLE invent a namespace
+    // no CREATE NAMESPACE ever declared (the same rule renameTable
+    // enforces). The root namespace (empty) always exists.
+    if (ident.namespace().nonEmpty && !namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(name() +: ident.namespace())
     val dir = tablePath(ident)
     if (fs.exists(schemaFile(dir))) throw new TableAlreadyExistsException(ident)
     // A directory already holding .gl files is a path-based dataset (or
     // debris from a half-dropped table); silently adopting it as table
-    // data would bless files whose schemas nobody checked. External-
+    // data would bless files whose schemas nobody checked. Stale
+    // `_graft*` markers are just as dangerous: a leftover partcol /
+    // versioned / stats file would silently configure the NEW table
+    // (or half-fail the create AFTER the schema committed). External-
     // location adoption is deliberately NOT a feature — fail loudly.
     if (fs.exists(dir)) {
       val leftovers = fs.listStatus(dir)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(GraftLines.Ext))
+        .filter(st => st.isFile
+          && (st.getPath.getName.endsWith(GraftLines.Ext)
+            || st.getPath.getName.startsWith("_graft")))
       require(leftovers.isEmpty,
         s"graftlines catalog: cannot create $ident — $dir already contains "
-          + s"${leftovers.length} ${GraftLines.Ext} file(s); refusing to "
-          + "adopt pre-existing data (drop the directory or pick a new name)")
+          + s"${leftovers.length} pre-existing data/marker file(s) "
+          + s"(${leftovers.take(3).map(_.getPath.getName).mkString(", ")}); "
+          + "refusing to adopt (drop the directory or pick a new name)")
     }
     fs.mkdirs(dir)
-    writeSchema(dir, schema)
+    try writeSchema(dir, schema, exclusive = true)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase
+            .contains("already exist")) =>
+        throw new TableAlreadyExistsException(ident)
+    }
     // TBLPROPERTIES ('versioned'='true') opts the table into time
     // travel: the marker flips every commit path to generation
     // publishing (see GraftLines.VersionMarker).
@@ -317,7 +375,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     GraftLines.header(schema) // reject unstorable added types up front
     val dir = tablePath(ident)
-    writeSchema(dir, schema)
+    writeSchema(dir, schema, exclusive = false)
     new GlTable(dir.toString, schema, nullFillMissing = true)
   }
 
@@ -338,6 +396,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // NAMESPACE ever declared (the session-catalog convention)
     if (!namespaceExists(newIdent.namespace()))
       throw new NoSuchNamespaceException(name() +: newIdent.namespace())
+    // cross-namespace moves need an ATOMIC directory rename (class-doc
+    // contract): on object stores Hadoop renames a directory as
+    // per-object copy + delete, and a mid-way failure leaves the table
+    // split across two half-directories, both of which tableExists may
+    // report as real. Reject loudly there; same-namespace renames are
+    // one-entry metadata moves everywhere.
+    if (!(oldIdent.namespace() sameElements newIdent.namespace())) {
+      val scheme =
+        try fs.getUri.getScheme catch { case _: Exception => null }
+      require(scheme == "file" || scheme == "hdfs",
+        s"graftlines catalog: cross-namespace rename needs an atomic " +
+          s"directory rename, which scheme '$scheme' does not provide — " +
+          "CTAS into the new namespace and drop the old table instead")
+    }
     val dst = tablePath(newIdent)
     require(fs.rename(tablePath(oldIdent), dst),
       s"graftlines catalog: rename $oldIdent -> $newIdent failed")
@@ -350,7 +422,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] = {
     if (!fs.exists(warehouse)) return Array.empty
     fs.listStatus(warehouse).toSeq
-      .filter(_.isDirectory)
+      // root-level TABLE dirs (empty default namespace) are not
+      // namespaces — same filter as the nested overload, or SHOW
+      // NAMESPACES would offer names whose DROP ... CASCADE deletes a
+      // table wholesale
+      .filter(st => st.isDirectory && !fs.exists(schemaFile(st.getPath)))
       .map(st => Array(st.getPath.getName))
       .toArray
   }
@@ -367,8 +443,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toArray
   }
 
+  /** A TABLE directory is not a namespace: without the schema-file
+    * rejection, `DROP NAMESPACE cat.ns.t CASCADE` would delete table t
+    * wholesale (bypassing dropTable) and CREATE TABLE could nest a
+    * table inside another table's directory, where no listing ever
+    * finds it. */
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || fs.exists(nsPath(namespace))
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      fs.exists(p) && !fs.exists(schemaFile(p))
+    }
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
@@ -391,7 +475,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
-    if (!fs.exists(p)) false
+    // a table dir is not a namespace (see namespaceExists): report
+    // not-found rather than cascade-deleting a table
+    if (!fs.exists(p) || fs.exists(schemaFile(p))) false
     else {
       if (!cascade) require(fs.listStatus(p).isEmpty,
         s"namespace ${namespace.mkString(".")} is not empty")

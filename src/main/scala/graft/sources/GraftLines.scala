@@ -470,7 +470,7 @@ object GraftLines {
     * restore — and after the move succeeds there is no falling back,
     * because the new data is already live. Returns false (caller uses
     * delete+rename) only when the move itself cannot run. */
-  private def replaceByMove(fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def replaceByMove(fs: org.apache.hadoop.fs.FileSystem,
       staged: Path, dst: Path): Boolean = {
     def crc(q: Path) = new Path(q.getParent, "." + q.getName + ".crc")
     def nio(q: Path) =

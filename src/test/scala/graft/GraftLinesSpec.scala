@@ -582,6 +582,62 @@ class GraftLinesSpec extends AnyFunSuite {
       "compaction must not change data OR drop evolved columns")
   }
 
+  test("catalog DDL guards: phantom namespaces, table-as-namespace, stale markers") {
+    spark.conf.set("spark.sql.catalog.graft_ddl",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ddl.warehouse",
+      s"$dir/ddl_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ddl.ns")
+    // (a) CREATE TABLE must not mint a namespace no CREATE NAMESPACE
+    // declared (same rule renameTable already enforced)
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ddl.ns_typo.t (k BIGINT) USING graftlines")
+    }
+    assert(e1.toString.toLowerCase.contains("namespace"), s"got $e1")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/ddl_wh")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ddl_wh/ns_typo")),
+      "the typo'd namespace must not be created as a side effect")
+    // (b) a TABLE directory is not a namespace: DROP NAMESPACE aimed at
+    // a table must not cascade-delete it, and SHOW NAMESPACES must not
+    // offer tables
+    spark.sql("DROP TABLE IF EXISTS graft_ddl.ns.t1")
+    spark.sql("CREATE TABLE graft_ddl.ns.t1 (k BIGINT) USING graftlines")
+    spark.sql("INSERT INTO graft_ddl.ns.t1 VALUES (7)")
+    val e2 = intercept[Exception] {
+      spark.sql("DROP NAMESPACE graft_ddl.ns.t1 CASCADE")
+    }
+    assert(e2.toString.toLowerCase.contains("namespace"), s"got $e2")
+    assert(spark.table("graft_ddl.ns.t1").count() == 1,
+      "DROP NAMESPACE aimed at a table must not delete the table")
+    val nss = spark.sql("SHOW NAMESPACES IN graft_ddl.ns")
+      .collect().map(_.getString(0))
+    assert(!nss.exists(_.endsWith("t1")),
+      s"tables must not list as namespaces: ${nss.toSeq}")
+    // (c) stale marker files block CREATE before the schema commits: a
+    // leftover _graft_partcol would otherwise silently configure (or
+    // half-create) the new table
+    val stale = new org.apache.hadoop.fs.Path(s"$dir/ddl_wh/ns/t2")
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "_graft_partcol"),
+      true).close()
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_ddl.ns.t2 (k BIGINT) USING graftlines")
+    }
+    assert(e3.getMessage.contains("refusing to adopt"), s"got $e3")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stale, "_graft_schema")),
+      "the schema must not have committed for the rejected create")
+    // (d) ALTER leaves no tmp debris and the evolved schema is live
+    spark.sql("ALTER TABLE graft_ddl.ns.t1 ADD COLUMNS (c BIGINT)")
+    assert(spark.table("graft_ddl.ns.t1").schema.fieldNames.toSeq ==
+      Seq("k", "c"))
+    val t1names = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/ddl_wh/ns/t1"))
+      .map(_.getPath.getName)
+    assert(!t1names.exists(_.endsWith(".tmp")),
+      s"schema replace must not leak tmps: ${t1names.toSeq}")
+  }
+
   test("reported statistics shrink with pruning: bytes and exact rows") {
     val p = s"$dir/repstats"
     Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "s").coalesce(1)
