@@ -49,11 +49,20 @@ object AsOf {
     // wrong-typed column would otherwise surface as a per-task
     // ClassCastException inside every executor instead of one clear
     // driver-side error
+    // resolve with the SESSION resolver, not name ==: a bare find would
+    // silently bind the FIRST of two same-named columns (common after a
+    // prior join) — wrong asof_ts values with no error — and would be
+    // case-sensitive regardless of spark.sql.caseSensitive
+    val resolver = spark.sessionState.conf.resolver
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String,
         expected: Seq[org.apache.spark.sql.types.DataType],
         role: String) = {
-      val a = plan.output.find(_.name == name).getOrElse(
+      val matches = plan.output.filter(a => resolver(a.name, name))
+      require(matches.size <= 1,
+        s"as-of join: $role column $name is ambiguous — " +
+          s"${matches.size} columns match in ${plan.output.map(_.name)}")
+      val a = matches.headOption.getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name)}"))
       require(expected.contains(a.dataType),

@@ -206,8 +206,37 @@ case class AsOfJoinExec(
       l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
 }
 
+object BroadcastAsOfJoinExec {
+  /** Executor-side memo of built probe indexes, weakly keyed on the
+    * broadcast VALUE (the per-executor cached array): entries die with
+    * the broadcast when it is unpersisted and GC'd, so long-lived
+    * executors running many queries cannot accumulate dead indexes.
+    * The inner map distinguishes key/time expression pairs; the built
+    * HashMap is read-only after computeIfAbsent publishes it, so
+    * concurrent probe tasks share it safely. */
+  private val indexCache = new java.util.WeakHashMap[AnyRef,
+    java.util.concurrent.ConcurrentHashMap[String,
+      java.util.HashMap[Long, Array[Long]]]]()
+
+  private[plans] def indexFor(rows: AnyRef, exprKey: String,
+      build: () => java.util.HashMap[Long, Array[Long]])
+      : java.util.HashMap[Long, Array[Long]] = {
+    val inner = indexCache.synchronized {
+      var m = indexCache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          java.util.HashMap[Long, Array[Long]]]()
+        indexCache.put(rows, m)
+      }
+      m
+    }
+    inner.computeIfAbsent(exprKey, _ => build())
+  }
+}
+
 /** Broadcast build of the as-of join: the right side ships whole to
-  * every executor (BroadcastDistribution), is indexed once per task into
+  * every executor (BroadcastDistribution), is indexed once per EXECUTOR
+  * (memoized weakly on the broadcast value — see the companion) into
   * sorted per-key time arrays, and each left row binary-searches it.
   * The probe side keeps its partitioning — no shuffle, no sort of the
   * big side, the same trade BroadcastHashJoin makes for equi joins. */
@@ -242,31 +271,48 @@ case class BroadcastAsOfJoinExec(
     val leftTypes = leftOut.map(_.dataType).toArray
     val bcRows = right.executeBroadcast[Array[InternalRow]]()
 
+    // distinguishes two as-of joins over the SAME broadcast relation
+    // with different key/time columns in the executor-side index cache
+    val indexKey = rightUser.canonicalized.toString + " " +
+      rightTime.canonicalized.toString
+
     left.execute().mapPartitions { lIter =>
       val lUser = BindReferences.bindReference(lUserU, leftOut)
       val lTime = BindReferences.bindReference(lTimeU, leftOut)
-      // build the per-key sorted index once per task from the broadcast;
+      // per-key sorted index over the broadcast, built ONCE PER
+      // EXECUTOR (memoized on the broadcast value + key expressions):
+      // rebuilding per task would re-hash and re-sort the whole build
+      // side for every probe partition and hold one full boxed index
+      // per concurrently running task — at 16 concurrent tasks that is
+      // 16x the broadcast's memory for identical contents.
       // NULL-keyed/NULL-time build rows can never match (and unboxing
-      // null would alias key 0) — skip them
-      val index = new java.util.HashMap[Long, Array[Long]]()
-      val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      bcRows.value.foreach { row =>
-        val uAny = rUser.eval(row)
-        val tAny = rTime.eval(row)
-        if (uAny != null && tAny != null) {
-          val u = uAny.asInstanceOf[Long]
-          val t = tAny.asInstanceOf[Long]
-          var buf = tmp.get(u)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-            tmp.put(u, buf)
+      // null would alias key 0) — skip them.
+      val index = BroadcastAsOfJoinExec.indexFor(bcRows.value, indexKey, {
+        () =>
+          val idx = new java.util.HashMap[Long, Array[Long]]()
+          val tmp = new java.util.HashMap[Long,
+            scala.collection.mutable.ArrayBuffer[Long]]()
+          bcRows.value.foreach { row =>
+            val uAny = rUser.eval(row)
+            val tAny = rTime.eval(row)
+            if (uAny != null && tAny != null) {
+              val u = uAny.asInstanceOf[Long]
+              val t = tAny.asInstanceOf[Long]
+              var buf = tmp.get(u)
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+                tmp.put(u, buf)
+              }
+              buf += t
+            }
           }
-          buf += t
-        }
-      }
-      tmp.forEach { (u, buf) =>
-        val arr = buf.toArray; java.util.Arrays.sort(arr); index.put(u, arr)
-      }
+          tmp.forEach { (u, buf) =>
+            val arr = buf.toArray
+            java.util.Arrays.sort(arr)
+            idx.put(u, arr)
+          }
+          idx
+      })
       val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
         .create(outTypes)
       lIter.map { lRow =>

@@ -56,14 +56,29 @@ object PushFilterThroughAsOf extends Rule[LogicalPlan] {
   * and scanning all of them.
   */
 object PruneColumnsThroughAsOf extends Rule[LogicalPlan] {
+
+  private def pruneLeft(j: AsOfJoin, needed: AttributeSet): Option[AsOfJoin] = {
+    val keep = needed ++ j.leftUser.references ++ j.leftTime.references
+    val keptLeft = j.left.output.filter(keep.contains)
+    if (keptLeft.size < j.left.output.size)
+      Some(j.copy(left = Project(keptLeft, j.left)))
+    else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projList, j: AsOfJoin) =>
-      val needed = AttributeSet(projList.flatMap(_.references)) ++
-        j.leftUser.references ++ j.leftTime.references
-      val keptLeft = j.left.output.filter(needed.contains)
-      if (keptLeft.size < j.left.output.size)
-        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
-      else p
+      pruneLeft(j, AttributeSet(projList.flatMap(_.references)))
+        .map(nj => p.copy(child = nj)).getOrElse(p)
+    // Project over a RESIDUAL Filter — the exact shape
+    // PushFilterThroughAsOf itself produces whenever a conjunct
+    // references asof_ts (it stays above the join). Without this case
+    // the common select-after-filter query silently scans every left
+    // column: the Project never sits directly on the join, and
+    // Catalyst's ColumnPruning cannot see through the custom node.
+    case p @ Project(projList, f @ Filter(cond, j: AsOfJoin)) =>
+      pruneLeft(j, AttributeSet(projList.flatMap(_.references)) ++
+          cond.references)
+        .map(nj => p.copy(child = f.copy(child = nj))).getOrElse(p)
     case j: AsOfJoin =>
       val neededRight = j.rightUser.references ++ j.rightTime.references
       val keptRight = j.right.output.filter(neededRight.contains)

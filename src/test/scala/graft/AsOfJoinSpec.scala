@@ -111,6 +111,51 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(_.toString).toSeq == pre)
   }
 
+  test("left prune also fires through a residual filter (Project over Filter)") {
+    // the shape PushFilterThroughAsOf itself produces: a conjunct
+    // referencing asof_ts stays ABOVE the join, so the Project never
+    // sits directly on the custom node — pruning must see through the
+    // residual Filter or the wide left scan silently returns
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val r = ev.withColumnRenamed("user_id", "c_user")
+      .withColumnRenamed("ts", "c_ts")
+    val narrow = graft.plans.AsOf.join(ev, r, "user_id", "ts", "c_user", "c_ts")
+      .filter(col("asof_ts").isNotNull) // non-pushable: references asof_ts
+      .select(col("event_id"), col("asof_ts"))
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(!plan.contains("props"), s"props survived pruning:\n$plan")
+    assert(!plan.contains("value"), s"value survived pruning:\n$plan")
+    val pre = graft.plans.AsOf.join(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        ev.select(col("user_id").as("c_user"), col("ts").as("c_ts")),
+        "user_id", "ts", "c_user", "c_ts")
+      .filter(col("asof_ts").isNotNull)
+      .select(col("event_id"), col("asof_ts"))
+      .orderBy(col("event_id")).collect().map(_.toString).toSeq
+    assert(narrow.orderBy(col("event_id")).collect()
+      .map(_.toString).toSeq == pre)
+  }
+
+  test("duplicate and case-variant column names resolve like Spark, not first-wins") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    // duplicate name on the probe side (the post-join shape): binding
+    // the FIRST match silently keys on the wrong column — must be loud
+    val dup = ev.join(
+      ev.select(col("user_id"), col("ts").as("ts2")), "user_id")
+      .withColumnRenamed("ts2", "ts") // two columns literally named ts
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(dup, r, "user_id", "ts", "c_user", "c_ts")
+    }
+    assert(e.getMessage.contains("ambiguous"), s"got: $e")
+    // default case-insensitive resolution accepts a case-variant name
+    val out = graft.plans.AsOf
+      .join(ev, r, "USER_ID", "TS", "c_user", "c_ts")
+      .limit(5).collect()
+    assert(out.nonEmpty)
+  }
+
   test("forward direction equals the declarative min-later formulation") {
     val ev = Tables.events(spark, TestSpark.sf0001)
     val p = ev.filter(col("event_type") === "purchase")
