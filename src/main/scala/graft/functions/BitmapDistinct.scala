@@ -59,6 +59,16 @@ object BitmapDistinct {
     }
 
     def or(o: Array[Long]): Unit = {
+      // the same 2^26 domain cap set() enforces, applied to MERGED
+      // state: the reaggregation path accepts arbitrary BINARY (a
+      // corrupt value, or a non-bitmap sketch column picked by
+      // mistake), and without this guard a 512 MiB garbage value
+      // would balloon the per-group buffer toward OOM and then count
+      // out-of-domain bits into a plausible-but-wrong answer
+      require(o.length <= (1 << 20),
+        s"bitmapDistinct: merged bitmap spans ${o.length} words — " +
+          "beyond the 2^26-key dense domain; the binary input is not " +
+          "a bitmapOf() product")
       ensure(math.max(o.length - 1, 0))
       var i = 0
       while (i < o.length) { words(i) |= o(i); i += 1 }

@@ -42,6 +42,14 @@ case class LshSignatures(child: Expression, planes: Array[Array[Double]],
   // could walk past a short plane's end
   require(planes.nonEmpty && planes.forall(_.length == planes(0).length),
     s"lsh_sigs: ${planes.length} planes must share one dimension")
+  // bits shape too, same analysis-time rule: bits = 0 divides by zero
+  // lazily in every task; bits > 32 wraps `1 << j` (shift mod 32) so
+  // two unrelated hyperplanes set the SAME signature bit — aliased
+  // buckets, silently degraded recall; a non-multiple plane count
+  // silently NEVER USES the last planes.length % bits hyperplanes
+  require(bits >= 1 && bits <= 32 && planes.length % bits == 0,
+    s"lsh_sigs: bits must be in [1, 32] and divide the plane count — " +
+      s"got bits=$bits over ${planes.length} planes")
 
   /** A vector whose length differs from the plane dimension, or one
     * carrying NULL elements, yields NULL — the [[FloatDot]] rule.

@@ -92,8 +92,11 @@ case class MinHashAgg(
 object MinHash {
   val NumHashes = 128
 
-  /** splitmix64 — deterministic per-permutation coefficients */
-  private def splitmix(seed0: Long): Iterator[Long] = new Iterator[Long] {
+  /** splitmix64 — deterministic per-permutation coefficients. Shared
+    * (private[graft]) so the one other deterministic-stream consumer
+    * (AnnLsh's hyperplanes) uses the SAME generator instead of a
+    * hand-copied clone that a future tweak could silently diverge. */
+  private[graft] def splitmix(seed0: Long): Iterator[Long] = new Iterator[Long] {
     private var s = seed0
     override def hasNext = true
     override def next(): Long = {

@@ -30,15 +30,12 @@ object AnnLsh {
   val tables = 16
   val bits = 4
   val hyperplanes: Array[Array[Double]] = {
-    var s = 777L
-    def next(): Long = {
-      s += 0x9e3779b97f4a7c15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.fill(tables * bits)(Array.fill(64)(((next() % 2001L) / 1000.0)))
+    // the ONE shared splitmix64 (graft.functions.MinHash.splitmix) —
+    // a hand-copied clone here could silently diverge from a future
+    // tweak to the canonical generator
+    val next = graft.functions.MinHash.splitmix(777L)
+    Array.fill(tables * bits)(
+      Array.fill(64)((next.next() % 2001L) / 1000.0))
   }
 
   /** (vec_id, tbl, sig) — one row per vector per table */
