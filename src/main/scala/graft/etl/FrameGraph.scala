@@ -79,8 +79,18 @@ object FrameGraph {
     */
   def snapshot(transfos: DataFrame, transfotrees: DataFrame,
       treeName: String, nameCol: String): DataFrame = {
-    val members = transfotrees
-      .filter(col("tree_name") === treeName)
+    val matching = transfotrees.filter(col("tree_name") === treeName)
+    // tree_name is the file BASENAME: two same-named files imported
+    // from different directories both match, and the (file, name)
+    // semi-join below would then admit BOTH files' edges — precisely
+    // the blended generations this function exists to prevent. A
+    // metadata-sized count makes the ambiguity loud instead.
+    val n = matching.count()
+    require(n <= 1,
+      s"FrameGraph.snapshot: tree name '$treeName' matches $n imported " +
+        "trees (same-named files from different directories) — " +
+        "disambiguate by filtering transfotrees to one file first")
+    val members = matching
       .select(col("file").as("_fg_file"),
         explode(col("transfos")).as("_fg_member"))
     transfos.join(members,

@@ -94,7 +94,12 @@ object MicMacEtl {
       .filter(assert_true(col("dist_model").isNotNull,
         concat(lit("unknown CalibDistortion model in "), col("file"))).isNull)
       .filter(assert_true(
-        col("dist_params").isNotNull && size(col("dist_params")) >= 3,
+        col("dist_params").isNotNull && size(col("dist_params")) >= 3
+          // array() EMBEDS null elements without nulling the concat, so
+          // a ModPhgrStd missing P1/P2/b1/b2 passes the isNotNull check
+          // with [.., null, null] — and the exploder's toDoubleArray
+          // would then fabricate 0.0 coefficients silently
+          && forall(col("dist_params"), x => x.isNotNull),
         concat(lit("incomplete CalibDistortion parameters in "),
           col("file"))).isNull)
     val sensors = checked.select(col("file"),
@@ -131,9 +136,21 @@ object MicMacEtl {
   def importBlinis(spark: SparkSession, glob: String,
       validityStart: Option[String] = None,
       validityEnd: Option[String] = None): Map[String, DataFrame] = {
+    def complete3(c: Column): Column =
+      c.isNotNull && size(c) === 3 && forall(c, x => x.isNotNull)
     val parsed = spark.read.option("wholetext", "true").text(glob)
       .withColumn("file", input_file_name())
       .withColumn("x", from_xml(col("value"), blinisSchema))
+      // A8 for the rig file shape, BEFORE the explode: a malformed XML
+      // (PERMISSIVE parse -> null struct) or one missing <LiaisonsSHC>/
+      // <ParamOrientSHC> yields a null array, and explode would emit
+      // ZERO rows — the file silently vanishing from the import, where
+      // autocal/orimatis fail loudly
+      .filter(assert_true(
+        col("x.LiaisonsSHC.ParamOrientSHC").isNotNull
+          && size(col("x.LiaisonsSHC.ParamOrientSHC")) >= 1,
+        concat(lit("missing LiaisonsSHC/ParamOrientSHC in "), col("file")))
+        .isNull)
       .select(col("file"), col("x.KeyIm2TimeCam").as("rig"),
         explode(col("x.LiaisonsSHC.ParamOrientSHC")).as("p"))
       .select(col("file"), col("rig"),
@@ -142,6 +159,16 @@ object MicMacEtl {
         vec(col("p.Rot.CodageMatr.L1")).as("r1"),
         vec(col("p.Rot.CodageMatr.L2")).as("r2"),
         vec(col("p.Rot.CodageMatr.L3")).as("r3"))
+      // A8 per camera: a missing <Vecteur> would make mat4x3 NULL and a
+      // short/non-numeric CodageMatr row an 11-element or null-holed
+      // array — both of which FrameGraph.compose's element_at reads as
+      // silent NULLs in every composed pose instead of an import error
+      .filter(assert_true(
+        col("rig").isNotNull && col("cam").isNotNull
+          && complete3(col("t")) && complete3(col("r1"))
+          && complete3(col("r2")) && complete3(col("r3")),
+        concat(lit("incomplete ParamOrientSHC (IdGrp/Vecteur/CodageMatr) "
+          + "in "), col("file"))).isNull)
     val mat43 = concat(
       col("r1"), slice(col("t"), 1, 1),
       col("r2"), slice(col("t"), 2, 1),
@@ -241,31 +268,57 @@ object MicMacEtl {
         coalesce(col("con.image_size.height"), col("sph.image_size.height")))
       .withColumn("ppa_c", coalesce(col("con.ppa.c"), col("sph.ppa.c")))
       .withColumn("ppa_l", coalesce(col("con.ppa.l"), col("sph.ppa.l")))
-    // A8: exactly one intrinsics flavor, at least one pose encoding
+    // COMPLETE pose encodings only: a present-but-partial <quaternion>
+    // (w missing, or an empty element) parses to a NON-NULL struct with
+    // null fields — struct-level isNotNull would select it, null out
+    // every w-dependent matrix entry silently, and even shadow a valid
+    // <mat3d> in the same file
+    def q(n: String) = col("quat").getField(n)
+    val quatComplete = col("quat").isNotNull &&
+      q("x").isNotNull && q("y").isNotNull &&
+      q("z").isNotNull && q("w").isNotNull
+    def mrow(row: Int) = vec(col("mat").getField(s"l$row"))
+    val matComplete = col("mat").isNotNull && Seq(1, 2, 3).map(r =>
+      size(mrow(r)) === 3 && forall(mrow(r), x => x.isNotNull))
+      .reduce(_ && _)
+    // A8: exactly one intrinsics flavor, at least one COMPLETE pose
+    // encoding, and a complete sommet (the translation column of the
+    // pose — a null easting would hole the mat4x3 the same way)
     val checked = parsed
       .filter(assert_true(col("flavor").isNotNull,
         concat(lit("unknown intrinseque flavor in "), col("file"))).isNull)
-      .filter(assert_true(col("quat").isNotNull || col("mat").isNotNull,
-        concat(lit("missing rotation (quaternion|mat3d) in "), col("file")))
+      .filter(assert_true(quatComplete || matComplete,
+        concat(lit("missing or incomplete rotation (quaternion|mat3d) " +
+          "in "), col("file"))).isNull)
+      .filter(assert_true(col("px").isNotNull && col("py").isNotNull
+          && col("pz").isNotNull,
+        concat(lit("missing or incomplete sommet in "), col("file")))
         .isNull)
     // quaternion -> rotation matrix, row-major (orimatis.py A3 analog),
     // pure column arithmetic — codegen'd, no UDF; matrix poses pass
-    // straight through (quaternion wins when both are present)
-    def q(n: String) = col("quat").getField(n)
+    // straight through (a complete quaternion wins when both are
+    // present). The 2*(..) terms divide by |q|^2: the closed form
+    // assumes a UNIT quaternion, and text-precision components rounded
+    // to N decimals carry |q|^2 = 1 +- eps — without the division the
+    // emitted matrix is scaled by ~|q|^2 (not a rotation) and the error
+    // compounds multiplicatively through every composed pose. For an
+    // exactly-unit quaternion the division is by 1.0 — bit-identical.
+    val n2 = q("x") * q("x") + q("y") * q("y") +
+      q("z") * q("z") + q("w") * q("w")
+    val two = lit(2) / n2
     val rq = Seq(
-      lit(1) - lit(2) * (q("y") * q("y") + q("z") * q("z")),
-      lit(2) * (q("x") * q("y") - q("z") * q("w")),
-      lit(2) * (q("x") * q("z") + q("y") * q("w")),
-      lit(2) * (q("x") * q("y") + q("z") * q("w")),
-      lit(1) - lit(2) * (q("x") * q("x") + q("z") * q("z")),
-      lit(2) * (q("y") * q("z") - q("x") * q("w")),
-      lit(2) * (q("x") * q("z") - q("y") * q("w")),
-      lit(2) * (q("y") * q("z") + q("x") * q("w")),
-      lit(1) - lit(2) * (q("x") * q("x") + q("y") * q("y")))
-    def m(row: Int, i: Int) =
-      element_at(vec(col("mat").getField(s"l$row")), i + 1)
+      lit(1) - two * (q("y") * q("y") + q("z") * q("z")),
+      two * (q("x") * q("y") - q("z") * q("w")),
+      two * (q("x") * q("z") + q("y") * q("w")),
+      two * (q("x") * q("y") + q("z") * q("w")),
+      lit(1) - two * (q("x") * q("x") + q("z") * q("z")),
+      two * (q("y") * q("z") - q("x") * q("w")),
+      two * (q("x") * q("z") - q("y") * q("w")),
+      two * (q("y") * q("z") + q("x") * q("w")),
+      lit(1) - two * (q("x") * q("x") + q("y") * q("y")))
+    def m(row: Int, i: Int) = element_at(mrow(row), i + 1)
     val rStored = (0 until 9).map(k =>
-      when(col("quat").isNotNull, rq(k)).otherwise(m(k / 3 + 1, k % 3)))
+      when(quatComplete, rq(k)).otherwise(m(k / 3 + 1, k % 3)))
     // <Image2Ground>: true or ABSENT means the stored rotation already
     // maps image->ground (the pose orientation mat4x3 carries); FALSE
     // means it is stored ground->image and must be TRANSPOSED — the

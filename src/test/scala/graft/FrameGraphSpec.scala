@@ -202,4 +202,19 @@ class FrameGraphSpec extends AnyFunSuite {
     assert(snap.count() == 2)
     assert(snap.select("file").distinct().count() == 1)
   }
+
+  test("snapshot on an ambiguous tree name fails loudly, never blends") {
+    // tree_name is the file BASENAME: the same rig file imported from
+    // two directories mints two trees both named blinis_sample.xml —
+    // matching both would blend two import generations silently
+    val a = graft.etl.MicMacEtl.importBlinis(spark, s"$res/blinis_sample.xml")
+    val other = a("transfotrees")
+      .withColumn("file", concat(lit("/elsewhere/"), col("tree_name")))
+    val trees2 = a("transfotrees").unionByName(other)
+    val e = intercept[IllegalArgumentException] {
+      graft.etl.FrameGraph
+        .snapshot(a("transfos"), trees2, "blinis_sample.xml", "cam")
+    }
+    assert(e.getMessage.contains("matches 2"), s"got: $e")
+  }
 }

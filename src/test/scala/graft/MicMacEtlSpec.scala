@@ -135,6 +135,55 @@ class MicMacEtlSpec extends AnyFunSuite {
     assert(out("referentials").count() == 3)
   }
 
+  test("blinis: a rig file without LiaisonsSHC fails loudly, never vanishes") {
+    // PERMISSIVE from_xml yields a null array; a bare explode would
+    // emit ZERO rows and the file would silently vanish from the
+    // import — the A8 contract demands a loud error naming the file
+    val e = intercept[Exception] {
+      graft.etl.MicMacEtl
+        .importBlinis(spark, s"$res/blinis_missing_liaisons.xml")("transfos")
+        .collect()
+    }
+    assert(e.getMessage.contains("missing LiaisonsSHC"), s"got: $e")
+  }
+
+  test("orimatis: a partial quaternion falls back to a complete mat3d") {
+    // <quaternion> missing <w> parses to a NON-null struct with null
+    // fields: struct-level isNotNull would select it, null every
+    // w-dependent matrix entry, and shadow the valid <mat3d> in the
+    // same file — completeness must be tested per FIELD
+    val out = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_partial_quat.xml")
+    val m = out("transfos").collect()
+      .map(r => r.getString(2) -> r.getSeq[Double](4)).toMap
+      .apply("affine_mat4x3")
+    val exp = Seq(
+      0.0, -1.0, 0.0, 651200.25,
+      1.0, 0.0, 0.0, 6861500.5,
+      0.0, 0.0, 1.0, 120.75)
+    m.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12,
+        s"mat3d fallback must win over the partial quaternion: $m") }
+  }
+
+  test("orimatis: non-unit quaternions are normalized before conversion") {
+    // q = (0,0,2,2): |q|^2 = 8, but the ROTATION is the same 90° about
+    // z as the unit sample — without the |q|^2 division the matrix
+    // would come out scaled by 8 (not a rotation) and compound through
+    // every composed pose
+    val out = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_nonunit_quat.xml")
+    val m = out("transfos").collect()
+      .map(r => r.getString(2) -> r.getSeq[Double](4)).toMap
+      .apply("affine_mat4x3")
+    val exp = Seq(
+      0.0, -1.0, 0.0, 651200.25,
+      1.0, 0.0, 0.0, 6861500.5,
+      0.0, 0.0, 1.0, 120.75)
+    m.zip(exp).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"not normalized: $m") }
+  }
+
   test("transfo validity windows: bounds set when given, open when not") {
     val bounded = graft.etl.MicMacEtl.importAutocal(
         spark, s"$res/autocal_sample.xml",
