@@ -38,9 +38,22 @@ object ConnectedComponents {
     * Uses the first two columns of `edges` whatever their names; node
     * ids must be non-null (pair finders join on concrete doc ids).
     */
+  /** Both endpoints cast to LONG, loudly: with ANSI off, cast("long")
+    * turns a non-numeric or NULL id into NULL — label() would then
+    * collapse the graph onto a (null, null) row, and least/greatest in
+    * labelStar SKIP nulls, silently rewriting a half-null edge into a
+    * self-loop (the real edge dropped, the node reported as its own
+    * component, no error anywhere). */
+  private def longEdges(edges: DataFrame): DataFrame =
+    edges.select(col(edges.columns(0)).cast("long").as("u"),
+        col(edges.columns(1)).cast("long").as("v"))
+      .filter(assert_true(col("u").isNotNull && col("v").isNotNull,
+        lit("connected components: edge endpoint is NULL or not " +
+          "castable to LONG — pair finders must emit concrete numeric " +
+          "doc ids")).isNull)
+
   def label(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(edges.columns(0)).cast("long").as("u"),
-      col(edges.columns(1)).cast("long").as("v"))
+    val e = longEdges(edges)
     // Symmetric closure once, checkpointed: every sweep re-reads it.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
@@ -104,15 +117,20 @@ object ConnectedComponents {
     * Edges stay in canonical (lo, hi) orientation so the set
     * fixpoint — every component a star — is well-defined.
     */
-  def labelStar(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+  def labelStar(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    // maxIter default sized for the operator's OWN pitch: this is the
+    // chain-shaped-graph answer, and a path component of n nodes needs
+    // ~log2(n) alternation rounds — 15 would abort loudly on the ~10^6
+    // -node chains the scaladoc advertises; 64 covers any conceivable
+    // node count while still bounding an adversarial non-convergence.
+    //
     // Canonicalize + distinct FIRST and checkpoint that: the edge
     // pipeline feeding this operator is typically the expensive part
     // (e.g. a shingle/LSH near-dup join), and deriving the node set
     // from the CHECKPOINTED edge set — the two have identical node
     // sets, since canonicalization drops no endpoint — runs that
     // upstream exactly once instead of once per localCheckpoint.
-    val e0 = edges.select(col(edges.columns(0)).cast("long").as("u"),
-      col(edges.columns(1)).cast("long").as("v"))
+    val e0 = longEdges(edges)
     // One-job set signature: rows are DISTINCT canonical pairs, so
     // (count, xor of h, xor of rehash(h)) is an order-independent set
     // witness — xor never overflows (sum would trip ANSI arithmetic)

@@ -41,9 +41,18 @@ object DataChecks {
     def label = s"in_range($colName)"
   }
 
-  /** Violated by non-null values not in `values`. */
+  /** Violated by non-null values not in `values`. A NULL in `values`
+    * is rejected at declaration: under three-valued logic `x IN
+    * (..., NULL)` is NULL for every non-member, `!NULL` is NULL, and
+    * the violation counter would silently report 0 for EVERY bad row
+    * — SQL's NULL never equals anything, so it cannot be a set
+    * member either. */
   final case class InSet(colName: String, values: Seq[String])
       extends Check {
+    require(!values.contains(null),
+      s"in_set($colName): NULL is not a legal set member — it would " +
+        "null the IN predicate and count every violation as passing; " +
+        "use a separate NotNull/nullable policy instead")
     def label = s"in_set($colName)"
   }
 
@@ -65,6 +74,14 @@ object DataChecks {
     * n_bad BIGINT), one row per check, unordered — callers sort. */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "audit needs at least one check")
+    // the report is unordered and keyed by label: two checks sharing a
+    // label (e.g. two InRange on one column) would return two
+    // indistinguishable rows the caller cannot join back to intent
+    val dup = checks.groupBy(_.label).collect { case (l, cs) if cs.size > 1 => l }
+    require(dup.isEmpty,
+      s"audit: duplicate check labels ${dup.mkString(", ")} — the " +
+        "unordered report cannot distinguish them; merge or split the " +
+        "declarations")
 
     val rowLocal: Seq[(String, org.apache.spark.sql.Column)] =
       checks.collect {

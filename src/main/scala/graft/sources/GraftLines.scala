@@ -2313,15 +2313,32 @@ private[sources] class GlMicroBatchStream(path: String,
     // a silent row skip.
     val before: Set[String] =
       if (s == 0) Set.empty else GraftLines.readGen(path, s, conf).toSet
-    val fresh = GraftLines.readGen(path, e, conf).filterNot(before)
+    val fresh0 = GraftLines.readGen(path, e, conf).filterNot(before)
+    // stats-manifest pruning, same as the batch scan: a pushed filter
+    // whose min/max/Bloom provably matches nothing in a fresh file
+    // skips that file — without this, every micro-batch re-reads files
+    // the batch path would never open (the reader stays exact either
+    // way; this is pure IO)
+    val fresh = if (pushed.isEmpty) fresh0 else {
+      val stats = GraftLines.readStats(path, conf, required)
+      fresh0.filter(base => stats.get(base)
+        .forall(st => pushed.forall(GlFilters.mayMatch(_, st))))
+    }
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val spark = SparkSession.active
     val splitSize =
       math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    // ONE directory listing serves every fresh file's length — the
+    // per-file getFileStatus loop cost N namenode RPCs per micro-batch
+    val lens: Map[String, Long] =
+      GraftLines.listDataFileStatuses(path, conf)
+        .map { case (f, l) => new Path(f).getName -> l }.toMap
     fresh.flatMap { base =>
       val p = new Path(dir, base)
-      val len = fs.getFileStatus(p).getLen
+      // a gen-listed file missing from the listing is loss — keep the
+      // loud getFileStatus error path rather than silently skipping
+      val len = lens.getOrElse(base, fs.getFileStatus(p).getLen)
       if (len <= splitSize) Seq(GlInputPartition(p.toString, 0L,
         Long.MaxValue))
       else (0L until len by splitSize).map(o =>

@@ -125,4 +125,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // n_removed is always size - 1
     assert(rows.forall(r => r.getLong(2) == r.getLong(1) - 1L))
   }
+
+  test("NULL or non-castable edge endpoints fail loudly, never self-loop") {
+    import spark.implicits._
+    // least/greatest SKIP nulls, so a half-null edge would silently
+    // become a self-loop (the real edge dropped, wrong clusters, no
+    // error) -- the cast guard must fire instead
+    val bad = Seq(("7", "docX"), ("1", "2")).toDF("a", "b")
+    val e = intercept[Exception] {
+      graft.operators.ConnectedComponents.labelStar(bad).collect()
+    }
+    // under ANSI the cast itself is the loud error; under non-ANSI the
+    // cast yields NULL and the endpoint guard fires — loud either way
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("edge endpoint") || msg.contains("CAST_INVALID"),
+      s"got: $e")
+    val e2 = intercept[Exception] {
+      graft.operators.ConnectedComponents.label(
+        Seq((Some(1L), None: Option[Long])).toDF("a", "b")).collect()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("edge endpoint"), s"got: $e2")
+  }
 }
