@@ -428,11 +428,26 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "ss_outer_sink"
         s.catalog.dropTempView(name)
+        // seal anchor = MIN of the PER-SIDE maxes (the r6 lesson the
+        // full join below documents, back-ported r12): Spark's global
+        // watermark is min(click wm, purchase wm) and each side's wm
+        // rides ITS OWN max event time — anchoring at the overall max
+        // leaves clicks in (min(side maxes), overall max] - 40min
+        // inside the contract but never sealed whenever one side's
+        // last event trails the other's by > the 5-min margin (e.g.
+        // purchases stopping early). Invisible on the interleaved
+        // fixture; wrong at other distributions.
+        //
+        // Built BEFORE the conf pin: Tables.events does eager
+        // getFileStatus + footer I/O, and a throw between set() and
+        // try would leak shuffle.partitions=4 session-wide.
+        val cutoff = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(max(unix_micros(col("ts"))).as("mx"))
+          .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
         val prevParts = s.conf.get("spark.sql.shuffle.partitions")
         s.conf.set("spark.sql.shuffle.partitions", "4")
-        val cutoff = Tables.events(s, d)
-          .agg((unix_micros(max(col("ts"))) - lit(2400000000L))
-            .as("cut_us"))
         try {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
@@ -463,8 +478,11 @@ object Stream extends QueryGroup {
       Some("""SELECT c.user_id, COUNT(*)::BIGINT AS n_rows,
         | COUNT(p.user_id)::BIGINT AS n_matched
         |FROM (SELECT * FROM events WHERE event_type = 'click'
-        |        AND epoch_us(ts) <= (SELECT MAX(epoch_us(ts)) FROM events)
-        |                              - 2400000000) c
+        |        AND epoch_us(ts) <=
+        |          (SELECT MIN(mx) FROM
+        |             (SELECT MAX(epoch_us(ts)) AS mx FROM events
+        |              WHERE event_type IN ('click', 'purchase')
+        |              GROUP BY event_type)) - 2400000000) c
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts > c.ts
         |     AND p.ts <= c.ts + INTERVAL 5 MINUTE
@@ -500,13 +518,16 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "ss_full_sink"
         s.catalog.dropTempView(name)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        // cutoff BEFORE the conf pin — Tables.events does eager
+        // getFileStatus + footer I/O, and a throw between set() and
+        // try would leak shuffle.partitions=4 session-wide
         val cutoff = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
