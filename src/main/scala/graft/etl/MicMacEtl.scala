@@ -274,9 +274,17 @@ object MicMacEtl {
     // every w-dependent matrix entry silently, and even shadow a valid
     // <mat3d> in the same file
     def q(n: String) = col("quat").getField(n)
+    // an all-zero <quaternion> (a plausible degenerate-export
+    // placeholder) has |q|^2 = 0, and the unit-normalizing division
+    // below would turn EVERY rotation entry into Inf/NaN silently —
+    // treat it as an incomplete rotation so it fails the A8 gate
+    // loudly with the file name (a valid <mat3d> in the same file
+    // still wins, as for any other incomplete quaternion)
     val quatComplete = col("quat").isNotNull &&
       q("x").isNotNull && q("y").isNotNull &&
-      q("z").isNotNull && q("w").isNotNull
+      q("z").isNotNull && q("w").isNotNull &&
+      (q("x") * q("x") + q("y") * q("y") +
+        q("z") * q("z") + q("w") * q("w")) > lit(0)
     def mrow(row: Int) = vec(col("mat").getField(s"l$row"))
     val matComplete = col("mat").isNotNull && Seq(1, 2, 3).map(r =>
       size(mrow(r)) === 3 && forall(mrow(r), x => x.isNotNull))

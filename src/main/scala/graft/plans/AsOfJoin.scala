@@ -273,7 +273,7 @@ case class BroadcastAsOfJoinExec(
 
     // distinguishes two as-of joins over the SAME broadcast relation
     // with different key/time columns in the executor-side index cache
-    val indexKey = rightUser.canonicalized.toString + " " +
+    val indexKey = rightUser.canonicalized.toString + "\u0000" +
       rightTime.canonicalized.toString
 
     left.execute().mapPartitions { lIter =>

@@ -92,6 +92,84 @@ private[sources] object GlCommitCoordinator {
   val UrlKey = "graft.lines.commit.jdbc.url"
   val DriverKey = "graft.lines.commit.jdbc.driver"
 
+  /** Table-scoped arbitration pin. Mode selection alone is CONF-scoped,
+    * and "mixing arbitrated and fs-mode committers on one table is
+    * undefined" as documentation only protects deployments with zero
+    * misconfigured writers: a single session/job/cluster missing the
+    * conf silently commits through the filesystem CAS against an
+    * object-store table and reopens exactly the lost-commit window the
+    * arbiter exists to close (the Delta `delta.logStore`-mismatch
+    * hazard class). So the FIRST arbitrated commit brands the table
+    * with this marker (beside `_graft_schema`/`_graft_version`), and
+    * every later generation publish re-checks it: an fs-mode committer
+    * on a branded table fails LOUDLY before staging anything. Demoting
+    * a table back to fs mode is a deliberate manual act (delete the
+    * marker), never a default. */
+  val ArbiterMarker = "_graft_arbiter"
+
+  /** The mode the table itself is pinned to, if any: the marker's
+    * first line ("jdbc" today). An EMPTY marker (a brander that died
+    * between create and write) still reads as pinned-jdbc — the
+    * conservative side, since only arbitrated commits ever create it. */
+  private def pinnedMode(fs: FileSystem, m: Path): Option[String] = {
+    if (!(try fs.exists(m) catch { case _: Exception => return None }))
+      return None
+    val in = fs.open(m)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      Option(br.readLine()).map(_.trim).filter(_.nonEmpty).orElse(Some("jdbc"))
+    } finally in.close()
+  }
+
+  /** Brand the table as arbitrated. Racing branders write identical
+    * constant bytes, so a failed no-overwrite create with the marker
+    * present is success; a failed create with NO marker fails the
+    * commit — publishing unbranded would leave every future fs-mode
+    * committer unwarned, which is the hazard the marker closes. */
+  private def brand(fs: FileSystem, m: Path): Unit = {
+    try {
+      val out = fs.create(m, false)
+      try out.write("jdbc\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        val present = try fs.exists(m) catch { case _: Exception => false }
+        if (!present) throw new java.io.IOException(
+          s"graftlines: could not write the arbitration marker $m — " +
+            "failing the commit rather than leave the table unpinned " +
+            "(a later fs-mode committer would silently race the arbiter)", e)
+    }
+  }
+
+  /** Called by every generation publish, BEFORE any staging I/O.
+    * `arbitrated` = this committer resolved a coordinator from its
+    * conf. Cross-checks committer mode against the table's pin. */
+  def enforceTableMode(fs: FileSystem, dir: String,
+      arbitrated: Boolean): Unit = {
+    val m = new Path(dir, ArbiterMarker)
+    pinnedMode(fs, m) match {
+      case None =>
+        if (arbitrated) brand(fs, m)
+      case Some("jdbc") =>
+        if (!arbitrated) throw new IllegalStateException(
+          s"graftlines: table $dir is pinned to the 'jdbc' commit " +
+            s"coordinator by $m, but this committer is running the " +
+            s"default filesystem CAS ($ModeKey unset or fs) — " +
+            "committing would reopen the lost-commit window the " +
+            s"arbiter closes on object stores; set $ModeKey=jdbc " +
+            s"(+ $UrlKey) on this writer, or to deliberately demote " +
+            s"the table delete $m first")
+      case Some(other) =>
+        // a pin this build does not know (newer format, corruption):
+        // NEITHER mode may assume it holds the CAS
+        throw new IllegalStateException(
+          s"graftlines: table $dir pins unknown commit-coordinator " +
+            s"mode '$other' in $m — refusing to commit (upgrade this " +
+            "writer, or repair the marker)")
+    }
+  }
+
   /** The arbitrated publisher for `conf`, or None for the default
     * filesystem-CAS path. An unknown mode fails loudly — silently
     * falling back to `fs` on a typo would hand an object-store table

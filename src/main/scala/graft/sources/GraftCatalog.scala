@@ -161,18 +161,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
       try { w.write(GraftLines.header(schema)); w.write('\n') }
       finally w.close()
-      if (!GraftLines.replaceByMove(fs, tmp, sf)) {
-        // non-POSIX fallback: rename-onto-existing fails on HDFS, so
-        // delete + rename with its (documented) brief absent window
-        try {
-          fs.delete(sf, false)
-          require(fs.rename(tmp, sf),
-            s"graftlines catalog: failed publishing schema $sf")
-        } catch { case t: Throwable =>
-          try fs.delete(tmp, false) catch { case _: Exception => () }
-          throw t
-        }
-      }
+      if (!GraftLines.replaceByMove(fs, tmp, sf))
+        GraftCatalog.replaceSchemaFallback(fs, tmp, sf)
     }
   }
 
@@ -318,7 +308,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new TableAlreadyExistsException(ident)
       case e: java.io.IOException
           if Option(e.getMessage).exists(_.toLowerCase
-            .contains("already exist")) =>
+            .contains("already exist"))
+            && (try fs.exists(schemaFile(dir))
+            catch { case _: Exception => false }) =>
+        // the message heuristic alone would misreport any store error
+        // whose text happens to say "already exists" (a lease or
+        // temp-file collision from a connector) as a benign concurrent-
+        // create race — only translate when the schema file actually
+        // landed, i.e. a racer genuinely won the exclusive create
         throw new TableAlreadyExistsException(ident)
     }
     // TBLPROPERTIES ('versioned'='true') opts the table into time
@@ -490,6 +487,42 @@ object GraftCatalog {
   /** One-line authoritative table schema, header-encoded. Like
     * `_graft_stats`, no `.gl` suffix — never listed as data. */
   val SchemaName = "_graft_schema"
+
+  /** Non-POSIX ALTER publish fallback: rename-onto-existing fails on
+    * HDFS, so delete + rename with its (documented) brief absent
+    * window. The failure protocol matters more than the happy path:
+    * once the delete succeeds, the staged tmp is the ONLY surviving
+    * schema copy — sweeping it on a failed rename would strand the
+    * table permanently (tableExists false, loadTable fails, manual
+    * header reconstruction the only recovery). So a failed rename is
+    * retried once; if the schema file is then still absent the tmp is
+    * KEPT and named in the error. The tmp is swept only when sf is
+    * confirmed present (the delete failed, or a racer republished). */
+  private[sources] def replaceSchemaFallback(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, sf: Path): Unit = {
+    try {
+      fs.delete(sf, false)
+      require(fs.rename(tmp, sf),
+        s"graftlines catalog: failed publishing schema $sf")
+    } catch { case t: Throwable =>
+      val retried =
+        try fs.rename(tmp, sf) catch { case _: Exception => false }
+      if (!retried) {
+        val present =
+          try fs.exists(sf) catch { case _: Exception => false }
+        if (present) {
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          throw t
+        }
+        throw new java.io.IOException(
+          s"graftlines catalog: failed publishing schema $sf and the " +
+            s"old copy is already deleted — the staged copy $tmp is " +
+            "the only surviving schema and was KEPT; restore the " +
+            s"table by renaming it onto $sf", t)
+      }
+      // the retry landed the same staged bytes: published after all
+    }
+  }
 
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.types._

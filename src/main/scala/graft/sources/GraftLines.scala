@@ -380,6 +380,13 @@ object GraftLines {
       s"graftlines: generation manifest $p already exists — concurrent " +
         "committers race on the generation number; serialize writers " +
         "through the catalog")
+    // resolve the committer's mode and cross-check the TABLE's pin
+    // before any staging I/O: an fs-mode committer on an arbitrated
+    // table must fail loudly here, not silently race the claims CAS
+    // through the filesystem (the first arbitrated commit brands the
+    // table; see GlCommitCoordinator.ArbiterMarker)
+    val arbiter = GlCommitCoordinator.forConf(conf)
+    GlCommitCoordinator.enforceTableMode(fs, dir, arbiter.isDefined)
     // writer-unique tmp name (the data-file staging discipline): a
     // shared tmp would let two racers truncate or steal each other's
     // in-flight manifest, corrupting the very CAS the exists checks add
@@ -397,7 +404,6 @@ object GraftLines {
         s"graftlines: generation manifest $p already exists — concurrent " +
           "committers race on the generation number; serialize writers " +
           "through the catalog")
-      val arbiter = GlCommitCoordinator.forConf(conf)
       if (arbiter.isDefined) {
         // externally-arbitrated CAS (object-store mode): the claims
         // table serializes generation n; rename semantics no longer
@@ -656,9 +662,20 @@ object GraftLines {
     // stats merge below. The rows are audit metadata by now (each
     // dropped generation's manifest was just verified on disk).
     if (drop.nonEmpty)
-      try GlCommitCoordinator.forConf(conf)
-        .foreach(_.pruneClaims(fs, dir, drop))
-      catch { case e: Exception =>
+      try {
+        val arb = GlCommitCoordinator.forConf(conf)
+        arb.foreach(_.pruneClaims(fs, dir, drop))
+        // expiry is read-side housekeeping, so an fs-mode run on an
+        // arbitrated table is not the commit hazard the marker blocks —
+        // but its claim rows were NOT pruned and would leak silently
+        if (arb.isEmpty && fs.exists(
+            new Path(dir, GlCommitCoordinator.ArbiterMarker)))
+          System.err.println(s"[graftlines] expireVersions: $dir is " +
+            "pinned to an arbitrated commit coordinator but this " +
+            "expiry ran in fs mode — the dropped generations' claim " +
+            "rows were NOT pruned and will leak until an arbitrated " +
+            "expiry runs")
+      } catch { case e: Exception =>
         // swallowed, but never silently: a typo'd URL or revoked
         // DELETE grant would otherwise leak one claim row per
         // generation forever with nothing anywhere to reveal it

@@ -184,6 +184,21 @@ class MicMacEtlSpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-12, s"not normalized: $m") }
   }
 
+  test("orimatis: an all-zero quaternion fails loudly, never Inf/NaN") {
+    // |q|^2 = 0 makes the unit-normalizing division emit Inf/NaN in
+    // EVERY rotation entry with no error — the silent-corruption class
+    // the A8 gate exists to catch. A zero quaternion is an incomplete
+    // rotation: loud error naming the file (a valid mat3d in the same
+    // file would still win, like any other incomplete quaternion)
+    val e = intercept[Exception] {
+      graft.etl.MicMacEtl
+        .importOrimatis(spark, s"$res/orimatis_zero_quat.xml")("transfos")
+        .collect()
+    }
+    assert(e.getMessage.contains("missing or incomplete rotation")
+      && e.getMessage.contains("orimatis_zero_quat.xml"), s"got: $e")
+  }
+
   test("transfo validity windows: bounds set when given, open when not") {
     val bounded = graft.etl.MicMacEtl.importAutocal(
         spark, s"$res/autocal_sample.xml",

@@ -580,6 +580,190 @@ class GlObjectStoreSpec extends AnyFunSuite {
       .select("v").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("fs-mode committer on an arbitrated table fails loudly, commits nothing") {
+    withCoordinator {
+      val dir = s"glcopy:$root/pin_fs"
+      markVersioned(dir)
+      // the first arbitrated commit brands the table
+      GraftLines.writeGen(dir, 1, Seq("part-a.gl"), hconf)
+      val fs = new Path(dir).getFileSystem(hconf)
+      assert(fs.exists(new Path(dir, GlCommitCoordinator.ArbiterMarker)),
+        "the first arbitrated commit must write the table pin")
+      // a committer whose conf lost the setting (the absent-conf fs
+      // default — one misconfigured cluster/job/session) must fail
+      // LOUDLY before publishing, not silently race the claims CAS
+      val fsConf = new org.apache.hadoop.conf.Configuration(hconf)
+      fsConf.unset(GlCommitCoordinator.ModeKey)
+      fsConf.unset(GlCommitCoordinator.UrlKey)
+      val e = intercept[IllegalStateException] {
+        GraftLines.writeGen(dir, 2, Seq("part-rogue.gl"), fsConf)
+      }
+      assert(e.getMessage.contains("pinned") &&
+        e.getMessage.contains(GlCommitCoordinator.ModeKey),
+        s"the pin error must name the fix: $e")
+      assert(!fs.exists(new Path(dir, s"${GraftLines.GenPrefix}2")),
+        "the rogue committer must not publish anything")
+      val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      assert(!names.exists(_.endsWith(".tmp")),
+        s"the rogue committer must not leave staging debris: ${names.toSeq}")
+      // a correctly-configured committer proceeds normally
+      GraftLines.writeGen(dir, 2, Seq("part-a.gl", "part-b.gl"), hconf)
+      assert(manifestLines(dir, 2) == Seq("part-a.gl", "part-b.gl"))
+    }
+  }
+
+  test("mixed-mode soak: fs-mode writers all fail loudly, arbitrated writers lose nothing") {
+    withCoordinator {
+      val dir = s"glcopy:$root/pin_soak"
+      markVersioned(dir)
+      GraftLines.writeGen(dir, 1, Seq("part-seed.gl"), hconf)
+      val fsConf = new org.apache.hadoop.conf.Configuration(hconf)
+      fsConf.unset(GlCommitCoordinator.ModeKey)
+      fsConf.unset(GlCommitCoordinator.UrlKey)
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val rogueOutcomes =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val fs = new Path(dir).getFileSystem(hconf)
+      def nextGen: Int = {
+        val names = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+        names.filter(_.startsWith(GraftLines.GenPrefix))
+          .flatMap(_.stripPrefix(GraftLines.GenPrefix).toIntOption)
+          .maxOption.getOrElse(0) + 1
+      }
+      val arbitrated = (0 until 4).map { i =>
+        new Thread(() => {
+          try {
+            gate.await()
+            var done = false
+            var tries = 0
+            while (!done) {
+              tries += 1
+              require(tries <= 40, s"arbitrated writer $i starved")
+              try {
+                GraftLines.writeGen(dir, nextGen, Seq(s"part-w$i.gl"), hconf)
+                done = true
+              } catch {
+                case t: Throwable
+                    if Option(t.getMessage).getOrElse("")
+                      .contains("concurrent committers") => // retry
+              }
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      val rogues = (0 until 2).map { i =>
+        new Thread(() => {
+          try {
+            gate.await()
+            GraftLines.writeGen(dir, nextGen + 10 + i,
+              Seq(s"part-rogue$i.gl"), fsConf)
+            failures.add(new AssertionError(
+              s"rogue fs-mode writer $i committed against the pinned table"))
+          } catch { case t: Throwable => rogueOutcomes.add(t) }
+        })
+      }
+      (arbitrated ++ rogues).foreach(_.start()); gate.countDown()
+      (arbitrated ++ rogues).foreach(_.join())
+      assert(failures.isEmpty, s"soak failures: $failures")
+      assert(rogueOutcomes.size == 2 && rogueOutcomes.toArray.forall {
+        case t: Throwable => t.isInstanceOf[IllegalStateException] &&
+          t.getMessage.contains("pinned")
+      }, s"every fs-mode writer must fail with the pin error: $rogueOutcomes")
+      // all four arbitrated appends landed, gap-free, nothing lost
+      val gens = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith(GraftLines.GenPrefix))
+        .flatMap(_.stripPrefix(GraftLines.GenPrefix).toIntOption).sorted
+      assert(gens.toSeq == (1 to 5).toSeq,
+        s"generations must be 1..5 gap-free, got ${gens.toSeq}")
+      val all = (1 to 5).flatMap(manifestLines(dir, _))
+      (0 until 4).foreach(i => assert(all.contains(s"part-w$i.gl"),
+        s"arbitrated writer $i's commit must have landed: $all"))
+      assert(!all.exists(_.contains("rogue")),
+        s"no rogue content may reach any manifest: $all")
+    }
+  }
+
+  test("an unknown table pin refuses both modes; an empty pin reads as jdbc") {
+    val dir = s"glcopy:$root/pin_unknown"
+    markVersioned(dir)
+    val fs = new Path(dir).getFileSystem(hconf)
+    val m = new Path(dir, GlCommitCoordinator.ArbiterMarker)
+    val w = new java.io.OutputStreamWriter(
+      fs.create(m, true), java.nio.charset.StandardCharsets.UTF_8)
+    try w.write("paxos\n") finally w.close()
+    // fs mode: unknown pin refuses
+    val e1 = intercept[IllegalStateException] {
+      GraftLines.writeGen(dir, 1, Seq("part-a.gl"), hconf)
+    }
+    assert(e1.getMessage.contains("paxos"))
+    // jdbc mode: unknown pin refuses too (neither holds that CAS)
+    withCoordinator {
+      val e2 = intercept[IllegalStateException] {
+        GraftLines.writeGen(dir, 1, Seq("part-a.gl"), hconf)
+      }
+      assert(e2.getMessage.contains("paxos"))
+    }
+    // an EMPTY marker (brander died between create and write) still
+    // reads as pinned-jdbc: the conservative side for fs committers
+    fs.create(m, true).close()
+    val e3 = intercept[IllegalStateException] {
+      GraftLines.writeGen(dir, 1, Seq("part-a.gl"), hconf)
+    }
+    assert(e3.getMessage.contains("pinned"))
+    withCoordinator {
+      GraftLines.writeGen(dir, 1, Seq("part-a.gl"), hconf)
+      assert(manifestLines(dir, 1) == Seq("part-a.gl"))
+    }
+  }
+
+  test("an in-doubt claim above the newest manifest survives claim pruning and is recovered") {
+    withCoordinator {
+      // the pruneClaims contract (GlCommitCoordinator scaladoc): an
+      // unresolved in-doubt claim always sits ABOVE the newest
+      // manifest, so retention — which only drops generations whose
+      // manifests it verified on disk — can never delete the one row
+      // a future committer needs for recovery. Pin that argument.
+      val dir = s"glcopy:$root/prune_indoubt"
+      markVersioned(dir)
+      (1 to 4).foreach(g =>
+        GraftLines.writeGen(dir, g, Seq(s"part-$g.gl"), hconf))
+      // in-doubt commit at gen 5: claim row + durable tmp, no manifest
+      CopyRenameFileSystem.failManifestPublishes.set(true)
+      try intercept[GlCommitInDoubtException] {
+        GraftLines.writeGen(dir, 5, Seq("part-indoubt.gl"), hconf)
+      } finally CopyRenameFileSystem.failManifestPublishes.set(false)
+      // concurrent retention pass drops gens 1..2 and prunes their rows
+      val (dropped, _) = GraftLines.expireVersions(dir, keepLast = 2, hconf)
+      assert(dropped == Seq(1, 2))
+      val fs = new Path(dir).getFileSystem(hconf)
+      val c = DriverManager.getConnection(jdbcUrl)
+      val tmpName = try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT gen, tmp, complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(dir)}' ORDER BY gen")
+        val rows = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toList
+        assert(rows.map(_._1) == List(3, 4, 5),
+          s"the prune must keep gens 3..4 and the in-doubt claim 5: $rows")
+        assert(rows.last._3 == 0, "the in-doubt claim must stay unsealed")
+        rows.last._2
+      } finally c.close()
+      assert(fs.exists(new Path(dir, tmpName)),
+        "retention must not sweep the in-doubt claim's recovery bytes")
+      // the next committer of gen 5 completes the in-doubt commit
+      val e = intercept[IllegalArgumentException] {
+        GraftLines.writeGen(dir, 5, Seq("part-other.gl"), hconf)
+      }
+      assert(e.getMessage.contains("concurrent committers"))
+      assert(manifestLines(dir, 5) == Seq("part-indoubt.gl"),
+        "recovery must land the in-doubt commit's bytes after the prune")
+      GraftLines.writeGen(dir, 6, Seq("part-other.gl"), hconf)
+      assert(manifestLines(dir, 6) == Seq("part-other.gl"))
+    }
+  }
+
   test("jdbc mode without a URL, and unknown modes, fail loudly at commit time") {
     hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
     hconf.unset(GlCommitCoordinator.UrlKey)
