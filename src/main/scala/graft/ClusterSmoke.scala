@@ -26,10 +26,22 @@ import org.apache.spark.sql.SparkSession
   * (the env var is required: the standalone worker's executor-command
   * builder infers the Scala version from a source-tree layout that a
   * binary SPARK_HOME does not have, and fails without it).
-  * Exits nonzero on any divergence. Caveats (documented in
-  * BASELINE.md): local-cluster still shares one machine and one disk —
-  * it proves serialization and wire-level correctness, not
-  * executor-loss recovery or cluster-scale scheduling.
+  * Exits nonzero on any divergence.
+  *
+  * Phase 3 (r12 VERDICT #3) is the EXECUTOR-LOSS smoke: SIGKILL one
+  * executor JVM (CoarseGrainedExecutorBackend) mid-query — once during
+  * the post-shuffle stage of a shuffle-heavy aggregation (so the dead
+  * executor's map outputs are LOST and the FetchFailed / stage-retry
+  * path must recompute them) and once mid-write through the graftlines
+  * DSv2 sink — and require the job to complete via retry with results
+  * identical to the undisturbed run, and the write to commit exactly
+  * one copy of every row. The standalone worker relaunches a
+  * replacement executor, so the phase also witnesses re-registration.
+  *
+  * Caveats (documented in BASELINE.md): local-cluster still shares one
+  * machine and one disk — it proves serialization, wire-level
+  * correctness, and single-executor-loss recovery, not cluster-scale
+  * scheduling or correlated multi-node failure.
   */
 object ClusterSmoke {
 
@@ -105,6 +117,138 @@ object ClusterSmoke {
     } finally spark.stop()
   }
 
+  /** Full command line of `pid` via /proc — ProcessHandle's
+    * commandLine() is TRUNCATED at 4096 bytes on Linux, and the
+    * executor classpath alone overflows that, hiding the backend
+    * class name from any ProcessHandle-based match. */
+  private def cmdlineOf(pid: Long): String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/proc/$pid/cmdline")),
+      java.nio.charset.StandardCharsets.UTF_8).replace('\u0000', ' ')
+    catch { case _: Exception => "" }
+
+  /** SIGKILL one executor JVM of `appId`. local-cluster workers run in
+    * THIS JVM and spawn executor backends as its child processes, so
+    * only descendants are searched; the app-id filter keeps the kill
+    * inside this smoke even if another Spark shares the box. */
+  private def killOneExecutor(appId: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val victim = ProcessHandle.current().descendants().iterator().asScala
+      .find { p =>
+        val cmd = cmdlineOf(p.pid())
+        cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(appId)
+      }
+    victim.map { p => p.destroyForcibly(); p.pid() }
+  }
+
+  /** Arms a killer thread that waits for the `stage`-th distinct stage
+    * (0-based) to start a task, sleeps `delayMs` so the stage is truly
+    * mid-flight, then SIGKILLs one executor. Returns (listener to
+    * unregister, future pid). */
+  private def armKiller(spark: SparkSession, stage: Int, delayMs: Long)
+      : (org.apache.spark.scheduler.SparkListener,
+        java.util.concurrent.CompletableFuture[java.lang.Long]) = {
+    val appId = spark.sparkContext.applicationId
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pid = new java.util.concurrent.CompletableFuture[java.lang.Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(
+          ts: org.apache.spark.scheduler.SparkListenerTaskStart): Unit = {
+        seen.add(ts.stageId)
+        if (seen.size > stage && fired.compareAndSet(false, true)) {
+          new Thread(() => {
+            Thread.sleep(delayMs)
+            killOneExecutor(appId) match {
+              case Some(p) => pid.complete(p)
+              case None => pid.completeExceptionally(new IllegalStateException(
+                "no live executor found to kill — the job finished too " +
+                  "fast for the loss to land; widen the workload"))
+            }
+          }, "executor-killer").start()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    (listener, pid)
+  }
+
+  /** Phase 3: executor loss mid-query and mid-write (see scaladoc). */
+  private def executorLossPhase(sfDir: String): Int = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    val spark = session("local-cluster[2,2,1024]")
+    var bad = 0
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      // shuffle-heavy probe, slowed AFTER the first exchange so a kill
+      // there destroys already-produced map outputs: repartition(8)
+      // (stage 1) -> per-task sleep + group-agg (stage 2+). The sleep
+      // is data-independent, so the disturbed result must be IDENTICAL.
+      def heavy(): Seq[String] = {
+        val slowed = li.repartition(8).mapPartitions { it =>
+          Thread.sleep(1500); it
+        }(Encoders.row(org.apache.spark.sql.types.StructType(
+          li.schema.fields)))
+        slowed.groupBy(($"l_orderkey" % 100).as("k"))
+          .agg(F.sum($"l_quantity").as("q"),
+            F.count(F.lit(1)).as("n"),
+            F.approx_count_distinct($"l_partkey").as("d"))
+          .collect().map(_.toString).sorted.toSeq
+      }
+      println("[cluster-smoke] loss phase: undisturbed reference query")
+      val ref = heavy()
+      println("[cluster-smoke] loss phase: killing one executor mid-shuffle")
+      val (l1, pid1) = armKiller(spark, stage = 1, delayMs = 400)
+      val got = try heavy()
+        finally spark.sparkContext.removeSparkListener(l1)
+      val killed1 = pid1.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      require(ProcessHandle.of(killed1).map[Boolean](h => !h.isAlive)
+        .orElse(true), s"victim $killed1 must be dead")
+      if (got == ref && ref.nonEmpty)
+        println(s"[cluster-smoke] OK   loss_query (pid $killed1 killed; " +
+          s"${ref.size} rows identical after stage retry)")
+      else { bad += 1
+        println(s"[cluster-smoke] FAIL loss_query: ${ref.size} vs " +
+          s"${got.size} rows after executor loss") }
+      // exactly-once write under loss: versioned graftlines append
+      // whose tasks sleep, killed mid-write; retried attempts must
+      // land ONE copy of every row and one generation
+      val dir = GraftTmp.dir("smoke_gl_loss")
+      val hp = new org.apache.hadoop.fs.Path(dir)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true); fs.mkdirs(hp)
+      fs.create(new org.apache.hadoop.fs.Path(hp,
+        graft.sources.GraftLines.VersionMarker), true).close()
+      println("[cluster-smoke] loss phase: killing one executor mid-write")
+      val (l2, pid2) = armKiller(spark, stage = 0, delayMs = 400)
+      try {
+        (0L until 10000L).toDF("v").repartition(8)
+          .mapPartitions { it => Thread.sleep(1500); it }(
+            Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("v",
+                org.apache.spark.sql.types.LongType)))))
+          .write.format("graftlines").mode("append").save(dir)
+      } finally spark.sparkContext.removeSparkListener(l2)
+      val killed2 = pid2.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      val back = spark.read.format("graftlines").load(dir)
+        .as[Long].collect().sorted.toSeq
+      val gens = fs.listStatus(hp).map(_.getPath.getName)
+        .filter(_.startsWith(graft.sources.GraftLines.GenPrefix))
+        .flatMap(_.stripPrefix(graft.sources.GraftLines.GenPrefix)
+          .toIntOption).sorted.toSeq
+      if (back == (0L until 10000L) && gens == Seq(1))
+        println(s"[cluster-smoke] OK   loss_write (pid $killed2 killed; " +
+          "10000 rows exactly once, one generation)")
+      else { bad += 1
+        println(s"[cluster-smoke] FAIL loss_write: ${back.size} rows " +
+          s"(${back.distinct.size} distinct), generations $gens") }
+      bad
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     println(s"[cluster-smoke] reference run on local[4] ($sfDir)")
@@ -128,5 +272,15 @@ object ClusterSmoke {
       sys.exit(1)
     }
     println(s"[cluster-smoke] all ${ref.size} checks identical across JVMs")
+    val lossSf = sys.env.getOrElse("SPARK_GRAFT_LOSS_SF",
+      "/root/testdata/sf0.01")
+    println(s"[cluster-smoke] executor-loss phase ($lossSf)")
+    val lossBad = executorLossPhase(lossSf)
+    if (lossBad > 0) {
+      println(s"[cluster-smoke] $lossBad executor-loss FAILURES")
+      sys.exit(1)
+    }
+    println("[cluster-smoke] executor-loss recovery verified " +
+      "(query identical after stage retry; write exactly-once)")
   }
 }
