@@ -274,17 +274,21 @@ object MicMacEtl {
     // every w-dependent matrix entry silently, and even shadow a valid
     // <mat3d> in the same file
     def q(n: String) = col("quat").getField(n)
-    // an all-zero <quaternion> (a plausible degenerate-export
-    // placeholder) has |q|^2 = 0, and the unit-normalizing division
-    // below would turn EVERY rotation entry into Inf/NaN silently —
-    // treat it as an incomplete rotation so it fails the A8 gate
-    // loudly with the file name (a valid <mat3d> in the same file
-    // still wins, as for any other incomplete quaternion)
+    // a degenerate <quaternion> norm poisons the unit-normalizing
+    // division below with no error: |q|^2 = 0 (an all-zero placeholder)
+    // makes every rotation entry Inf/NaN, and |q|^2 = Inf (an
+    // "Infinity" component, or squares overflowing) makes 2/|q|^2 = 0
+    // whose 0 * Inf products are NaN. Either way the pose is silently
+    // corrupt — require a FINITE POSITIVE norm so the A8 gate fails
+    // loudly with the file name (NaN components fail both comparisons;
+    // a valid <mat3d> in the same file still wins, as for any other
+    // incomplete quaternion)
+    val qn2 = q("x") * q("x") + q("y") * q("y") +
+      q("z") * q("z") + q("w") * q("w")
     val quatComplete = col("quat").isNotNull &&
       q("x").isNotNull && q("y").isNotNull &&
       q("z").isNotNull && q("w").isNotNull &&
-      (q("x") * q("x") + q("y") * q("y") +
-        q("z") * q("z") + q("w") * q("w")) > lit(0)
+      qn2 > lit(0) && qn2 < lit(Double.PositiveInfinity)
     def mrow(row: Int) = vec(col("mat").getField(s"l$row"))
     val matComplete = col("mat").isNotNull && Seq(1, 2, 3).map(r =>
       size(mrow(r)) === 3 && forall(mrow(r), x => x.isNotNull))

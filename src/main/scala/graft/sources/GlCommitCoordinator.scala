@@ -110,10 +110,17 @@ private[sources] object GlCommitCoordinator {
   /** The mode the table itself is pinned to, if any: the marker's
     * first line ("jdbc" today). An EMPTY marker (a brander that died
     * between create and write) still reads as pinned-jdbc — the
-    * conservative side, since only arbitrated commits ever create it. */
+    * conservative side, since only arbitrated commits ever create it.
+    * A FAILING probe fails the commit: reading an outage as "unpinned"
+    * would wave an fs-mode committer through on a pinned table, which
+    * is the exact lost-commit hazard the marker exists to block. */
   private def pinnedMode(fs: FileSystem, m: Path): Option[String] = {
-    if (!(try fs.exists(m) catch { case _: Exception => return None }))
-      return None
+    val present = try fs.exists(m) catch {
+      case e: Exception => throw new java.io.IOException(
+        s"graftlines: cannot probe the arbitration marker $m — failing " +
+          "the commit rather than guess the table's coordinator mode", e)
+    }
+    if (!present) return None
     val in = fs.open(m)
     try {
       val br = new java.io.BufferedReader(

@@ -199,6 +199,19 @@ class MicMacEtlSpec extends AnyFunSuite {
       && e.getMessage.contains("orimatis_zero_quat.xml"), s"got: $e")
   }
 
+  test("orimatis: an infinite quaternion norm fails loudly, never NaN") {
+    // |q|^2 = Inf makes the normalizer 2/|q|^2 = 0, whose 0 * Inf
+    // products are NaN in every w-dependent entry — same silent-
+    // corruption class as the zero norm, opposite end of the range
+    val e = intercept[Exception] {
+      graft.etl.MicMacEtl
+        .importOrimatis(spark, s"$res/orimatis_inf_quat.xml")("transfos")
+        .collect()
+    }
+    assert(e.getMessage.contains("missing or incomplete rotation")
+      && e.getMessage.contains("orimatis_inf_quat.xml"), s"got: $e")
+  }
+
   test("transfo validity windows: bounds set when given, open when not") {
     val bounded = graft.etl.MicMacEtl.importAutocal(
         spark, s"$res/autocal_sample.xml",
