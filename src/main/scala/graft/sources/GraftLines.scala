@@ -1346,27 +1346,52 @@ private[sources] object GlFilters {
 
   def references(f: Filter): Seq[String] = f.references.toSeq
 
-  /** Exact evaluation over parsed values. `get` yields the JVM value of
-    * a column for the current row (null ⇒ SQL NULL ⇒ comparisons are
-    * false, Is[Not]Null sees it). */
-  def eval(f: Filter, get: String => Any): Boolean = f match {
-    case AlwaysTrue() => true
-    case And(l, r) => eval(l, get) && eval(r, get)
-    case Or(l, r) => eval(l, get) || eval(r, get)
-    case Not(c) => !eval(c, get)
-    case IsNull(a) => get(a) == null
-    case IsNotNull(a) => get(a) != null
-    case EqualTo(a, v) => withVal(get(a))(cmp(_, v) == 0)
-    case GreaterThan(a, v) => withVal(get(a))(cmp(_, v) > 0)
-    case GreaterThanOrEqual(a, v) => withVal(get(a))(cmp(_, v) >= 0)
-    case LessThan(a, v) => withVal(get(a))(cmp(_, v) < 0)
-    case LessThanOrEqual(a, v) => withVal(get(a))(cmp(_, v) <= 0)
-    case In(a, vs) => withVal(get(a))(x => vs.exists(cmp(x, _) == 0))
-    case other => throw new IllegalStateException(s"unpushable: $other")
-  }
+  /** Exact evaluation over parsed values; a row passes iff the
+    * predicate is DEFINITELY TRUE. `get` yields the JVM value of a
+    * column for the current row. */
+  def eval(f: Filter, get: String => Any): Boolean =
+    eval3(f, get).contains(true)
 
-  private def withVal(x: Any)(p: Any => Boolean): Boolean =
-    x != null && p(x)
+  /** SQL THREE-VALUED evaluation — Some(true/false), None = NULL.
+    * Accepted pushdown removes Spark's own copy of the predicate, so
+    * this must match catalyst to the bit, and two-valued logic does
+    * not: `NOT(v = 5)` on v = NULL is NULL in SQL (row dropped; rows
+    * deleted only when TRUE), but a two-valued Not computes !(false) =
+    * true. Bare-conjunct cases are rescued by the optimizer's inferred
+    * IsNotNull constraints, which is exactly why the bug class hides:
+    * an Or above the Not (`NOT(v = 5) OR s IS NULL`) blocks that
+    * inference and the divergence goes live. Comparisons on a NULL
+    * column value are None; And/Or use Kleene logic (false dominates
+    * And, true dominates Or, otherwise NULL is contagious); Not maps
+    * None to None. In-list NULL literals never reach here (declined at
+    * push time), so In's NULL case is only a NULL probe value. */
+  private def eval3(f: Filter, get: String => Any): Option[Boolean] =
+    f match {
+      case AlwaysTrue() => Some(true)
+      case And(l, r) => (eval3(l, get), eval3(r, get)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval3(l, get), eval3(r, get)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => eval3(c, get).map(!_)
+      case IsNull(a) => Some(get(a) == null)
+      case IsNotNull(a) => Some(get(a) != null)
+      case EqualTo(a, v) => withVal(get(a))(cmp(_, v) == 0)
+      case GreaterThan(a, v) => withVal(get(a))(cmp(_, v) > 0)
+      case GreaterThanOrEqual(a, v) => withVal(get(a))(cmp(_, v) >= 0)
+      case LessThan(a, v) => withVal(get(a))(cmp(_, v) < 0)
+      case LessThanOrEqual(a, v) => withVal(get(a))(cmp(_, v) <= 0)
+      case In(a, vs) => withVal(get(a))(x => vs.exists(cmp(x, _) == 0))
+      case other => throw new IllegalStateException(s"unpushable: $other")
+    }
+
+  private def withVal(x: Any)(p: Any => Boolean): Option[Boolean] =
+    if (x == null) None else Some(p(x))
 
   /** Conservative file-level pruning: true ⇔ the file MAY hold a row
     * matching `f`, judged from per-column (nulls, min, max). Any

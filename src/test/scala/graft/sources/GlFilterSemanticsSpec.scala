@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftTmp, TestSpark}
+
+/** Pushed-filter three-valued-logic differential: an ACCEPTED pushdown
+  * removes Spark's own copy of the predicate, so GlFilters.eval must
+  * reproduce SQL NULL semantics exactly. The killer shape is a Not
+  * under an Or: `NOT(v = 5) OR s IS NULL` on a row (v = NULL, s = 'x')
+  * is NULL in SQL (dropped), but a two-valued evaluator computes
+  * !(false) = true (kept) — and constraint propagation cannot rescue
+  * it, because the Or blocks the IsNotNull inference that saves the
+  * bare-conjunct case. Law: for every predicate, the graftlines scan
+  * must return exactly what the same DataFrame read from parquet
+  * returns. */
+class GlFilterSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val (glPath, pqPath): (String, String) = {
+    val gl = GraftTmp.dir("filter3v_gl")
+    val pq = GraftTmp.dir("filter3v_pq")
+    val fs = new Path(gl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(gl), true); fs.delete(new Path(pq), true)
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (5L, "c"), (5L, null),
+      (null, "x"), (null, null), (7L, "a"), (3L, "y"))
+    val df = rows.toDF("v", "s")
+    df.coalesce(1).write.format("graftlines").mode("append").save(gl)
+    df.coalesce(1).write.parquet(pq)
+    (gl, pq)
+  }
+
+  private val predicates = Seq(
+    // the Or-blocked-inference shapes (the actual hazard class)
+    "NOT (v = 5) OR s IS NULL",
+    "NOT (v > 3) OR v = 1",
+    "NOT (s = 'a') OR v IS NULL",
+    "NOT (v IN (1, 2)) OR s IS NULL",
+    "NOT (v = 5 AND s = 'c') OR v = 1",
+    "NOT (v = 5 OR v = 2) OR s IS NULL",
+    // bare Not conjuncts (constraint propagation usually rescues these;
+    // pin them anyway so the law doesn't depend on an optimizer flag)
+    "NOT (v = 5)", "v != 5", "NOT (v < 3)", "NOT (s = 'a')",
+    "NOT (v IN (1, 5))", "NOT (v IS NULL)", "NOT (v IS NOT NULL)",
+    // plain shapes for the differential's own sanity
+    "v = 5", "v > 3", "v <= 2", "s = 'a'", "v IS NULL", "s IS NOT NULL",
+    "v IN (1, 5)", "v > 1 AND s = 'a'", "v = 5 OR s = 'x'",
+    "NOT (NOT (v = 5))")
+
+  test("pushed predicates match Spark SQL three-valued semantics exactly") {
+    val gl = spark.read.format("graftlines").load(glPath)
+    val pq = spark.read.parquet(pqPath)
+    predicates.foreach { p =>
+      val got = gl.filter(p).collect().map(_.toString).sorted.toSeq
+      val exp = pq.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(got == exp,
+        s"predicate `$p` diverged: graftlines=$got parquet=$exp")
+    }
+  }
+
+  test("DELETE honours three-valued logic: NULL-predicate rows survive") {
+    val p = GraftTmp.dir("filter3v_del")
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(p), true)
+    Seq[(java.lang.Long, String)]((1L, "a"), (5L, "b"), (null, "x"))
+      .toDF("v", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    spark.read.format("graftlines").load(p).createOrReplaceTempView("t3v")
+    // DELETE WHERE NOT(v = 5) OR s IS NULL: true for (1,'a'), NULL for
+    // (null,'x') — SQL deletes only where the predicate is TRUE
+    val tbl = new GlTable(p, spark.read.format("graftlines").load(p).schema)
+    tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.Not(
+          org.apache.spark.sql.sources.EqualTo("v", 5L)),
+        org.apache.spark.sql.sources.IsNull("s"))))
+    val left = spark.read.format("graftlines").load(p)
+      .collect().map(_.toString).sorted.toSeq
+    assert(left == Seq("[5,b]", "[null,x]"),
+      s"only the definitely-true rows may be deleted, got $left")
+  }
+}
