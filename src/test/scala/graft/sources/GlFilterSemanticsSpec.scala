@@ -61,6 +61,45 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("generative differential: 80 random predicate trees match parquet") {
+    // fixed-seed random predicate trees (depth <= 3) over the NULL-rich
+    // table: every shape the pushdown grammar accepts — atoms, IN,
+    // IS [NOT] NULL, and arbitrary NOT/AND/OR nests — must agree with
+    // Spark's own evaluation on parquet, row for row
+    val rng = new java.util.Random(42)
+    def lit(): String = rng.nextInt(9).toString
+    def strLit(): String = "'" + "abcxy".charAt(rng.nextInt(5)) + "'"
+    def atom(): String = rng.nextInt(10) match {
+      case 0 => s"v = ${lit()}"
+      case 1 => s"v > ${lit()}"
+      case 2 => s"v < ${lit()}"
+      case 3 => s"v >= ${lit()}"
+      case 4 => s"v <= ${lit()}"
+      case 5 => s"v IN (${lit()}, ${lit()})"
+      case 6 => "v IS NULL"
+      case 7 => "s IS NOT NULL"
+      case 8 => s"s = ${strLit()}"
+      case _ => "s IS NULL"
+    }
+    def tree(depth: Int): String =
+      if (depth == 0) atom()
+      else rng.nextInt(4) match {
+        case 0 => s"NOT (${tree(depth - 1)})"
+        case 1 => s"(${tree(depth - 1)}) AND (${tree(depth - 1)})"
+        case 2 => s"(${tree(depth - 1)}) OR (${tree(depth - 1)})"
+        case _ => atom()
+      }
+    val gl = spark.read.format("graftlines").load(glPath)
+    val pq = spark.read.parquet(pqPath)
+    (1 to 80).foreach { i =>
+      val p = tree(3)
+      val got = gl.filter(p).collect().map(_.toString).sorted.toSeq
+      val exp = pq.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(got == exp, s"random predicate #$i `$p` diverged: " +
+        s"graftlines=$got parquet=$exp")
+    }
+  }
+
   test("DELETE honours three-valued logic: NULL-predicate rows survive") {
     val p = GraftTmp.dir("filter3v_del")
     val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)

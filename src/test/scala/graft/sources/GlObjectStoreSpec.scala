@@ -685,6 +685,37 @@ class GlObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 writes respect the table pin end-to-end") {
+    // the pin specs above drive writeGen directly; this one goes
+    // through the REAL writer (df.write -> GlWrite.commitVersioned ->
+    // writeGen), the path a misconfigured production job takes
+    val p = s"glcopy:$root/pin_dsv2"
+    markVersioned(p)
+    withCoordinator {
+      Seq(1L).toDF("v").coalesce(1)
+        .write.format("graftlines").mode("append").save(p) // brands
+    }
+    // conf restored: this session is now the absent-conf fs default
+    val e = intercept[Exception] {
+      Seq(2L).toDF("v").coalesce(1)
+        .write.format("graftlines").mode("append").save(p)
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("pinned"),
+      s"the DSv2 write must surface the pin error: ${msgs(e)}")
+    assert(spark.read.format("graftlines").load(p)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the rejected write must not change the table")
+    withCoordinator {
+      Seq(2L).toDF("v").coalesce(1)
+        .write.format("graftlines").mode("append").save(p)
+      assert(spark.read.format("graftlines").load(p)
+        .collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L))
+    }
+  }
+
   test("an unknown table pin refuses both modes; an empty pin reads as jdbc") {
     val dir = s"glcopy:$root/pin_unknown"
     markVersioned(dir)
