@@ -322,30 +322,57 @@ object GraftLines {
     finally br.close()
   }
 
-  /** Epochs already committed into a versioned directory's generation
-    * manifests (the streaming sink's idempotence ledger): generation
-    * manifests published by [[GlStreamingWrite]] carry their epoch as a
-    * `#epoch:<E>` first line, so "was this epoch committed?" is
-    * answered by the SAME atomic rename that published the data —
-    * there is no separate log whose lag could double-commit a replayed
-    * micro-batch. Batch commits carry no tag and are never replayed. */
+  /** (epoch, queryTag) pairs already committed into a versioned
+    * directory's generation manifests (the streaming sink's idempotence
+    * ledger): generation manifests published by [[GlStreamingWrite]]
+    * carry a `#epoch:<E>:<query>` first line, so "was this epoch
+    * committed?" is answered by the SAME atomic rename that published
+    * the data — there is no separate log whose lag could double-commit
+    * a replayed micro-batch. The QUERY tag is part of the key because
+    * epoch numbers are per query: a replacement job with a fresh
+    * checkpoint restarts at epoch 0, and a ledger keyed on the bare
+    * number would silently swallow its first batches as "replays" of
+    * the previous query's epochs. Manifests written before the query
+    * tag existed parse with tag "" and are matched as wildcards (any
+    * query), preserving replay protection across an upgrade at the
+    * cost of the legacy generations' cross-query ambiguity. Batch
+    * commits carry no tag and are never replayed. */
   private[sources] def committedEpochs(dir: String,
-      conf: org.apache.hadoop.conf.Configuration): Set[Long] =
+      conf: org.apache.hadoop.conf.Configuration): Set[(Long, String)] =
     genVersions(dir, conf).flatMap(epochOfGen(dir, _, conf)).toSet
 
-  /** The `#epoch:<E>` tag of one generation manifest, if it carries
-    * one. A manifest's first line is immutable once the publish rename
-    * lands, so a generation's answer here never changes — which is
-    * what lets [[GlStreamingWrite]] cache it per generation instead of
+  /** Filesystem- and tag-safe form of a streaming query id: the id
+    * rides generation-manifest first lines and plain-directory file
+    * names, so it is reduced to letters/digits/dashes (a UUID passes
+    * through unchanged); empty ids — direct harness use — normalize
+    * to a fixed token so same-caller replays still match. */
+  private[sources] def queryTag(id: String): String = {
+    val t = Option(id).getOrElse("")
+      .filter(c => c.isLetterOrDigit || c == '-')
+    if (t.isEmpty) "adhoc" else t
+  }
+
+  /** The `#epoch:<E>[:<query>]` tag of one generation manifest, if it
+    * carries one — ("" query = pre-tag legacy manifest). A manifest's
+    * first line is immutable once the publish rename lands, so a
+    * generation's answer here never changes — which is what lets
+    * [[GlStreamingWrite]] cache it per generation instead of
     * re-reading every manifest on every epoch commit. */
   private[sources] def epochOfGen(dir: String, n: Int,
-      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, String)] = {
     GlMetrics.epochTagReads.incrementAndGet()
     val p = genPath(dir, n)
     val fs = p.getFileSystem(conf)
     val br = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
     try Option(br.readLine()).filter(_.startsWith("#epoch:"))
-      .flatMap(_.stripPrefix("#epoch:").toLongOption)
+      .flatMap { line =>
+        val body = line.stripPrefix("#epoch:")
+        val (e, q) = body.indexOf(':') match {
+          case -1 => (body, "")
+          case i => (body.substring(0, i), body.substring(i + 1))
+        }
+        e.toLongOption.map((_, q))
+      }
     finally br.close()
   }
 
@@ -373,7 +400,7 @@ object GraftLines {
     * documented honest limit: serialize writers through the catalog. */
   private[sources] def writeGen(dir: String, n: Int, baseNames: Seq[String],
       conf: org.apache.hadoop.conf.Configuration,
-      epoch: Option[Long] = None): Unit = {
+      epoch: Option[(Long, String)] = None): Unit = {
     val p = genPath(dir, n)
     val fs = p.getFileSystem(conf)
     require(!fs.exists(p),
@@ -395,7 +422,8 @@ object GraftLines {
     try {
       val w = new OutputStreamWriter(fs.create(tmp, true), UTF_8)
       try {
-        epoch.foreach { e => w.write(s"#epoch:$e"); w.write('\n') }
+        epoch.foreach { case (e, q) =>
+          w.write(s"#epoch:$e:$q"); w.write('\n') }
         baseNames.sorted.foreach { b => w.write(b); w.write('\n') }
       } finally w.close()
       // re-check at the last instant: the first check ran before the
@@ -1619,7 +1647,8 @@ private[sources] class GlTable(path: String, tableSchema: StructType,
         s"graftlines: clusterPartitions must be a positive int, got '$v'")
       v.toInt
     }
-    new GlWriteBuilder(path, info.schema(), cb, cp, pcol, bspec)
+    new GlWriteBuilder(path, info.schema(), cb, cp, pcol, bspec,
+      queryId = info.queryId())
   }
 
   /** Versioned tables decline the metadata DELETE path entirely: it
@@ -2803,12 +2832,13 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
 private[sources] class GlWriteBuilder(path: String, schema: StructType,
     clusterBy: Option[String] = None, clusterParts: Option[Int] = None,
     partitionCol: Option[String] = None,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new GlWrite(path, schema, doTruncate,
-    clusterBy, clusterParts, partitionCol, bucketSpec)
+    clusterBy, clusterParts, partitionCol, bucketSpec, queryId)
 }
 
 /** Staged-rename commit protocol: tasks never land bytes under a
@@ -2829,7 +2859,11 @@ private[sources] class GlWrite(path: String, schema: StructType,
     truncate: Boolean, clusterBy: Option[String] = None,
     clusterParts: Option[Int] = None,
     partitionCol: Option[String] = None,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    /** LogicalWriteInfo.queryId — the streaming query's STABLE id
+      * (same across restarts from one checkpoint), the idempotence
+      * scope of the epoch ledger. Batch writes never use it. */
+    queryId: String = "")
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   // validate the schema is storable BEFORE launching tasks
@@ -2891,7 +2925,7 @@ private[sources] class GlWrite(path: String, schema: StructType,
     require(!truncate,
       "graftlines: streaming supports Append output mode only — " +
         "Complete/Update would truncate the table every micro-batch")
-    new GlStreamingWrite(path, schema)
+    new GlStreamingWrite(path, schema, queryId)
   }
 
   override def createBatchWriterFactory(
@@ -3070,8 +3104,15 @@ private[sources] class GlWrite(path: String, schema: StructType,
   * generation-suffixed bytes that no manifest references (the vacuum /
   * expireVersions sweeps already reclaim exactly that), and Complete /
   * Update output modes are rejected up front ([[GlWrite.toStreaming]]). */
-private[sources] class GlStreamingWrite(path: String, schema: StructType)
+private[sources] class GlStreamingWrite(path: String, schema: StructType,
+    rawQueryId: String = "")
     extends StreamingWrite {
+  /** Tag-safe identity of the owning streaming query: part of the
+    * idempotence key (epoch numbers are per query — see
+    * [[GraftLines.committedEpochs]]) and of plain-directory file
+    * names (so one query's replace-per-epoch cannot sweep another's
+    * same-numbered files). */
+  private val queryId = GraftLines.queryTag(rawQueryId)
   GraftLines.header(schema) // reject unstorable schemas before tasks launch
 
   // Incremental committed-epoch ledger: a generation manifest's
@@ -3083,14 +3124,15 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
   // so plain vars suffice; a fresh GlStreamingWrite after recovery
   // starts cold and rebuilds the set from all manifests once.
   private var scannedThroughGen = 0
-  private val knownEpochs = scala.collection.mutable.Set.empty[Long]
+  private val knownEpochs =
+    scala.collection.mutable.Set.empty[(Long, String)]
 
   /** Returns (committed epochs, current generation list) — the gens
     * list rides along so the commit path pays ONE directory listing
     * per epoch, not one here and another for the next-gen number. */
   private def committedEpochsIncremental(
       conf: org.apache.hadoop.conf.Configuration)
-      : (collection.Set[Long], Seq[Int]) = {
+      : (collection.Set[(Long, String)], Seq[Int]) = {
     val gens = GraftLines.genVersions(path, conf)
     gens.iterator.filter(_ > scannedThroughGen).foreach { n =>
       GraftLines.epochOfGen(path, n, conf).foreach(knownEpochs += _)
@@ -3104,7 +3146,8 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     dir.getFileSystem(conf).mkdirs(dir)
-    GlStreamingWriterFactory(path, schema, new SerializableConfiguration(conf))
+    GlStreamingWriterFactory(path, schema,
+      new SerializableConfiguration(conf), queryId)
   }
 
   override def commit(epochId: Long,
@@ -3124,7 +3167,8 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val (committed, gens) = committedEpochsIncremental(conf)
-    if (committed.contains(epochId)) {
+    if (committed.contains((epochId, queryId))
+        || committed.contains((epochId, ""))) {
       // replayed epoch after recovery: already durable — drop the
       // replay's bytes, keep the committed manifest untouched
       staged.foreach { case (s, _) => fs.delete(s, false) }
@@ -3148,10 +3192,10 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
       gens.lastOption.map(GraftLines.readGen(path, _, conf)).getOrElse(Nil)
     GraftLines.writeGen(path, next,
       carried ++ staged.map { case (_, f) => fmap(f.getName) }, conf,
-      epoch = Some(epochId))
+      epoch = Some((epochId, queryId)))
     // record our own publish in the ledger cache so the next commit's
     // incremental scan doesn't re-open the manifest just written
-    knownEpochs += epochId
+    knownEpochs += ((epochId, queryId))
     scannedThroughGen = math.max(scannedThroughGen, next)
     val newLines = messages.flatMap {
       case GlCommitted(_, Some(f), lines) =>
@@ -3169,7 +3213,11 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
       messages: Array[WriterCommitMessage], staged: Seq[(Path, Path)],
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
-    val tag = s"-e$epochId-"
+    // the sweep keys on (query, epoch): a replacement query's epoch 0
+    // must never delete the previous query's epoch-0 files. Legacy
+    // names (pre-query-tag builds) no longer match and linger as
+    // orphan debris rather than risk cross-query deletion.
+    val tag = s"-q$queryId-e$epochId-"
     val stale = GraftLines.listDataFiles(path, conf)
       .filter(f => new Path(f).getName.contains(tag))
     stale.foreach(f => fs.delete(new Path(f), false))
@@ -3206,13 +3254,14 @@ private[sources] class GlStreamingWrite(path: String, schema: StructType)
   * directory that makes replace-per-epoch possible; on a versioned one
   * it keeps crashed-attempt targets collision-free across epochs. */
 private[sources] case class GlStreamingWriterFactory(path: String,
-    schema: StructType, conf: SerializableConfiguration)
+    schema: StructType, conf: SerializableConfiguration,
+    queryId: String = "adhoc")
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GlWriter(path, schema, partitionId, taskId, conf.value,
       nameOverride = Some(
-        f"part-$partitionId%05d-e$epochId-$taskId${GraftLines.Ext}"))
+        f"part-$partitionId%05d-q$queryId-e$epochId-$taskId${GraftLines.Ext}"))
 }
 
 /** `staged`: the task's staging path (written bytes); `file`: the

@@ -38,6 +38,59 @@ class GlStreamSinkSpec extends AnyFunSuite {
     spark.read.format("graftlines").load(p)
       .as[(Long, String)].collect().sorted.toSeq
 
+  test("a NEW query (fresh checkpoint) appending to an existing versioned table is not swallowed") {
+    // epoch numbers are PER QUERY: a replacement streaming job with a
+    // fresh checkpoint restarts at epoch 0, which the table's ledger
+    // already carries from the previous query — idempotence keyed on
+    // the epoch number alone would silently drop the new query's first
+    // batches as "replays" (data loss)
+    val p = freshDir("v_twoq")
+    markVersioned(p)
+    val memA = MemoryStream[(Long, String)](spark)
+    val qA = memA.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", freshDir("v_twoq_cpA"))
+      .outputMode("append").start()
+    try { memA.addData((1L, "a")); qA.processAllAvailable() }
+    finally qA.stop()
+    val memB = MemoryStream[(Long, String)](spark)
+    val qB = memB.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", freshDir("v_twoq_cpB"))
+      .outputMode("append").start()
+    try {
+      memB.addData((2L, "b"))
+      qB.processAllAvailable()
+      memB.addData((3L, "c"))
+      qB.processAllAvailable()
+    } finally qB.stop()
+    assert(readBack(p) == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "the new query's epochs must commit, not vanish as phantom replays")
+  }
+
+  test("plain dir: a NEW query's epoch 0 must not sweep the old query's epoch-0 files") {
+    // same hazard, plain-directory form: replace-per-epoch idempotence
+    // keyed on the bare epoch number would make query B's epoch-0
+    // commit DELETE query A's epoch-0 files
+    val p = freshDir("p_twoq")
+    val memA = MemoryStream[(Long, String)](spark)
+    val qA = memA.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", freshDir("p_twoq_cpA"))
+      .outputMode("append").start()
+    try { memA.addData((1L, "a")); qA.processAllAvailable() }
+    finally qA.stop()
+    val memB = MemoryStream[(Long, String)](spark)
+    val qB = memB.toDF().toDF("k", "s")
+      .writeStream.format("graftlines")
+      .option("path", p).option("checkpointLocation", freshDir("p_twoq_cpB"))
+      .outputMode("append").start()
+    try { memB.addData((2L, "b")); qB.processAllAvailable() }
+    finally qB.stop()
+    assert(readBack(p) == Seq((1L, "a"), (2L, "b")),
+      "query B's epoch 0 must not replace query A's epoch-0 files")
+  }
+
   test("multi-epoch append into a versioned table: one generation per epoch") {
     val p = freshDir("v_epochs")
     val cp = freshDir("v_epochs_cp")

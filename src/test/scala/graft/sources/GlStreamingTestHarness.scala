@@ -16,7 +16,7 @@ object GlStreamingTestHarness {
     GraftLines.genVersions(dir, conf)
   def committedEpochs(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Set[Long] =
-    GraftLines.committedEpochs(dir, conf)
+    GraftLines.committedEpochs(dir, conf).map(_._1)
   /** Process-wide `#epoch:` manifest-open counter (monotonic). */
   def epochTagReads: Long = GlMetrics.epochTagReads.get()
 }

@@ -142,7 +142,7 @@ class GlTaskRetrySpec extends AnyFunSuite {
     // a CRASHED attempt of this same epoch got far enough to rename
     // its target before the driver died: plant that target — the
     // recommit must replace it, not fail or double-count
-    val crashedTgt = new Path(p, "part-00000-e7-1-g1.gl")
+    val crashedTgt = new Path(p, "part-00000-qadhoc-e7-1-g1.gl")
     val cw = fs.create(crashedTgt, true)
     try cw.write((GraftLines.header(schema) + "\n3\tcrashed\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
