@@ -100,6 +100,62 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("generative differential over a MULTI-FILE table: pruning never loses rows") {
+    // the single-file table above never engages mayMatch file pruning;
+    // this one lands 6 files with tight disjoint ranges (clusterBy) so
+    // random predicates actually prune — and any unsound prune (a
+    // skipped file holding a matching row) breaks equality vs parquet
+    val glM = GraftTmp.dir("filter3v_glm")
+    val pqM = GraftTmp.dir("filter3v_pqm")
+    val fs = new Path(glM).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(glM), true); fs.delete(new Path(pqM), true)
+    val rows: Seq[(java.lang.Long, String)] =
+      (0 until 60).map { i =>
+        val v: java.lang.Long = if (i % 7 == 0) null else Long.box(i % 19)
+        val s: String = if (i % 5 == 0) null else "abcxy"(i % 5).toString
+        (v, s)
+      }
+    val df = rows.toDF("v", "s")
+    df.write.format("graftlines")
+      .option("clusterBy", "v").option("clusterPartitions", "6")
+      .mode("append").save(glM)
+    df.coalesce(1).write.parquet(pqM)
+    assert(fs.listStatus(new Path(glM))
+      .count(_.getPath.getName.endsWith(GraftLines.Ext)) > 1,
+      "the clustered write must land multiple files or nothing prunes")
+    val rng = new java.util.Random(4242)
+    def lit(): String = rng.nextInt(20).toString
+    def atom(): String = rng.nextInt(10) match {
+      case 0 => s"v = ${lit()}"
+      case 1 => s"v > ${lit()}"
+      case 2 => s"v < ${lit()}"
+      case 3 => s"v >= ${lit()}"
+      case 4 => s"v <= ${lit()}"
+      case 5 => s"v IN (${lit()}, ${lit()})"
+      case 6 => "v IS NULL"
+      case 7 => "s IS NOT NULL"
+      case 8 => s"s = '${"abcxy"(rng.nextInt(5))}'"
+      case _ => "v IS NOT NULL"
+    }
+    def tree(depth: Int): String =
+      if (depth == 0) atom()
+      else rng.nextInt(4) match {
+        case 0 => s"NOT (${tree(depth - 1)})"
+        case 1 => s"(${tree(depth - 1)}) AND (${tree(depth - 1)})"
+        case 2 => s"(${tree(depth - 1)}) OR (${tree(depth - 1)})"
+        case _ => atom()
+      }
+    val gl = spark.read.format("graftlines").load(glM)
+    val pq = spark.read.parquet(pqM)
+    (1 to 80).foreach { i =>
+      val p = tree(3)
+      val got = gl.filter(p).collect().map(_.toString).sorted.toSeq
+      val exp = pq.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(got == exp, s"multi-file predicate #$i `$p` diverged " +
+        s"(unsound prune?): graftlines=$got parquet=$exp")
+    }
+  }
+
   test("DELETE honours three-valued logic: NULL-predicate rows survive") {
     val p = GraftTmp.dir("filter3v_del")
     val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
