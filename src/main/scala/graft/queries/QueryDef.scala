@@ -13,3 +13,26 @@ final case class QueryDef(
 trait QueryGroup {
   def defs: Seq[QueryDef]
 }
+
+/** Scoped session-conf overrides (the r12 deferred cleanup: the
+  * streaming queries each hand-copied a save/set/try/restore block,
+  * and the copies drifted — two of them built eager state between the
+  * `set` and the `try`, leaking shuffle.partitions=4 session-wide on a
+  * throw). The overrides are applied INSIDE the protected region, so a
+  * mid-list failure still restores the prefix already applied, and the
+  * previous state is restored faithfully — set back, or unset if the
+  * key had no explicit value. */
+object Confs {
+  def withConfs[A](s: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      kvs.foreach { case (k, v) => s.conf.set(k, v) }
+      body
+    } finally prev.reverse.foreach {
+      case (k, Some(v)) =>
+        try s.conf.set(k, v) catch { case _: Exception => () }
+      case (k, None) =>
+        try s.conf.unset(k) catch { case _: Exception => () }
+    }
+  }
+}

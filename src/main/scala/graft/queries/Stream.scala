@@ -136,12 +136,9 @@ object Stream extends QueryGroup {
         // would size this to data volume); (b) the trailing no-data
         // batch re-emits the ENTIRE complete-mode result a second time
         // just to advance the watermark nothing is waiting on.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
           val raw = Tables.eventsReadStream(s, d)
           val q = raw
             .withWatermark("ts", "30 minutes")
@@ -151,10 +148,6 @@ object Stream extends QueryGroup {
             .writeStream.outputMode("complete")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.table(name).orderBy(col("win_start"), col("event_type"))
       },
@@ -181,12 +174,9 @@ object Stream extends QueryGroup {
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
         val name = "stateful_sink"
         s.catalog.dropTempView(name)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
           val rows = Tables.eventsReadStream(s, d)
             .select(col("user_id"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
@@ -206,10 +196,6 @@ object Stream extends QueryGroup {
           val q = updated.writeStream.outputMode("update")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.table(name)
           .groupBy(col("user_id"))
@@ -243,15 +229,11 @@ object Stream extends QueryGroup {
         val name = "tws_sink"
         s.catalog.dropTempView(name)
         val provKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProv = s.conf.get(provKey)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
-          + "state.RocksDBStateStoreProvider")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        Confs.withConfs(s,
+          provKey -> ("org.apache.spark.sql.execution.streaming."
+            + "state.RocksDBStateStoreProvider"),
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
           val rows = Tables.eventsReadStream(s, d)
             // state carries exact unix micros
             .select(col("user_id"), unix_micros(col("ts")).as("us"),
@@ -265,11 +247,6 @@ object Stream extends QueryGroup {
           val q = updated.writeStream.outputMode("update")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set(provKey, prevProv)
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.table(name)
           .groupBy(col("user_id"))
@@ -308,15 +285,11 @@ object Stream extends QueryGroup {
         val name = "twm_sink"
         s.catalog.dropTempView(name)
         val provKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProv = s.conf.get(provKey)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
-          + "state.RocksDBStateStoreProvider")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        Confs.withConfs(s,
+          provKey -> ("org.apache.spark.sql.execution.streaming."
+            + "state.RocksDBStateStoreProvider"),
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
           val rows = Tables.eventsReadStream(s, d)
             .select(col("user_id"), col("event_type"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
@@ -329,11 +302,6 @@ object Stream extends QueryGroup {
           val q = updated.writeStream.outputMode("update")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set(provKey, prevProv)
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.table(name)
           .groupBy(col("user_id"), col("event_type"))
@@ -365,12 +333,9 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "ss_join_sink"
         s.catalog.dropTempView(name)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -386,10 +351,6 @@ object Stream extends QueryGroup {
             .writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.table(name)
           .groupBy(col("c_user").as("user_id"))
@@ -446,9 +407,7 @@ object Stream extends QueryGroup {
           .groupBy(col("event_type"))
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
+        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -464,8 +423,6 @@ object Stream extends QueryGroup {
             .writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         s.table(name)
           .join(broadcast(cutoff),
@@ -526,9 +483,7 @@ object Stream extends QueryGroup {
           .groupBy(col("event_type"))
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
+        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -544,8 +499,6 @@ object Stream extends QueryGroup {
             .writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         s.table(name)
           .join(broadcast(cutoff),
@@ -600,9 +553,7 @@ object Stream extends QueryGroup {
         import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
         val name = "stateful_to_sink"
         s.catalog.dropTempView(name)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
+        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
           val rows = Tables.eventsReadStream(s, d)
             // delay 0: the watermark rides the max seen event time, so
             // the trailing no-data batch seals every session idle > gap
@@ -618,8 +569,6 @@ object Stream extends QueryGroup {
           val q = sessions.writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         s.table(name)
           .select(col("user_id"),
@@ -663,12 +612,10 @@ object Stream extends QueryGroup {
         val name = "tws_timer_sink"
         s.catalog.dropTempView(name)
         val provKey = "spark.sql.streaming.stateStore.providerClass"
-        val prevProv = s.conf.get(provKey)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming."
-          + "state.RocksDBStateStoreProvider")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
+        Confs.withConfs(s,
+          provKey -> ("org.apache.spark.sql.execution.streaming."
+            + "state.RocksDBStateStoreProvider"),
+          "spark.sql.shuffle.partitions" -> "4") {
           val rows = Tables.eventsReadStream(s, d)
             .withWatermark("ts", "0 seconds")
             .select(col("user_id"), col("ts"))
@@ -680,9 +627,6 @@ object Stream extends QueryGroup {
           val q = sessions.writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set(provKey, prevProv)
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         s.table(name)
           .select(col("user_id"),
@@ -723,9 +667,7 @@ object Stream extends QueryGroup {
         val p = new org.apache.hadoop.fs.Path(out)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
+        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
           val rows = Tables.eventsReadStream(s, d)
             .select(col("event_type"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
@@ -739,8 +681,6 @@ object Stream extends QueryGroup {
             }
             .start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
         val sunk = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("event_type",
@@ -795,12 +735,9 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "dedup_wm_sink"
         s.catalog.dropTempView(name)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
           val rows = Tables.eventsReadStream(s, d)
             .withWatermark("ts", "30 minutes")
             .select(col("user_id"), col("event_type"), col("ts"))
@@ -809,10 +746,6 @@ object Stream extends QueryGroup {
           val q = rows.writeStream.outputMode("append")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.table(name).orderBy(col("user_id"), col("event_type"))
       },
@@ -840,12 +773,9 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "stream_static_sink"
         s.catalog.dropTempView(name)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val prevNoData = s.conf.get(
-          "spark.sql.streaming.noDataMicroBatches.enabled")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
           val dim = broadcast(Tables.customer(s, d)
             .select(col("c_custkey"), col("c_mktsegment")))
           val q = Tables.eventsReadStream(s, d)
@@ -858,10 +788,6 @@ object Stream extends QueryGroup {
             .writeStream.outputMode("complete")
             .format("memory").queryName(name).start()
           try q.processAllAvailable() finally q.stop()
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
-          s.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
         }
         s.table(name).orderBy(col("c_mktsegment"), col("win_start"))
       },
