@@ -544,10 +544,9 @@ object Joins extends QueryGroup {
           .write.format("graftlines")
           .option("partitionColumn", "s_nationkey")
           .mode("overwrite").save(ps)
-        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
           val j = s.read.format("graftlines").load(pc)
             .join(s.read.format("graftlines").load(ps),
               col("c_nationkey") === col("s_nationkey"))
@@ -566,9 +565,6 @@ object Joins extends QueryGroup {
           require(!plan.contains("Exchange hashpartitioning"),
             "storage-partitioned join must not shuffle either side")
           j
-        } finally {
-          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
         }
       },
       Some("""SELECT c_nationkey, COUNT(*)::BIGINT AS n_pairs,
@@ -625,10 +621,9 @@ object Joins extends QueryGroup {
           "SELECT * FROM orders_bkt_src")
         s.sql("INSERT INTO graft_cat.contract.customer_bkt " +
           "SELECT * FROM customer_bkt_src")
-        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
           val j = s.table("graft_cat.contract.orders_bkt")
             .join(s.table("graft_cat.contract.customer_bkt"),
               col("o_custkey") === col("c_custkey"))
@@ -641,9 +636,6 @@ object Joins extends QueryGroup {
             && !plan.contains("Exchange hashpartitioning(c_custkey"),
             "bucketed storage-partitioned join must not shuffle join keys")
           j
-        } finally {
-          s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
         }
       },
       Some("""SELECT c_mktsegment, COUNT(*)::BIGINT AS n,

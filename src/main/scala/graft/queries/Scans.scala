@@ -341,9 +341,8 @@ object Scans extends QueryGroup {
         Tables.orders(s, d).createOrReplaceTempView("orders_h")
         Tables.customer(s, d).createOrReplaceTempView("customer_h")
         Tables.nation(s, d).createOrReplaceTempView("nation_h")
-        val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
+        Confs.withConfs(s,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
           val j = s.sql("""SELECT /*+ BROADCAST(n), MERGE(c) */
             | n.n_name, COUNT(*) AS n_orders,
             | CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -358,8 +357,6 @@ object Scans extends QueryGroup {
           require(plan.contains("SortMergeJoin"),
             "MERGE(c) hint must pin the sort-merge strategy")
           j
-        } finally {
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
         }
       },
       Some("""SELECT n_name, COUNT(*)::BIGINT AS n_orders,
