@@ -156,6 +156,41 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("limit pushdown under pushed filters: exact count, only matching rows") {
+    // the per-partition early stop counts rows AFTER the pushed
+    // filters (limit-after-filter semantics); the law on a multi-file
+    // table: exactly min(n, matching) rows come back, and the result
+    // is a sub-multiset of the full matching set
+    val glL = GraftTmp.dir("filter3v_gll")
+    val pqL = GraftTmp.dir("filter3v_pql")
+    val fs = new Path(glL).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(glL), true); fs.delete(new Path(pqL), true)
+    val rows: Seq[(java.lang.Long, String)] =
+      (0 until 120).map { i =>
+        (if (i % 6 == 0) null else Long.box(i % 11),
+          if (i % 4 == 0) null else "abcxy"(i % 5).toString)
+      }
+    rows.toDF("v", "s").repartition(5)
+      .write.format("graftlines").mode("append").save(glL)
+    rows.toDF("v", "s").coalesce(1).write.parquet(pqL)
+    val gl = spark.read.format("graftlines").load(glL)
+    val pq = spark.read.parquet(pqL)
+    for (pred <- Seq("v > 7", "NOT (v = 5) OR s IS NULL", "s = 'a'");
+         n <- Seq(1, 7, 10000)) {
+      val full = pq.filter(pred).collect().map(_.toString)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val got = gl.filter(pred).limit(n).collect().map(_.toString).toSeq
+      assert(got.size == math.min(n, full.values.sum),
+        s"`$pred` LIMIT $n returned ${got.size} rows, " +
+          s"expected ${math.min(n, full.values.sum)}")
+      got.groupBy(identity).foreach { case (r, c) =>
+        assert(full.getOrElse(r, 0) >= c.length,
+          s"`$pred` LIMIT $n returned a non-matching or over-counted " +
+            s"row $r")
+      }
+    }
+  }
+
   test("DELETE honours three-valued logic: NULL-predicate rows survive") {
     val p = GraftTmp.dir("filter3v_del")
     val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
