@@ -795,6 +795,51 @@ class GlObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction and retention run arbitrated end-to-end on the copy-rename store") {
+    withCoordinator {
+      // the last writeGen caller not yet driven under the claims CAS:
+      // COMPACT's snapshot-generation publish. Three small appends,
+      // one compaction, one retention pass — every generation claimed
+      // and sealed, claim rows pruned with their manifests, data intact
+      val p = s"glcopy:$root/compact_arb"
+      markVersioned(p)
+      (1 to 3).foreach { i =>
+        Seq(i.toLong).toDF("v").coalesce(1)
+          .write.format("graftlines").mode("append").save(p)
+      }
+      val (before, after) = GraftLines.compact(p, 1, spark)
+      assert(before == 3 && after == 1, s"compact $before -> $after")
+      assert(spark.read.format("graftlines").load(p)
+        .collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 3L),
+        "compaction must preserve every row")
+      val c = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT gen, complete FROM gl_commits " +
+            s"WHERE dir = '${claimKey(p)}' ORDER BY gen")
+        val claims = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getInt(1), r.getInt(2))).toList
+        assert(claims.map(_._1) == List(1, 2, 3, 4) &&
+          claims.forall(_._2 == 1),
+          s"compact's generation must be claimed + sealed too: $claims")
+      } finally c.close()
+      // retention drops the pre-compaction generations AND their rows
+      val (dropped, _) = GraftLines.expireVersions(p, keepLast = 1, hconf)
+      assert(dropped == Seq(1, 2, 3))
+      val c2 = DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = c2.createStatement().executeQuery(
+          "SELECT gen FROM gl_commits " +
+            s"WHERE dir = '${claimKey(p)}' ORDER BY gen")
+        val left = Iterator.continually(rs).takeWhile(_.next())
+          .map(_.getInt(1)).toList
+        assert(left == List(4), s"claim retention must track manifests: $left")
+      } finally c2.close()
+      assert(spark.read.format("graftlines").load(p)
+        .collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 3L))
+    }
+  }
+
   test("jdbc mode without a URL, and unknown modes, fail loudly at commit time") {
     hconf.set(GlCommitCoordinator.ModeKey, "jdbc")
     hconf.unset(GlCommitCoordinator.UrlKey)
