@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   * container magic: RIFF/WAVE PCM payloads go through the from-scratch
   * [[Wav]] codec, uncompressed 24-bpp BMP payloads through [[Bmp]] —
   * both hand-written chunk/header walks, no external media libraries
-  * (golden-vectored in MultimodalSpec). A payload that is neither (or
+  * (golden-vectored in MultimodalSpec); compressed PNG payloads through
+  * the from-scratch [[Png]] codec (hand-written chunk walk + filter
+  * reconstruction over the JDK's public DEFLATE engine, golden-vectored
+  * in PngSpec). A payload that is none of these (or
   * that fails structural validation — one corrupt asset must not kill
   * the stage) falls back to [[opaqueFeatures]], a deterministic
   * byte-fold, so unknown formats still yield a stable fixed-width
@@ -138,6 +141,9 @@ object Multimodal {
     else if (Bmp.looksLike(payload))
       Bmp.tryDecode(payload).map(imageFeatures)
         .getOrElse(opaqueFeatures(payload))
+    else if (Png.looksLike(payload))
+      Png.tryDecode(payload).map(imageFeatures)
+        .getOrElse(opaqueFeatures(payload))
     else opaqueFeatures(payload)
 
   /** build a media table from documents (text bytes stand in for real
@@ -223,10 +229,17 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val m = r.getAs[Row]("meta")
+        // each image codec re-encodes in its OWN container: a resize
+        // must not silently transcode PNG assets to BMP (downstream
+        // sniff-dispatched stages would see the format flip)
         val resized =
           if (Bmp.looksLike(payload))
             Bmp.tryDecode(payload)
               .map(img => Bmp.encode(w, h,
+                Bmp.resizeNearest(img, w, h).pixels))
+          else if (Png.looksLike(payload))
+            Png.tryDecode(payload)
+              .map(img => Png.encode(w, h,
                 Bmp.resizeNearest(img, w, h).pixels))
           else None
         resized match {

@@ -1,10 +1,12 @@
 package graft.multimodal
 
-/** From-scratch RIFF/WAVE PCM codec — no external media libraries.
+/** From-scratch RIFF/WAVE codec — no external media libraries.
   *
-  * Supports the format a training-data audio pipeline actually stores:
+  * Supports the formats a training-data audio pipeline actually stores:
   * uncompressed PCM (format tag 1), 8-bit unsigned or 16-bit signed
-  * little-endian, any channel count and sample rate. The decoder is a
+  * little-endian, any channel count and sample rate — plus COMPRESSED
+  * 4-bit IMA ADPCM (format tag 17) via the from-scratch [[ImaAdpcm]]
+  * block codec, with `fact`-chunk frame trimming. The decoder is a
   * proper chunk walk (skips unknown chunks such as LIST/INFO, honors
   * the spec's even-byte chunk padding), not a fixed-offset read —
   * real-world WAV files routinely carry metadata chunks before `data`.
@@ -77,6 +79,47 @@ object Wav {
     out
   }
 
+  /** Encode interleaved 16-bit PCM as a compressed IMA ADPCM WAV
+    * (format tag 17, 4 bits/sample — 4x smaller than [[encode]]'s PCM
+    * output): fmt chunk with the ADPCM extension (cbSize +
+    * samplesPerBlock), a `fact` chunk carrying the true frame count
+    * (so decode trims the final block's pad frames), then the block
+    * data from [[ImaAdpcm.encode]]. */
+  def encodeAdpcm(samples: Array[Short], sampleRate: Int,
+      channels: Int, framesPerBlock: Int = 505): Array[Byte] = {
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    val (blocks, blockAlign, totalFrames) =
+      ImaAdpcm.encode(samples, channels, framesPerBlock)
+    val out = new Array[Byte](12 + 28 + 12 + 8 + blocks.length)
+    def putTag(o: Int, s: String): Unit = {
+      val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, o, 4)
+    }
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); put32(4, (out.length - 8).toLong); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 20L)           // 16 base + 2 cbSize + 2 ext
+    put16(20, 17); put16(22, channels)           // IMA ADPCM
+    put32(24, sampleRate.toLong)
+    // average byte rate: one block of blockAlign bytes per
+    // framesPerBlock frames (integer approximation, informational)
+    put32(28, sampleRate.toLong * blockAlign / framesPerBlock)
+    put16(32, blockAlign)
+    put16(34, 4)                                 // bits per sample
+    put16(36, 2)                                 // cbSize
+    put16(38, framesPerBlock)                    // samplesPerBlock
+    putTag(40, "fact"); put32(44, 4L); put32(48, totalFrames.toLong)
+    putTag(52, "data"); put32(56, blocks.length.toLong)
+    System.arraycopy(blocks, 0, out, 60, blocks.length)
+    out
+  }
+
   /** Chunk-walking PCM decoder. */
   def decode(bytes: Array[Byte]): Audio = {
     if (bytes.length < 12) fail(s"file too short (${bytes.length} bytes)")
@@ -88,6 +131,8 @@ object Wav {
     var channels = 0
     var sampleRate = 0
     var bits = 0
+    var blockAlign = 0
+    var factFrames = -1
     var data: Array[Byte] = null
     while (off + 8 <= bytes.length && data == null) {
       val id = tag(bytes, off)
@@ -101,23 +146,42 @@ object Wav {
           audioFormat = u16(bytes, body)
           channels = u16(bytes, body + 2)
           sampleRate = u32(bytes, body + 4).toInt
+          blockAlign = u16(bytes, body + 12)
           bits = u16(bytes, body + 14)
           fmtSeen = true
         case "data" =>
           if (!fmtSeen) fail("data chunk before fmt chunk")
           data = java.util.Arrays.copyOfRange(bytes, body,
             body + size.toInt)
-        case _ => // LIST, INFO, fact, ... — skip
+        case "fact" =>
+          // total frame count — compressed formats use it to mark where
+          // the final block's padding starts
+          if (size < 4) fail(s"fact chunk too short ($size bytes)")
+          val n = u32(bytes, body)
+          if (n > Int.MaxValue) fail(s"fact frame count $n too large")
+          factFrames = n.toInt
+        case _ => // LIST, INFO, ... — skip
       }
       // chunks are word-aligned: odd sizes carry one pad byte
       off = body + size.toInt + (size.toInt & 1)
     }
     if (!fmtSeen) fail("no fmt chunk")
     if (data == null) fail("no data chunk")
-    if (audioFormat != 1) fail(s"unsupported format tag $audioFormat " +
-      "(only PCM=1)")
+    if (audioFormat != 1 && audioFormat != 17)
+      fail(s"unsupported format tag $audioFormat (only PCM=1, IMA ADPCM=17)")
     if (channels < 1) fail(s"invalid channel count $channels")
     if (sampleRate < 1) fail(s"invalid sample rate $sampleRate")
+    if (audioFormat == 17) {
+      // compressed path: 4-bit IMA ADPCM blocks -> 16-bit PCM
+      if (bits != 4) fail(s"IMA ADPCM requires 4 bits per sample, got $bits")
+      val samples =
+        try ImaAdpcm.decode(data, channels, blockAlign, factFrames)
+        catch {
+          case e: IllegalArgumentException =>
+            fail(e.getMessage.stripPrefix("ADPCM decode: "))
+        }
+      return Audio(sampleRate, channels, 4, samples)
+    }
     bits match {
       case 16 =>
         if (data.length % 2 != 0) fail("odd data length for 16-bit PCM")
