@@ -14,7 +14,10 @@ package graft.multimodal
   * per-channel header — initial predictor (int16 LE, which is ALSO the
   * block's first output sample), step index (u8), reserved byte — then
   * nibble data in 4-byte per-channel groups (8 nibbles per group,
-  * low nibble first; stereo alternates ch0/ch1 groups).
+  * low nibble first; stereo alternates ch0/ch1 groups). A final block
+  * shorter than `blockAlign` is accepted when it is structurally whole
+  * (headers + whole per-channel rows) — real writers stop at the
+  * `fact` frame count rather than padding.
   *
   * The encoder is the matching compressor (same tables, quantize the
   * delta to the 4-bit code whose expansion lands nearest): lossy by
@@ -78,15 +81,25 @@ object ImaAdpcm {
     if (blockAlign < 4 * channels + 4 || (blockAlign - 4 * channels) % (4 * channels) != 0)
       fail(s"block align $blockAlign invalid for $channels channel(s): " +
         "need 4 header bytes + whole 4-byte nibble groups per channel")
-    if (data.length % blockAlign != 0)
-      fail(s"data length ${data.length} not a multiple of block align $blockAlign")
+    // a FINAL block may be shorter than blockAlign (writers that stop
+    // at the fact frame count rather than padding), as long as it is
+    // structurally whole: per-channel headers + whole nibble ROWS (one
+    // 4-byte group per channel), so no channel's data ends mid-row
+    val rem = data.length % blockAlign
+    if (rem != 0 &&
+        (rem < 4 * channels || (rem - 4 * channels) % (4 * channels) != 0))
+      fail(s"final partial block of $rem bytes is not whole rows for " +
+        s"$channels channel(s) (block align $blockAlign)")
 
     // frames per block: 1 (header predictor) + 2 nibbles/byte of the
     // per-channel share of the nibble area
-    val nibbleBytesPerCh = (blockAlign - 4 * channels) / channels
-    val framesPerBlock = 1 + nibbleBytesPerCh * 2
-    val nBlocks = data.length / blockAlign
-    val decodedFrames = nBlocks * framesPerBlock
+    def framesIn(blockLen: Int): Int =
+      1 + (blockLen - 4 * channels) / channels * 2
+    val framesPerBlock = framesIn(blockAlign)
+    val nFull = data.length / blockAlign
+    val nBlocks = nFull + (if (rem != 0) 1 else 0)
+    val decodedFrames =
+      nFull * framesPerBlock + (if (rem != 0) framesIn(rem) else 0)
     val keepFrames =
       if (totalFrames < 0) decodedFrames
       else if (totalFrames > decodedFrames)
@@ -100,6 +113,7 @@ object ImaAdpcm {
     var block = 0
     while (block < nBlocks) {
       val base = block * blockAlign
+      val blockLen = if (block < nFull) blockAlign else rem
       val frame0 = block * framesPerBlock
       // per-channel 4-byte headers
       var c = 0
@@ -115,7 +129,7 @@ object ImaAdpcm {
       // nibble area: 4-byte groups rotate across channels
       val nibbleBase = base + 4 * channels
       val groupsPerRow = channels // one 4-byte group per channel per row
-      val nGroups = (blockAlign - 4 * channels) / 4
+      val nGroups = (blockLen - 4 * channels) / 4
       var g = 0
       while (g < nGroups) {
         val ch = g % groupsPerRow
@@ -170,9 +184,7 @@ object ImaAdpcm {
 
     val pred = new Array[Int](channels)
     val idx = new Array[Int](channels)
-    // seed from the first frame (the block header re-seeds anyway)
     var c = 0
-    while (c < channels) { pred(c) = samples(c).toInt; c += 1 }
 
     def sampleAt(f: Int, ch: Int): Int =
       if (f < totalFrames) samples(f * channels + ch).toInt

@@ -130,7 +130,7 @@ object Multimodal {
 
   /** Decode + featurize one payload: sniff the container magic, run
     * the real codec, fall back to the opaque byte-fold when the
-    * payload is neither a valid WAV nor a valid BMP (sniff first, so
+    * payload is not a valid WAV, BMP, or PNG (sniff first, so
     * the exception path never runs for clearly-non-media bytes; a
     * payload that merely STARTS like a container but fails structural
     * validation also falls back rather than failing the task). */
@@ -279,9 +279,15 @@ object Multimodal {
         decoded match {
           case Some(a) =>
             val s = Wav.sampleEveryK(a, everyK)
+            // re-encode in the SOURCE format: an ADPCM input
+            // (bitsPerSample 4) must come back out as ADPCM, same
+            // no-silent-transcode rule as the image branch above
+            val bytes =
+              if (a.bitsPerSample == 4)
+                Wav.encodeAdpcm(s.samples, s.sampleRate, s.channels)
+              else Wav.encode(s.samples, s.sampleRate, s.channels)
             Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
-              Wav.encode(s.samples, s.sampleRate, s.channels),
-              Row(m.get(0), m.get(1), s.sampleRate, s.frames))
+              bytes, Row(m.get(0), m.get(1), s.sampleRate, s.frames))
           case None =>
             Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
               payload, m)

@@ -157,8 +157,13 @@ object Png {
       try {
         while (got < raw.length && !inflater.finished()) {
           val n = inflater.inflate(raw, got, raw.length - got)
-          if (n == 0 && inflater.needsInput())
-            fail(s"IDAT stream truncated ($got of ${raw.length} bytes)")
+          // needsDictionary: an FDICT-flagged stream (never valid in
+          // PNG) also makes inflate() return 0 forever — failing only
+          // on needsInput() would spin this loop, and a hung task is
+          // worse than the exception tryDecode exists to absorb
+          if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+            fail(s"IDAT stream truncated or needs a preset dictionary " +
+              s"($got of ${raw.length} bytes)")
           got += n
         }
       } catch {

@@ -41,6 +41,20 @@ object Wav {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"WAV decode: $msg")
 
+  // little-endian header writers shared by the PCM and ADPCM encoders
+  private def putTag(out: Array[Byte], o: Int, s: String): Unit = {
+    val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, o, 4)
+  }
+  private def put16(out: Array[Byte], o: Int, v: Int): Unit = {
+    out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def put32(out: Array[Byte], o: Int, v: Long): Unit = {
+    out(o) = (v & 0xff).toByte
+    out(o + 1) = ((v >> 8) & 0xff).toByte
+    out(o + 2) = ((v >> 16) & 0xff).toByte
+    out(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
   /** Encode interleaved 16-bit PCM as a canonical 44-byte-header WAV. */
   def encode(samples: Array[Short], sampleRate: Int,
       channels: Int): Array[Byte] = {
@@ -50,25 +64,13 @@ object Wav {
       s"${samples.length} samples do not divide into $channels channels")
     val dataLen = samples.length * 2
     val out = new Array[Byte](44 + dataLen)
-    def putTag(o: Int, s: String): Unit = {
-      val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, o, 4)
-    }
-    def put16(o: Int, v: Int): Unit = {
-      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def put32(o: Int, v: Long): Unit = {
-      out(o) = (v & 0xff).toByte
-      out(o + 1) = ((v >> 8) & 0xff).toByte
-      out(o + 2) = ((v >> 16) & 0xff).toByte
-      out(o + 3) = ((v >> 24) & 0xff).toByte
-    }
-    putTag(0, "RIFF"); put32(4, 36L + dataLen); putTag(8, "WAVE")
-    putTag(12, "fmt "); put32(16, 16L)
-    put16(20, 1); put16(22, channels); put32(24, sampleRate.toLong)
-    put32(28, sampleRate.toLong * channels * 2)  // byte rate
-    put16(32, channels * 2)                      // block align
-    put16(34, 16)                                // bits per sample
-    putTag(36, "data"); put32(40, dataLen.toLong)
+    putTag(out, 0, "RIFF"); put32(out, 4, 36L + dataLen); putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); put32(out, 16, 16L)
+    put16(out, 20, 1); put16(out, 22, channels); put32(out, 24, sampleRate.toLong)
+    put32(out, 28, sampleRate.toLong * channels * 2)  // byte rate
+    put16(out, 32, channels * 2)                      // block align
+    put16(out, 34, 16)                                // bits per sample
+    putTag(out, 36, "data"); put32(out, 40, dataLen.toLong)
     var i = 0
     while (i < samples.length) {
       val s = samples(i)
@@ -88,34 +90,29 @@ object Wav {
   def encodeAdpcm(samples: Array[Short], sampleRate: Int,
       channels: Int, framesPerBlock: Int = 505): Array[Byte] = {
     require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    // both land in u16 fmt fields — an unchecked overflow would wrap
+    // silently and emit a self-undecodable header
+    require(framesPerBlock <= 0xffff,
+      s"framesPerBlock $framesPerBlock exceeds the fmt chunk's u16 field")
     val (blocks, blockAlign, totalFrames) =
       ImaAdpcm.encode(samples, channels, framesPerBlock)
+    require(blockAlign <= 0xffff,
+      s"block align $blockAlign ($channels channel(s) x $framesPerBlock " +
+        "frames/block) exceeds the fmt chunk's u16 field")
     val out = new Array[Byte](12 + 28 + 12 + 8 + blocks.length)
-    def putTag(o: Int, s: String): Unit = {
-      val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, out, o, 4)
-    }
-    def put16(o: Int, v: Int): Unit = {
-      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def put32(o: Int, v: Long): Unit = {
-      out(o) = (v & 0xff).toByte
-      out(o + 1) = ((v >> 8) & 0xff).toByte
-      out(o + 2) = ((v >> 16) & 0xff).toByte
-      out(o + 3) = ((v >> 24) & 0xff).toByte
-    }
-    putTag(0, "RIFF"); put32(4, (out.length - 8).toLong); putTag(8, "WAVE")
-    putTag(12, "fmt "); put32(16, 20L)           // 16 base + 2 cbSize + 2 ext
-    put16(20, 17); put16(22, channels)           // IMA ADPCM
-    put32(24, sampleRate.toLong)
+    putTag(out, 0, "RIFF"); put32(out, 4, (out.length - 8).toLong); putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); put32(out, 16, 20L)           // 16 base + 2 cbSize + 2 ext
+    put16(out, 20, 17); put16(out, 22, channels)           // IMA ADPCM
+    put32(out, 24, sampleRate.toLong)
     // average byte rate: one block of blockAlign bytes per
     // framesPerBlock frames (integer approximation, informational)
-    put32(28, sampleRate.toLong * blockAlign / framesPerBlock)
-    put16(32, blockAlign)
-    put16(34, 4)                                 // bits per sample
-    put16(36, 2)                                 // cbSize
-    put16(38, framesPerBlock)                    // samplesPerBlock
-    putTag(40, "fact"); put32(44, 4L); put32(48, totalFrames.toLong)
-    putTag(52, "data"); put32(56, blocks.length.toLong)
+    put32(out, 28, sampleRate.toLong * blockAlign / framesPerBlock)
+    put16(out, 32, blockAlign)
+    put16(out, 34, 4)                                 // bits per sample
+    put16(out, 36, 2)                                 // cbSize
+    put16(out, 38, framesPerBlock)                    // samplesPerBlock
+    putTag(out, 40, "fact"); put32(out, 44, 4L); put32(out, 48, totalFrames.toLong)
+    putTag(out, 52, "data"); put32(out, 56, blocks.length.toLong)
     System.arraycopy(blocks, 0, out, 60, blocks.length)
     out
   }
@@ -134,7 +131,13 @@ object Wav {
     var blockAlign = 0
     var factFrames = -1
     var data: Array[Byte] = null
-    while (off + 8 <= bytes.length && data == null) {
+    // PCM stops at the data chunk (trailing bytes after it are common
+    // and harmless); a compressed stream keeps walking until the fact
+    // chunk is found — some writers place it AFTER data, and without
+    // it the final block's pad frames would leak into the output
+    def walkDone: Boolean =
+      data != null && (audioFormat != 17 || factFrames >= 0)
+    while (off + 8 <= bytes.length && !walkDone) {
       val id = tag(bytes, off)
       val size = u32(bytes, off + 4)
       if (size > Int.MaxValue || off + 8 + size > bytes.length)

@@ -87,6 +87,34 @@ class AdpcmSpec extends AnyFunSuite {
       ImaAdpcm.decode(ok, 1, 8, totalFrames = 10))
   }
 
+  test("a whole-row truncated FINAL block decodes (real writers do this)") {
+    // declared align 12 (mono: header + two 4-byte rows = 17 frames),
+    // but the final (only) block carries just ONE row -> 9 frames
+    val partial = monoBlock(5, 0, 1, 0, 0, 0, 0, 0, 0, 0) // 8 bytes
+    val pcm = ImaAdpcm.decode(partial, channels = 1, blockAlign = 12)
+    assert(pcm.length == 9)
+    assert(pcm(0) == 5 && pcm(1) == 6) // nibble 1 at step 7: +1
+    // a full block followed by a whole-row partial block
+    val full = monoBlock(0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0) // 12 bytes, 17 frames
+    val both = full ++ partial
+    assert(ImaAdpcm.decode(both, 1, 12).length == (17 + 9))
+    // mid-row truncation is still refused
+    intercept[IllegalArgumentException](
+      ImaAdpcm.decode(both.dropRight(2), 1, 12))
+  }
+
+  test("fact chunk AFTER the data chunk still trims pad frames") {
+    val wav = Wav.encodeAdpcm(Array.tabulate[Short](500)(_.toShort), 8000, 1)
+    // surgically move fact (12 bytes at offset 40) behind data
+    val fact = wav.slice(40, 52)
+    val rest = wav.take(40) ++ wav.drop(52)
+    val moved = rest ++ fact
+    // fix the RIFF size (unchanged length, so already right) and decode
+    val a = Wav.decode(moved)
+    assert(a.frames == 500) // without the fix: 505 (block padding leaks)
+  }
+
   // ---- container wiring (format tag 17 through the WAV chunk walk) ----
 
   test("ADPCM WAV roundtrips through the container: exact re-decode") {
@@ -163,6 +191,33 @@ class AdpcmSpec extends AnyFunSuite {
     bad(56) = 1 // data chunk size no longer a block-align multiple
     assert(Multimodal.decode(bad).toSeq ==
       Multimodal.opaqueFeatures(bad).toSeq)
+  }
+
+  test("samplePcmFrames keeps ADPCM assets ADPCM (no silent transcode)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.Row
+    val samples = Array.tabulate[Short](1013)(i =>
+      (2000 * math.sin(i / 20.0)).toShort)
+    val adpcm = Wav.encodeAdpcm(samples, 16000, 1)
+    val pcm = Wav.encode(samples, 16000, 1)
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "audio", adpcm, Row(0, 0, 16000, 1013)),
+        Row(2L, "audio", pcm, Row(0, 0, 16000, 1013))), 2),
+      Multimodal.mediaSchema)
+    val out = Multimodal.samplePcmFrames(media, 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val outAdpcm = out(1L).getAs[Array[Byte]]("payload")
+    val outPcm = out(2L).getAs[Array[Byte]]("payload")
+    // format preserved on both branches
+    val aA = Wav.decode(outAdpcm)
+    val aP = Wav.decode(outPcm)
+    assert(aA.bitsPerSample == 4, "ADPCM input must re-encode as ADPCM")
+    assert(aP.bitsPerSample == 16, "PCM input must re-encode as PCM")
+    assert(aA.frames == aP.frames && aA.frames == (1013 + 3) / 4)
+    // compressed really is smaller for the same frame count (not the
+    // full 4x here: 254 frames still occupy one whole 505-frame block)
+    assert(outAdpcm.length < outPcm.length)
   }
 
   test("sampleEveryK composes with the decompressed ADPCM stream") {
