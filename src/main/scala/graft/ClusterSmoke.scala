@@ -37,6 +37,13 @@ import org.apache.spark.sql.SparkSession
   * identical to the undisturbed run, and the write to commit exactly
   * one copy of every row. The standalone worker relaunches a
   * replacement executor, so the phase also witnesses re-registration.
+  * A third probe kills an executor mid-STREAM under a checkpointed
+  * stateful aggregation (complete-mode groupBy over one-file-per-
+  * trigger micro-batches): the dead executor takes its in-memory state
+  * store partitions with it, so the replacement must reload state from
+  * the checkpoint — the recovery layer the batch probes never touch.
+  * The final state table must match both the undisturbed stream and
+  * the batch aggregate.
   *
   * Caveats (documented in BASELINE.md): local-cluster still shares one
   * machine and one disk — it proves serialization, wire-level
@@ -245,6 +252,59 @@ object ClusterSmoke {
       else { bad += 1
         println(s"[cluster-smoke] FAIL loss_write: ${back.size} rows " +
           s"(${back.distinct.size} distinct), generations $gens") }
+      // stateful STREAMING under loss: a checkpointed complete-mode
+      // aggregation fed one file per micro-batch; the kill lands while
+      // state partitions live on an executor, so the replacement
+      // executor must RELOAD state from the checkpoint (the recovery
+      // layer the batch probes above never touch). Aggregates are
+      // integer-only — a Double sum would float-reorder under retry
+      // and turn recovery noise into false divergence.
+      val srcDir = GraftTmp.dir("smoke_stream_loss_src")
+      val sp = new org.apache.hadoop.fs.Path(srcDir)
+      fs.delete(sp, true)
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .repartition(6).write.mode("overwrite").parquet(srcDir)
+      val sch = spark.read.parquet(srcDir).schema
+      def runStream(tag: String, disturb: Boolean): (Seq[String], Long) = {
+        val ckpt = GraftTmp.dir(s"smoke_stream_loss_ckpt_$tag")
+        fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        val name = s"loss_stream_$tag"
+        val slowed = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .mapPartitions { it => Thread.sleep(300); it }(Encoders.row(sch))
+        val agg = slowed.groupBy($"user_id")
+          .agg(F.count(F.lit(1)).as("n"),
+            F.sum(F.round($"value" * 100).cast("long")).as("cents"))
+        val q = agg.writeStream.outputMode("complete").format("memory")
+          .queryName(name).option("checkpointLocation", ckpt).start()
+        val armed = if (disturb) Some(armKiller(spark, stage = 3,
+          delayMs = 300)) else None
+        try q.processAllAvailable()
+        finally {
+          armed.foreach(a => spark.sparkContext.removeSparkListener(a._1))
+          q.stop()
+        }
+        val killed = armed.map(_._2.get(60,
+          java.util.concurrent.TimeUnit.SECONDS).longValue()).getOrElse(-1L)
+        (spark.table(name).collect().map(_.toString).sorted.toSeq, killed)
+      }
+      println("[cluster-smoke] loss phase: undisturbed reference stream")
+      val (streamRef, _) = runStream("ref", disturb = false)
+      val batchRef = spark.read.parquet(srcDir).groupBy($"user_id")
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.round($"value" * 100).cast("long")).as("cents"))
+        .collect().map(_.toString).sorted.toSeq
+      println("[cluster-smoke] loss phase: killing one executor mid-stream")
+      val (streamGot, killed3) = runStream("loss", disturb = true)
+      if (streamGot == streamRef && streamRef == batchRef && streamRef.nonEmpty)
+        println(s"[cluster-smoke] OK   loss_stream (pid $killed3 killed; " +
+          s"${streamRef.size} state rows identical after recovery, " +
+          "and equal to the batch aggregate)")
+      else { bad += 1
+        println(s"[cluster-smoke] FAIL loss_stream: stream ${streamGot.size}" +
+          s" vs ref ${streamRef.size} vs batch ${batchRef.size} rows; " +
+          s"first diff vs ref: ${streamRef.zipAll(streamGot, "<none>",
+            "<none>").find(p => p._1 != p._2).getOrElse(("", ""))}") }
       bad
     } finally spark.stop()
   }
