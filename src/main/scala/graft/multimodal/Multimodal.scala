@@ -144,6 +144,9 @@ object Multimodal {
     else if (Png.looksLike(payload))
       Png.tryDecode(payload).map(imageFeatures)
         .getOrElse(opaqueFeatures(payload))
+    else if (Jpeg.looksLike(payload))
+      Jpeg.tryDecode(payload).map(imageFeatures)
+        .getOrElse(opaqueFeatures(payload))
     else opaqueFeatures(payload)
 
   /** build a media table from documents (text bytes stand in for real
@@ -240,6 +243,10 @@ object Multimodal {
           else if (Png.looksLike(payload))
             Png.tryDecode(payload)
               .map(img => Png.encode(w, h,
+                Bmp.resizeNearest(img, w, h).pixels))
+          else if (Jpeg.looksLike(payload))
+            Jpeg.tryDecode(payload)
+              .map(img => Jpeg.encode(w, h,
                 Bmp.resizeNearest(img, w, h).pixels))
           else None
         resized match {
