@@ -80,16 +80,23 @@ class GraftLines extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftLines.readHeaderSchema(GraftLines.pathOf(options))
+    GraftLines.readDirSchema(GraftLines.pathOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GlTable(properties.get("path"), schema,
-      // path-based reads of schema-evolved directories (compact's
-      // union-schema rewrite, ad-hoc reads of catalog table dirs)
-      // can opt into the catalog's missing-column-reads-NULL rule
+      // a directory carrying the catalog's `_graft_schema` IS a
+      // catalog-managed table, whatever access path reached it: its
+      // authoritative schema vouches for ALTER-appended columns, so
+      // the missing-column-reads-NULL rule applies exactly as it does
+      // through the catalog (before this, a path read of an evolved
+      // table dir errored on pre-ALTER files — or silently dropped the
+      // new column, depending on which file's header inference
+      // happened to pick). Raw directories keep the loud error unless
+      // the option opts in.
       nullFillMissing = "true".equalsIgnoreCase(
-        properties.get(GraftLines.NullFillOption)))
+        properties.get(GraftLines.NullFillOption)) ||
+        GraftLines.hasCatalogSchema(properties.get("path")))
 }
 
 object GraftLines {
@@ -916,6 +923,31 @@ object GraftLines {
     val in = p.getFileSystem(conf).open(p)
     val br = new BufferedReader(new InputStreamReader(in, UTF_8))
     try parseHeader(br.readLine(), file) finally br.close()
+  }
+
+  /** True when `dir` carries the catalog's authoritative schema file. */
+  private[sources] def hasCatalogSchema(dir: String): Boolean = {
+    if (dir == null) return false
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val sf = new Path(dir, GraftCatalog.SchemaName)
+    try sf.getFileSystem(conf).exists(sf) catch { case _: Exception => false }
+  }
+
+  /** Directory schema for path-based reads: the catalog's
+    * `_graft_schema` when present (the AUTHORITY on an evolved table —
+    * per-file headers legitimately disagree with each other after
+    * ALTER ADD COLUMNS, and which one header-inference would pick is
+    * an accident of file naming), else the first data file's header
+    * (raw directories, where every file carries the same schema by
+    * the writer's construction). */
+  private[sources] def readDirSchema(dir: String): StructType = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val sf = new Path(dir, GraftCatalog.SchemaName)
+    val fs = sf.getFileSystem(conf)
+    if (fs.exists(sf)) {
+      val br = new BufferedReader(new InputStreamReader(fs.open(sf), UTF_8))
+      try parseHeader(br.readLine(), sf.toString) finally br.close()
+    } else readHeaderSchema(dir)
   }
 
   private[sources] def readHeaderSchema(dir: String): StructType = {

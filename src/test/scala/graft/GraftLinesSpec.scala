@@ -1042,12 +1042,15 @@ class GraftLinesSpec extends AnyFunSuite {
     // for old files, matches in new ones
     assert(spark.table("gl_test.db3.ev")
       .filter($"note" === "fresh").count() == 1)
-    // path-based reads have no catalog schema to vouch for evolution —
-    // the loud missing-column contract stands
-    intercept[Exception] {
-      spark.read.format("graftlines").load(s"$dir/warehouse/db3/ev")
-        .select("note").collect()
-    }
+    // a path-based read of the same directory finds `_graft_schema`
+    // and honors it: authoritative (evolved) schema, old files
+    // null-filled — identical answers through both access paths
+    // (raw directories without the schema file keep the loud
+    // missing-column error; GlEvolutionInteropSpec covers the rest)
+    val byPath = spark.read.format("graftlines")
+      .load(s"$dir/warehouse/db3/ev")
+    assert(byPath.schema.fieldNames.toSeq == Seq("k", "s", "note"))
+    assert(byPath.filter($"note".isNull).count() == 2)
     // only append-nullable survives: everything else is rejected loudly
     intercept[Exception](
       spark.sql("ALTER TABLE gl_test.db3.ev DROP COLUMN s"))

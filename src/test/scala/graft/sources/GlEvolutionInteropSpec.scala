@@ -172,4 +172,34 @@ class GlEvolutionInteropSpec extends AnyFunSuite {
       "WHERE NOT (w = 'w1') OR v IS NULL").collect().head.getLong(0)
     assert(got == want, s"post-compaction filter count: $got vs $want")
   }
+
+  test("change feed across evolution and compaction boundaries") {
+    val last = history
+    val dir = new Path(GraftTmp.dir("warehouse_interop"), "interop/evo")
+      .toString
+    def delta(v: Int, minus: Int) = spark.read.format("graftlines")
+      .option("versionAsOf", v).option("excludeFilesOfVersion", minus)
+      .load(dir)
+    // across the ALTER (v2 -> v3): the feed's inserts are exactly the
+    // post-evolution append, read THROUGH the evolved schema
+    val ins23 = delta(3, 2).except(delta(2, 3))
+    val del23 = delta(2, 3).except(delta(3, 2))
+    val wantIns = sortedStrings(expectedDf(3)
+      .except(expectedDf(2)))
+    assert(sortedStrings(ins23) == wantIns,
+      "v2->v3 feed must be the post-evolution append")
+    assert(del23.count() == 0, "nothing was deleted between v2 and v3")
+    // across the compaction (last -> last+1, appended to snapshots by
+    // the compaction test or recomputed here): content is identical,
+    // so the two-sided EXCEPT must be EMPTY even though every file
+    // changed — compaction is not a logical change
+    val gens = GraftLines.genVersions(dir,
+      spark.sparkContext.hadoopConfiguration)
+    val top = gens.max
+    if (top > last) { // compaction test ran first in suite order
+      assert(delta(top, last).except(delta(last, top)).count() == 0 &&
+        delta(last, top).except(delta(top, last)).count() == 0,
+        "a compaction boundary must produce an empty change feed")
+    }
+  }
 }
