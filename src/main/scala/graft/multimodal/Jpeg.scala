@@ -9,15 +9,18 @@ package graft.multimodal
   * [[Png]]: PNG is lossless DEFLATE, JPEG is the lossy transform codec.
   *
   * Decode supports the baseline interchange subset: SOF0 (sequential
-  * DCT, 8-bit precision), 1 component (grayscale) or 3 components
-  * (YCbCr) with 4:4:4 or 4:2:0 sampling, restart intervals (DRI +
-  * RSTn), multi-segment DQT/DHT, byte-stuffed entropy data, and
-  * skipped APPn/COM metadata. Progressive (SOF2), arithmetic coding,
-  * and 12-bit precision are refused loudly. Pixels surface as
-  * [[Bmp.Image]] so feature extraction and resize compose across all
-  * three image codecs.
+  * DCT, 8-bit precision), 1 component (grayscale, decoded
+  * non-interleaved per T.81 A.2.3 whatever sampling factors the
+  * header declares) or 3 components (YCbCr) with 4:4:4, 4:2:0, or
+  * 4:2:2 sampling, restart intervals (DRI + RSTn, tolerant of fill
+  * and stuffed pad bytes), multi-segment DQT/DHT, byte-stuffed
+  * entropy data, and skipped APPn/COM metadata. Progressive (SOF2),
+  * arithmetic coding, 12-bit precision, and images past a 2^26-pixel
+  * area cap (a hostile 25-byte header must not OOM an executor) are
+  * refused loudly. Pixels surface as [[Bmp.Image]] so feature
+  * extraction and resize compose across all three image codecs.
   *
-  * Encode emits baseline 4:4:4 YCbCr (or grayscale) with the spec's
+  * Encode emits 3-component baseline 4:4:4 YCbCr with the spec's
   * own example tables (T.81 Annex K quantization + Huffman) — fixed
   * tables, fixed code paths, so the same pixels always produce the
   * same bytes on any JVM.
@@ -156,25 +159,26 @@ object Jpeg {
       (bits >> nBits) & 1
     }
 
-    /** Peek whether the next non-stuffed byte pair is a marker; used
-      * BETWEEN symbols (restart handling), where it is legal. */
-    def markerAhead(): Option[Int] = {
-      if (nBits > 0) return None
-      if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
-          (data(pos + 1) & 0xff) != 0x00)
-        Some(data(pos + 1) & 0xff)
-      else None
+    /** Between restart intervals: discard pad bits, then consume the
+      * RSTn marker. Spec-legal noise is tolerated — a stuffed FF00
+      * whose FF was pure padding (T.81 B.1.1.5) and any number of FF
+      * fill bytes before the marker (B.1.1.2). Returns the marker's
+      * low byte; fails loudly when what follows is not an RSTn. */
+    def consumeRst(): Int = {
+      nBits = 0 // byte-align: remaining bits of the last byte are pad
+      var guard = 0
+      while (guard < 64) { // fill/pad runs are tiny; bound the scan
+        if (pos + 1 >= data.length) fail("entropy data ended expecting RST")
+        val a = data(pos) & 0xff; val b = data(pos + 1) & 0xff
+        if (a != 0xff) fail(f"expected RST marker, found $a%02x")
+        if (b == 0x00) pos += 2       // stuffed pad byte
+        else if (b == 0xff) pos += 1  // fill byte
+        else if (b >= 0xd0 && b <= 0xd7) { pos += 2; return b }
+        else fail(f"expected RST marker, found FF$b%02x")
+        guard += 1
+      }
+      fail("runaway fill-byte scan before RST marker")
     }
-
-    /** Consume an expected RSTn marker and realign. */
-    def consumeMarker(): Int = {
-      require(nBits == 0)
-      val m = data(pos + 1) & 0xff
-      pos += 2
-      m
-    }
-
-    def byteAlign(): Unit = { nBits = 0 }
 
     def decodeSym(h: Huff): Int = {
       var code = nextBit()
@@ -217,9 +221,11 @@ object Jpeg {
 
   /** 2D IDCT of one dequantized 8x8 block (natural order) -> spatial
     * samples WITHOUT the +128 level shift. */
-  private[multimodal] def idct(coef: Array[Int], out: Array[Double]): Unit = {
+  private[multimodal] def idct(coef: Array[Int], out: Array[Double],
+      tmp: Array[Double] = new Array[Double](64)): Unit = {
     // rows then columns (separable); tmp holds the row pass
-    val tmp = new Array[Double](64)
+    // (callers in per-block loops pass a hoisted tmp — a fresh
+    // 512-byte array per 8x8 block is avoidable garbage at scale)
     var y = 0
     while (y < 8) {
       var x = 0
@@ -256,8 +262,8 @@ object Jpeg {
 
   /** 2D FDCT of one level-shifted 8x8 spatial block -> natural-order
     * coefficients. */
-  private[multimodal] def fdct(in: Array[Double], out: Array[Double]): Unit = {
-    val tmp = new Array[Double](64)
+  private[multimodal] def fdct(in: Array[Double], out: Array[Double],
+      tmp: Array[Double] = new Array[Double](64)): Unit = {
     var y = 0
     while (y < 8) {
       var u = 0
@@ -372,29 +378,48 @@ object Jpeg {
               }
             case 0xc0 => // SOF0: baseline
               if (comps != null) fail("duplicate SOF")
+              if (bodyLen < 6) fail(s"SOF0 body too short ($bodyLen bytes)")
               val prec = bytes(body) & 0xff
               if (prec != 8) fail(s"unsupported sample precision $prec")
               height = u16(body + 1); width = u16(body + 3)
               if (width < 1 || height < 1 ||
                   width > (1 << 16) - 1 || height > (1 << 16) - 1)
                 fail(s"bad dimensions ${width}x$height")
+              // area cap BEFORE any dimension-derived allocation: a
+              // 25-byte hostile header must not OOM the executor
+              if (width.toLong * height > (1L << 26))
+                fail(s"image area ${width}x$height exceeds the " +
+                  s"${1 << 26}-pixel decode cap")
               val nc = bytes(body + 5) & 0xff
               if (nc != 1 && nc != 3)
                 fail(s"unsupported component count $nc (only 1 or 3)")
+              if (bodyLen < 6 + 3 * nc)
+                fail(s"SOF0 body $bodyLen bytes for $nc components")
               comps = (0 until nc).map { i =>
                 val o = body + 6 + 3 * i
                 val id = bytes(o) & 0xff
                 val hv = bytes(o + 1) & 0xff
-                Component(id, hv >> 4, hv & 0x0f, bytes(o + 2) & 0xff)
+                val tq = bytes(o + 2) & 0xff
+                if (tq > 3) fail(s"component $id quant table id $tq")
+                Component(id, hv >> 4, hv & 0x0f, tq)
               }.toArray
-              val hs = comps.map(_.h).toSeq
-              val vs = comps.map(_.v).toSeq
-              val ok = nc == 1 ||
-                (hs == Seq(1, 1, 1) && vs == Seq(1, 1, 1)) || // 4:4:4
-                (hs == Seq(2, 1, 1) && vs == Seq(2, 1, 1)) || // 4:2:0
-                (hs == Seq(2, 1, 1) && vs == Seq(1, 1, 1))    // 4:2:2
-              if (!ok) fail(s"unsupported sampling " +
-                comps.map(c => s"${c.h}x${c.v}").mkString(","))
+              if (nc == 1) {
+                // a single-component scan is NON-interleaved per
+                // T.81 A.2.3: one data unit per MCU in raster order,
+                // whatever sampling factors the header declares —
+                // normalizing to 1x1 gives exactly that layout (and
+                // keeps a declared 0 factor from dividing by zero)
+                comps(0) = comps(0).copy(h = 1, v = 1)
+              } else {
+                val hs = comps.map(_.h).toSeq
+                val vs = comps.map(_.v).toSeq
+                val ok =
+                  (hs == Seq(1, 1, 1) && vs == Seq(1, 1, 1)) || // 4:4:4
+                  (hs == Seq(2, 1, 1) && vs == Seq(2, 1, 1)) || // 4:2:0
+                  (hs == Seq(2, 1, 1) && vs == Seq(1, 1, 1))    // 4:2:2
+                if (!ok) fail(s"unsupported sampling " +
+                  comps.map(c => s"${c.h}x${c.v}").mkString(","))
+              }
             case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                  0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
               fail(f"unsupported SOF type FF$marker%02x " +
@@ -404,14 +429,20 @@ object Jpeg {
               restartInterval = u16(body)
             case 0xda => // SOS
               if (comps == null) fail("SOS before SOF")
+              if (bodyLen < 1) fail("SOS body empty")
               val ns = bytes(body) & 0xff
               if (ns != comps.length)
                 fail(s"scan has $ns components, frame ${comps.length} " +
                   "(multi-scan images unsupported)")
+              if (bodyLen < 1 + 2 * ns + 3)
+                fail(s"SOS body $bodyLen bytes for $ns components")
               var i = 0
               while (i < ns) {
                 val cid = bytes(body + 1 + 2 * i) & 0xff
                 val tt = bytes(body + 2 + 2 * i) & 0xff
+                if ((tt >> 4) > 3 || (tt & 0x0f) > 3)
+                  fail(s"component $cid huffman table ids ${tt >> 4}/" +
+                    s"${tt & 0x0f}")
                 val c = comps.find(_.id == cid)
                   .getOrElse(fail(s"scan names unknown component $cid"))
                 c.dcTable = tt >> 4; c.acTable = tt & 0x0f
@@ -446,18 +477,13 @@ object Jpeg {
     val br = new BitReader(bytes, sosAt)
     val coef = new Array[Int](64)
     val spatial = new Array[Double](64)
+    val dctTmp = new Array[Double](64)
     var mcu = 0
     val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        // between restart intervals: align, expect RSTn, reset preds
-        br.byteAlign()
-        br.markerAhead() match {
-          case Some(m) if m >= 0xd0 && m <= 0xd7 =>
-            br.consumeMarker()
-            comps.foreach(_.pred = 0)
-          case other => fail(s"expected RST marker at MCU $mcu, got $other")
-        }
+        br.consumeRst()
+        comps.foreach(_.pred = 0)
       }
       val mx = mcu % mcusX; val my = mcu / mcusX
       var ci = 0
@@ -488,7 +514,7 @@ object Jpeg {
                 k += 1
               }
             }
-            idct(coef, spatial)
+            idct(coef, spatial, dctTmp)
             // place into the component plane (level shift here)
             val x0 = (mx * c.h + bx) * 8
             val y0 = (my * c.v + by) * 8
@@ -618,10 +644,9 @@ object Jpeg {
   /** Encode one level-shifted spatial block against (q, dc, ac);
     * returns the new DC predictor. */
   private def encodeBlock(block: Array[Double], q: Array[Int], pred: Int,
-      dc: HuffEnc, ac: HuffEnc, bw: BitWriter): Int = {
-    val f = new Array[Double](64)
-    fdct(block, f)
-    val zz = new Array[Int](64)
+      dc: HuffEnc, ac: HuffEnc, bw: BitWriter,
+      f: Array[Double], zz: Array[Int], tmp: Array[Double]): Int = {
+    fdct(block, f, tmp)
     var i = 0
     while (i < 64) {
       val nat = Zigzag(i)
@@ -707,6 +732,9 @@ object Jpeg {
     val yB = new Array[Double](64)
     val cbB = new Array[Double](64)
     val crB = new Array[Double](64)
+    val f = new Array[Double](64)
+    val zz = new Array[Int](64)
+    val tmp = new Array[Double](64)
     var predY = 0; var predCb = 0; var predCr = 0
     var my = 0
     while (my < mcusY) {
@@ -730,11 +758,12 @@ object Jpeg {
           }
           yy += 1
         }
-        predY = encodeBlock(yB, QLuma, predY, dcLumaEnc, acLumaEnc, bw)
+        predY = encodeBlock(yB, QLuma, predY, dcLumaEnc, acLumaEnc, bw,
+          f, zz, tmp)
         predCb = encodeBlock(cbB, QChroma, predCb, dcChromaEnc,
-          acChromaEnc, bw)
+          acChromaEnc, bw, f, zz, tmp)
         predCr = encodeBlock(crB, QChroma, predCr, dcChromaEnc,
-          acChromaEnc, bw)
+          acChromaEnc, bw, f, zz, tmp)
         mx += 1
       }
       my += 1

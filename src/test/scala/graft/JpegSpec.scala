@@ -169,6 +169,48 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.tryDecode("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  test("hostile headers stay inside tryDecode's contract (no crash class)") {
+    // SOF0 with declared length 2 and nothing after it: body reads
+    // must be bounds-checked, not AIOOBE
+    assert(Jpeg.tryDecode(Array(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x02)
+      .map(_.toByte)).isEmpty)
+    // quant-table id 7 in SOF: index must be validated, not AIOOBE
+    assert(Jpeg.tryDecode(soi ++ dqtOnes(0) ++ sof0(8, 8, (1, 0x11, 7)) ++
+      dcTable1(0, 5) ++ acEob(0) ++ sos((1, 0x00)) ++
+      bits("0 10000 0") ++ eoi).isEmpty)
+    // huffman-table id 9 in SOS: same
+    assert(Jpeg.tryDecode(soi ++ dqtOnes(0) ++ sof0(8, 8, (1, 0x11, 0)) ++
+      dcTable1(0, 5) ++ acEob(0) ++ sos((1, 0x99)) ++
+      bits("0 10000 0") ++ eoi).isEmpty)
+    // grayscale with sampling byte 0x00: no divide-by-zero — the
+    // single-component scan is non-interleaved, factors ignored
+    val zeroHv = soi ++ dqtOnes(0) ++ sof0(8, 8, (1, 0x00, 0)) ++
+      dcTable1(0, 5) ++ acEob(0) ++ sos((1, 0x00)) ++
+      bits("0 10000 0") ++ eoi
+    assert(Jpeg.decode(zeroHv).pixels.forall(_ == 0x828282))
+    // grayscale with declared 2x2 factors decodes the same
+    // non-interleaved stream (T.81 A.2.3)
+    val hv22 = soi ++ dqtOnes(0) ++ sof0(8, 8, (1, 0x22, 0)) ++
+      dcTable1(0, 5) ++ acEob(0) ++ sos((1, 0x00)) ++
+      bits("0 10000 0") ++ eoi
+    assert(Jpeg.decode(hv22).pixels.forall(_ == 0x828282))
+    // 25-byte header claiming 65535x65535: area cap, not an OOM
+    assert(Jpeg.tryDecode(soi ++ dqtOnes(0) ++
+      sof0(65535, 65535, (1, 0x11, 0)) ++ dcTable1(0, 5) ++ acEob(0) ++
+      sos((1, 0x00)) ++ bits("0") ++ eoi).isEmpty)
+  }
+
+  test("fill bytes before a restart marker are tolerated (B.1.1.2)") {
+    val dri = seg(0xdd, 0, 1)
+    val jpg = soi ++ dqtOnes(0) ++ sof0(16, 8, (1, 0x11, 0)) ++ dri ++
+      dcTable54(0) ++ acEob(0) ++ sos((1, 0x00)) ++
+      bits("00 10000 0") ++
+      Array(0xff, 0xff, 0xd0).map(_.toByte) ++ // one FF fill, then RST0
+      bits("01 1000 0") ++ eoi
+    val img = Jpeg.decode(jpg)
+    assert(img.pixels(0) == 0x828282 && img.pixels(8) == 0x818181)
+  }
+
   // ---- encoder ----
 
   test("encode/decode roundtrip tracks the source (lossy, bounded)") {
