@@ -137,6 +137,24 @@ class JpegSpec extends AnyFunSuite {
     assert(quad(8, 8) == Set(0x818181), "BR: 129")
   }
 
+  test("golden: 4:2:2 MCU layout (2 Y blocks + Cb + Cr)") {
+    // 16x8, Y sampled 2x1: MCU = Y-left, Y-right, Cb, Cr; Y diffs
+    // 16 then 8 accumulate to preds 16, 24 -> flat 130 | 131; chroma
+    // size-0 diffs keep 128 -> gray, so R=G=B=Y per half
+    val jpg = soi ++ dqtOnes(0) ++ dqtOnes(1) ++
+      sof0(16, 8, (1, 0x21, 0), (2, 0x11, 1), (3, 0x11, 1)) ++
+      dcTable54(0) ++ acEob(0) ++ dcTable1(1, 0) ++ acEob(1) ++
+      sos((1, 0x00), (2, 0x11), (3, 0x11)) ++
+      bits("00 10000 0" + " 01 1000 0" + " 0 0" + " 0 0") ++ eoi
+    val img = Jpeg.decode(jpg)
+    assert(img.width == 16 && img.height == 8)
+    val left = (0 until 8).flatMap(y => (0 until 8).map(x =>
+      img.pixels(y * 16 + x))).toSet
+    val right = (0 until 8).flatMap(y => (8 until 16).map(x =>
+      img.pixels(y * 16 + x))).toSet
+    assert(left == Set(0x828282) && right == Set(0x838383))
+  }
+
   test("golden: APPn/COM metadata segments are skipped") {
     val app0 = seg(0xe0, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
     val com = seg(0xfe, "hand-built".getBytes("US-ASCII").map(_ & 0xff)

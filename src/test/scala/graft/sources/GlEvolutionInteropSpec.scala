@@ -173,6 +173,41 @@ class GlEvolutionInteropSpec extends AnyFunSuite {
     assert(got == want, s"post-compaction filter count: $got vs $want")
   }
 
+  test("streaming read of an evolved table dir null-fills old generations") {
+    // a fresh append-only table (the streaming source is an append
+    // feed; the main history's COW delete/compact generations would
+    // re-emit rewritten rows by design)
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse",
+      GraftTmp.dir("warehouse_interop"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.interop")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.interop.evs")
+    spark.sql("""CREATE TABLE graft_cat.interop.evs (k BIGINT, v BIGINT)
+      | USING graftlines TBLPROPERTIES ('versioned'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.interop.evs VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft_cat.interop.evs ADD COLUMNS (w STRING)")
+    spark.sql(
+      "INSERT INTO graft_cat.interop.evs VALUES (3, 30, 'x'), (4, 40, 'y')")
+    val dir = new Path(GraftTmp.dir("warehouse_interop"), "interop/evs")
+      .toString
+    // path-based STREAM: schema must come from _graft_schema (with w),
+    // and the pre-ALTER generation's rows must null-fill, exactly as
+    // the batch path does since the readDirSchema fix
+    val q = spark.readStream.format("graftlines").load(dir)
+      .writeStream.format("memory").queryName("evo_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("evo_stream")
+        .collect().map(_.toString).sorted.toSeq
+      assert(spark.table("evo_stream").schema.fieldNames.toSeq ==
+        Seq("k", "v", "w"))
+      assert(got == Seq("[1,10,null]", "[2,20,null]",
+        "[3,30,x]", "[4,40,y]"))
+    } finally q.stop()
+  }
+
   test("change feed across evolution and compaction boundaries") {
     val last = history
     val dir = new Path(GraftTmp.dir("warehouse_interop"), "interop/evo")
