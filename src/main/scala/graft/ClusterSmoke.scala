@@ -279,13 +279,27 @@ object ClusterSmoke {
           .queryName(name).option("checkpointLocation", ckpt).start()
         val armed = if (disturb) Some(armKiller(spark, stage = 3,
           delayMs = 300)) else None
-        try q.processAllAvailable()
-        finally {
+        // sampled the INSTANT the drain completes: the pid future
+        // resolves at destroyForcibly time, so done-here ⇔ the kill
+        // landed while the stream still had work — killing an idle
+        // executor after the data is finalized would be a vacuous pass
+        var killedMidStream = false
+        try {
+          q.processAllAvailable()
+          killedMidStream = armed.forall(_._2.isDone)
+        } finally {
           armed.foreach(a => spark.sparkContext.removeSparkListener(a._1))
           q.stop()
         }
-        val killed = armed.map(_._2.get(60,
-          java.util.concurrent.TimeUnit.SECONDS).longValue()).getOrElse(-1L)
+        val killed = armed match {
+          case None => -1L
+          case Some((_, pid)) =>
+            if (!killedMidStream)
+              throw new IllegalStateException("stream-loss probe " +
+                "INCONCLUSIVE: the stream drained before the killer " +
+                "fired (or too few stages started) — widen the workload")
+            pid.get().longValue()
+        }
         (spark.table(name).collect().map(_.toString).sorted.toSeq, killed)
       }
       println("[cluster-smoke] loss phase: undisturbed reference stream")

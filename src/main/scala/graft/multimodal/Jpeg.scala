@@ -471,6 +471,17 @@ object Jpeg {
     // per-component sample planes at their OWN resolution
     val planeW = comps.map(c => mcusX * c.h * 8)
     val planeH = comps.map(c => mcusY * c.v * 8)
+    // cap the TOTAL allocation (planes + output), not just the pixel
+    // count: a 3-component image allocates 4x its pixel count in ints,
+    // and the guard exists so a hostile header cannot budget
+    // hundreds of MB before the first entropy byte is validated.
+    // 2^26 ints = 256 MB worst case — a 4096x4096 4:4:4 image fits
+    // exactly; anything bigger is not feature-pipeline material.
+    val totalInts = comps.indices.map(i =>
+      planeW(i).toLong * planeH(i)).sum + width.toLong * height
+    if (totalInts > (1L << 26))
+      fail(s"decode would allocate $totalInts ints for " +
+        s"${width}x$height x${comps.length} (cap ${1L << 26})")
     val planes = comps.indices.map(i =>
       new Array[Int](planeW(i) * planeH(i))).toArray
 

@@ -134,8 +134,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def readSchema(ident: Identifier): StructType = {
     val sf = schemaFile(tablePath(ident))
     if (!fs.exists(sf)) throw new NoSuchTableException(ident)
-    val br = new BufferedReader(new InputStreamReader(fs.open(sf), UTF_8))
-    try GraftLines.parseHeader(br.readLine(), sf.toString) finally br.close()
+    GraftCatalog.readSchemaFile(fs, sf)
   }
 
   /** Publish `_graft_schema`. `exclusive = true` (CREATE) uses the
@@ -487,6 +486,16 @@ object GraftCatalog {
   /** One-line authoritative table schema, header-encoded. Like
     * `_graft_stats`, no `.gl` suffix — never listed as data. */
   val SchemaName = "_graft_schema"
+
+  /** THE schema-file parse, shared by the catalog (`loadTable`) and
+    * the path-based reader (`GraftLines.readDirSchema`) so the same
+    * directory can never parse differently depending on access path. */
+  private[sources] def readSchemaFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      sf: Path): org.apache.spark.sql.types.StructType = {
+    val br = new BufferedReader(new InputStreamReader(fs.open(sf), UTF_8))
+    try GraftLines.parseHeader(br.readLine(), sf.toString) finally br.close()
+  }
 
   /** Non-POSIX ALTER publish fallback: rename-onto-existing fails on
     * HDFS, so delete + rename with its (documented) brief absent

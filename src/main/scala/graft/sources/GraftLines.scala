@@ -83,20 +83,26 @@ class GraftLines extends TableProvider with DataSourceRegister {
     GraftLines.readDirSchema(GraftLines.pathOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GlTable(properties.get("path"), schema,
-      // a directory carrying the catalog's `_graft_schema` IS a
-      // catalog-managed table, whatever access path reached it: its
-      // authoritative schema vouches for ALTER-appended columns, so
-      // the missing-column-reads-NULL rule applies exactly as it does
-      // through the catalog (before this, a path read of an evolved
-      // table dir errored on pre-ALTER files — or silently dropped the
-      // new column, depending on which file's header inference
-      // happened to pick). Raw directories keep the loud error unless
-      // the option opts in.
-      nullFillMissing = "true".equalsIgnoreCase(
-        properties.get(GraftLines.NullFillOption)) ||
-        GraftLines.hasCatalogSchema(properties.get("path")))
+      properties: util.Map[String, String]): Table = {
+    // a directory carrying the catalog's `_graft_schema` IS a
+    // catalog-managed table, whatever access path reached it: its
+    // authoritative schema vouches for ALTER-appended columns, so the
+    // missing-column-reads-NULL rule applies exactly as it does
+    // through the catalog (before this, a path read of an evolved
+    // table dir errored on pre-ALTER files — or silently dropped the
+    // new column, depending on which file's header inference happened
+    // to pick). The catalog schema only vouches for columns it
+    // CONTAINS: a user-supplied external schema with a column in
+    // neither any file nor `_graft_schema` (a typo) must keep the
+    // loud error, not read uniform NULL. Raw directories keep the
+    // loud error unless the option opts in.
+    val path = properties.get("path")
+    val vouched = "true".equalsIgnoreCase(
+      properties.get(GraftLines.NullFillOption)) ||
+      GraftLines.catalogSchemaOf(path).exists(cat =>
+        schema.fieldNames.forall(cat.fieldNames.contains))
+    new GlTable(path, schema, nullFillMissing = vouched)
+  }
 }
 
 object GraftLines {
@@ -925,12 +931,20 @@ object GraftLines {
     try parseHeader(br.readLine(), file) finally br.close()
   }
 
-  /** True when `dir` carries the catalog's authoritative schema file. */
-  private[sources] def hasCatalogSchema(dir: String): Boolean = {
-    if (dir == null) return false
+  /** The catalog's authoritative schema for `dir` when its
+    * `_graft_schema` is present, else None. Only a clean not-found
+    * maps to None — a transient store error must propagate rather
+    * than silently flipping the read's null-fill semantics between
+    * retries. */
+  private[sources] def catalogSchemaOf(dir: String): Option[StructType] = {
+    if (dir == null) return None
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     val sf = new Path(dir, GraftCatalog.SchemaName)
-    try sf.getFileSystem(conf).exists(sf) catch { case _: Exception => false }
+    val fs = sf.getFileSystem(conf)
+    val exists =
+      try fs.exists(sf)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (exists) Some(GraftCatalog.readSchemaFile(fs, sf)) else None
   }
 
   /** Directory schema for path-based reads: the catalog's
@@ -940,15 +954,8 @@ object GraftLines {
     * an accident of file naming), else the first data file's header
     * (raw directories, where every file carries the same schema by
     * the writer's construction). */
-  private[sources] def readDirSchema(dir: String): StructType = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val sf = new Path(dir, GraftCatalog.SchemaName)
-    val fs = sf.getFileSystem(conf)
-    if (fs.exists(sf)) {
-      val br = new BufferedReader(new InputStreamReader(fs.open(sf), UTF_8))
-      try parseHeader(br.readLine(), sf.toString) finally br.close()
-    } else readHeaderSchema(dir)
-  }
+  private[sources] def readDirSchema(dir: String): StructType =
+    catalogSchemaOf(dir).getOrElse(readHeaderSchema(dir))
 
   private[sources] def readHeaderSchema(dir: String): StructType = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration

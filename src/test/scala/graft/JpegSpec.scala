@@ -216,6 +216,13 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.tryDecode(soi ++ dqtOnes(0) ++
       sof0(65535, 65535, (1, 0x11, 0)) ++ dcTable1(0, 5) ++ acEob(0) ++
       sos((1, 0x00)) ++ bits("0") ++ eoi).isEmpty)
+    // 8192x8192 3-component squeaks under the PIXEL cap but would
+    // allocate 4x that in plane+output ints — the TOTAL-allocation
+    // cap must refuse it before any multi-hundred-MB new Array
+    assert(Jpeg.tryDecode(soi ++ dqtOnes(0) ++ dqtOnes(1) ++
+      sof0(8192, 8192, (1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)) ++
+      dcTable1(0, 5) ++ acEob(0) ++ dcTable1(1, 0) ++ acEob(1) ++
+      sos((1, 0x00), (2, 0x11), (3, 0x11)) ++ bits("0") ++ eoi).isEmpty)
   }
 
   test("fill bytes before a restart marker are tolerated (B.1.1.2)") {

@@ -173,6 +173,24 @@ class GlEvolutionInteropSpec extends AnyFunSuite {
     assert(got == want, s"post-compaction filter count: $got vs $want")
   }
 
+  test("a user-supplied schema column the catalog never saw stays loud") {
+    val last = history
+    val dir = new Path(GraftTmp.dir("warehouse_interop"), "interop/evo")
+      .toString
+    // misspelled column: in NO file and NOT in _graft_schema — the
+    // catalog schema only vouches for columns it contains, so this
+    // must keep the pre-fix loud error, not read uniform NULL
+    val typo = spark.read.format("graftlines")
+      .schema("k BIGINT, naem STRING").load(dir)
+    val e = intercept[Exception](typo.collect())
+    assert(e.getMessage != null)
+    // a correct SUBSET of the catalog schema (including the evolved
+    // column) is vouched and null-fills
+    val ok = spark.read.format("graftlines")
+      .schema("k BIGINT, w STRING").load(dir)
+    assert(ok.count() == snapshots(last).size)
+  }
+
   test("streaming read of an evolved table dir null-fills old generations") {
     // a fresh append-only table (the streaming source is an append
     // feed; the main history's COW delete/compact generations would
