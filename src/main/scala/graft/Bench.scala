@@ -83,20 +83,19 @@ object Bench {
         time(fn)
       }
       val times = samples.map(_._1)
+      // the graded min is taken over SUCCESSFUL samples only: a fast
+      // crash (0.05 s transient failure next to an 8 s good run) must
+      // never be recorded as the query's time — that would be a crash
+      // graded as a speedup. All-failed queries keep the raw min so
+      // the crash duration still surfaces (with its errors entry).
+      val okTimes = samples.collect { case (t, None) => t }
+      val graded = if (okTimes.nonEmpty) okTimes.min else times.min
       val err = samples.flatMap(_._2).headOption
-      name -> (times.min, times.head,
+      name -> (graded, times.head,
         if (times.length > 1) times(1) else times.head,
         times.max - times.min, err)
     }
-    def jesc(s: String): String =
-      s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        // \s+ normalization upstream misses non-whitespace control
-        // chars (ANSI escapes, backspace) that would corrupt the JSON
-        case c if c < ' ' => "\\u%04x".format(c.toInt)
-        case c => c.toString
-      }
+    import JsonOut.{esc => jesc}
     // keys AND the env-sourced sfDir go through jesc too: a quote or
     // backslash in either would corrupt the one-line artifact the
     // driver json.load's (the failure the bench.json fallback exists
@@ -107,17 +106,21 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = jmap(_._1)
     val firsts = jmap(_._2)
-    // both samples emitted (not just the min) so a steady-state
-    // regression is distinguishable from one-run GC noise
-    val seconds = jmap(_._3)
-    // max-min per query: with SPARK_GRAFT_BENCH_RUNS>2 this is the
-    // noise band that separates a real regression from GC/position
-    val spread = jmap(_._4)
     val errors = results.collect { case (k, (_, _, _, _, Some(e))) =>
       s"\"" + jesc(k) + "\":\"" + jesc(e) + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // second_run/spread only exist when a second sample was actually
+    // taken: fabricating second_run == first_run at runs=1 would show a
+    // perfect steady-state agreement that never happened
+    val multi = if (runs < 2) "" else {
+      // both samples emitted (not just the min) so a steady-state
+      // regression is distinguishable from one-run GC noise; spread =
+      // max-min per query, the noise band separating a real regression
+      // from GC/position effects
+      s""","second_run":${jmap(_._3)},"spread":${jmap(_._4)}"""
+    }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"first_run":$firsts,"second_run":$seconds,"spread":$spread,"errors":$errors,"sf":"${jesc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"first_run":$firsts$multi,"errors":$errors,"sf":"${jesc(sfDir)}"}"""
     println(line)
     try Files.write(Paths.get("bench.json"), (line + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

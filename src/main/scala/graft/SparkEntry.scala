@@ -13,18 +13,27 @@ object SparkEntry {
     LlmText, Pipeline
   )
 
-  private lazy val all: Seq[QueryDef] = groups.flatMap(_.defs)
+  private lazy val all: Seq[QueryDef] = {
+    val defs = groups.flatMap(_.defs)
+    // toMap below keeps only the LAST entry per name: a duplicated
+    // QueryDef name would silently drop a declared operator from the
+    // correctness dump, the bench, and the generated smoke tests —
+    // graded coverage shrinking with zero errors. Fail at first touch.
+    val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dup.isEmpty, s"duplicate QueryDef names: ${dup.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Aggs.pricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

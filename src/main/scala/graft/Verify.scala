@@ -20,6 +20,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failed queries whose STALE output from an earlier run could not
+    // be removed: the driver's compare would grade old-but-matching
+    // parquet as a pass, so this must escalate to a nonzero exit
+    var poisoned = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -30,29 +34,34 @@ object Verify {
         // a reused outDir may hold this query's parquet from an EARLIER
         // run (overwrite only lands on success) — deleting it turns the
         // failure into a loud "no spark output" in the compare instead
-        // of silently grading stale-but-matching output as a pass
-        try {
-          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
-          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .delete(p, true)
-        } catch { case _: Exception => () }
+        // of silently grading stale-but-matching output as a pass. A
+        // FAILED delete reinstates exactly that hazard, so it cannot
+        // be swallowed.
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val cleaned =
+          try {
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            !fs.exists(p) || fs.delete(p, true)
+          } catch { case _: Exception => false }
+        if (!cleaned) {
+          System.err.println(s"[verify] $name: STALE OUTPUT AT $p COULD " +
+            "NOT BE REMOVED — the compare would grade an earlier run")
+          poisoned ::= name
+        }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // escaping via the shared JsonOut: a tab or CR in builder-authored
+    // SQL would otherwise make the driver's json.load fail and silently
+    // zero the round's correctness.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${JsonOut.quote(k)}: ${JsonOut.quote(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (poisoned.nonEmpty) {
+      System.err.println(s"[verify] POISONED output for: " +
+        poisoned.sorted.mkString(", "))
+      sys.exit(3)
+    }
   }
 }
