@@ -147,6 +147,9 @@ object Multimodal {
     else if (Jpeg.looksLike(payload))
       Jpeg.tryDecode(payload).map(imageFeatures)
         .getOrElse(opaqueFeatures(payload))
+    else if (Gif.looksLike(payload))
+      Gif.tryDecode(payload).map(imageFeatures)
+        .getOrElse(opaqueFeatures(payload))
     else opaqueFeatures(payload)
 
   /** build a media table from documents (text bytes stand in for real
@@ -247,6 +250,12 @@ object Multimodal {
           else if (Jpeg.looksLike(payload))
             Jpeg.tryDecode(payload)
               .map(img => Jpeg.encode(w, h,
+                Bmp.resizeNearest(img, w, h).pixels))
+          else if (Gif.looksLike(payload))
+            // nearest-neighbor only SELECTS source pixels, so the
+            // palette can never grow past the encoder's 256 limit
+            Gif.tryDecode(payload)
+              .map(img => Gif.encode(w, h,
                 Bmp.resizeNearest(img, w, h).pixels))
           else None
         resized match {

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Bmp, Jpeg, Multimodal, Png, Wav}
+import graft.multimodal.{Bmp, Gif, Jpeg, Multimodal, Png, Wav}
 
 /** Adversarial robustness law for every codec behind the multimodal
   * dispatch: `tryDecode` returns an Option for ANY byte string — the
@@ -73,6 +73,14 @@ class CodecFuzzSpec extends AnyFunSuite {
 
   test("BMP survives truncation, mutation, and garbage") {
     attack("bmp", Bmp.encode(9, 7, px(3, 63)), Bmp.tryDecode)
+  }
+
+  test("GIF survives truncation, mutation, and garbage") {
+    // 16 colors so the LZW dictionary really grows before the attacks
+    val rnd = new scala.util.Random(16)
+    val colors = Array.fill(16)(rnd.nextInt(1 << 24))
+    val gifPx = Array.fill(12 * 9)(colors(rnd.nextInt(16)))
+    attack("gif", Gif.encode(12, 9, gifPx), Gif.tryDecode)
   }
 
   test("WAV (PCM and ADPCM) survives truncation, mutation, and garbage") {

@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Bmp, ImaAdpcm, Jpeg, Multimodal, Png, Wav}
+import graft.multimodal.{Bmp, Gif, ImaAdpcm, Jpeg, Multimodal, Png, Wav}
 
-/** The 100 TB shape of the multimodal pipeline, now that all five real
-  * codecs (BMP, PNG, JPEG, PCM WAV, ADPCM WAV) sit behind the dispatch
-  * seam: decode/featurize/resize/frame-sample must stay MAP-ONLY (zero
+/** The 100 TB shape of the multimodal pipeline, now that all six real
+  * codecs (BMP, PNG, JPEG, GIF, PCM WAV, ADPCM WAV) sit behind the
+  * dispatch seam: decode/featurize/resize/frame-sample stay MAP-ONLY (zero
   * Exchange in the physical plan — media work distributes by never
   * shuffling payload bytes), results must be partition-count invariant
   * (codec state is per-partition, never cross-partition), and a mixed-
@@ -24,16 +24,17 @@ class MultimodalScaleSpec extends AnyFunSuite {
       val px = Array.fill(8 * 8)(rnd.nextInt(1 << 24))
       val pcm = Array.tabulate[Short](505)(j =>
         (3000 * math.sin((i + 1) * j / 30.0)).toShort)
-      val payload = i % 6 match {
+      val payload = i % 7 match {
         case 0 => Bmp.encode(8, 8, px)
         case 1 => Png.encode(8, 8, px)
         case 2 => Jpeg.encode(8, 8, px)
         case 3 => Wav.encode(pcm, 16000, 1)
         case 4 => Wav.encodeAdpcm(pcm, 16000, 1)
         case 5 => s"opaque text payload $i".getBytes("UTF-8")
+        case 6 => Gif.encode(8, 8, px) // 64 random colors <= 256
       }
-      val kind = if (i % 6 >= 3 && i % 6 <= 4) "audio"
-        else if (i % 6 == 5) "video" else "image"
+      val kind = if (i % 7 >= 3 && i % 7 <= 4) "audio"
+        else if (i % 7 == 5) "video" else "image"
       Row(i.toLong, kind, payload, Row(8, 8, 16000, 505))
     }
     spark.createDataFrame(
@@ -66,8 +67,8 @@ class MultimodalScaleSpec extends AnyFunSuite {
     (0 until 60).foreach { i =>
       val rnd = new scala.util.Random(i)
       val px = Array.fill(8 * 8)(rnd.nextInt(1 << 24))
-      i % 6 match {
-        case 0 | 1 => // BMP and PNG are lossless: exact image features
+      i % 7 match {
+        case 0 | 1 | 6 => // BMP/PNG/GIF are lossless: exact features
           assert(feats(i.toLong) ==
             Multimodal.imageFeatures(Bmp.Image(8, 8, px)).toSeq, s"row $i")
         case 2 => // JPEG is lossy: dims exact, channel means close
@@ -95,12 +96,13 @@ class MultimodalScaleSpec extends AnyFunSuite {
       .toMap
     (0 until 24).foreach { i =>
       val p = out(i.toLong)
-      i % 6 match {
+      i % 7 match {
         case 0 => assert(Bmp.looksLike(p) && Bmp.decode(p).width == 4)
         case 1 => assert(Png.looksLike(p) && Png.decode(p).width == 4)
         case 2 => assert(Jpeg.looksLike(p) && Jpeg.decode(p).width == 4)
         case 3 | 4 => assert(Wav.looksLike(p)) // untouched
         case 5 => assert(new String(p, "UTF-8").startsWith("opaque"))
+        case 6 => assert(Gif.looksLike(p) && Gif.decode(p).width == 4)
       }
     }
   }
