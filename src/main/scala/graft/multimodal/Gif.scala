@@ -340,10 +340,10 @@ object Gif {
     out.toByteArray
   }
 
-  /** Cheap magic sniff. */
+  /** Cheap magic sniff — raw byte compares like the sibling codecs
+    * (this runs once per row on the map-only decode path). */
   def looksLike(bytes: Array[Byte]): Boolean =
-    bytes.length >= 6 && {
-      val s = new String(bytes, 0, 6, "US-ASCII")
-      s == "GIF87a" || s == "GIF89a"
-    }
+    bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
 }

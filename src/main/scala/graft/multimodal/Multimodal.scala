@@ -130,7 +130,7 @@ object Multimodal {
 
   /** Decode + featurize one payload: sniff the container magic, run
     * the real codec, fall back to the opaque byte-fold when the
-    * payload is not a valid WAV, BMP, PNG, or JPEG (sniff first, so
+    * payload is not a valid WAV, BMP, PNG, JPEG, or GIF (sniff first, so
     * the exception path never runs for clearly-non-media bytes; a
     * payload that merely STARTS like a container but fails structural
     * validation also falls back rather than failing the task). */

@@ -54,7 +54,7 @@ class MultimodalScaleSpec extends AnyFunSuite {
     assert(!sp.contains("Exchange"), s"frame-sample must not shuffle:\n$sp")
   }
 
-  test("features are partition-count invariant across all five codecs") {
+  test("features are partition-count invariant across all six codecs") {
     def run(parts: Int) = Multimodal.extractFeatures(mixedMedia(120, parts))
       .collect().map(_.toString).sorted.toSeq
     val a = run(2)
