@@ -211,7 +211,12 @@ object FrameGraph {
     *    (a double import — composePath would emit duplicate pose rows),
     *  - `self_loop`: an edge src == dst,
     *  - `cycle`: a node that reaches itself within `maxHops` (includes
-    *    self-loops at hop 1 — a self-loop is also a cycle).
+    *    self-loops at hop 1 — a self-loop is also a cycle),
+    *  - `null_key`: an edge with a null src or dst — invisible to the
+    *    other checks (aggregates skip nulls, equi-joins never match a
+    *    null) and silently dropped by traversals, so it must be
+    *    flagged here; `node` is the edge's non-null end when one
+    *    exists.
     * Empty result = consistent. Reachability is the same bounded
     * hop-join walk as [[composeFromRoot]] without matrices, with the
     * frontier deduplicated per hop: validation runs on possibly-CORRUPT
@@ -278,6 +283,16 @@ object FrameGraph {
     }
     val cycles = reach.filter(col("origin") === col("cur"))
       .select(lit("cycle").as("kind"), col("origin").as("node")).distinct()
+    // null-keyed edges are invisible to every check above (aggregates
+    // skip nulls, null === null is null, the hop joins never match a
+    // null key) — yet they are exactly what corrupt imports produce,
+    // and a traversal silently DROPS them. Flag them first-class.
+    val nullKey = e
+      .filter(col("_v_src").isNull || col("_v_dst").isNull)
+      .select(lit("null_key").as("kind"),
+        coalesce(col("_v_dst"), col("_v_src")).as("node"))
+      .distinct()
     multi.unionByName(dup).unionByName(selfLoop).unionByName(cycles)
+      .unionByName(nullKey)
   }
 }

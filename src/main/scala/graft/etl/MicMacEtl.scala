@@ -59,12 +59,51 @@ object MicMacEtl {
           StructField("b2", DoubleType))))))))))))
 
   /** one calibration file -> (sensor, referentials, transfos, transfotrees) */
+  /** Glob -> (value, file) whole-document frame: the default text
+    * source all three importers share. */
+  private def wholeText(spark: SparkSession, glob: String): DataFrame =
+    spark.read.option("wholetext", "true").text(glob)
+      .withColumn("file", input_file_name())
+
+  /** Adapt an [[graft.sources.XmlManifest]]-shaped frame
+    * (path, length, xml — readXml or readPacked output) to the
+    * (value, file) shape the importer cores consume. This is the seam
+    * the manifest source exists for: at millions-of-files scale the
+    * glob entry points' InMemoryFileIndex melts the driver, so the
+    * manifest fetch (or its packed-container form) replaces the text
+    * source and the SAME parse/validate/emit pipeline runs behind it. */
+  private def fromManifest(xml: DataFrame): DataFrame =
+    xml.select(col("xml").as("value"), col("path").as("file"))
+
+  /** [[importAutocal]] over manifest-fetched XML (path, length, xml). */
+  def importAutocalXml(xml: DataFrame,
+      validityStart: Option[String] = None,
+      validityEnd: Option[String] = None): Map[String, DataFrame] =
+    autocalCore(xml.sparkSession, fromManifest(xml),
+      validityStart, validityEnd)
+
+  /** [[importBlinis]] over manifest-fetched XML (path, length, xml). */
+  def importBlinisXml(xml: DataFrame,
+      validityStart: Option[String] = None,
+      validityEnd: Option[String] = None): Map[String, DataFrame] =
+    blinisCore(fromManifest(xml), validityStart, validityEnd)
+
+  /** [[importOrimatis]] over manifest-fetched XML (path, length, xml). */
+  def importOrimatisXml(xml: DataFrame,
+      validityStart: Option[String] = None,
+      validityEnd: Option[String] = None): Map[String, DataFrame] =
+    orimatisCore(fromManifest(xml), validityStart, validityEnd)
+
   def importAutocal(spark: SparkSession, glob: String,
       validityStart: Option[String] = None,
-      validityEnd: Option[String] = None): Map[String, DataFrame] = {
+      validityEnd: Option[String] = None): Map[String, DataFrame] =
+    autocalCore(spark, wholeText(spark, glob), validityStart, validityEnd)
+
+  private def autocalCore(spark: SparkSession, text: DataFrame,
+      validityStart: Option[String],
+      validityEnd: Option[String]): Map[String, DataFrame] = {
     AutocalTransfos.register(spark)
-    val parsed = spark.read.option("wholetext", "true").text(glob)
-      .withColumn("file", input_file_name())
+    val parsed = text
       .withColumn("x", from_xml(col("value"), autocalSchema))
       .select(col("file"), col("x.CalibrationInternConique").as("c"))
       .select(col("file"),
@@ -135,11 +174,15 @@ object MicMacEtl {
     * transfos ([R|t] row-major, 12 doubles — blinis.py A3/A4 analog) */
   def importBlinis(spark: SparkSession, glob: String,
       validityStart: Option[String] = None,
-      validityEnd: Option[String] = None): Map[String, DataFrame] = {
+      validityEnd: Option[String] = None): Map[String, DataFrame] =
+    blinisCore(wholeText(spark, glob), validityStart, validityEnd)
+
+  private def blinisCore(text: DataFrame,
+      validityStart: Option[String],
+      validityEnd: Option[String]): Map[String, DataFrame] = {
     def complete3(c: Column): Column =
       c.isNotNull && size(c) === 3 && forall(c, x => x.isNotNull)
-    val parsed = spark.read.option("wholetext", "true").text(glob)
-      .withColumn("file", input_file_name())
+    val parsed = text
       .withColumn("x", from_xml(col("value"), blinisSchema))
       // A8 for the rig file shape, BEFORE the explode: a malformed XML
       // (PERMISSIVE parse -> null struct) or one missing <LiaisonsSHC>/
@@ -169,6 +212,16 @@ object MicMacEtl {
           && complete3(col("r2")) && complete3(col("r3")),
         concat(lit("incomplete ParamOrientSHC (IdGrp/Vecteur/CodageMatr) "
           + "in "), col("file"))).isNull)
+      // duplicate IdGrp within one rig file (a double-written arm):
+      // transfoTree's collect_set would dedup the NAME while both
+      // transfo rows survive, so the "consistent snapshot" would hand
+      // composePath a duplicate edge and double every pose through it
+      .withColumn("_dup_n", count(lit(1)).over(
+        Window.partitionBy(col("file"), col("cam"))))
+      .filter(assert_true(col("_dup_n") === 1,
+        concat(lit("duplicate ParamOrientSHC IdGrp in "), col("file")))
+        .isNull)
+      .drop("_dup_n")
     val mat43 = concat(
       col("r1"), slice(col("t"), 1, 1),
       col("r2"), slice(col("t"), 2, 1),
@@ -243,9 +296,13 @@ object MicMacEtl {
     * flavor-specific intrinsics (conique pinhole | spherique angular) */
   def importOrimatis(spark: SparkSession, glob: String,
       validityStart: Option[String] = None,
-      validityEnd: Option[String] = None): Map[String, DataFrame] = {
-    val parsed = spark.read.option("wholetext", "true").text(glob)
-      .withColumn("file", input_file_name())
+      validityEnd: Option[String] = None): Map[String, DataFrame] =
+    orimatisCore(wholeText(spark, glob), validityStart, validityEnd)
+
+  private def orimatisCore(text: DataFrame,
+      validityStart: Option[String],
+      validityEnd: Option[String]): Map[String, DataFrame] = {
+    val parsed = text
       .withColumn("x", from_xml(col("value"), orimatisSchema))
       .select(col("file"),
         col("x.geometry.intrinseque.sensor").as("con"),
@@ -299,6 +356,11 @@ object MicMacEtl {
     val checked = parsed
       .filter(assert_true(col("flavor").isNotNull,
         concat(lit("unknown intrinseque flavor in "), col("file"))).isNull)
+      // a null sensor name would emit null-keyed transfos whose edges
+      // never equi-join in FrameGraph traversals — the pose silently
+      // VANISHING from every composed path instead of erroring
+      .filter(assert_true(col("sensor_name").isNotNull,
+        concat(lit("missing sensor <name> in "), col("file"))).isNull)
       .filter(assert_true(quatComplete || matComplete,
         concat(lit("missing or incomplete rotation (quaternion|mat3d) " +
           "in "), col("file"))).isNull)
@@ -306,6 +368,27 @@ object MicMacEtl {
           && col("pz").isNotNull,
         concat(lit("missing or incomplete sommet in "), col("file")))
         .isNull)
+      // intrinsics completeness, per flavor: array(...) embeds a null
+      // silently (the autocal path guards this with forall(isNotNull);
+      // the pose path must too) — a [null, c, l] pinhole parameter row
+      // fabricates a 0.0 focal length in any toDoubleArray consumer.
+      // Guarded on STRUCT PRESENCE, never on the flavor string: the
+      // per-flavor branch filters downstream (`flavor === 'spherique'`)
+      // constant-propagate into any `when(flavor === ...)` here and
+      // collapse it to the other arm, whose checks are NULL on this
+      // row — and assert_true raises on NULL (found the hard way)
+      .filter(assert_true(
+        (col("con").isNull ||
+          (col("con.ppa.focale").isNotNull && col("ppa_c").isNotNull &&
+            col("ppa_l").isNotNull)) &&
+        (col("sph").isNull ||
+          (col("ppa_c").isNotNull && col("ppa_l").isNotNull &&
+            col("sph.frame.lambda_min").isNotNull &&
+            col("sph.frame.lambda_max").isNotNull &&
+            col("sph.frame.phi_min").isNotNull &&
+            col("sph.frame.phi_max").isNotNull)),
+        concat(lit("missing or incomplete intrinsics (focale/ppa/frame) " +
+          "in "), col("file"))).isNull)
     // quaternion -> rotation matrix, row-major (orimatis.py A3 analog),
     // pure column arithmetic — codegen'd, no UDF; matrix poses pass
     // straight through (a complete quaternion wins when both are
@@ -315,9 +398,7 @@ object MicMacEtl {
     // emitted matrix is scaled by ~|q|^2 (not a rotation) and the error
     // compounds multiplicatively through every composed pose. For an
     // exactly-unit quaternion the division is by 1.0 — bit-identical.
-    val n2 = q("x") * q("x") + q("y") * q("y") +
-      q("z") * q("z") + q("w") * q("w")
-    val two = lit(2) / n2
+    val two = lit(2) / qn2 // the SAME norm the completeness gate checked
     val rq = Seq(
       lit(1) - two * (q("y") * q("y") + q("z") * q("z")),
       two * (q("x") * q("y") - q("z") * q("w")),
@@ -461,7 +542,23 @@ object MicMacEtl {
     val cond = naturalKey.map(k => staging(k) <=> existing(k))
       .reduce(_ && _)
     val fresh = staging.join(existing, cond, "left_anti")
-    existing.unionByName(fresh, allowMissingColumns = false)
+    // when both sides carry a surrogate `id`, fresh rows must receive
+    // ids ABOVE the existing range: staging ids come from a rank that
+    // always starts at 1, so appending them verbatim can hand two
+    // DIFFERENT natural keys the same id — the surrogate silently
+    // stops being a key. Renumber as max(existing.id) + dense rank
+    // (deterministic; the agg and window run on dimension-sized
+    // frames, the same cost class as withSurrogateIds itself).
+    val freshKeyed =
+      if (existing.columns.contains("id") && staging.columns.contains("id")) {
+        val idType = existing.schema("id").dataType
+        val base = existing
+          .agg(coalesce(max(col("id")).cast("long"), lit(0L))).head.getLong(0)
+        fresh.withColumn("id",
+          (lit(base) + dense_rank().over(
+            Window.orderBy(naturalKey.map(col): _*))).cast(idType))
+      } else fresh
+    existing.unionByName(freshKeyed, allowMissingColumns = false)
   }
 }
 

@@ -71,15 +71,26 @@ object XmlManifest {
       paths.map { p =>
         val path = new Path(p)
         val fs = path.getFileSystem(conf)
-        val status = fs.getFileStatus(path)
-        require(status.getLen <= maxBytes,
-          s"XML file too large for single-doc read: $p "
-            + s"(${status.getLen} B > $maxBytes B)")
+        // ONE metadata round-trip per file (open), not two (a
+        // getFileStatus first): at millions of ~KiB files the per-file
+        // RPC count IS the job cost, and the size guard works just as
+        // well from the stream — read up to maxBytes + 1 and fail if
+        // the extra byte materializes
         val in = fs.open(path)
         try {
-          val buf = new Array[Byte](status.getLen.toInt)
-          in.readFully(0, buf)
-          XmlFile(p, status.getLen, new String(buf, "UTF-8"))
+          val out = new java.io.ByteArrayOutputStream(8192)
+          val chunk = new Array[Byte](64 << 10)
+          var total = 0L
+          var n = in.read(chunk)
+          while (n >= 0 && total <= maxBytes) {
+            out.write(chunk, 0, n)
+            total += n
+            n = in.read(chunk)
+          }
+          require(total <= maxBytes,
+            s"XML file too large for single-doc read: $p "
+              + s"(> $maxBytes B)")
+          XmlFile(p, total, new String(out.toByteArray, "UTF-8"))
         } finally in.close()
       }
     }.toDF()

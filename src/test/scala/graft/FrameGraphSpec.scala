@@ -150,6 +150,20 @@ class FrameGraphSpec extends AnyFunSuite {
       ("cycle", 1L), ("cycle", 2L), ("cycle", 3L), ("cycle", 7L)), v)
   }
 
+  test("validateTree flags null-keyed edges the other checks cannot see") {
+    import spark.implicits._
+    // {(null,x),(a,x)}: countDistinct skips nulls so multi_parent
+    // missed x; (null,null) fails every comparison and join — both
+    // must surface as null_key instead of validating as consistent
+    val edges = Seq[(java.lang.Long, java.lang.Long)](
+      (null, 10L), (9L, 10L), (null, null), (1L, 2L))
+      .toDF("src", "dst")
+    val v = graft.etl.FrameGraph.validateTree(edges)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    assert(v == Set(("null_key", 10L), ("null_key", null)), v)
+  }
+
   test("validateTree works on the real string-keyed frame graphs") {
     import spark.implicits._
     // the datastore's actual referential keys are strings ('world',

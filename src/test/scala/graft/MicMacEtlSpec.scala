@@ -266,4 +266,82 @@ class MicMacEtlSpec extends AnyFunSuite {
     assert(twice.collect().map(_.toString).sorted.toSeq
       == once.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("get_or_create renumbers fresh rows past the existing id range") {
+    import spark.implicits._
+    // staging ids come from a rank that always starts at 1: appending
+    // them verbatim would hand s4 the id s1 already holds — the
+    // surrogate silently stopping being a key
+    val existing = Seq(("s1", 1), ("s2", 2), ("s3", 3)).toDF("name", "id")
+    val staging = Seq(("s4", 1), ("s5", 2)).toDF("name", "id")
+    val merged = graft.etl.MicMacEtl.getOrCreate(existing, staging,
+      Seq("name")).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(merged.size == 5)
+    assert(merged.values.toSeq.distinct.size == 5, s"id collision: $merged")
+    assert(merged("s4") == 4 && merged("s5") == 5) // max(existing) + rank
+    assert(merged("s1") == 1 && merged("s3") == 3) // existing untouched
+  }
+
+  test("orimatis A8: missing sensor <name> fails loudly, never null edges") {
+    val e = intercept[Exception] {
+      graft.etl.MicMacEtl
+        .importOrimatis(spark, s"$res/orimatis_no_name.xml")("transfos")
+        .collect()
+    }
+    assert(e.getMessage.contains("missing sensor <name>"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("orimatis A8: missing <focale> fails loudly, never a null-holed " +
+      "parameter array") {
+    val e = intercept[Exception] {
+      graft.etl.MicMacEtl
+        .importOrimatis(spark, s"$res/orimatis_no_focale.xml")("transfos")
+        .collect()
+    }
+    assert(e.getMessage.contains("incomplete intrinsics"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("blinis A8: duplicate IdGrp in one rig file fails loudly") {
+    val e = intercept[Exception] {
+      graft.etl.MicMacEtl
+        .importBlinis(spark, s"$res/blinis_dup_idgrp.xml")("transfos")
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate ParamOrientSHC IdGrp"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("manifest-fetched XML runs the same import pipeline (the seam)") {
+    import spark.implicits._
+    // the billion-file path: paths fetched executor-side by XmlManifest,
+    // fed to the importer WITHOUT the glob text source — outputs must
+    // be identical to the glob entry point on the same files
+    val manifest = Seq(
+      new java.io.File(s"$res/orimatis_sample.xml").getAbsolutePath).toDS()
+    val xml = graft.sources.XmlManifest.readXml(spark, manifest, parts = 2)
+    val viaManifest = graft.etl.MicMacEtl.importOrimatisXml(xml)
+    val viaGlob = graft.etl.MicMacEtl
+      .importOrimatis(spark, s"$res/orimatis_sample.xml")
+    for (k <- Seq("sensors", "referentials", "transfos", "transfotrees")) {
+      // `file` is a URI in the glob path and a raw path in the manifest
+      // — compare on the basename-normalized rows
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("file", regexp_extract(col("file"), "([^/]+)$", 1))
+        .collect().map(_.toString).sorted.toSeq
+      assert(norm(viaManifest(k)) == norm(viaGlob(k)), s"table $k diverged")
+    }
+    // and the same for autocal + blinis entry points
+    val am = Seq(new java.io.File(s"$res/autocal_sample.xml")
+      .getAbsolutePath).toDS()
+    val bm = Seq(new java.io.File(s"$res/blinis_sample.xml")
+      .getAbsolutePath).toDS()
+    assert(graft.etl.MicMacEtl
+      .importAutocalXml(graft.sources.XmlManifest.readXml(spark, am))(
+        "transfos").count() == 3)
+    assert(graft.etl.MicMacEtl
+      .importBlinisXml(graft.sources.XmlManifest.readXml(spark, bm))(
+        "transfos").count() == 2)
+  }
 }
