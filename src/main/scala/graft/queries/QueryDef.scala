@@ -28,11 +28,19 @@ object Confs {
     try {
       kvs.foreach { case (k, v) => s.conf.set(k, v) }
       body
-    } finally prev.reverse.foreach {
-      case (k, Some(v)) =>
-        try s.conf.set(k, v) catch { case _: Exception => () }
-      case (k, None) =>
-        try s.conf.unset(k) catch { case _: Exception => () }
+    } finally prev.reverse.foreach { case (k, was) =>
+      // a restore failure may not be silent: the override would stay
+      // active session-wide (e.g. a leaked noDataMicroBatches=false
+      // starves every later watermark query) with nothing pointing at
+      // this conf — same loudness rule as Verify's stale-output sweep
+      try was match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      } catch {
+        case e: Exception => System.err.println(
+          s"[confs] FAILED to restore $k -> ${was.getOrElse("<unset>")}: " +
+            s"${e.getMessage}; the override is LEAKED session-wide")
+      }
     }
   }
 }

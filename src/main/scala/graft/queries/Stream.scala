@@ -5,13 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Streaming-window semantics, batch-checked (SURVEY §2B q_stream_*).
-  *
-  * These four run the exact window/session/dedup semantics as batch
-  * queries so the DuckDB oracle can hash-check them; the true streaming
-  * forms (readStream + watermark, session_window, dropDuplicates within
-  * watermark) are exercised in StreamingSpec against MemoryStream, and
-  * q_stream_watermark_late lives there (no SQL oracle by design).
+/** The q_stream_* family (SURVEY §2B): a few batch-form window/session
+  * queries whose semantics the DuckDB oracle hash-checks directly, and
+  * a majority of TRUE streaming runs — readStream over the parquet
+  * fixture, watermarks, stateful operators, stream-stream joins, and a
+  * memory-sink drain — whose FINAL results are still deterministic and
+  * oracle-carried (q_stream_watermark_late included, defined and
+  * oracled right here). MemoryStream-driven incremental behavior is
+  * additionally exercised in StreamingSpec.
   *
   * Spark's window(ts, ...) buckets are epoch-aligned — identical to
   * DuckDB's time_bucket; the sliding variant assigns each event to
@@ -399,9 +400,10 @@ object Stream extends QueryGroup {
         // purchases stopping early). Invisible on the interleaved
         // fixture; wrong at other distributions.
         //
-        // Built BEFORE the conf pin: Tables.events does eager
-        // getFileStatus + footer I/O, and a throw between set() and
-        // try would leak shuffle.partitions=4 session-wide.
+        // Built before the conf pin only for clarity (the cutoff is
+        // plain batch work, not part of the streaming run); withConfs
+        // applies its sets inside the protected region, so ordering
+        // is no longer a leak concern.
         val cutoff = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
@@ -475,9 +477,9 @@ object Stream extends QueryGroup {
       (s, d) => {
         val name = "ss_full_sink"
         s.catalog.dropTempView(name)
-        // cutoff BEFORE the conf pin — Tables.events does eager
-        // getFileStatus + footer I/O, and a throw between set() and
-        // try would leak shuffle.partitions=4 session-wide
+        // cutoff before the conf pin only for clarity — withConfs
+        // applies its sets inside the protected region, so ordering
+        // is no longer a leak concern
         val cutoff = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
@@ -682,11 +684,10 @@ object Stream extends QueryGroup {
             .start()
           try q.processAllAvailable() finally q.stop()
         }
-        val sunk = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cents",
-            org.apache.spark.sql.types.LongType)))
+        // fixture columns from the single source of truth; only the
+        // derived cents field is declared here (the Etl read-back rule)
+        val sunk = Tables.subSchema("events", "event_type")
+          .add("cents", LongType)
         s.read.schema(sunk).parquet(s"$out/*")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -848,11 +849,8 @@ object Stream extends QueryGroup {
             .write.format("graftlines").mode("append").save(p)
           q.processAllAvailable()
         } finally q.stop()
-        val sunk = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id", LongType),
-          org.apache.spark.sql.types.StructField("event_type",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cents", LongType)))
+        val sunk = Tables.subSchema("events", "event_id", "event_type")
+          .add("cents", LongType)
         s.read.schema(sunk).parquet(s"$out/*")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
