@@ -318,8 +318,13 @@ object Pipeline extends QueryGroup {
         val tf = tok.filter(col("tok").isin(probes: _*))
           .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val scalars = dl.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl")).as("n_tok"))
+        // n_docs counts DOCUMENTS (the oracle's COUNT(*) FROM
+        // documents), not dl rows: a zero-token doc (NULL/empty text)
+        // would otherwise shrink Spark's n_docs while the oracle's
+        // stands, skewing every idf. Identical on the current fixture;
+        // divergence-proof on any other.
+        val scalars = dl.agg(sum(col("dl")).as("n_tok"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
         val sterm = tf.join(broadcast(dfc), Seq("tok"))
           .join(dl, Seq("doc_id"))
           .crossJoin(broadcast(scalars))
@@ -482,7 +487,12 @@ object Pipeline extends QueryGroup {
             / sum(col("n_docs")).over(w), 6))
           .withColumn("p_temp", round(col("wgt")
             / sum(col("wgt")).over(w), 6))
-          .withColumn("boost", round(col("p_temp") / col("p_raw"), 4))
+          // greatest(...) guards a language so rare that p_raw rounds
+          // to 0.0: Spark's non-ANSI double division would yield NULL
+          // where DuckDB yields inf — one clamped definition on both
+          // sides keeps the engines aligned at every distribution
+          .withColumn("boost", round(col("p_temp")
+            / greatest(col("p_raw"), lit(1e-6)), 4))
           .select(col("lang"), col("n_docs"), col("p_raw"),
             col("p_temp"), col("boost"))
           .orderBy(col("lang"))
@@ -495,7 +505,8 @@ object Pipeline extends QueryGroup {
         |    AS p_temp,
         |  ROUND(ROUND(sqrt(n_docs::DOUBLE)
         |          / SUM(sqrt(n_docs::DOUBLE)) OVER (), 6)
-        |        / ROUND(n_docs::DOUBLE / SUM(n_docs) OVER (), 6), 4)
+        |        / GREATEST(ROUND(n_docs::DOUBLE / SUM(n_docs) OVER (),
+        |                        6), 1e-6), 4)
         |    AS boost
         |FROM c ORDER BY lang""".stripMargin)),
 
@@ -527,14 +538,16 @@ object Pipeline extends QueryGroup {
             element_at(col("bk"), 3).as("w_kept"))
           .orderBy(col("lang"))
       },
-      Some("""WITH h AS (SELECT lang, doc_id, n_chars,
+      Some(s"""WITH h AS (SELECT lang, doc_id, n_chars,
         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS hh
-        |       FROM documents),
+        |       FROM documents
+        |       WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
         |        ORDER BY hh, doc_id) AS rn FROM h)
         |SELECT lang, COUNT(*)::BIGINT AS n_kept,
         |  SUM(doc_id)::BIGINT AS id_sum, SUM(n_chars)::BIGINT AS w_kept
-        |FROM r WHERE rn <= 100 GROUP BY 1 ORDER BY lang""".stripMargin)),
+        |FROM r WHERE rn <= ${graft.functions.BottomK.K}
+        |GROUP BY 1 ORDER BY lang""".stripMargin)),
 
     QueryDef(
       // Distribution-drift monitoring via PSI (added r7): the check a
@@ -809,7 +822,10 @@ object Pipeline extends QueryGroup {
           merges += ((r.toLong, a, b, top.getLong(1)))
           cur = cur.withColumn("sy",
               expr(s"replace(sy, '<$a><$b>', '<$a$b>')"))
-            .localCheckpoint()
+          // the post-merge frame is only read by the NEXT round's pair
+          // count — materializing it on the final round is a whole
+          // wasted Spark job (merges were already collected)
+          if (r < 3) cur = cur.localCheckpoint()
         }
         import s.implicits._
         merges.toSeq.toDF("round", "sym_a", "sym_b", "n_pair")
