@@ -166,18 +166,18 @@ object Jpeg {
       * low byte; fails loudly when what follows is not an RSTn. */
     def consumeRst(): Int = {
       nBits = 0 // byte-align: remaining bits of the last byte are pad
-      var guard = 0
-      while (guard < 64) { // fill/pad runs are tiny; bound the scan
-        if (pos + 1 >= data.length) fail("entropy data ended expecting RST")
+      // B.1.1.2 allows an ARBITRARY number of 0xFF fill bytes before a
+      // marker, so the scan is bounded only by the input itself: every
+      // iteration advances pos, and exhaustion fails loudly below.
+      while (pos + 1 < data.length) {
         val a = data(pos) & 0xff; val b = data(pos + 1) & 0xff
         if (a != 0xff) fail(f"expected RST marker, found $a%02x")
         if (b == 0x00) pos += 2       // stuffed pad byte
         else if (b == 0xff) pos += 1  // fill byte
         else if (b >= 0xd0 && b <= 0xd7) { pos += 2; return b }
         else fail(f"expected RST marker, found FF$b%02x")
-        guard += 1
       }
-      fail("runaway fill-byte scan before RST marker")
+      fail("entropy data ended expecting RST")
     }
 
     def decodeSym(h: Huff): Int = {

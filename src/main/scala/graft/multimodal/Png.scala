@@ -113,6 +113,14 @@ object Png {
           if (width < 1 || height < 1 ||
               width > (1 << 20) || height > (1 << 20))
             fail(s"bad dimensions ${width}x$height")
+          // Allocation budget BEFORE any buffer exists: a tiny hostile
+          // file with valid CRCs must not provoke a multi-GB filtered-
+          // scanline/pixel allocation (OutOfMemoryError is an Error and
+          // would escape tryDecode's contract). Same 2^26-pixel posture
+          // as the Jpeg and Gif codecs.
+          if (width.toLong * height > (1L << 26))
+            fail(s"image ${width}x$height exceeds the " +
+              s"${1 << 26}-pixel decode cap")
           if (bitDepth != 8) fail(s"unsupported bit depth $bitDepth (only 8)")
           bytesPerPixel(colorType) // validates the color type
           if (compression != 0) fail(s"unsupported compression $compression")
@@ -171,6 +179,20 @@ object Png {
       }
       if (got < raw.length)
         fail(s"IDAT stream truncated ($got of ${raw.length} bytes)")
+      // Over-run is as wrong as truncation: a stream that inflates to
+      // MORE bytes than the declared geometry needs is a mislabeled
+      // payload, and silently decoding a prefix hides it. Mirror GIF's
+      // loud "LZW produced more than expected" failure: one probe
+      // inflate into a scratch byte must yield nothing further.
+      if (!inflater.finished()) {
+        val scratch = new Array[Byte](1)
+        val extra = try inflater.inflate(scratch, 0, 1) catch {
+          case e: DataFormatException =>
+            fail(s"corrupt zlib stream past declared size: ${e.getMessage}")
+        }
+        if (extra > 0)
+          fail(s"IDAT inflates past the declared ${raw.length}-byte geometry")
+      }
     } finally inflater.end()
 
     // reconstruct: undo the per-row filter in place (RFC 2083 §6);

@@ -236,6 +236,24 @@ class JpegSpec extends AnyFunSuite {
     assert(img.pixels(0) == 0x828282 && img.pixels(8) == 0x818181)
   }
 
+  test("a long spec-legal FF fill run before RST is tolerated (B.1.1.2)") {
+    // B.1.1.2 puts no bound on fill bytes; 200 of them exceeds the old
+    // 64-iteration guard and must still decode
+    val dri = seg(0xdd, 0, 1)
+    val jpg = soi ++ dqtOnes(0) ++ sof0(16, 8, (1, 0x11, 0)) ++ dri ++
+      dcTable54(0) ++ acEob(0) ++ sos((1, 0x00)) ++
+      bits("00 10000 0") ++
+      Array.fill(200)(0xff.toByte) ++ Array(0xff, 0xd0).map(_.toByte) ++
+      bits("01 1000 0") ++ eoi
+    val img = Jpeg.decode(jpg)
+    assert(img.pixels(0) == 0x828282 && img.pixels(8) == 0x818181)
+    // and a run that hits end-of-input without a marker still fails loudly
+    val runaway = soi ++ dqtOnes(0) ++ sof0(16, 8, (1, 0x11, 0)) ++ dri ++
+      dcTable54(0) ++ acEob(0) ++ sos((1, 0x00)) ++
+      bits("00 10000 0") ++ Array.fill(50)(0xff.toByte)
+    assert(Jpeg.tryDecode(runaway).isEmpty)
+  }
+
   // ---- encoder ----
 
   test("encode/decode roundtrip tracks the source (lossy, bounded)") {

@@ -188,6 +188,35 @@ class PngSpec extends AnyFunSuite {
     assert(Png.tryDecode(bytes).isEmpty)
   }
 
+  test("hostile tiny file declaring huge geometry is refused pre-allocation") {
+    // 2^19 x 2^19 = 2^38 pixels passes the per-axis 2^20 bound but
+    // would need a ~2 TB pixel array; the 2^26-pixel budget must
+    // refuse it from the 33-byte header alone (no multi-GB allocation,
+    // no OutOfMemoryError escaping tryDecode)
+    val bytes = png(ihdr(1 << 19, 1 << 19, 8, 0), idatOf(0, 1), iend)
+    val ex = intercept[IllegalArgumentException](Png.decode(bytes))
+    assert(ex.getMessage.contains("decode cap"))
+    assert(Png.tryDecode(bytes).isEmpty)
+    // exactly at the cap boundary: 2^13 x 2^13 = 2^26 is allowed
+    // (truncated IDAT fails later, proving we got past the cap check)
+    val atCap = png(ihdr(1 << 13, 1 << 13, 8, 0), idatOf(0, 1), iend)
+    val ex2 = intercept[IllegalArgumentException](Png.decode(atCap))
+    assert(ex2.getMessage.contains("truncated"))
+  }
+
+  test("IDAT inflating past the declared geometry fails loudly") {
+    // 1x1 grayscale needs 2 raw bytes; supply 4 — a mislabeled payload
+    // must not silently decode a prefix
+    val over = chunk("IDAT", Png.zlibStored(Array[Byte](0, 7, 0, 9)))
+    val bytes = png(ihdr(1, 1, 8, 0), over, iend)
+    val ex = intercept[IllegalArgumentException](Png.decode(bytes))
+    assert(ex.getMessage.contains("past the declared"))
+    assert(Png.tryDecode(bytes).isEmpty)
+    // exact-size stream still decodes (the probe is not over-eager)
+    val exact = png(ihdr(1, 1, 8, 0), idatOf(0, 7), iend)
+    assert(Png.decode(exact).pixels.toSeq == Seq(0x070707))
+  }
+
   test("palette index past PLTE size is refused") {
     val plte = chunk("PLTE", Array[Byte](1, 2, 3)) // one entry
     val bytes = png(ihdr(1, 1, 8, 3), plte, idatOf(0, 5), iend)
