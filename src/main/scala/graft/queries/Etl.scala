@@ -1491,8 +1491,7 @@ object Etl extends QueryGroup {
       "q_etl_delete_cascade",
       (s, d) => {
         val del = Tables.customer(s, d)
-          .filter(expr(
-            "cast(conv(substring(md5(cast(c_custkey as string)), 1, 2), 16, 10) as int) % 20 = 0"))
+          .filter(HashGate.bucket("c_custkey", 20) === 0)
           .select(col("c_custkey"))
         val orders = Tables.orders(s, d)
         // the surviving-orders frame feeds the lineitem semi join, the

@@ -20,8 +20,7 @@ object LlmText extends QueryGroup {
 
   /** 60-bit token hash both engines can compute identically: first
     * 15 hex chars of md5, parsed base-16. */
-  private val tokHash60 =
-    "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+  private val tokHash60 = HashGate.h60Sql("tok")
 
   /** 60-bit SimHash over precomputed token hashes (nested HOFs).
     *
@@ -200,12 +199,9 @@ object LlmText extends QueryGroup {
         .agg(count(when(col("p") === 1, 1)).as("n_docs"),
           count(lit(1)).as("n_chunks"),
           sum(length(col("chunk")).cast(LongType)).as("n_chunk_chars"),
-          sum(expr(
-            "cast(conv(substring(md5(chunk), 1, 15), 16, 10) as bigint)" +
-              " & 1073741823")).as("fp_lo"),
-          sum(expr(
-            "shiftright(cast(conv(substring(md5(chunk), 1, 15), 16, 10)" +
-              " as bigint), 30)")).as("fp_hi"))
+          sum(expr(HashGate.h60Sql("chunk") + " & 1073741823")).as("fp_lo"),
+          sum(expr(s"shiftright(${HashGate.h60Sql("chunk")}, 30)"))
+            .as("fp_hi"))
         .orderBy(col("lang")),
       Some("""WITH c AS (
         |  SELECT lang, p, substr(text, p::INT, 200) AS chunk
@@ -248,8 +244,7 @@ object LlmText extends QueryGroup {
                 | i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"""
                 .stripMargin)))
           .toDF("doc_id", "lang", "p", "para")
-          .withColumn("h",
-            expr("cast(conv(substring(md5(para), 1, 15), 16, 10) as bigint)"))
+          .withColumn("h", expr(HashGate.h60Sql("para")))
         val inst = paras.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_paras"))
         // keep-first order key: (doc_id, p) packed into one BIGINT
@@ -649,8 +644,7 @@ object LlmText extends QueryGroup {
       // pipeline needs (no RNG, stable across reruns and engines)
       "q_sample_hash_split",
       (s, d) => Tables.documents(s, d)
-        .withColumn("bucket", expr(
-          "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 10"))
+        .withColumn("bucket", HashGate.bucket("doc_id", 10))
         .withColumn("split",
           when(col("bucket") <= 7, lit("train"))
             .when(col("bucket") === 8, lit("val"))
@@ -680,8 +674,7 @@ object LlmText extends QueryGroup {
       "q_text_decontaminate",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .withColumn("bucket", expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 10"))
+          .withColumn("bucket", HashGate.bucket("doc_id", 10))
           .select(col("doc_id"), col("lang"), col("bucket"),
             split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 5)
@@ -937,8 +930,7 @@ object LlmText extends QueryGroup {
       "q_dedup_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .withColumn("bucket", expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) as int) % 10"))
+          .withColumn("bucket", HashGate.bucket("doc_id", 10))
           .withColumn("fp",
             md5(concat_ws(" ", slice(split(lower(col("text")), " "), 1, 8))))
         val corpus = docs.filter(col("bucket") <= 7)

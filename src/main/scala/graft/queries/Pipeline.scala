@@ -39,8 +39,7 @@ object Pipeline extends QueryGroup {
         val gated = docs
           .join(broadcast(counts), Seq("lang"))
           .crossJoin(broadcast(target))
-          .withColumn("u", expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"))
+          .withColumn("u", HashGate.u16("doc_id"))
           .withColumn("keep", col("u") * col("n_lang") < lit(65536L) * col("n_min"))
         gated.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_total"),
@@ -83,8 +82,7 @@ object Pipeline extends QueryGroup {
       "q_sample_pps",
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .withColumn("u", expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"))
+          .withColumn("u", HashGate.u16("doc_id"))
         val tot = docs.groupBy(col("lang"))
           .agg(sum(col("n_chars")).as("s_w"), count(lit(1)).as("n_docs"))
         docs.join(broadcast(tot), Seq("lang"))
@@ -527,8 +525,7 @@ object Pipeline extends QueryGroup {
       (s, d) => {
         val h = Tables.documents(s, d)
           .select(col("lang"), col("doc_id"), col("n_chars"),
-            expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)"
-              + ", 16, 10) as bigint)").as("hh"))
+            expr(HashGate.h60Sql("cast(doc_id as string)")).as("hh"))
         h.groupBy(col("lang"))
           .agg(graft.functions.BottomK.bottomK(col("hh"), col("doc_id"),
             col("n_chars")).as("bk"))
@@ -574,7 +571,7 @@ object Pipeline extends QueryGroup {
               .cast(IntegerType).as("bucket"),
             explode(array(
               struct(lit("hash_split").as("cmp"),
-                when(expr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 2), 16, 10) as int) % 10 < 8"),
+                when(HashGate.bucket("o_orderkey", 10) < 8,
                   "A").otherwise("B").as("side")),
               struct(lit("status_F_vs_O").as("cmp"),
                 when(col("o_orderstatus") === "F", "A")
@@ -709,8 +706,7 @@ object Pipeline extends QueryGroup {
         }
         val weights = s.createDataFrame(w).toDF("source", "w_u16")
         Tables.documents(s, d)
-          .withColumn("u", expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint)"))
+          .withColumn("u", HashGate.u16("doc_id"))
           .join(broadcast(weights), Seq("source"))
           .filter(col("u") < col("w_u16"))
           .groupBy(col("source"))
@@ -754,8 +750,7 @@ object Pipeline extends QueryGroup {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("n_chars"),
-            expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)" +
-              ", 16, 10) as bigint)").as("h"))
+            expr(HashGate.h60Sql("cast(doc_id as string)")).as("h"))
         graft.operators.DistributedRank.withRankCols(docs,
             Seq(col("h"), col("doc_id")), numBuckets = 4)
           .select(expr("(_gr_rank - 1) div 64").as("batch"),

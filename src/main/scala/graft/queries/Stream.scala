@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,6 +23,53 @@ import org.apache.spark.sql.types._
 object Stream extends QueryGroup {
 
   private val us30min = 30L * 60 * 1000 * 1000
+
+  private val RocksDbProvider =
+    "spark.sql.streaming.stateStore.providerClass" ->
+      ("org.apache.spark.sql.execution.streaming."
+        + "state.RocksDBStateStoreProvider")
+
+  /** The one memory-sink drain every true-streaming query shares:
+    * drop the fixed sink view (repeated invocations — Verify + Bench
+    * run each query twice — must not accumulate result tables in the
+    * shared session), pin the streaming confs for the duration of the
+    * run, start the stream into a memory sink, drain synchronously,
+    * stop, and hand back the drained table. Centralised because this
+    * prologue drifted into real bugs twice when hand-copied (the r12
+    * withConfs blocks, the r13 epoch keying).
+    *
+    * Conf axes, all scoped by [[Confs.withConfs]] and restored after:
+    *  - shuffle partitions 4 — the stateful exchange pays
+    *    per-state-partition fixed cost per micro-batch; 4 carries the
+    *    fixture's group counts with headroom (production sizes this
+    *    to data volume);
+    *  - `noDataBatches`: most queries disable the trailing no-data
+    *    micro-batch (it only re-emits the complete-mode result to
+    *    advance a watermark nothing waits on), but the outer/full
+    *    joins and timer sessionization MUST keep it enabled — it is
+    *    the batch that advances the watermark which flushes
+    *    null-extended rows / fires sealing timers;
+    *  - `extraConfs`: the transformWithState queries add the RocksDB
+    *    state-store provider the API requires.
+    *
+    * `build` is by-name and evaluated INSIDE the conf scope, so a
+    * plan that reads confs at analysis time sees the pinned values. */
+  private def drainToMemory(s: SparkSession, name: String,
+      outputMode: String, noDataBatches: Boolean = false,
+      extraConfs: Seq[(String, String)] = Nil)(
+      build: => DataFrame): DataFrame = {
+    s.catalog.dropTempView(name)
+    val confs = extraConfs ++
+      Seq("spark.sql.shuffle.partitions" -> "4") ++
+      (if (noDataBatches) Nil
+       else Seq("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
+    Confs.withConfs(s, confs: _*) {
+      val q = build.writeStream.outputMode(outputMode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -123,34 +171,13 @@ object Stream extends QueryGroup {
         // must equal q_stream_tumbling's counts — which the oracle
         // asserts; append-mode late-drop semantics are exercised
         // epoch-by-epoch in StreamingSpec (MemoryStream).
-        // fixed sink name, dropped before each run: repeated invocations
-        // (Verify + Bench run every query twice) must not accumulate
-        // full result tables in the shared session's memory
-        val name = "wm_late_sink"
-        s.catalog.dropTempView(name)
-        // streaming-specific tuning, scoped to the stream and restored
-        // after (r3 "What's wrong" #2 — the 3.7 s was stream overhead,
-        // not data): (a) the stateful exchange pays per-state-partition
-        // fixed cost per micro-batch — 4 partitions carry a 3.4k-group
-        // aggregation with headroom (r6 measured: partition count is
-        // noise next to the micro-batch machinery itself; production
-        // would size this to data volume); (b) the trailing no-data
-        // batch re-emits the ENTIRE complete-mode result a second time
-        // just to advance the watermark nothing is waiting on.
-        Confs.withConfs(s,
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-          val raw = Tables.eventsReadStream(s, d)
-          val q = raw
+        drainToMemory(s, "wm_late_sink", "complete") {
+          Tables.eventsReadStream(s, d)
             .withWatermark("ts", "30 minutes")
             .groupBy(window(col("ts"), "1 hour").getField("start")
               .as("win_start"), col("event_type"))
             .agg(count(lit(1)).as("n"))
-            .writeStream.outputMode("complete")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        s.table(name).orderBy(col("win_start"), col("event_type"))
+        }.orderBy(col("win_start"), col("event_type"))
       },
       Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
         | event_type, COUNT(*)::BIGINT AS n
@@ -173,17 +200,13 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-        val name = "stateful_sink"
-        s.catalog.dropTempView(name)
-        Confs.withConfs(s,
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-          val rows = Tables.eventsReadStream(s, d)
+        drainToMemory(s, "stateful_sink", "update") {
+          Tables.eventsReadStream(s, d)
             .select(col("user_id"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
                 .as("cents"))
             .as[(Long, Long)]
-          val updated = rows.groupByKey(_._1)
+            .groupByKey(_._1)
             .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
               OutputMode.Update, GroupStateTimeout.NoTimeout) {
               (user: Long, it: Iterator[(Long, Long)],
@@ -194,11 +217,7 @@ object Stream extends QueryGroup {
                 Iterator((user, n, cents))
             }
             .toDF("user_id", "n_events", "cents")
-          val q = updated.writeStream.outputMode("update")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
         }
-        s.table(name)
           .groupBy(col("user_id"))
           .agg(max(struct(col("n_events"), col("cents"))).as("fin"))
           .select(col("user_id"), col("fin.n_events").as("n_events"),
@@ -227,29 +246,19 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-        val name = "tws_sink"
-        s.catalog.dropTempView(name)
-        val provKey = "spark.sql.streaming.stateStore.providerClass"
-        Confs.withConfs(s,
-          provKey -> ("org.apache.spark.sql.execution.streaming."
-            + "state.RocksDBStateStoreProvider"),
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-          val rows = Tables.eventsReadStream(s, d)
+        drainToMemory(s, "tws_sink", "update",
+          extraConfs = Seq(RocksDbProvider)) {
+          Tables.eventsReadStream(s, d)
             // state carries exact unix micros
             .select(col("user_id"), unix_micros(col("ts")).as("us"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
                 .as("cents"))
             .as[(Long, Long, Long)]
-          val updated = rows.groupByKey(_._1)
+            .groupByKey(_._1)
             .transformWithState(new graft.streaming.RunningTotals,
               TimeMode.None(), OutputMode.Update())
             .toDF("user_id", "n_events", "cents", "min_us", "max_us")
-          val q = updated.writeStream.outputMode("update")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
         }
-        s.table(name)
           .groupBy(col("user_id"))
           .agg(max(struct(col("n_events"), col("cents"), col("min_us"),
             col("max_us"))).as("fin"))
@@ -283,28 +292,18 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-        val name = "twm_sink"
-        s.catalog.dropTempView(name)
-        val provKey = "spark.sql.streaming.stateStore.providerClass"
-        Confs.withConfs(s,
-          provKey -> ("org.apache.spark.sql.execution.streaming."
-            + "state.RocksDBStateStoreProvider"),
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-          val rows = Tables.eventsReadStream(s, d)
+        drainToMemory(s, "twm_sink", "update",
+          extraConfs = Seq(RocksDbProvider)) {
+          Tables.eventsReadStream(s, d)
             .select(col("user_id"), col("event_type"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
                 .as("cents"))
             .as[(Long, String, Long)]
-          val updated = rows.groupByKey(_._1)
+            .groupByKey(_._1)
             .transformWithState(new graft.streaming.TypeCounts,
               TimeMode.None(), OutputMode.Update())
             .toDF("user_id", "event_type", "n", "cents")
-          val q = updated.writeStream.outputMode("update")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
         }
-        s.table(name)
           .groupBy(col("user_id"), col("event_type"))
           .agg(max(struct(col("n"), col("cents"))).as("fin"))
           .select(col("user_id"), col("event_type"),
@@ -332,11 +331,7 @@ object Stream extends QueryGroup {
       // counts).
       "q_stream_stream_join",
       (s, d) => {
-        val name = "ss_join_sink"
-        s.catalog.dropTempView(name)
-        Confs.withConfs(s,
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+        drainToMemory(s, "ss_join_sink", "append") {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -344,16 +339,12 @@ object Stream extends QueryGroup {
           val buys = src().filter(col("event_type") === "purchase")
             .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
             .withWatermark("p_ts", "30 minutes")
-          val q = clicks.join(buys,
-              col("c_user") === col("p_user")
-                && col("p_ts") > col("c_ts")
-                && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
-              "inner")
-            .writeStream.outputMode("append")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
+          clicks.join(buys,
+            col("c_user") === col("p_user")
+              && col("p_ts") > col("c_ts")
+              && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+            "inner")
         }
-        s.table(name)
           .groupBy(col("c_user").as("user_id"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("user_id"))
@@ -388,8 +379,6 @@ object Stream extends QueryGroup {
       //      a broadcast scalar frame, not collected to the driver.
       "q_stream_stream_join_outer",
       (s, d) => {
-        val name = "ss_outer_sink"
-        s.catalog.dropTempView(name)
         // seal anchor = MIN of the PER-SIDE maxes (the r6 lesson the
         // full join below documents, back-ported r12): Spark's global
         // watermark is min(click wm, purchase wm) and each side's wm
@@ -400,16 +389,18 @@ object Stream extends QueryGroup {
         // purchases stopping early). Invisible on the interleaved
         // fixture; wrong at other distributions.
         //
-        // Built before the conf pin only for clarity (the cutoff is
+        // Built before the drain only for clarity (the cutoff is
         // plain batch work, not part of the streaming run); withConfs
         // applies its sets inside the protected region, so ordering
-        // is no longer a leak concern.
+        // is no longer a leak concern. noDataBatches stays ENABLED —
+        // it is the batch that advances the watermark past the last
+        // click's eviction bound and flushes the null-extended rows.
         val cutoff = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
-        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+        drainToMemory(s, "ss_outer_sink", "append", noDataBatches = true) {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -417,16 +408,12 @@ object Stream extends QueryGroup {
           val buys = src().filter(col("event_type") === "purchase")
             .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
             .withWatermark("p_ts", "30 minutes")
-          val q = clicks.join(buys,
-              col("c_user") === col("p_user")
-                && col("p_ts") > col("c_ts")
-                && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
-              "leftOuter")
-            .writeStream.outputMode("append")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
+          clicks.join(buys,
+            col("c_user") === col("p_user")
+              && col("p_ts") > col("c_ts")
+              && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+            "leftOuter")
         }
-        s.table(name)
           .join(broadcast(cutoff),
             unix_micros(col("c_ts")) <= col("cut_us"), "inner")
           .groupBy(col("c_user").as("user_id"))
@@ -475,17 +462,15 @@ object Stream extends QueryGroup {
       // the watermark has provably sealed.
       "q_stream_stream_join_full",
       (s, d) => {
-        val name = "ss_full_sink"
-        s.catalog.dropTempView(name)
-        // cutoff before the conf pin only for clarity — withConfs
-        // applies its sets inside the protected region, so ordering
-        // is no longer a leak concern
+        // cutoff before the drain only for clarity; noDataBatches stays
+        // ENABLED — it advances the watermark that flushes the
+        // null-extended rows on BOTH sides
         val cutoff = Tables.events(s, d)
           .filter(col("event_type").isin("click", "purchase"))
           .groupBy(col("event_type"))
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
-        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+        drainToMemory(s, "ss_full_sink", "append", noDataBatches = true) {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -493,16 +478,12 @@ object Stream extends QueryGroup {
           val buys = src().filter(col("event_type") === "purchase")
             .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
             .withWatermark("p_ts", "30 minutes")
-          val q = clicks.join(buys,
-              col("c_user") === col("p_user")
-                && col("p_ts") > col("c_ts")
-                && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
-              "fullOuter")
-            .writeStream.outputMode("append")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
+          clicks.join(buys,
+            col("c_user") === col("p_user")
+              && col("p_ts") > col("c_ts")
+              && col("p_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"),
+            "fullOuter")
         }
-        s.table(name)
           .join(broadcast(cutoff),
             coalesce(unix_micros(col("c_ts")), unix_micros(col("p_ts")))
               <= col("cut_us"), "inner")
@@ -553,26 +534,21 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-        val name = "stateful_to_sink"
-        s.catalog.dropTempView(name)
-        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
-          val rows = Tables.eventsReadStream(s, d)
+        drainToMemory(s, "stateful_to_sink", "append",
+          noDataBatches = true) {
+          Tables.eventsReadStream(s, d)
             // delay 0: the watermark rides the max seen event time, so
             // the trailing no-data batch seals every session idle > gap
             .withWatermark("ts", "0 seconds")
             .select(col("user_id"), col("ts"))
             .as[(Long, java.sql.Timestamp)]
-          // state = the one open session (start_us, last_us, n)
-          val sessions = rows.groupByKey(_._1)
+            // state = the one open session (start_us, last_us, n)
+            .groupByKey(_._1)
             .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
               OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
               graft.streaming.SessionTimeout.update)
             .toDF("user_id", "start_us", "n")
-          val q = sessions.writeStream.outputMode("append")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
         }
-        s.table(name)
           .select(col("user_id"),
             expr("timestamp_micros(start_us)").as("session_start"),
             col("n"))
@@ -611,26 +587,17 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-        val name = "tws_timer_sink"
-        s.catalog.dropTempView(name)
-        val provKey = "spark.sql.streaming.stateStore.providerClass"
-        Confs.withConfs(s,
-          provKey -> ("org.apache.spark.sql.execution.streaming."
-            + "state.RocksDBStateStoreProvider"),
-          "spark.sql.shuffle.partitions" -> "4") {
-          val rows = Tables.eventsReadStream(s, d)
+        drainToMemory(s, "tws_timer_sink", "append",
+          noDataBatches = true, extraConfs = Seq(RocksDbProvider)) {
+          Tables.eventsReadStream(s, d)
             .withWatermark("ts", "0 seconds")
             .select(col("user_id"), col("ts"))
             .as[(Long, java.sql.Timestamp)]
-          val sessions = rows.groupByKey(_._1)
+            .groupByKey(_._1)
             .transformWithState(new graft.streaming.SessionTimers,
               TimeMode.EventTime(), OutputMode.Append())
             .toDF("user_id", "start_us", "n")
-          val q = sessions.writeStream.outputMode("append")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
         }
-        s.table(name)
           .select(col("user_id"),
             expr("timestamp_micros(start_us)").as("session_start"),
             col("n"))
@@ -734,21 +701,13 @@ object Stream extends QueryGroup {
       // with a full row_number contract.
       "q_stream_dedup_watermark",
       (s, d) => {
-        val name = "dedup_wm_sink"
-        s.catalog.dropTempView(name)
-        Confs.withConfs(s,
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
-          val rows = Tables.eventsReadStream(s, d)
+        drainToMemory(s, "dedup_wm_sink", "append") {
+          Tables.eventsReadStream(s, d)
             .withWatermark("ts", "30 minutes")
             .select(col("user_id"), col("event_type"), col("ts"))
             .dropDuplicatesWithinWatermark("user_id", "event_type")
             .select(col("user_id"), col("event_type"))
-          val q = rows.writeStream.outputMode("append")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        s.table(name).orderBy(col("user_id"), col("event_type"))
+        }.orderBy(col("user_id"), col("event_type"))
       },
       Some("""SELECT DISTINCT user_id, event_type
         |FROM events ORDER BY user_id, event_type""".stripMargin)),
@@ -772,25 +731,17 @@ object Stream extends QueryGroup {
       // the row-count equality proves).
       "q_stream_static_join",
       (s, d) => {
-        val name = "stream_static_sink"
-        s.catalog.dropTempView(name)
-        Confs.withConfs(s,
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+        drainToMemory(s, "stream_static_sink", "complete") {
           val dim = broadcast(Tables.customer(s, d)
             .select(col("c_custkey"), col("c_mktsegment")))
-          val q = Tables.eventsReadStream(s, d)
+          Tables.eventsReadStream(s, d)
             .join(dim, col("user_id") === col("c_custkey"))
             .groupBy(col("c_mktsegment"),
               window(col("ts"), "1 hour").getField("start").as("win_start"))
             .agg(count(lit(1)).as("n"),
               sum(col("value").cast(DecimalType(14, 2))).cast(DoubleType)
                 .as("sum_val"))
-            .writeStream.outputMode("complete")
-            .format("memory").queryName(name).start()
-          try q.processAllAvailable() finally q.stop()
-        }
-        s.table(name).orderBy(col("c_mktsegment"), col("win_start"))
+        }.orderBy(col("c_mktsegment"), col("win_start"))
       },
       Some("""SELECT c.c_mktsegment,
         |  time_bucket(INTERVAL '1 hour', e.ts) AS win_start,
