@@ -1380,6 +1380,15 @@ private[sources] object GlFilters {
     case IsNull(a) => atomic(schema, a)
     case IsNotNull(a) => atomic(schema, a)
     case EqualTo(a, v) => litOk(schema, a, v)
+    // <=> is total (never NULL-valued) and exactly expressible in the
+    // three-valued evaluator; a null literal means "a IS NULL". NaN
+    // literals decline like EqualTo's (Spark's NaN<=>NaN is true,
+    // primitive compare semantics differ).
+    case EqualNullSafe(a, v) =>
+      if (v == null) atomic(schema, a) else litOk(schema, a, v)
+    // byte-prefix on the same UTF-8 encoding utf8Cmp compares with —
+    // identical to UTF8String.startsWith for any well-formed string
+    case StringStartsWith(a, v) => stringCol(schema, a) && v != null
     case GreaterThan(a, v) => litOk(schema, a, v)
     case GreaterThanOrEqual(a, v) => litOk(schema, a, v)
     case LessThan(a, v) => litOk(schema, a, v)
@@ -1390,6 +1399,9 @@ private[sources] object GlFilters {
 
   private def field(schema: StructType, a: String): Option[StructField] =
     schema.fields.find(_.name == a) // flat schemas only; nested refs decline
+
+  private def stringCol(schema: StructType, a: String): Boolean =
+    field(schema, a).exists(_.dataType == StringType)
 
   private def atomic(schema: StructType, a: String): Boolean =
     field(schema, a).exists(f => f.dataType match {
@@ -1449,6 +1461,14 @@ private[sources] object GlFilters {
       case IsNull(a) => Some(get(a) == null)
       case IsNotNull(a) => Some(get(a) != null)
       case EqualTo(a, v) => withVal(get(a))(cmp(_, v) == 0)
+      // total: NULL <=> NULL is true, NULL <=> lit is false — the one
+      // comparison that never yields SQL NULL
+      case EqualNullSafe(a, v) =>
+        val x = get(a)
+        if (v == null) Some(x == null)
+        else Some(x != null && cmp(x, v) == 0)
+      case StringStartsWith(a, v) =>
+        withVal(get(a))(x => startsWithUtf8(x.toString, v))
       case GreaterThan(a, v) => withVal(get(a))(cmp(_, v) > 0)
       case GreaterThanOrEqual(a, v) => withVal(get(a))(cmp(_, v) >= 0)
       case LessThan(a, v) => withVal(get(a))(cmp(_, v) < 0)
@@ -1492,6 +1512,13 @@ private[sources] object GlFilters {
       case EqualTo(a, v) =>
         rng(a)((mn, mx) => cmp(mn, v) <= 0 && cmp(mx, v) >= 0) &&
           bloom(a, v)
+      case EqualNullSafe(a, null) => nullsOf(a).forall(_ > 0)
+      case EqualNullSafe(a, v) =>
+        rng(a)((mn, mx) => cmp(mn, v) <= 0 && cmp(mx, v) >= 0) &&
+          bloom(a, v)
+      // strings carry Bloom + null-count lines, not ordered min/max,
+      // so a prefix predicate cannot prune on range; scan (exact
+      // residual-free evaluation still happens row-side)
       case GreaterThan(a, v) => rng(a)((_, mx) => cmp(mx, v) > 0)
       case GreaterThanOrEqual(a, v) => rng(a)((_, mx) => cmp(mx, v) >= 0)
       case LessThan(a, v) => rng(a)((mn, _) => cmp(mn, v) < 0)
@@ -1541,6 +1568,22 @@ private[sources] object GlFilters {
   }
 
   private def num(lit: Any): Number = lit.asInstanceOf[Number]
+
+  /** Spark's StartsWith is UTF8String.startsWith — a BYTE-prefix match
+    * on the UTF-8 encoding. Equivalent to String.startsWith for
+    * well-formed strings, but computed on the same bytes utf8Cmp
+    * orders by, so the two pushed string predicates share one
+    * encoding story. */
+  private def startsWithUtf8(s: String, prefix: String): Boolean = {
+    val x = s.getBytes(UTF_8); val p = prefix.getBytes(UTF_8)
+    if (p.length > x.length) return false
+    var i = 0
+    while (i < p.length) {
+      if (x(i) != p(i)) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Copy-on-write `DELETE FROM` ([[SupportsDelete]]): the row-level

@@ -256,6 +256,53 @@ class PlanSpec extends AnyFunSuite {
       .isEmpty, df.queryExecution.sparkPlan.toString)
   }
 
+  test("graftlines pushes <=> and prefix LIKE with zero residual Filter") {
+    // r14: EqualNullSafe and StringStartsWith have exact three-valued
+    // semantics in GlFilters, so both must be ACCEPTED at push time —
+    // no residual FilterExec left in the plan — and still answer
+    // correctly (the differential law lives in GlFilterSemanticsSpec;
+    // this pins the plan shape)
+    import spark.implicits._
+    val p = GraftTmp.dir("plan_nullsafe_gl")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    Seq[(java.lang.Long, String)]((5L, "apple"), (5L, null),
+      (null, "avocado"), (null, null), (3L, "pear"))
+      .toDF("v", "s").coalesce(1)
+      .write.format("graftlines").mode("append").save(p)
+    val df = spark.read.format("graftlines").load(p)
+      .filter("v <=> 5 AND s LIKE 'a%'")
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.GlScan]
+    }.getOrElse(fail("no DSv2 scan in plan"))
+    val pushed = scan.pushed.mkString(";")
+    assert(pushed.contains("EqualNullSafe(v,5)"), pushed)
+    assert(pushed.contains("StringStartsWith(s,a)"), pushed)
+    assert(df.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+      .isEmpty, df.queryExecution.sparkPlan.toString)
+    assert(df.collect().map(_.toString).toSeq == Seq("[5,apple]"))
+    // the IS NULL disguise: Catalyst canonicalizes `v <=> NULL` to
+    // IsNull(v) before pushdown (either spelling must push whole; the
+    // null-literal EqualNullSafe acceptance in GlFilters covers
+    // non-optimized producers like direct deleteWhere calls)
+    val dfn = spark.read.format("graftlines").load(p).filter("v <=> NULL")
+    val scanN = dfn.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[graft.sources.GlScan]
+    }.getOrElse(fail("no DSv2 scan in null-probe plan"))
+    val pushedN = scanN.pushed.mkString(";")
+    assert(pushedN.contains("IsNull(v)") ||
+      pushedN.contains("EqualNullSafe(v,null)"), pushedN)
+    assert(dfn.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FilterExec => f }
+      .isEmpty, dfn.queryExecution.sparkPlan.toString)
+    assert(dfn.collect().map(_.toString).sorted.toSeq ==
+      Seq("[null,avocado]", "[null,null]"))
+  }
+
   test("graftlines ordinary scans are columnar; agg-pushdown scans are not") {
     // ordinary read: the scan node must report columnar output and the
     // executed plan must bridge it with ColumnarToRow (the codegen'd

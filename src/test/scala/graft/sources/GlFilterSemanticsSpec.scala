@@ -48,7 +48,17 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
     // plain shapes for the differential's own sanity
     "v = 5", "v > 3", "v <= 2", "s = 'a'", "v IS NULL", "s IS NOT NULL",
     "v IN (1, 5)", "v > 1 AND s = 'a'", "v = 5 OR s = 'x'",
-    "NOT (NOT (v = 5))")
+    "NOT (NOT (v = 5))",
+    // null-safe equality (r14): total — never NULL-valued — so NOT
+    // over it is exact too, and the NULL literal form is IsNull in
+    // disguise
+    "v <=> 5", "v <=> NULL", "s <=> 'a'", "s <=> NULL",
+    "NOT (v <=> 5)", "NOT (v <=> NULL) OR s IS NULL",
+    "(v <=> 5) OR (s <=> NULL)",
+    // prefix LIKE (r14): Catalyst pushes it as StringStartsWith; NULL
+    // column value makes it NULL, so the Not-under-Or hazard applies
+    "s LIKE 'a%'", "NOT (s LIKE 'a%')", "NOT (s LIKE 'a%') OR v IS NULL",
+    "s LIKE ''", "s LIKE 'ab%'")
 
   test("pushed predicates match Spark SQL three-valued semantics exactly") {
     val gl = spark.read.format("graftlines").load(glPath)
@@ -69,7 +79,7 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
     val rng = new java.util.Random(42)
     def lit(): String = rng.nextInt(9).toString
     def strLit(): String = "'" + "abcxy".charAt(rng.nextInt(5)) + "'"
-    def atom(): String = rng.nextInt(10) match {
+    def atom(): String = rng.nextInt(13) match {
       case 0 => s"v = ${lit()}"
       case 1 => s"v > ${lit()}"
       case 2 => s"v < ${lit()}"
@@ -79,6 +89,9 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
       case 6 => "v IS NULL"
       case 7 => "s IS NOT NULL"
       case 8 => s"s = ${strLit()}"
+      case 9 => s"v <=> ${lit()}"
+      case 10 => s"s <=> ${strLit()}"
+      case 11 => s"s LIKE '${"abcxy".charAt(rng.nextInt(5))}%'"
       case _ => "s IS NULL"
     }
     def tree(depth: Int): String =
@@ -125,7 +138,7 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
       "the clustered write must land multiple files or nothing prunes")
     val rng = new java.util.Random(4242)
     def lit(): String = rng.nextInt(20).toString
-    def atom(): String = rng.nextInt(10) match {
+    def atom(): String = rng.nextInt(13) match {
       case 0 => s"v = ${lit()}"
       case 1 => s"v > ${lit()}"
       case 2 => s"v < ${lit()}"
@@ -135,6 +148,9 @@ class GlFilterSemanticsSpec extends AnyFunSuite {
       case 6 => "v IS NULL"
       case 7 => "s IS NOT NULL"
       case 8 => s"s = '${"abcxy"(rng.nextInt(5))}'"
+      case 9 => s"v <=> ${lit()}"
+      case 10 => "v <=> NULL"
+      case 11 => s"s LIKE '${"abcxy"(rng.nextInt(5))}%'"
       case _ => "v IS NOT NULL"
     }
     def tree(depth: Int): String =
