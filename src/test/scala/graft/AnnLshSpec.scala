@@ -273,6 +273,58 @@ class AnnLshSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"IVFPQ recall $recall below 0.25 — degenerate")
   }
 
+  test("HNSW ANN recall@5 vs exact top-k on sf0.01 (>= LSH's 0.85 floor)") {
+    // the graph member of the family (operators/Hnsw.scala): shard-per-
+    // partition build + broadcast-query beam search + global merge.
+    // Library surface gated here, not a contract query key (the
+    // 200-query contract is frozen).
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hnsw = graft.operators.Hnsw.annTopK(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect hnsw).size.toDouble / exact.size
+    info(s"HNSW recall@5 = $recall (${(exact intersect hnsw).size}/${exact.size})")
+    assert(recall >= 0.85, s"recall $recall below 0.85 — HNSW degenerate")
+    // deterministic end to end: a second run returns the identical set
+    val again = graft.operators.Hnsw.annTopK(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == hnsw, "HNSW results differ between identical runs")
+  }
+
+  test("HNSW single-shard index: exact cosines, brute-force recall, zero-norm refusal") {
+    // structural contract of the in-memory shard graph: reported
+    // scores are true cosines, top-5 tracks brute force, and the
+    // family's zero-norm guard is an insert-time refusal here
+    val rnd = new scala.util.Random(4114)
+    val vecs = Array.fill(400)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val idx = new graft.operators.Hnsw.Index()
+    vecs.zipWithIndex.foreach { case (v, i) => idx.insert(i.toLong, v) }
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      def n(x: Array[Float]) = math.sqrt(x.map(e => e.toDouble * e).sum)
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum / (n(a) * n(b))
+    }
+    val q = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val got = idx.search(q, 5, ef = 48)
+    assert(got.size == 5 && got.map(_._1).distinct.size == 5)
+    // nearest-first, within cosine bounds, and the reported cosine is
+    // the real one (normalized-dot bookkeeping, not an internal score)
+    assert(got.sliding(2).forall(p => p.head._2 >= p.last._2))
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - cosine(q, vecs(id.toInt))) < 1e-9,
+        s"reported cosine for $id drifts from the direct computation")
+    }
+    // recall@5 vs brute force on the single shard
+    val exact5 = vecs.zipWithIndex
+      .map { case (v, i) => (cosine(q, v), i.toLong) }
+      .sortBy { case (c, i) => (-c, i) }.take(5).map(_._2).toSet
+    val overlap = (exact5 intersect got.map(_._1).toSet).size
+    info(s"single-shard recall@5 = ${overlap / 5.0}")
+    assert(overlap >= 4, s"only $overlap/5 of the exact top-5 found")
+    val ex = intercept[IllegalArgumentException](
+      idx.insert(999L, Array.fill(16)(0f)))
+    assert(ex.getMessage.contains("zero-norm"))
+  }
+
   test("IVF ANN recall@5 with nprobe=6/16 cells on sf0.01") {
     val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
