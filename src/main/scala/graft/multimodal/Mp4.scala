@@ -1,0 +1,330 @@
+package graft.multimodal
+
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch ISO-BMFF (MP4) box walk — codec-agnostic DEMUX to
+  * typed frame metadata, the container half of the video story (the
+  * per-frame pixel decode behind it would be a further codec pair;
+  * the container walk is what a training pipeline needs to SAMPLE
+  * frames, size shards, and route payloads without decoding them).
+  * Implemented from the published ISO base-media file format layout
+  * (ISO/IEC 14496-12): length-prefixed box tree, full-box
+  * version/flags, and the sample tables — stts (decode timing), stsz
+  * (sample sizes), stsc (sample-to-chunk), stco/co64 (chunk offsets)
+  * — joined into per-frame (offset, size, dts) records exactly the
+  * way a demuxer resolves a sample's byte range.
+  *
+  * Everything is bounds-checked against the payload; per-track sample
+  * counts are capped (the image codecs' hostile-header posture) and
+  * box recursion is depth-limited. Parse errors throw
+  * [[IllegalArgumentException]]; [[tryParse]] maps them to `None`.
+  */
+object Mp4 {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"MP4 parse: $msg")
+
+  /** per-track demuxed-sample budget (a 16-byte stsz must not declare
+    * a billion samples and provoke a giant allocation) */
+  private val MaxSamples = 1 << 22
+  private val MaxDepth = 8
+
+  /** one demuxed sample: byte range within the file + decode time in
+    * the track's timescale ticks */
+  final case class Frame(index: Int, offset: Long, size: Long, dts: Long)
+
+  final case class Track(id: Long, handler: String, codec: String,
+      timescale: Long, duration: Long, width: Int, height: Int,
+      frames: IndexedSeq[Frame])
+
+  final case class Movie(brand: String, timescale: Long, duration: Long,
+      tracks: IndexedSeq[Track]) {
+    def durationSeconds: Double =
+      if (timescale == 0) 0.0 else duration.toDouble / timescale
+  }
+
+  def looksLike(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes(4) == 'f' && bytes(5) == 't' &&
+      bytes(6) == 'y' && bytes(7) == 'p'
+
+  private def u32(b: Array[Byte], o: Int): Long = {
+    if (o + 4 > b.length) fail(s"u32 read past end at $o")
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  }
+
+  private def u64(b: Array[Byte], o: Int): Long = {
+    if (o + 8 > b.length) fail(s"u64 read past end at $o")
+    (u32(b, o) << 32) | u32(b, o + 4)
+  }
+
+  private def fourcc(b: Array[Byte], o: Int): String = {
+    if (o + 4 > b.length) fail(s"fourcc read past end at $o")
+    new String(b, o, 4, "US-ASCII")
+  }
+
+  /** (type, payloadStart, payloadEnd, nextBox) for the box at `off` */
+  private def boxAt(b: Array[Byte], off: Int,
+      limit: Int): (String, Int, Int, Int) = {
+    if (off + 8 > limit) fail(s"truncated box header at $off")
+    val size32 = u32(b, off)
+    val tpe = fourcc(b, off + 4)
+    var payload = off + 8
+    val size: Long =
+      if (size32 == 1) { val s = u64(b, off + 8); payload += 8; s }
+      else if (size32 == 0) (limit - off).toLong // box extends to limit
+      else size32
+    if (size < (payload - off).toLong)
+      fail(s"box '$tpe' size $size smaller than its header")
+    val end = off.toLong + size
+    if (end > limit) fail(s"box '$tpe' overruns its container " +
+      s"($size bytes at $off, limit $limit)")
+    (tpe, payload, end.toInt, end.toInt)
+  }
+
+  /** full-box: returns (version, payloadStartAfterVersionFlags) */
+  private def fullBox(b: Array[Byte], payload: Int): (Int, Int) = {
+    if (payload + 4 > b.length) fail("truncated full-box header")
+    ((b(payload) & 0xff), payload + 4)
+  }
+
+  // sample-table accumulators for the track being parsed
+  private final class Stbl {
+    var codec: String = ""
+    var sttsRuns: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
+    var uniformSize: Long = -1
+    var sizes: Array[Long] = null
+    var sampleCount: Int = -1
+    var stsc: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty // (firstChunk, perChunk)
+    var chunkOffsets: Array[Long] = null
+  }
+
+  private def parseStbl(b: Array[Byte], from: Int, until: Int,
+      st: Stbl, depth: Int): Unit = {
+    var off = from
+    while (off < until) {
+      val (tpe, payload, end, next) = boxAt(b, off, until)
+      tpe match {
+        case "stsd" =>
+          val (_, p) = fullBox(b, payload)
+          val entries = u32(b, p)
+          if (entries >= 1) {
+            // first sample entry: 32-bit size + fourcc format
+            if (p + 12 <= end) st.codec = fourcc(b, p + 8)
+          }
+        case "stts" =>
+          val (_, p) = fullBox(b, payload)
+          val n = u32(b, p)
+          if (n > MaxSamples) fail(s"stts declares $n runs")
+          var i = 0
+          var o = p + 4
+          while (i < n) {
+            st.sttsRuns += ((u32(b, o), u32(b, o + 4)))
+            o += 8; i += 1
+          }
+        case "stsz" =>
+          val (_, p) = fullBox(b, payload)
+          val uniform = u32(b, p)
+          val count = u32(b, p + 4)
+          if (count > MaxSamples) fail(s"stsz declares $count samples")
+          st.sampleCount = count.toInt
+          if (uniform != 0) st.uniformSize = uniform
+          else {
+            st.sizes = new Array[Long](count.toInt)
+            var i = 0
+            var o = p + 8
+            while (i < count) { st.sizes(i) = u32(b, o); o += 4; i += 1 }
+          }
+        case "stsc" =>
+          val (_, p) = fullBox(b, payload)
+          val n = u32(b, p)
+          if (n > MaxSamples) fail(s"stsc declares $n entries")
+          var i = 0
+          var o = p + 4
+          while (i < n) {
+            // (first_chunk, samples_per_chunk); description index unused
+            st.stsc += ((u32(b, o), u32(b, o + 4)))
+            o += 12; i += 1
+          }
+        case "stco" | "co64" =>
+          val (_, p) = fullBox(b, payload)
+          val n = u32(b, p)
+          if (n > MaxSamples) fail(s"$tpe declares $n chunks")
+          st.chunkOffsets = new Array[Long](n.toInt)
+          var i = 0
+          var o = p + 4
+          while (i < n) {
+            st.chunkOffsets(i) = if (tpe == "stco") u32(b, o) else u64(b, o)
+            o += (if (tpe == "stco") 4 else 8)
+            i += 1
+          }
+        case _ => () // ctts, stss, sgpd, ... — not needed for demux
+      }
+      off = next
+    }
+  }
+
+  /** resolve the three sample tables into per-frame byte ranges +
+    * decode timestamps — the demux join */
+  private def resolveFrames(b: Array[Byte], st: Stbl): IndexedSeq[Frame] = {
+    val count = math.max(st.sampleCount, 0)
+    if (count == 0 || st.chunkOffsets == null || st.stsc.isEmpty)
+      return IndexedSeq.empty
+    def sizeOf(i: Int): Long =
+      if (st.uniformSize >= 0) st.uniformSize
+      else if (st.sizes != null && i < st.sizes.length) st.sizes(i)
+      else fail(s"no size for sample $i")
+    // dts from stts runs
+    val dts = new Array[Long](count)
+    locally {
+      var t = 0L
+      var i = 0
+      st.sttsRuns.foreach { case (n, delta) =>
+        var j = 0L
+        while (j < n && i < count) { dts(i) = t; t += delta; i += 1; j += 1 }
+      }
+      while (i < count) { dts(i) = t; i += 1 } // stts shorter than stsz
+    }
+    // stsc: expand (firstChunk, perChunk) runs across the chunk list
+    val frames = new ArrayBuffer[Frame](count)
+    val nChunks = st.chunkOffsets.length
+    var sample = 0
+    var run = 0
+    var chunk = 1 // 1-based per spec
+    while (chunk <= nChunks && sample < count) {
+      while (run + 1 < st.stsc.length && st.stsc(run + 1)._1 <= chunk)
+        run += 1
+      val perChunk = st.stsc(run)._2
+      var off = st.chunkOffsets(chunk - 1)
+      var j = 0L
+      while (j < perChunk && sample < count) {
+        val sz = sizeOf(sample)
+        if (off < 0 || sz < 0 || off + sz > b.length)
+          fail(s"sample $sample byte range [$off, ${off + sz}) outside " +
+            s"the ${b.length}-byte file")
+        frames += Frame(sample, off, sz, dts(sample))
+        off += sz
+        sample += 1
+        j += 1
+      }
+      chunk += 1
+    }
+    if (sample < count)
+      fail(s"chunk list exhausted at sample $sample of $count")
+    frames.toIndexedSeq
+  }
+
+  private def parseTrak(b: Array[Byte], from: Int, until: Int,
+      depth: Int): Track = {
+    var id = 0L
+    var handler = ""
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+    val st = new Stbl
+
+    def walk(f: Int, u: Int, d: Int): Unit = {
+      if (d > MaxDepth) fail("box nesting too deep")
+      var off = f
+      while (off < u) {
+        val (tpe, payload, end, next) = boxAt(b, off, u)
+        tpe match {
+          case "tkhd" =>
+            val (v, p) = fullBox(b, payload)
+            // v0: creation(4) mod(4) id(4); v1: 8+8 then id
+            id = if (v == 1) u32(b, p + 16) else u32(b, p + 8)
+            // width/height: 16.16 fixed point at the end of the box
+            if (end - 8 >= p) {
+              width = (u32(b, end - 8) >> 16).toInt
+              height = (u32(b, end - 4) >> 16).toInt
+            }
+          case "mdhd" =>
+            val (v, p) = fullBox(b, payload)
+            if (v == 1) {
+              timescale = u32(b, p + 16)
+              duration = u64(b, p + 20)
+            } else {
+              timescale = u32(b, p + 8)
+              duration = u32(b, p + 12)
+            }
+          case "hdlr" =>
+            val (_, p) = fullBox(b, payload)
+            handler = fourcc(b, p + 4) // after pre_defined
+          case "mdia" | "minf" => walk(payload, end, d + 1)
+          case "stbl" => parseStbl(b, payload, end, st, d + 1)
+          case _ => ()
+        }
+        off = next
+      }
+    }
+    walk(from, until, depth)
+    Track(id, handler, st.codec, timescale, duration, width, height,
+      resolveFrames(b, st))
+  }
+
+  /** Walk the whole file: ftyp brand + moov(mvhd, trak*). */
+  def parse(bytes: Array[Byte]): Movie = {
+    if (!looksLike(bytes)) fail("no ftyp box at offset 4")
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    val tracks = ArrayBuffer.empty[Track]
+    var off = 0
+    while (off < bytes.length) {
+      val (tpe, payload, end, next) = boxAt(bytes, off, bytes.length)
+      tpe match {
+        case "ftyp" =>
+          brand = fourcc(bytes, payload)
+        case "moov" =>
+          var o2 = payload
+          while (o2 < end) {
+            val (t2, p2, e2, n2) = boxAt(bytes, o2, end)
+            t2 match {
+              case "mvhd" =>
+                val (v, p) = fullBox(bytes, p2)
+                if (v == 1) {
+                  timescale = u32(bytes, p + 16)
+                  duration = u64(bytes, p + 20)
+                } else {
+                  timescale = u32(bytes, p + 8)
+                  duration = u32(bytes, p + 12)
+                }
+              case "trak" => tracks += parseTrak(bytes, p2, e2, 1)
+              case _ => ()
+            }
+            o2 = n2
+          }
+        case _ => () // mdat, free, ...
+      }
+      off = next
+    }
+    if (brand.isEmpty) fail("no ftyp box")
+    if (tracks.isEmpty) fail("no trak boxes in moov")
+    Movie(brand, timescale, duration, tracks.toIndexedSeq)
+  }
+
+  def tryParse(bytes: Array[Byte]): Option[Movie] =
+    try Some(parse(bytes)) catch {
+      case _: IllegalArgumentException => None
+    }
+
+  /** 8-dim container feature vector: [n_tracks, duration_s, n_video,
+    * n_audio, total_frames, mean_frame_bytes, width, height] — the
+    * metadata-level featurization routing/sharding needs without
+    * decoding a single frame. */
+  def containerFeatures(m: Movie): Array[Float] = {
+    val nFrames = m.tracks.map(_.frames.size.toLong).sum
+    val bytesTotal = m.tracks.map(_.frames.map(_.size).sum).sum
+    val v = m.tracks.find(_.handler == "vide")
+    Array(
+      m.tracks.size.toFloat,
+      m.durationSeconds.toFloat,
+      m.tracks.count(_.handler == "vide").toFloat,
+      m.tracks.count(_.handler == "soun").toFloat,
+      nFrames.toFloat,
+      if (nFrames == 0) 0f else (bytesTotal.toDouble / nFrames).toFloat,
+      v.map(_.width).getOrElse(0).toFloat,
+      v.map(_.height).getOrElse(0).toFloat)
+  }
+}

@@ -130,13 +130,16 @@ object Multimodal {
 
   /** Decode + featurize one payload: sniff the container magic, run
     * the real codec, fall back to the opaque byte-fold when the
-    * payload is not a valid WAV, BMP, PNG, JPEG, or GIF (sniff first, so
+    * payload is not a valid WAV, FLAC, BMP, PNG, JPEG, or GIF (sniff first, so
     * the exception path never runs for clearly-non-media bytes; a
     * payload that merely STARTS like a container but fails structural
     * validation also falls back rather than failing the task). */
   def decode(payload: Array[Byte]): Array[Float] =
     if (Wav.looksLike(payload))
       Wav.tryDecode(payload).map(audioFeatures)
+        .getOrElse(opaqueFeatures(payload))
+    else if (Flac.looksLike(payload))
+      Flac.tryDecode(payload).map(audioFeatures)
         .getOrElse(opaqueFeatures(payload))
     else if (Bmp.looksLike(payload))
       Bmp.tryDecode(payload).map(imageFeatures)
@@ -149,6 +152,11 @@ object Multimodal {
         .getOrElse(opaqueFeatures(payload))
     else if (Gif.looksLike(payload))
       Gif.tryDecode(payload).map(imageFeatures)
+        .getOrElse(opaqueFeatures(payload))
+    else if (Mp4.looksLike(payload))
+      // container-level featurization: the ISO-BMFF walk demuxes to
+      // typed frame metadata without decoding any frame payload
+      Mp4.tryParse(payload).map(Mp4.containerFeatures)
         .getOrElse(opaqueFeatures(payload))
     else opaqueFeatures(payload)
 
@@ -287,19 +295,24 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val m = r.getAs[Row]("meta")
-        // sniff before tryDecode: a corpus of mostly-non-WAV payloads
+        // sniff before tryDecode: a corpus of mostly-non-audio payloads
         // must not pay one constructed exception per row (the
         // q_try_funcs lesson)
+        val isWav = Wav.looksLike(payload)
         val decoded =
-          if (Wav.looksLike(payload)) Wav.tryDecode(payload) else None
+          if (isWav) Wav.tryDecode(payload)
+          else if (Flac.looksLike(payload)) Flac.tryDecode(payload)
+          else None
         decoded match {
           case Some(a) =>
             val s = Wav.sampleEveryK(a, everyK)
             // re-encode in the SOURCE format: an ADPCM input
-            // (bitsPerSample 4) must come back out as ADPCM, same
-            // no-silent-transcode rule as the image branch above
+            // (bitsPerSample 4) must come back out as ADPCM and a FLAC
+            // input as FLAC, same no-silent-transcode rule as the
+            // image branch above
             val bytes =
-              if (a.bitsPerSample == 4)
+              if (!isWav) Flac.encode(s.samples, s.sampleRate, s.channels)
+              else if (a.bitsPerSample == 4)
                 Wav.encodeAdpcm(s.samples, s.sampleRate, s.channels)
               else Wav.encode(s.samples, s.sampleRate, s.channels)
             Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),

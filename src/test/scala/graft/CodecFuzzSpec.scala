@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Bmp, Gif, Jpeg, Multimodal, Png, Wav}
+import graft.multimodal.{Bmp, Flac, Gif, Jpeg, Mp4, Multimodal, Png, Wav}
 
 /** Adversarial robustness law for every codec behind the multimodal
   * dispatch: `tryDecode` returns an Option for ANY byte string — the
@@ -89,11 +89,20 @@ class CodecFuzzSpec extends AnyFunSuite {
       Wav.tryDecode)
   }
 
+  test("FLAC survives truncation, mutation, and garbage") {
+    attack("flac", Flac.encode(pcm(11, 700), 16000, 2), Flac.tryDecode)
+  }
+
+  test("MP4 box walk survives truncation, mutation, and garbage") {
+    attack("mp4", TestMp4.sample()._1, Mp4.tryParse)
+  }
+
   test("Multimodal.decode (the dispatch seam) never throws on any input") {
     val rnd = new scala.util.Random(0xD15A)
     val valids = Seq(
       Png.encode(5, 5, px(6, 25)), Jpeg.encode(8, 8, px(7, 64)),
-      Bmp.encode(5, 5, px(8, 25)), Wav.encode(pcm(9, 100), 8000, 1))
+      Bmp.encode(5, 5, px(8, 25)), Wav.encode(pcm(9, 100), 8000, 1),
+      Flac.encode(pcm(10, 150), 8000, 1))
     (0 until 300).foreach { trial =>
       val base = valids(trial % valids.length)
       val mutated = base.clone()
