@@ -157,7 +157,10 @@ object Flac {
       val len = ((bytes(off + 1) & 0xff) << 16) |
         ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
       off += 4
-      if (off + len > bytes.length)
+      // Long arithmetic: for a ~2 GB payload, off + len can wrap Int
+      // and the overrun check would pass with a negative off (AIOOBE
+      // escaping tryDecode's contract — r14 review finding)
+      if (off.toLong + len > bytes.length)
         fail(s"metadata block overruns file ($len bytes at $off)")
       if (blockType == 0) {
         if (si != null) fail("duplicate STREAMINFO")
@@ -523,14 +526,25 @@ object Flac {
       s"${samples.length} samples not divisible by $channels channels")
     val frames = samples.length / channels
     require(frames > 0, "no samples")
+    // same budget as decode's cap; also keeps frameIdx < 2^14, far
+    // inside the 1-3 byte coded-number forms written below (the
+    // 4-byte+ forms are not implemented — r14 review finding)
+    require(frames.toLong * channels <= MaxTotalSamples,
+      s"$frames frames x $channels channels exceeds the " +
+        s"$MaxTotalSamples-sample encode cap (decode's budget)")
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic, 0, 4)
     // STREAMINFO as the single, last metadata block
     val siw = new BitWriter
     val blockSamples = 4096
-    siw.writeBits(math.min(blockSamples, frames).toLong, 16) // min block
-    siw.writeBits(math.min(blockSamples, frames).toLong, 16) // max block
+    // declared min/max block size stays 4096 even for short streams:
+    // the format floor for these fields is 16, and the spec excludes
+    // the (permitted-shorter) last frame from the minimum — declaring
+    // min(4096, frames) would write a nonconformant value for tiny
+    // inputs (r14 review finding)
+    siw.writeBits(blockSamples.toLong, 16) // min block
+    siw.writeBits(blockSamples.toLong, 16) // max block
     siw.writeBits(0L, 24); siw.writeBits(0L, 24) // frame sizes unknown
     siw.writeBits(sampleRate.toLong, 20)
     siw.writeBits((channels - 1).toLong, 3)

@@ -104,6 +104,12 @@ object Mp4 {
     var off = from
     while (off < until) {
       val (tpe, payload, end, next) = boxAt(b, off, until)
+      // every table read below is bounded by ITS OWN box `end`, not
+      // the file: a truncated table must fail loudly, never silently
+      // consume sibling-box bytes as entries (r14 review finding)
+      def need(from: Int, bytesNeeded: Long, what: String): Unit =
+        if (from.toLong + bytesNeeded > end)
+          fail(s"$what needs $bytesNeeded bytes, box '$tpe' ends at $end")
       tpe match {
         case "stsd" =>
           val (_, p) = fullBox(b, payload)
@@ -116,6 +122,7 @@ object Mp4 {
           val (_, p) = fullBox(b, payload)
           val n = u32(b, p)
           if (n > MaxSamples) fail(s"stts declares $n runs")
+          need(p + 4, n * 8, s"$n stts runs")
           var i = 0
           var o = p + 4
           while (i < n) {
@@ -130,6 +137,7 @@ object Mp4 {
           st.sampleCount = count.toInt
           if (uniform != 0) st.uniformSize = uniform
           else {
+            need(p + 8, count * 4, s"$count stsz sizes")
             st.sizes = new Array[Long](count.toInt)
             var i = 0
             var o = p + 8
@@ -139,6 +147,7 @@ object Mp4 {
           val (_, p) = fullBox(b, payload)
           val n = u32(b, p)
           if (n > MaxSamples) fail(s"stsc declares $n entries")
+          need(p + 4, n * 12, s"$n stsc entries")
           var i = 0
           var o = p + 4
           while (i < n) {
@@ -150,12 +159,14 @@ object Mp4 {
           val (_, p) = fullBox(b, payload)
           val n = u32(b, p)
           if (n > MaxSamples) fail(s"$tpe declares $n chunks")
+          val width = if (tpe == "stco") 4 else 8
+          need(p + 4, n * width, s"$n $tpe offsets")
           st.chunkOffsets = new Array[Long](n.toInt)
           var i = 0
           var o = p + 4
           while (i < n) {
             st.chunkOffsets(i) = if (tpe == "stco") u32(b, o) else u64(b, o)
-            o += (if (tpe == "stco") 4 else 8)
+            o += width
             i += 1
           }
         case _ => () // ctts, stss, sgpd, ... — not needed for demux
@@ -199,8 +210,10 @@ object Mp4 {
       var j = 0L
       while (j < perChunk && sample < count) {
         val sz = sizeOf(sample)
-        if (off < 0 || sz < 0 || off + sz > b.length)
-          fail(s"sample $sample byte range [$off, ${off + sz}) outside " +
+        // overflow-proof: off + sz can wrap for a hostile co64 offset
+        // near Long.MaxValue, so compare against the remaining length
+        if (off < 0 || sz < 0 || off > b.length || sz > b.length - off)
+          fail(s"sample $sample byte range [$off, +$sz) outside " +
             s"the ${b.length}-byte file")
         frames += Frame(sample, off, sz, dts(sample))
         off += sz
@@ -229,11 +242,15 @@ object Mp4 {
       var off = f
       while (off < u) {
         val (tpe, payload, end, next) = boxAt(b, off, u)
+        def need(from: Int, n: Int): Unit =
+          if (from + n > end)
+            fail(s"box '$tpe' too short for its declared version")
         tpe match {
           case "tkhd" =>
             val (v, p) = fullBox(b, payload)
             // v0: creation(4) mod(4) id(4); v1: 8+8 then id
-            id = if (v == 1) u32(b, p + 16) else u32(b, p + 8)
+            id = if (v == 1) { need(p + 16, 4); u32(b, p + 16) }
+                 else { need(p + 8, 4); u32(b, p + 8) }
             // width/height: 16.16 fixed point at the end of the box
             if (end - 8 >= p) {
               width = (u32(b, end - 8) >> 16).toInt
@@ -242,14 +259,17 @@ object Mp4 {
           case "mdhd" =>
             val (v, p) = fullBox(b, payload)
             if (v == 1) {
+              need(p + 16, 12)
               timescale = u32(b, p + 16)
               duration = u64(b, p + 20)
             } else {
+              need(p + 8, 8)
               timescale = u32(b, p + 8)
               duration = u32(b, p + 12)
             }
           case "hdlr" =>
             val (_, p) = fullBox(b, payload)
+            need(p + 4, 4)
             handler = fourcc(b, p + 4) // after pre_defined
           case "mdia" | "minf" => walk(payload, end, d + 1)
           case "stbl" => parseStbl(b, payload, end, st, d + 1)
@@ -284,9 +304,11 @@ object Mp4 {
               case "mvhd" =>
                 val (v, p) = fullBox(bytes, p2)
                 if (v == 1) {
+                  if (p + 28 > e2) fail("mvhd v1 too short")
                   timescale = u32(bytes, p + 16)
                   duration = u64(bytes, p + 20)
                 } else {
+                  if (p + 16 > e2) fail("mvhd v0 too short")
                   timescale = u32(bytes, p + 8)
                   duration = u32(bytes, p + 12)
                 }

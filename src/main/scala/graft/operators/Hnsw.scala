@@ -75,9 +75,15 @@ object Hnsw {
         layer: Int): mutable.ArrayBuffer[(Double, Int)] = {
       val visited = mutable.BitSet(ep)
       val epd = dist(q, vecs(ep))
-      // candidates: nearest-first; results: farthest-first (bounded)
+      // candidates: nearest-first; results: farthest-first (bounded).
+      // Ties MUST break on the stable vector id, not the node's
+      // insertion index — otherwise which equidistant node survives
+      // the ef-bounded heap depends on iterator arrival order and the
+      // documented insertion-order independence breaks (r14 review)
       implicit val byFar: Ordering[(Double, Int)] =
-        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+        Ordering.by[(Double, Int), (Double, Long)] {
+          case (d, n) => (d, ids(n))
+        }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
       val cand = mutable.PriorityQueue((epd, ep))(byFar.reverse)
       val res = mutable.PriorityQueue((epd, ep))(byFar)
       while (cand.nonEmpty) {
