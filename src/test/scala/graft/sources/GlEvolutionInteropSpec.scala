@@ -112,7 +112,19 @@ class GlEvolutionInteropSpec extends AnyFunSuite {
       "NOT (w = 'w1')",
       "NOT (w = 'w1') OR v IS NULL",
       "w IN ('w0', 'w2') AND k >= 10",
-      "w IS NOT NULL AND v > 100")
+      "w IS NOT NULL AND v > 100",
+      // r14 pushed shapes: null-safe equality is TOTAL, so a pre-ALTER
+      // row (w missing from the file entirely) is definitively false
+      // for `w <=> 'w1'` and definitively TRUE for `w <=> NULL` —
+      // subtly different from `w = 'w1'`'s NULL; and prefix LIKE on
+      // the absent column must stay NULL under NOT...OR
+      "w <=> 'w1'",
+      "w <=> NULL",
+      "NOT (w <=> 'w1')",
+      "NOT (w <=> 'w1') OR v IS NULL",
+      "w LIKE 'w%'",
+      "NOT (w LIKE 'w1%') OR v IS NULL",
+      "(w <=> NULL) AND k < 30")
     predicates.foreach { p =>
       val got = sortedStrings(spark.sql(
         s"SELECT k, v, w FROM $tbl WHERE $p"))
