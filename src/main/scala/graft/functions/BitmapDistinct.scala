@@ -94,6 +94,12 @@ object BitmapDistinct {
   }
 
   private def fromBytes(b: Array[Byte]): Array[Long] = {
+    // a bitmap is always whole 8-byte words; a trailing fragment means
+    // a truncated/corrupt value, and silently dropping it would merge
+    // into a plausible-but-wrong distinct count (r14 review)
+    require(b.length % 8 == 0,
+      s"bitmap payload of ${b.length} bytes is not whole 8-byte words " +
+        "— truncated or not produced by bitmapOf()")
     val bb = java.nio.ByteBuffer.wrap(b)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val out = new Array[Long](b.length / 8)

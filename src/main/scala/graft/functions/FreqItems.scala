@@ -106,8 +106,13 @@ object FreqItems {
   }
 
   /** Column form: array of (item, est, lb, ub) structs, proven-frequent
-    * items only (NO_FALSE_POSITIVES), ordered (est desc, item asc). */
-  def hitters(sketch: Column): Column =
+    * items only (NO_FALSE_POSITIVES), ordered (est desc, item asc).
+    * The udf is cached in a val like the sibling sketch surfaces
+    * (CountMin/KllQuantile/ThetaSketch) — constructing it per call
+    * re-derives the tuple-seq encoder every time. */
+  private val hittersUdf =
     org.apache.spark.sql.functions.udf((b: Array[Byte]) =>
-      heavyHitters(b, noFalsePositives = true)).apply(sketch)
+      heavyHitters(b, noFalsePositives = true))
+
+  def hitters(sketch: Column): Column = hittersUdf.apply(sketch)
 }

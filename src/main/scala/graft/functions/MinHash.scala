@@ -108,6 +108,17 @@ object MinHash {
     }
   }
 
+  /** One splitmix64 step as a pure function — the allocation-free form
+    * for per-value hashing in hot paths (HNSW level assignment);
+    * identical output to `splitmix(seed).next()`. */
+  private[graft] def splitmixOnce(seed: Long): Long = {
+    val s = seed + 0x9e3779b97f4a7c15L
+    var z = s
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   val A: Array[Long] = splitmix(42L).map(_ | 1L).take(NumHashes).toArray
   val B: Array[Long] = splitmix(4242L).take(NumHashes).toArray
 

@@ -53,7 +53,13 @@ object ConnectedComponents {
           "doc ids")).isNull)
 
   def label(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val e = longEdges(edges)
+    // Checkpoint the (possibly expensive) pair-finding pipeline BEFORE
+    // the symmetric union: union's two children are separate plan
+    // subtrees (no cross-child CSE), so flipping an un-checkpointed e
+    // would run the upstream shingle/LSH work twice in the one job
+    // that materializes sym — labelStar checkpoints eRaw first for the
+    // same reason (r14 review).
+    val e = longEdges(edges).localCheckpoint()
     // Symmetric closure once, checkpointed: every sweep re-reads it.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()

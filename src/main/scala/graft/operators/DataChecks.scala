@@ -58,7 +58,13 @@ object DataChecks {
 
   /** Violated once per key VALUE that occurs more than once (n_bad
     * counts duplicated keys, not duplicated rows — the actionable
-    * number: how many entities need repair). */
+    * number: how many entities need repair). NULL policy, stated
+    * because it differs from SQL's UNIQUE constraint: NULL counts as
+    * a key value, so two NULL-keyed rows ARE one duplicated key. An
+    * audit exists to surface suspect entities, and a pile of
+    * null-keyed rows is exactly that (same posture as FrameGraph's
+    * null_key edge kind); callers wanting ANSI multiple-NULLs-allowed
+    * semantics should pre-filter the frame on key IS NOT NULL. */
   final case class Unique(colNames: Seq[String]) extends Check {
     def label = s"unique(${colNames.mkString(",")})"
   }

@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   * Single-shard index: the standard hierarchical navigable small world
   * graph (Malkov & Yashunin, IEEE TPAMI 2018) — greedy descent on the
   * sparse upper layers to a good entry point, beam search (`ef`) on
-  * the dense bottom layer. Everything is deterministic: level
-  * assignment draws its uniform from the shared splitmix64 hash of
-  * the vector id (insertion-order independent), every candidate
-  * ordering ties on (distance, id), and distances are sequential
-  * double folds over L2-normalized vectors, so 1 - dot IS cosine
-  * distance and the zero-norm guard the whole family applies (a NaN
-  * cosine sorts first and poisons top-k) is an insert-time refusal.
+  * the dense bottom layer. Deterministic for a fixed input order:
+  * level assignment draws its uniform from the shared splitmix64 hash
+  * of the vector id (a function of the id alone — the one RNG-shaped
+  * choice is insertion-order independent; graph EDGES, as in any HNSW
+  * build, depend on arrival order, which a fixed input/partitioning
+  * fixes), every candidate ordering ties on (distance, id), and
+  * distances are sequential double folds over L2-normalized vectors,
+  * so 1 - dot IS cosine distance and the zero-norm/non-finite guard
+  * the whole family applies (a NaN cosine sorts first and poisons
+  * top-k) is an insert-time refusal, as is dimension drift.
   *
   * Distributed shape (`annTopK`): shard-per-partition. The corpus
   * repartitions into `shards`; each partition builds an in-memory
@@ -48,6 +51,7 @@ object Hnsw {
     private val neighbors = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
     private var entry = -1
     private var topLevel = -1
+    private var dims = -1
 
     def size: Int = ids.length
 
@@ -59,10 +63,15 @@ object Hnsw {
     }
 
     /** deterministic geometric level from the id's splitmix64 hash —
-      * NOT from insertion order, so a shard builds the same graph
-      * however its iterator happens to arrive */
+      * a function of the id alone, never of insertion order. (The
+      * graph EDGES do depend on insertion order — each insert can only
+      * connect to nodes already present, as in any HNSW build — so the
+      * determinism contract is: same rows in the same iterator order
+      * build the same graph, and a fixed input/partitioning yields a
+      * fixed iterator order. Level assignment being id-keyed removes
+      * the one RNG-shaped source of drift.) */
     private def levelOf(id: Long): Int = {
-      val h = graft.functions.MinHash.splitmix(id).next()
+      val h = graft.functions.MinHash.splitmixOnce(id)
       val u = math.max((h >>> 11).toDouble / (1L << 53).toDouble, 1e-12)
       (-math.log(u) * mL).toInt
     }
@@ -138,10 +147,19 @@ object Hnsw {
     /** Insert a vector. Zero-norm vectors are refused (the family's
       * NaN-cosine guard); duplicates of an id are the caller's bug. */
     def insert(id: Long, vec: Array[Float]): Unit = {
+      // dimension drift is the silent-truncation class FloatDot guards
+      // with NULL; an index refuses loudly (r14 review)
+      if (dims < 0) dims = vec.length
+      require(vec.length == dims,
+        s"vector $id has ${vec.length} dims, index holds $dims")
       var nrm = 0.0
       var i = 0
       while (i < vec.length) { nrm += vec(i).toDouble * vec(i); i += 1 }
-      require(nrm > 0, s"zero-norm vector $id cannot enter the index")
+      // finiteness too: an Infinity component passes nrm > 0 but
+      // normalizes to NaN components, defeating the NaN-cosine guard
+      require(java.lang.Double.isFinite(nrm) && nrm > 0,
+        s"vector $id has non-finite or zero-norm components " +
+          s"(norm^2 = $nrm) and cannot enter the index")
       val inv = 1.0 / math.sqrt(nrm)
       val v = Array.tabulate(vec.length)(j => vec(j) * inv)
 
@@ -186,11 +204,11 @@ object Hnsw {
 
     /** top-k (id, cosine) for a query vector, nearest first. */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
-      if (entry < 0) return Nil
+      if (entry < 0 || q.length != dims) return Nil
       var nrm = 0.0
       var i = 0
       while (i < q.length) { nrm += q(i).toDouble * q(i); i += 1 }
-      if (nrm <= 0) return Nil
+      if (!java.lang.Double.isFinite(nrm) || nrm <= 0) return Nil
       val inv = 1.0 / math.sqrt(nrm)
       val v = Array.tabulate(q.length)(j => q(j) * inv)
       var ep = entry

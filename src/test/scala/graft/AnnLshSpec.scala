@@ -322,7 +322,21 @@ class AnnLshSpec extends AnyFunSuite {
     assert(overlap >= 4, s"only $overlap/5 of the exact top-5 found")
     val ex = intercept[IllegalArgumentException](
       idx.insert(999L, Array.fill(16)(0f)))
-    assert(ex.getMessage.contains("zero-norm"))
+    assert(ex.getMessage.contains("non-finite or zero-norm"))
+    // dimension drift refuses loudly (the silent-truncation class
+    // FloatDot answers with NULL; an index cannot)
+    val exDim = intercept[IllegalArgumentException](
+      idx.insert(998L, Array.fill(8)(1f)))
+    assert(exDim.getMessage.contains("dims"))
+    // an Infinity component normalizes to NaN without the finiteness
+    // guard — must also refuse
+    val exInf = intercept[IllegalArgumentException](
+      idx.insert(997L, Array.fill(16)(Float.PositiveInfinity)))
+    assert(exInf.getMessage.contains("non-finite"))
+    // mismatched / degenerate queries answer empty, never NaN rows
+    assert(idx.search(Array.fill(8)(1f), 5, 32).isEmpty)
+    assert(idx.search(Array.fill(16)(0f), 5, 32).isEmpty)
+    assert(idx.search(Array.fill(16)(Float.NaN), 5, 32).isEmpty)
   }
 
   test("IVF ANN recall@5 with nprobe=6/16 cells on sf0.01") {
