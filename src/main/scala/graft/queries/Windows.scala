@@ -122,13 +122,7 @@ object Windows extends QueryGroup {
       // single-task sort; PlanSpec pins that shape), which passes the
       // identical oracle.
       "q_win_ntile_pctrank",
-      (s, d) => {
-        graft.operators.DistributedRank.withRankCols(
-            Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
-            Seq(col("c_acctbal"), col("c_custkey")), numBuckets = 4)
-          .select(col("c_custkey"), col("c_acctbal"), col("nt"), col("pct"))
-          .orderBy(col("c_custkey"))
-      },
+      ntilePlan,
       Some(ntileOracle)),
 
     QueryDef(
@@ -194,13 +188,7 @@ object Windows extends QueryGroup {
       // which DistributedRank requires: with duplicate sort keys its
       // row_number-based rank diverges from rank() under ties.
       "q_win_ntile_distributed",
-      (s, d) => {
-        graft.operators.DistributedRank.withRankCols(
-            Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
-            Seq(col("c_acctbal"), col("c_custkey")), numBuckets = 4)
-          .select(col("c_custkey"), col("c_acctbal"), col("nt"), col("pct"))
-          .orderBy(col("c_custkey"))
-      },
+      ntilePlan,
       Some(ntileOracle)),
 
     QueryDef(
@@ -310,12 +298,12 @@ object Windows extends QueryGroup {
           .select(col("stage"), col("event"), col("users"), col("n_users"))
           .orderBy(col("stage"))
       },
-      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      Some("""WITH s1 AS MATERIALIZED (SELECT user_id, MIN(ts) AS t1 FROM events
         |        WHERE event_type = 'signup' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |s2 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
         |       JOIN s1 USING (user_id)
         |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |s3 AS MATERIALIZED (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
         |       JOIN s2 USING (user_id)
         |       WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
         |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
@@ -389,7 +377,7 @@ object Windows extends QueryGroup {
         |  FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN b),
         |cnt AS (SELECT event_type, date_trunc('hour', ts) AS h,
         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
-        |filled AS (SELECT s.event_type, s.h, COALESCE(c.n, 0) AS n
+        |filled AS MATERIALIZED (SELECT s.event_type, s.h, COALESCE(c.n, 0) AS n
         |  FROM spine s LEFT JOIN cnt c USING (event_type, h)),
         |fl AS (SELECT *, row_number() OVER
         |    (PARTITION BY event_type ORDER BY h) AS rn FROM filled),
@@ -470,7 +458,7 @@ object Windows extends QueryGroup {
           .agg(countDistinct(col("o_custkey")).as("n_cust"))
           .orderBy(col("cohort"), col("offset_m"))
       },
-      Some("""WITH om AS (SELECT o_custkey,
+      Some("""WITH om AS MATERIALIZED (SELECT o_custkey,
         |         date_trunc('month', o_orderdate) AS om FROM orders),
         |f AS (SELECT o_custkey, MIN(om) AS cohort FROM om GROUP BY 1)
         |SELECT f.cohort,
@@ -544,7 +532,7 @@ object Windows extends QueryGroup {
         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM br),
-        |s AS (SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+        |s AS MATERIALIZED (SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
         |      FROM se GROUP BY 1, 2),
         |d AS (SELECT s_start AS t, 1::BIGINT AS delta, user_id, sid FROM s
         |      UNION ALL
@@ -565,4 +553,16 @@ object Windows extends QueryGroup {
       |FROM customer
       |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
+
+  /** The ONE plan body behind the deliberate twins q_win_ntile_pctrank
+    * and q_win_ntile_distributed (the contract forbids renaming keys,
+    * so both stay declared): a hand-copy here is the same drift class
+    * Confs.withConfs and HashGate were created to kill. */
+  private val ntilePlan: (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame = (s, d) =>
+    graft.operators.DistributedRank.withRankCols(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        Seq(col("c_acctbal"), col("c_custkey")), numBuckets = 4)
+      .select(col("c_custkey"), col("c_acctbal"), col("nt"), col("pct"))
+      .orderBy(col("c_custkey"))
 }

@@ -26,6 +26,16 @@ object SessionTimeout {
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
+  /** THE session expiry instant in ms for a session whose last event
+    * is at `lastUs` — the one formula behind GroupState's
+    * setTimeoutTimestamp, SessionTimers' registerTimer, AND its
+    * stale-timer comparison. Those three sites must stay bit-identical
+    * (the stale check compares a fired timer against a recomputation;
+    * any drift makes every timer look stale and sessions never seal,
+    * silently), so none of them spells the arithmetic inline. */
+  private[streaming] def expiryMs(lastUs: Long): Long =
+    lastUs / 1000L + gapUs / 1000L
+
   /** The pure gap-split fold, shared by BOTH state APIs (GroupState
     * here, ValueState+timers in [[SessionTimers]]): feed sorted
     * incoming event micros into the open session; a gap > 30 min
@@ -96,7 +106,7 @@ object SessionTimeout {
       val (closed, cur) = fold(user, state.getOption, incoming)
       val (st, la, n) = cur
       state.update((st, la, n))
-      state.setTimeoutTimestamp(la / 1000L + gapUs / 1000L)
+      state.setTimeoutTimestamp(expiryMs(la))
       closed.iterator
     }
 }

@@ -40,7 +40,7 @@ class SessionTimers
     val prev = if (open.exists()) Some(open.get()) else None
     val (closed, cur) = SessionTimeout.fold(user, prev, incoming)
     open.update(cur)
-    getHandle.registerTimer(cur._2 / 1000L + SessionTimeout.gapUs / 1000L)
+    getHandle.registerTimer(SessionTimeout.expiryMs(cur._2))
     closed.iterator
   }
 
@@ -48,7 +48,7 @@ class SessionTimers
       info: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
     if (!open.exists()) return Iterator.empty
     val (st, la, n) = open.get()
-    val currentExpiry = la / 1000L + SessionTimeout.gapUs / 1000L
+    val currentExpiry = SessionTimeout.expiryMs(la)
     if (info.getExpiryTimeInMs() >= currentExpiry) {
       // the firing timer covers the live session: sealed
       open.clear()

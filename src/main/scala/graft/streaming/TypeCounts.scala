@@ -39,8 +39,13 @@ class TypeCounts
     val touched = scala.collection.mutable.LinkedHashMap
       .empty[String, (Long, Long)]
     rows.foreach { case (_, et, c) =>
-      val cur = touched.getOrElse(et,
-        if (counts.containsKey(et)) counts.getValue(et) else (0L, 0L))
+      // one point-read per first-touched entry: getValue returns null
+      // for an absent key, so a containsKey probe first would double
+      // the RocksDB round trips this class exists to minimize
+      val cur = touched.getOrElse(et, {
+        val v = counts.getValue(et)
+        if (v != null) v else (0L, 0L)
+      })
       touched(et) = (cur._1 + 1, cur._2 + c)
     }
     touched.foreach { case (et, v) => counts.updateValue(et, v) }
