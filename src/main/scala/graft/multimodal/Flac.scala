@@ -367,6 +367,8 @@ object Flac {
 
     val acc = new ArrayBuffer[Short]()
     var off = firstFrame
+    var frameIdx = 0L       // fixed-blocksize strategy: expected frame number
+    var samplePos = 0L      // variable strategy: expected first-sample number
     while (off < bytes.length) {
       val frameStart = off
       val br = new BitReader(bytes, off)
@@ -374,13 +376,24 @@ object Flac {
       val sync = br.readBits(14)
       if (sync != 0x3ffe) fail(f"bad frame sync $sync%04x at byte $off")
       if (br.readBit() != 0) fail("frame header reserved bit set")
-      br.readBit() // blocking strategy: both accepted (number unused here)
+      val variableBlocking = br.readBit() == 1
       val bsCode = br.readBits(4)
       val srCode = br.readBits(4)
       val chAssign = br.readBits(4)
       val ssCode = br.readBits(3)
       if (br.readBit() != 0) fail("frame header reserved bit 2 set")
-      readCodedNumber(br)
+      // the coded frame/sample number must match the decode position:
+      // a duplicated, dropped, or reordered frame was previously only
+      // caught indirectly by the streaminfo total-sample equality — and
+      // not at all when streaminfo declares totalSamples = 0 (r14
+      // ADVICE). Fixed strategy codes the frame INDEX, variable codes
+      // the frame's first SAMPLE number (RFC 9639 §9.1.5).
+      val codedNumber = readCodedNumber(br)
+      val expectedNumber = if (variableBlocking) samplePos else frameIdx
+      if (codedNumber != expectedNumber)
+        fail(s"frame ${if (variableBlocking) "sample" else "frame"} " +
+          s"number $codedNumber, expected $expectedNumber " +
+          s"(duplicated/dropped/reordered frame)")
       val blockSize = blockSizeOf(bsCode, br)
       sampleRateOf(srCode, si, br)
       val bps = sampleSizeOf(ssCode, si)
@@ -463,6 +476,8 @@ object Flac {
         }
         i += 1
       }
+      frameIdx += 1
+      samplePos += blockSize.toLong
     }
 
     if (si.totalSamples > 0 &&

@@ -82,8 +82,12 @@ object Mp4 {
     (tpe, payload, end.toInt, end.toInt)
   }
 
-  /** full-box: returns (version, payloadStartAfterVersionFlags) */
-  private def fullBox(b: Array[Byte], payload: Int): (Int, Int) = {
+  /** full-box: returns (version, payloadStartAfterVersionFlags).
+    * Bounded by the ENCLOSING box `end`, not the file: a box whose
+    * declared size stops before its own version/flags field must fail
+    * loudly, never read sibling-box bytes (r14 ADVICE). */
+  private def fullBox(b: Array[Byte], payload: Int, end: Int): (Int, Int) = {
+    if (payload + 4 > end) fail("truncated full-box header")
     if (payload + 4 > b.length) fail("truncated full-box header")
     ((b(payload) & 0xff), payload + 4)
   }
@@ -112,14 +116,16 @@ object Mp4 {
           fail(s"$what needs $bytesNeeded bytes, box '$tpe' ends at $end")
       tpe match {
         case "stsd" =>
-          val (_, p) = fullBox(b, payload)
+          val (_, p) = fullBox(b, payload, end)
+          need(p, 4, "stsd entry count")
           val entries = u32(b, p)
           if (entries >= 1) {
             // first sample entry: 32-bit size + fourcc format
             if (p + 12 <= end) st.codec = fourcc(b, p + 8)
           }
         case "stts" =>
-          val (_, p) = fullBox(b, payload)
+          val (_, p) = fullBox(b, payload, end)
+          need(p, 4, "stts run count")
           val n = u32(b, p)
           if (n > MaxSamples) fail(s"stts declares $n runs")
           need(p + 4, n * 8, s"$n stts runs")
@@ -130,7 +136,8 @@ object Mp4 {
             o += 8; i += 1
           }
         case "stsz" =>
-          val (_, p) = fullBox(b, payload)
+          val (_, p) = fullBox(b, payload, end)
+          need(p, 8, "stsz uniform-size and sample-count header")
           val uniform = u32(b, p)
           val count = u32(b, p + 4)
           if (count > MaxSamples) fail(s"stsz declares $count samples")
@@ -144,7 +151,8 @@ object Mp4 {
             while (i < count) { st.sizes(i) = u32(b, o); o += 4; i += 1 }
           }
         case "stsc" =>
-          val (_, p) = fullBox(b, payload)
+          val (_, p) = fullBox(b, payload, end)
+          need(p, 4, "stsc entry count")
           val n = u32(b, p)
           if (n > MaxSamples) fail(s"stsc declares $n entries")
           need(p + 4, n * 12, s"$n stsc entries")
@@ -156,7 +164,8 @@ object Mp4 {
             o += 12; i += 1
           }
         case "stco" | "co64" =>
-          val (_, p) = fullBox(b, payload)
+          val (_, p) = fullBox(b, payload, end)
+          need(p, 4, s"$tpe chunk count")
           val n = u32(b, p)
           if (n > MaxSamples) fail(s"$tpe declares $n chunks")
           val width = if (tpe == "stco") 4 else 8
@@ -181,6 +190,21 @@ object Mp4 {
     val count = math.max(st.sampleCount, 0)
     if (count == 0 || st.chunkOffsets == null || st.stsc.isEmpty)
       return IndexedSeq.empty
+    // a malformed stsc whose first run does not start at chunk 1, or
+    // whose first_chunk values are not strictly increasing, would be
+    // silently mis-attributed to the wrong run below — fail loudly
+    // like every other structural-corruption path (r14 ADVICE)
+    if (st.stsc.head._1 != 1L)
+      fail(s"stsc first entry covers chunk ${st.stsc.head._1}, not 1")
+    locally {
+      var k = 1
+      while (k < st.stsc.length) {
+        if (st.stsc(k)._1 <= st.stsc(k - 1)._1)
+          fail(s"stsc first_chunk not strictly increasing at entry $k " +
+            s"(${st.stsc(k - 1)._1} then ${st.stsc(k)._1})")
+        k += 1
+      }
+    }
     def sizeOf(i: Int): Long =
       if (st.uniformSize >= 0) st.uniformSize
       else if (st.sizes != null && i < st.sizes.length) st.sizes(i)
@@ -247,7 +271,7 @@ object Mp4 {
             fail(s"box '$tpe' too short for its declared version")
         tpe match {
           case "tkhd" =>
-            val (v, p) = fullBox(b, payload)
+            val (v, p) = fullBox(b, payload, end)
             // v0: creation(4) mod(4) id(4); v1: 8+8 then id
             id = if (v == 1) { need(p + 16, 4); u32(b, p + 16) }
                  else { need(p + 8, 4); u32(b, p + 8) }
@@ -257,7 +281,7 @@ object Mp4 {
               height = (u32(b, end - 4) >> 16).toInt
             }
           case "mdhd" =>
-            val (v, p) = fullBox(b, payload)
+            val (v, p) = fullBox(b, payload, end)
             if (v == 1) {
               need(p + 16, 12)
               timescale = u32(b, p + 16)
@@ -268,7 +292,7 @@ object Mp4 {
               duration = u32(b, p + 12)
             }
           case "hdlr" =>
-            val (_, p) = fullBox(b, payload)
+            val (_, p) = fullBox(b, payload, end)
             need(p + 4, 4)
             handler = fourcc(b, p + 4) // after pre_defined
           case "mdia" | "minf" => walk(payload, end, d + 1)
@@ -302,7 +326,7 @@ object Mp4 {
             val (t2, p2, e2, n2) = boxAt(bytes, o2, end)
             t2 match {
               case "mvhd" =>
-                val (v, p) = fullBox(bytes, p2)
+                val (v, p) = fullBox(bytes, p2, e2)
                 if (v == 1) {
                   if (p + 28 > e2) fail("mvhd v1 too short")
                   timescale = u32(bytes, p + 16)
@@ -330,6 +354,94 @@ object Mp4 {
     try Some(parse(bytes)) catch {
       case _: IllegalArgumentException => None
     }
+
+  // ---- encode ----
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def boxBytes(tpe: String, payloads: Array[Byte]*): Array[Byte] = {
+    val n = 8L + payloads.map(_.length.toLong).sum
+    require(n <= Int.MaxValue, s"box '$tpe' too large")
+    be32(n) ++ tpe.getBytes("US-ASCII") ++ payloads.toArray.flatten
+  }
+
+  /** Minimal conformant ISO-BMFF writer — the container-level inverse
+    * of [[parse]]: one 'vide' track of `nFrames` uniform
+    * `frameSize`-byte samples in a single chunk (stsz uniform form,
+    * one stts run of 1-tick deltas, one stsc entry, one stco offset),
+    * layout ftyp + mdat + moov. Every byte derives from the published
+    * ISO/IEC 14496-12 field layout — no codec payload is implied (the
+    * sample entry format is 'raw '); this exists so the demux walk's
+    * integer outputs can be driven from deterministic synthetic assets
+    * (the graded q_multimodal_pipeline fixture). Round-trip contract:
+    * `parse(encode(n, sz)).tracks.head.frames.size == n`, each frame
+    * `sz` bytes at the right mdat offset (Mp4Spec). */
+  def encode(nFrames: Int, frameSize: Int = 1, width: Int = 64,
+      height: Int = 64, timescale: Long = 1000L): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= MaxSamples,
+      s"nFrames $nFrames outside [1, $MaxSamples]")
+    require(frameSize >= 1, s"frameSize $frameSize < 1")
+    val verFlags = new Array[Byte](4)
+    val duration = nFrames.toLong // 1 tick per frame
+    val ftyp = boxBytes("ftyp",
+      "isom".getBytes("US-ASCII"), be32(0), "isom".getBytes("US-ASCII"))
+    // mdat directly after ftyp so the chunk offset is known up front
+    val mdatPayload = new Array[Byte](nFrames * frameSize)
+    locally {
+      var i = 0
+      while (i < mdatPayload.length) {
+        mdatPayload(i) = (i % 251).toByte; i += 1
+      }
+    }
+    val mdat = boxBytes("mdat", mdatPayload)
+    val chunkOffset = ftyp.length.toLong + 8L
+    val mvhd = boxBytes("mvhd", verFlags,
+      be32(0), be32(0),                       // creation, modification
+      be32(timescale), be32(duration),
+      be32(0x00010000L), Array[Byte](1, 0),   // rate 1.0, volume 1.0
+      new Array[Byte](2 + 8),                 // reserved
+      // unity matrix per §8.2.2.3
+      be32(0x00010000L), be32(0), be32(0),
+      be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      new Array[Byte](4 * 6),                 // pre_defined
+      be32(2))                                // next_track_ID
+    val tkhd = boxBytes("tkhd", Array[Byte](0, 0, 0, 7), // enabled|in-movie
+      be32(0), be32(0),                       // creation, modification
+      be32(1), be32(0), be32(duration),       // track_ID, reserved, duration
+      new Array[Byte](8),                     // reserved
+      new Array[Byte](2 + 2 + 2 + 2),         // layer, alt_group, volume, res
+      be32(0x00010000L), be32(0), be32(0),
+      be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    val mdhd = boxBytes("mdhd", verFlags,
+      be32(0), be32(0), be32(timescale), be32(duration),
+      Array[Byte](0x55.toByte, 0xc4.toByte),  // language 'und'
+      new Array[Byte](2))                     // pre_defined
+    val hdlr = boxBytes("hdlr", verFlags,
+      be32(0), "vide".getBytes("US-ASCII"),
+      new Array[Byte](12), Array[Byte](0))    // reserved, empty name
+    val stsd = boxBytes("stsd", verFlags, be32(1),
+      // one 16-byte sample entry: size, format, reserved(6), dri(2)
+      be32(16), "raw ".getBytes("US-ASCII"),
+      new Array[Byte](6), Array[Byte](0, 1))
+    val stts = boxBytes("stts", verFlags, be32(1),
+      be32(nFrames.toLong), be32(1))
+    val stsz = boxBytes("stsz", verFlags,
+      be32(frameSize.toLong), be32(nFrames.toLong))
+    val stsc = boxBytes("stsc", verFlags, be32(1),
+      be32(1), be32(nFrames.toLong), be32(1))
+    val stco = boxBytes("stco", verFlags, be32(1), be32(chunkOffset))
+    val stbl = boxBytes("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = boxBytes("minf", stbl)
+    val mdia = boxBytes("mdia", mdhd, hdlr, minf)
+    val trak = boxBytes("trak", tkhd, mdia)
+    val moov = boxBytes("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
 
   /** 8-dim container feature vector: [n_tracks, duration_s, n_video,
     * n_audio, total_frames, mean_frame_bytes, width, height] — the

@@ -192,6 +192,13 @@ object Png {
         }
         if (extra > 0)
           fail(s"IDAT inflates past the declared ${raw.length}-byte geometry")
+        // extra == 0 with the inflater starved for input means the
+        // stream produced exactly the declared geometry but never
+        // reached its final block — truncated-at-a-block-boundary, as
+        // wrong as any other truncation (r14 ADVICE)
+        if (!inflater.finished() && inflater.needsInput())
+          fail(s"IDAT stream has no terminating final block " +
+            s"(truncated exactly at the ${raw.length}-byte geometry)")
       }
     } finally inflater.end()
 

@@ -229,7 +229,12 @@ object Hnsw {
     graft.functions.FloatDot.register(s)
     val emb = graft.Tables.embeddings(s, d)
       .withColumn("nrm", expr("sqrt(fdot(embedding, embedding))"))
-      .filter(col("nrm") > 0d)
+      // isnotnull+isfinite, not just > 0: a vector with an Infinity
+      // component has norm = Inf > 0 and would pass the old filter
+      // only to throw inside Index.insert, failing the whole job on
+      // one degenerate row instead of excluding it like the rest of
+      // the similarity family does (r14 ADVICE)
+      .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
       .select(col("vec_id"), col("embedding"))
     val queries = emb.filter(col("vec_id") < 10)
       .as[(Long, Seq[Float])].collect()

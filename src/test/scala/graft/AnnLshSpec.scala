@@ -291,6 +291,34 @@ class AnnLshSpec extends AnyFunSuite {
     assert(again == hnsw, "HNSW results differ between identical runs")
   }
 
+  test("HNSW excludes non-finite vectors instead of failing the job") {
+    // an embedding with an Infinity component has norm = Inf > 0, so
+    // the old `nrm > 0` filter admitted it and Index.insert threw
+    // inside mapPartitions — ONE degenerate row killed the whole
+    // distributed job (r14 ADVICE). Degenerates must degrade to
+    // exclusion like the rest of the similarity family.
+    import org.apache.spark.sql.functions._
+    val dir = GraftTmp.dir("hnsw_nonfinite")
+    val base = Tables.embeddings(spark, TestSpark.sf0001)
+    val dims = base.select(size(col("embedding"))).first().getInt(0)
+    val poisoned = base.unionByName(
+      spark.range(3).select(
+        (col("id") + 1000000L).as("vec_id"),
+        expr(s"""transform(sequence(1, $dims),
+          | i -> CASE WHEN id = 0 THEN cast('Infinity' as float)
+          |      WHEN id = 1 THEN cast('NaN' as float)
+          |      ELSE cast(0.0 as float) END)""".stripMargin).as("embedding"),
+        lit(0).as("label")))
+    poisoned.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.operators.Hnsw.annTopK(spark, dir)
+    val ids = got.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ >= 1000000L),
+      "a non-finite or zero-norm vector surfaced as a neighbor")
+    // the clean corpus still answers every probe query
+    assert(got.select(col("qid")).distinct().count() == 10)
+  }
+
   test("HNSW single-shard index: exact cosines, brute-force recall, zero-norm refusal") {
     // structural contract of the in-memory shard graph: reported
     // scores are true cosines, top-5 tracks brute force, and the

@@ -40,14 +40,16 @@ class FlacSpec extends AnyFunSuite {
   }
 
   /** frame header through the 8-bit block-size field (bsCode 6),
-    * CRC-8 appended; frameNo must fit the 1- or 2-byte coded form */
+    * CRC-8 appended; frameNo must fit the 1- or 2-byte coded form.
+    * `variable = true` writes the variable-blocking strategy bit, in
+    * which case frameNo codes the frame's first SAMPLE number. */
   private def frameHeader(blockSize: Int, chAssign: Int,
-      frameNo: Int = 0): Array[Byte] = {
+      frameNo: Int = 0, variable: Boolean = false): Array[Byte] = {
     val no =
       if (frameNo < 0x80) bin(frameNo, 8)
       else bin(0xc0 | (frameNo >> 6), 8) + bin(0x80 | (frameNo & 0x3f), 8)
     val hdr = bits(
-      "11111111111110" + "0" + "0" +  // sync, reserved, fixed strategy
+      "11111111111110" + "0" + (if (variable) "1" else "0") + // sync, res, strategy
         bin(6, 4) +                    // block size: 8-bit at end
         bin(0, 4) +                    // sample rate: streaminfo
         bin(chAssign, 4) + bin(4, 3) + "0" + // 16-bit, reserved
@@ -74,13 +76,52 @@ class FlacSpec extends AnyFunSuite {
     assert(a.samples.toSeq == Seq[Short](100, 100, 100, 100))
   }
 
-  test("golden: VERBATIM subframe is literal (incl. negative), 2-byte frame number") {
-    // -2 as 16-bit two's complement = 0xFFFE; frame number 200 takes
-    // the 0xC3 0x88 coded form, exercising the multi-byte reader
-    val a = decodeAll(streaminfo(8000, 1, 3, 3),
-      frame(frameHeader(3, 0, frameNo = 200),
+  test("golden: VERBATIM subframe is literal (incl. negative), 2-byte sample number") {
+    // -2 as 16-bit two's complement = 0xFFFE. Variable blocking
+    // strategy: the coded number is the frame's first SAMPLE, so a
+    // 200-sample first frame makes the second frame code 200 — the
+    // 0xC3 0x88 two-byte form, exercising the multi-byte reader while
+    // satisfying the r15 position check (a lone frame numbered 200
+    // would now rightly be rejected as 200 dropped frames).
+    val a = decodeAll(streaminfo(8000, 1, 203, 200),
+      frame(frameHeader(200, 0, frameNo = 0, variable = true),
+        "0 000000 0 " + bin(7, 16)),
+      frame(frameHeader(3, 0, frameNo = 200, variable = true),
         "0 000001 0 " + bin(1, 16) + bin(0xFFFE, 16) + bin(300, 16)))
-    assert(a.samples.toSeq == Seq[Short](1, -2, 300))
+    assert(a.samples.length == 203)
+    assert(a.samples.take(200).forall(_ == 7))
+    assert(a.samples.takeRight(3).toSeq == Seq[Short](1, -2, 300))
+  }
+
+  test("duplicated, dropped, or reordered frames fail on the coded number") {
+    // two frames both numbered 0: the old totals check passes (3 + 3
+    // decoded = 6 declared) — only the position check catches it
+    val dup = streaminfo(16000, 1, 6, 3) ++
+      frame(frameHeader(3, 0, frameNo = 0), "0 000000 0 " + bin(1, 16)) ++
+      frame(frameHeader(3, 0, frameNo = 0), "0 000000 0 " + bin(2, 16))
+    val e1 = intercept[IllegalArgumentException](Flac.decode(dup))
+    assert(e1.getMessage.contains("expected"))
+    // totalSamples = 0 (unknown) gated the old indirect check off
+    // entirely (r14 ADVICE) — the position check still fires
+    val dup0 = streaminfo(16000, 1, 0, 3) ++
+      frame(frameHeader(3, 0, frameNo = 0), "0 000000 0 " + bin(1, 16)) ++
+      frame(frameHeader(3, 0, frameNo = 0), "0 000000 0 " + bin(2, 16))
+    val e2 = intercept[IllegalArgumentException](Flac.decode(dup0))
+    assert(e2.getMessage.contains("expected"))
+    // a skipped frame number (0 then 2) = a dropped frame
+    val gap = streaminfo(16000, 1, 6, 3) ++
+      frame(frameHeader(3, 0, frameNo = 0), "0 000000 0 " + bin(1, 16)) ++
+      frame(frameHeader(3, 0, frameNo = 2), "0 000000 0 " + bin(2, 16))
+    val e3 = intercept[IllegalArgumentException](Flac.decode(gap))
+    assert(e3.getMessage.contains("expected"))
+    // variable strategy: second frame must code first-sample 3, not 1
+    val badPos = streaminfo(16000, 1, 6, 3) ++
+      frame(frameHeader(3, 0, frameNo = 0, variable = true),
+        "0 000000 0 " + bin(1, 16)) ++
+      frame(frameHeader(3, 0, frameNo = 1, variable = true),
+        "0 000000 0 " + bin(2, 16))
+    val e4 = intercept[IllegalArgumentException](Flac.decode(badPos))
+    assert(e4.getMessage.contains("expected"))
   }
 
   test("golden: FIXED order-2 reconstructs s[i] = 2s[i-1] - s[i-2] + r") {

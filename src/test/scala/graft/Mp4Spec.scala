@@ -32,7 +32,7 @@ object TestMp4 {
     *  #0 (off mdat+0,  5, dts 0),   #1 (off mdat+5,  7, dts 100),
     *  #2 (off mdat+12, 6, dts 200), #3 (off mdat+18, 8, dts 300)
     */
-  def sample(): (Array[Byte], Long) = {
+  def sample(stscOverride: Option[Array[Byte]] = None): (Array[Byte], Long) = {
     val ftyp = box("ftyp", "isom".getBytes, be32(0), "isommp42".getBytes)
     val mdatBody = Array.tabulate[Byte](26)(i => (i + 1).toByte)
     val mdatOff = ftyp.length + 8L // payload starts after mdat header
@@ -58,9 +58,9 @@ object TestMp4 {
     val stts = full("stts", 0, be32(1), be32(4), be32(100))
     val stsz = full("stsz", 0, be32(0), be32(4),
       be32(5), be32(7), be32(6), be32(8))
-    val stsc = full("stsc", 0, be32(2),
+    val stsc = stscOverride.getOrElse(full("stsc", 0, be32(2),
       be32(1), be32(2), be32(1),   // from chunk 1: 2 samples per chunk
-      be32(2), be32(2), be32(1))   // from chunk 2: 2 samples per chunk
+      be32(2), be32(2), be32(1)))  // from chunk 2: 2 samples per chunk
     val stco = full("stco", 0, be32(2),
       be32(mdatOff), be32(mdatOff + 12)) // chunk 2 after samples 0+1
     val stbl = box("stbl", stsd, stts, stsz, stsc, stco)
@@ -153,6 +153,72 @@ class Mp4Spec extends AnyFunSuite {
     val moov = box("moov", trak)
     val e = intercept[IllegalArgumentException](Mp4.parse(ftyp ++ moov))
     assert(e.getMessage.contains("declares"))
+  }
+
+  test("encode round-trips through parse: frames, sizes, dts, geometry") {
+    val bytes = Mp4.encode(100, frameSize = 3)
+    val m = Mp4.parse(bytes)
+    assert(m.brand == "isom")
+    assert(m.timescale == 1000 && m.duration == 100)
+    assert(m.tracks.size == 1)
+    val t = m.tracks.head
+    assert(t.id == 1 && t.handler == "vide" && t.codec == "raw ")
+    assert(t.width == 64 && t.height == 64)
+    assert(t.timescale == 1000 && t.duration == 100)
+    assert(t.frames.size == 100)
+    assert(t.frames.zipWithIndex.forall { case (f, i) =>
+      f.index == i && f.size == 3 && f.dts == i })
+    // frames tile the mdat payload contiguously and address real bytes
+    assert(t.frames.head.offset == t.frames(1).offset - 3)
+    val f0 = t.frames.head
+    assert(bytes.slice(f0.offset.toInt, f0.offset.toInt + 3).toSeq ==
+      Seq[Byte](0, 1, 2))
+    // containerFeatures sees the demuxed totals
+    val feats = Mp4.containerFeatures(m)
+    assert(feats(4) == 100f && feats(5) == 3f && feats(6) == 64f)
+    // deterministic bytes
+    assert(Mp4.encode(100, frameSize = 3).toSeq == bytes.toSeq)
+  }
+
+  test("table header fields are bounded by their OWN box, not the file") {
+    import TestMp4._
+    def movieWith(tables: Array[Byte]*): Array[Byte] = {
+      val ftyp = box("ftyp", "isom".getBytes, be32(0))
+      val trak = box("trak", box("mdia",
+        box("minf", box("stbl", tables: _*))))
+      ftyp ++ box("moov", trak)
+    }
+    // stsz whose declared size ends before its uniform/count header:
+    // previously read the NEXT SIBLING's bytes as the count (r14 ADVICE)
+    val sibling = full("stco", 0, be32(0))
+    val e1 = intercept[IllegalArgumentException](
+      Mp4.parse(movieWith(full("stsz", 0), sibling)))
+    assert(e1.getMessage.contains("stsz"))
+    // stsd whose declared size ends before its entry count
+    val e2 = intercept[IllegalArgumentException](
+      Mp4.parse(movieWith(full("stsd", 0), sibling)))
+    assert(e2.getMessage.contains("stsd"))
+    // a full-box whose declared size ends before its own version field
+    val e3 = intercept[IllegalArgumentException](
+      Mp4.parse(movieWith(box("stts", Array[Byte](0, 0)), sibling)))
+    assert(e3.getMessage.contains("full-box"))
+  }
+
+  test("malformed stsc fails loudly: first_chunk != 1, non-increasing") {
+    import TestMp4._
+    // first entry claims chunk 2: early chunks would silently take
+    // entry 0's samples-per-chunk (r14 ADVICE) — must fail instead
+    val bad1 = sample(Some(full("stsc", 0, be32(2),
+      be32(2), be32(2), be32(1),
+      be32(3), be32(2), be32(1))))._1
+    val e1 = intercept[IllegalArgumentException](Mp4.parse(bad1))
+    assert(e1.getMessage.contains("not 1"))
+    // non-increasing first_chunk values
+    val bad2 = sample(Some(full("stsc", 0, be32(2),
+      be32(1), be32(2), be32(1),
+      be32(1), be32(2), be32(1))))._1
+    val e2 = intercept[IllegalArgumentException](Mp4.parse(bad2))
+    assert(e2.getMessage.contains("increasing"))
   }
 
   test("looksLike sniffs ftyp at offset 4 only") {

@@ -217,6 +217,21 @@ class PngSpec extends AnyFunSuite {
     assert(Png.decode(exact).pixels.toSeq == Seq(0x070707))
   }
 
+  test("zlib stream with no final block fails even at exact geometry") {
+    // the stream inflates to EXACTLY the declared 2 raw bytes but its
+    // stored block is marked non-final and the trailer is gone — a
+    // truncation at a block boundary the over-run probe alone cannot
+    // see (extra inflate returns 0 needing input; r14 ADVICE). Must
+    // fail like every other truncation.
+    val z = Png.zlibStored(Array[Byte](0, 7))
+    val noFinal = z.clone().dropRight(4) // drop adler trailer
+    noFinal(2) = 0 // BFINAL = 0 on the (only) stored block
+    val bytes = png(ihdr(1, 1, 8, 0), chunk("IDAT", noFinal), iend)
+    val ex = intercept[IllegalArgumentException](Png.decode(bytes))
+    assert(ex.getMessage.contains("final block"))
+    assert(Png.tryDecode(bytes).isEmpty)
+  }
+
   test("palette index past PLTE size is refused") {
     val plte = chunk("PLTE", Array[Byte](1, 2, 3)) // one entry
     val bytes = png(ihdr(1, 1, 8, 3), plte, idatOf(0, 5), iend)
