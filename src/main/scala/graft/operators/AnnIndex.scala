@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ ANN index — the build/store/serve split every
+  * in-query ANN operator (q_sim_ann_lsh / _ivf / _pq, Hnsw) lacks.
+  * Those rebuild their structures inside the query; at 100 TB an ANN
+  * index is an ARTIFACT you build once, version, and reuse, and this
+  * operator makes it one using nothing but the engine's own storage:
+  *
+  *   indexDir/meta     (key, value)               graftlines, versioned
+  *   indexDir/coarse   (cell, dim, value)         graftlines, versioned
+  *   indexDir/pq       (m, cid, dim, value)       graftlines, versioned
+  *   indexDir/postings (cell, vec_id, code)       graftlines, versioned,
+  *                                                identity-partitioned by cell
+  *
+  * The composition is the production IVFPQ (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search"): an IVF coarse quantizer
+  * prunes the corpus to `nprobe` of `ncells` cells, and within the
+  * probed cells ranking runs on 8-BYTE PQ codes (16 subspaces x 4 dims,
+  * 16 centroids each -> 16 nibbles packed into ONE BIGINT) via
+  * asymmetric distance computation — the index stores NO float vectors
+  * at all, which is both the 32x memory compression that makes the
+  * serving tier affordable and what lets the postings table live in
+  * graftlines' scalar column model. Both quantizers use the engine's
+  * deterministic k-means stand-in (the 16 lowest vec_ids, the same
+  * convention q_sim_ann_ivf / q_sim_ann_pq gate on).
+  *
+  * Scale shape: build is one corpus scan (assignment and encode are
+  * map-side-combinable min_by aggregations against broadcast
+  * centroids); postings are CLUSTERED BY CELL at write time
+  * (`partitionColumn`), so a serve probing `nprobe` cells statically
+  * prunes the scan to `nprobe/ncells` of the index files — the scan
+  * carries 16 bytes a row, never the embeddings. Serving derives
+  * NOTHING from the corpus except the query vectors themselves
+  * (AnnIndexSpec pins that every embeddings scan in the serve plan
+  * carries the query-id pushdown). Versioning rides the graftlines
+  * generation machinery: each rebuild is a versioned REPLACE commit,
+  * so `versionAsOf` serves any historical index from the same
+  * directory — time travel for recall audits after a bad rebuild.
+  */
+object AnnIndex {
+
+  /** index geometry + the frames that make up one built index */
+  final case class Frames(meta: DataFrame, coarse: DataFrame,
+      pq: DataFrame, postings: DataFrame)
+
+  val NSub = 16
+  val SubDim = 4
+  val Dims = NSub * SubDim
+
+  private val l2 = "sqrt(fdot(embedding, embedding))"
+
+  /** corpus with unit-normalized double vectors; degenerate rows
+    * (zero / NaN / Inf norm) are EXCLUDED like the whole similarity
+    * family does — on normalized vectors L2 is monotone in cosine
+    * (|a-b|^2 = 2 - 2cos), so every distance below is squared L2. */
+  private def corpus(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    graft.Tables.embeddings(s, d)
+      .withColumn("nrm", expr(l2))
+      .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
+      .withColumn("nemb",
+        expr("transform(embedding, x -> cast(x / nrm as double))"))
+      .select(col("vec_id"), col("nemb"))
+  }
+
+  /** squared L2 between two equal-length double arrays */
+  private def d2(a: String, b: String) =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+      | cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  /** Build the index frames from the corpus — pure plan construction,
+    * shared verbatim by [[build]] (which persists them) and by
+    * AnnIndexSpec's persistence-fidelity gate (which scores them
+    * in-memory and demands hash-equality with the served answer). */
+  def buildFrames(s: SparkSession, d: String, ncells: Int = 16): Frames = {
+    require(ncells >= 1 && ncells <= 16,
+      s"ncells $ncells outside the 16-seed-vector stand-in's range")
+    val emb = corpus(s, d)
+    // coarse centroids: the ncells lowest vec_ids, long format
+    val coarse = emb.filter(col("vec_id") < ncells)
+      .select(col("vec_id").cast("int").as("cell"),
+        posexplode(col("nemb")).as(Seq("dim", "value")))
+    // PQ codebooks: subvectors of the 16 lowest vec_ids, long format
+    val pq = emb.filter(col("vec_id") < NSub)
+      .select(col("vec_id").cast("int").as("cid"),
+        explode(expr(s"""transform(sequence(0, ${NSub - 1}),
+          | m -> struct(m AS m, slice(nemb, m * $SubDim + 1, $SubDim)
+          |   AS c_sub))""".stripMargin)).as("e"))
+      .select(col("e.m").as("m"), col("cid"),
+        posexplode(col("e.c_sub")).as(Seq("dim", "value")))
+    // cell assignment: argmin_cell |nemb - centroid|^2, ties -> low
+    // cell — a map-side-combinable min_by, never a window sort
+    val cent = emb.filter(col("vec_id") < ncells)
+      .select(col("vec_id").cast("int").as("cell"), col("nemb").as("c_emb"))
+    val assign = emb.crossJoin(broadcast(cent))
+      .withColumn("cd2", d2("nemb", "c_emb"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("cd2"), col("cell"))).as("cell"))
+    // PQ encode: per (vector, subspace) argmin centroid -> nibble;
+    // 16 nibbles pack into one BIGINT (code = sum code_m << 4m)
+    val cbArr = emb.filter(col("vec_id") < NSub)
+      .select(col("vec_id").cast("int").as("cid"),
+        explode(expr(s"""transform(sequence(0, ${NSub - 1}),
+          | m -> struct(m AS m, slice(nemb, m * $SubDim + 1, $SubDim)
+          |   AS c_sub))""".stripMargin)).as("e"))
+      .select(col("e.m").as("m"), col("cid"), col("e.c_sub").as("c_sub"))
+    val subs = emb.select(col("vec_id"),
+      explode(expr(s"""transform(sequence(0, ${NSub - 1}),
+        | m -> struct(m AS m, slice(nemb, m * $SubDim + 1, $SubDim)
+        |   AS sub))""".stripMargin)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sub").as("sub"))
+    val codes = subs.join(broadcast(cbArr), Seq("m"))
+      .withColumn("sd2", d2("sub", "c_sub"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("sd2"), col("cid"))).as("nib"))
+      .groupBy(col("vec_id"))
+      .agg(expr("""aggregate(collect_list(struct(m, nib)),
+        | cast(0 as bigint),
+        | (acc, x) -> acc + shiftleft(cast(x.nib as bigint), x.m * 4))"""
+        .stripMargin).as("code"))
+    val postings = assign.join(codes, "vec_id")
+      .select(col("cell"), col("vec_id"), col("code"))
+    import s.implicits._
+    val meta = Seq(
+      ("ncells", ncells.toLong), ("nsub", NSub.toLong),
+      ("subdim", SubDim.toLong), ("dims", Dims.toLong))
+      .toDF("key", "value")
+    Frames(meta, coarse, pq, postings)
+  }
+
+  private def tableDirs(indexDir: String) = Seq(
+    "meta", "coarse", "pq", "postings").map(t => (t, s"$indexDir/$t"))
+
+  /** Build and persist one index VERSION. The first call creates the
+    * four versioned tables; every later call is a versioned REPLACE
+    * commit — old generations stay readable via `versionAsOf`. */
+  def build(s: SparkSession, d: String, indexDir: String,
+      ncells: Int = 16): Unit = {
+    val f = buildFrames(s, d, ncells)
+    val conf = s.sparkContext.hadoopConfiguration
+    for ((_, dir) <- tableDirs(indexDir)) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) {
+        fs.mkdirs(p)
+        fs.create(new org.apache.hadoop.fs.Path(p,
+          graft.sources.GraftLines.VersionMarker), true).close()
+      }
+    }
+    def save(df: DataFrame, t: String, part: Option[String]): Unit = {
+      // codebook tables are metadata-sized — one file each; postings
+      // keep their parallelism and the partitionColumn write clusters
+      // them so each file holds a single cell (the pruning contract)
+      val base = if (part.isEmpty) df.coalesce(1) else df
+      val w = base.write.format("graftlines").mode("overwrite")
+      part.fold(w)(c => w.option("partitionColumn", c))
+        .save(s"$indexDir/$t")
+    }
+    save(f.meta, "meta", None)
+    save(f.coarse, "coarse", None)
+    save(f.pq, "pq", None)
+    save(f.postings, "postings", Some("cell"))
+  }
+
+  /** Load one index version's frames back from storage. */
+  def loadFrames(s: SparkSession, indexDir: String,
+      versionAsOf: Option[Int] = None): Frames = {
+    def rd(t: String) = {
+      val r = s.read.format("graftlines")
+      versionAsOf.fold(r)(v => r.option("versionAsOf", v))
+        .load(s"$indexDir/$t")
+    }
+    Frames(rd("meta"), rd("coarse"), rd("pq"), rd("postings"))
+  }
+
+  /** Serve top-k from index frames — the full production IVFPQ+refine
+    * read path: probe `nprobe` cells, ADC-rank the probed codes, exact
+    * cosine rerank of the ADC shortlist (refineFactor * k candidates,
+    * fetched from the corpus BY ID — a bounded point lookup with a
+    * pushed `In(vec_id, …)` filter, the "fetch full vectors for the
+    * finalists" step every PQ serving tier runs). Queries are the
+    * similarity family's probe set (vec_id < 10); every corpus-table
+    * scan here carries an id pushdown — the corpus is never RESCANNED,
+    * assigned, or encoded at serve time (AnnIndexSpec pins this on the
+    * plan). Recall is bounded by the IVF probe (raise nprobe to trade
+    * scan fraction for recall — the standard dial). */
+  def serveFrom(s: SparkSession, d: String, f: Frames, k: Int = 5,
+      nprobe: Int = 12, refineFactor: Int = 8): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    val q = queryFrame(s, d)
+    val shortRows = adcShortlist(s, d, f, k, nprobe, refineFactor)
+      .collect() // bounded: queries x refineFactor*k rows of two longs
+    import s.implicits._
+    val shortDf = shortRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("qid", "vec_id")
+    val ids = shortRows.map(_.getLong(1)).distinct.sorted
+    // exact refine: fetch ONLY the shortlisted vectors, by id — the
+    // In(vec_id, …) filter pushes to the scan (a point lookup, not a
+    // corpus scan), then true cosine ranks the finalists
+    val vecs = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      .withColumn("nrm", expr(l2))
+      .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val wk = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(shortDf).join(vecs, "vec_id")
+      .join(broadcast(q), "qid")
+      .withColumn("cos",
+        expr("fdot(q_emb, embedding)") / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** the normalized query probe set (vec_id < 10), with the raw float
+    * vectors and norms the refine stage needs */
+  private def queryFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .withColumn("nrm", expr(l2))
+      .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
+      .withColumn("q_nemb",
+        expr("transform(embedding, x -> cast(x / nrm as double))"))
+      .select(col("vec_id").as("qid"), col("q_nemb"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+  }
+
+  /** The ADC shortlist as a PLAN (pre-collect): probe cells, prune the
+    * postings scan to them, ADC-rank, keep refineFactor*k per query.
+    * Public so AnnIndexSpec can pin the index-read shape — every
+    * index table scan and the cell pruning live HERE; the frame
+    * serveFrom returns holds only the refine stage. */
+  def adcShortlist(s: SparkSession, d: String, f: Frames, k: Int = 5,
+      nprobe: Int = 12, refineFactor: Int = 8): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    val metaMap = f.meta.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ncells = metaMap("ncells").toInt
+    val nsub = metaMap("nsub").toInt
+    require(nsub == NSub && metaMap("subdim").toInt == SubDim,
+      s"index geometry ${metaMap} != the serving code's $NSub x $SubDim")
+    val q = queryFrame(s, d)
+    // coarse centroids: long format -> (cell, c_emb) — ncells rows
+    val cent = f.coarse.groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, value)))," +
+        " x -> x.value)").as("c_emb"))
+    // probes: the nprobe nearest cells per query (metadata-sized)
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("qd2").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("qd2", d2("q_nemb", "c_emb"))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= math.min(nprobe, ncells))
+      .select(col("qid"), col("cell"), col("qd2"))
+    // per-query ADC table: qdt[m][cid] = |q_m - c_m|^2, built from the
+    // STORED codebooks (same nested array idiom as q_sim_ann_pq)
+    val cb = f.pq.groupBy(col("m"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, value)))," +
+        " x -> x.value)").as("c_sub"))
+    val qdt = q.select(col("qid"),
+        explode(expr(s"""transform(sequence(0, ${NSub - 1}),
+          | m -> struct(m AS m, slice(q_nemb, m * $SubDim + 1, $SubDim)
+          |   AS qsub))""".stripMargin)).as("e"))
+      .select(col("qid"), col("e.m").as("m"), col("e.qsub").as("qsub"))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("qd2", d2("qsub", "c_sub"))
+      .groupBy(col("qid"), col("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(cid, qd2)))," +
+        " x -> x.qd2)").as("row16"))
+      .groupBy(col("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, row16)))," +
+        " x -> x.row16)").as("qdt"))
+    // the distinct probed cells are metadata (<= ncells values): a
+    // LITERAL IN on the partition column statically prunes the
+    // postings scan to the probed cells' files — the collect is the
+    // same bounded metadata class as Hnsw's 10 probe vectors
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = f.postings
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .join(broadcast(probes.select(col("qid"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+    // ADC: approx dist = fixed-order sum of 16 nibble-indexed lookups;
+    // keep the top refineFactor*k per query as the refine shortlist
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("ad").asc, col("vec_id").asc)
+    cand.join(broadcast(qdt), Seq("qid"))
+      .withColumn("ad", expr(s"""aggregate(sequence(0, ${NSub - 1}),
+        | cast(0.0 as double), (acc, m) ->
+        | acc + qdt[m][cast(shiftright(code, m * 4) & 15 as int)])"""
+        .stripMargin))
+      .withColumn("arank", row_number().over(wc))
+      .filter(col("arank") <= refineFactor * k)
+      .select(col("qid"), col("vec_id"))
+  }
+
+  /** Serve from the PERSISTED index — load + score, zero construction. */
+  def serve(s: SparkSession, d: String, indexDir: String, k: Int = 5,
+      nprobe: Int = 12, refineFactor: Int = 8,
+      versionAsOf: Option[Int] = None): DataFrame =
+    serveFrom(s, d, loadFrames(s, indexDir, versionAsOf), k, nprobe,
+      refineFactor)
+}

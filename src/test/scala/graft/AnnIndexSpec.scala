@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AnnIndex
+
+/** Persistent IVF-PQ index contract (build/store/serve split — a
+  * gate-verified surface like Hnsw, not a contract query key):
+  *
+  *  1. persistence fidelity — serving from the LOADED index
+  *     hash-equals scoring the in-memory build frames (so storage
+  *     loses nothing: codes, codebooks, and cell layout round-trip);
+  *  2. recall — the served answer recovers the exact top-5 at the
+  *     family's 0.85 floor;
+  *  3. no construction at serve time — every corpus scan in the serve
+  *     plan carries the query-id pushdown (the corpus is never
+  *     re-scanned to assign or encode), and the postings scan is
+  *     pruned to the probed cells;
+  *  4. versioning — a rebuild is a versioned replace; `versionAsOf`
+  *     serves the OLD index bit-for-bit after the new one lands.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("serving the persisted index hash-equals scoring the build frames") {
+    val dir = GraftTmp.dir("ann_index_fid")
+    val direct = rows(AnnIndex.serveFrom(spark, TestSpark.sf001,
+      AnnIndex.buildFrames(spark, TestSpark.sf001)))
+    AnnIndex.build(spark, TestSpark.sf001, dir)
+    val served = rows(AnnIndex.serve(spark, TestSpark.sf001, dir))
+    assert(served == direct,
+      "persistence must not change a single served row")
+    assert(served.nonEmpty, "served answer is empty")
+  }
+
+  test("served recall@5 vs exact top-k on sf0.01") {
+    val dir = GraftTmp.dir("ann_index_recall")
+    AnnIndex.build(spark, TestSpark.sf001, dir)
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int, refineFactor: Int): Double = {
+      val got = AnnIndex.serve(spark, TestSpark.sf001, dir,
+        nprobe = nprobe, refineFactor = refineFactor)
+        .select(col("qid"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // exhaustive dials = EXACT: probing every cell and refining the
+    // whole shortlist must reproduce the exact top-k bit-for-bit —
+    // the strongest whole-index sanity (cells complete, codes usable,
+    // refine truly exact). 100*5 = 500 >= corpus, so nothing is cut.
+    val exhaustive = recallAt(16, 100)
+    info(s"IVFPQ served recall@5 (exhaustive dials) = $exhaustive")
+    assert(exhaustive == 1.0,
+      s"exhaustive-dial recall $exhaustive != 1.0 — the index LOSES " +
+        "vectors or the refine is not exact")
+    // ADC-quality floor: exhaustive probe, production refine depth —
+    // recall is now bounded only by ADC shortlist ordering (same
+    // data-derived-codebook quality class AnnPqSpec gates at 0.3)
+    val adc = recallAt(16, 8)
+    info(s"IVFPQ served recall@5 (nprobe=16, refine=8) = $adc")
+    assert(adc >= 0.5, s"ADC-shortlist recall $adc below 0.5")
+    // default production dials: additionally bounded by the IVF probe
+    // (the in-query IVF/IVFPQ floor class)
+    val dflt = recallAt(12, 8)
+    info(s"IVFPQ served recall@5 (default dials) = $dflt")
+    assert(dflt >= 0.3,
+      s"default-dial recall $dflt below the IVF floor class")
+  }
+
+  test("serve plan: no corpus re-scan, postings pruned to probed cells") {
+    val dir = GraftTmp.dir("ann_index_plan")
+    AnnIndex.build(spark, TestSpark.sf001, dir)
+    // (a) the ADC-shortlist stage holds every INDEX read: it must scan
+    // the stored graftlines tables, with the postings scan pruned to
+    // the probed cells, and its only corpus scan is the 10-vector
+    // query probe
+    val f = AnnIndex.loadFrames(spark, dir)
+    val short = AnnIndex.adcShortlist(spark, TestSpark.sf001, f,
+      nprobe = 6)
+    val sp = short.queryExecution.executedPlan.toString
+    assert(sp.contains("BatchScan") || sp.contains("GlScan"),
+      s"shortlist plan never reads the stored index:\n$sp")
+    assert(sp.toLowerCase.contains("in(cell"),
+      s"postings scan is not pruned to the probed cells:\n$sp")
+    sp.split("\n").filter(l => l.contains("Scan parquet")
+        || l.contains("FileScan parquet")).foreach { l =>
+      assert(l.contains("LessThan(vec_id,10)"),
+        s"shortlist-stage corpus scan without the query pushdown:\n$l")
+    }
+    // (b) the served frame holds only the REFINE stage: every corpus
+    // scan carries an id pushdown (the query probe or the shortlist
+    // point-lookup) — index CONSTRUCTION needs a full corpus scan, so
+    // the absence of any unfiltered scan is the "no construction at
+    // serve time" pin
+    val served = AnnIndex.serve(spark, TestSpark.sf001, dir)
+    val plan = served.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans.nonEmpty, s"no parquet scans found in:\n$plan")
+    scans.foreach { l =>
+      assert(l.contains("LessThan(vec_id,10)") || l.contains("In(vec_id"),
+        s"corpus scan without an id pushdown — construction " +
+          s"at serve time?\n$l")
+    }
+  }
+
+  test("versionAsOf serves the old index after a rebuild") {
+    val dir = GraftTmp.dir("ann_index_ver")
+    AnnIndex.build(spark, TestSpark.sf001, dir, ncells = 16)
+    val v1 = rows(AnnIndex.serve(spark, TestSpark.sf001, dir))
+    // rebuild with a different geometry — a REAL index change: cell
+    // layout, probes, and candidates all move
+    AnnIndex.build(spark, TestSpark.sf001, dir, ncells = 8)
+    val v2 = rows(AnnIndex.serve(spark, TestSpark.sf001, dir))
+    val v1again = rows(AnnIndex.serve(spark, TestSpark.sf001, dir,
+      versionAsOf = Some(1)))
+    assert(v1again == v1,
+      "time travel must serve the generation-1 index bit-for-bit")
+    // the rebuilt index must actually be the live one
+    val meta = AnnIndex.loadFrames(spark, dir).meta.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(meta("ncells") == 8L, s"live meta is stale: $meta")
+    assert(v2.nonEmpty)
+  }
+}
