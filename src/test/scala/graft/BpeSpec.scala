@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE apply/encode contract (the encode half of q_text_bpe_train —
+  * gate-verified surface, not a contract query key):
+  *
+  *  1. hand-tokenized golden fixture — the classic low/lower/lowest
+  *     corpus: learned merges AND the encoded token sequences match
+  *     values derived by hand from the BPE rule;
+  *  2. apply∘train determinism — training twice yields the same
+  *     merges, encoding twice the same tokens;
+  *  3. train parity — Bpe.train equals the frozen q_text_bpe_train
+  *     query's merge rows on the real corpus;
+  *  4. conservation + packing wire-up — token concatenation restores
+  *     every word, and packWithBpe (where q_pack_sequences would
+  *     consume the exact counts) fills windows consistently.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** tiny corpus as a one-table parquet dir shaped like `documents` */
+  private lazy val goldenDir: String = {
+    import spark.implicits._
+    val dir = GraftTmp.dir("bpe_golden")
+    Seq(
+      (1L, "en", "web", 10L, "low low low lower lower lowest"),
+      (2L, "en", "web", 10L, "low slow slowest"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("golden fixture: merges and encodings match the hand derivation") {
+    // word weights: low x4, lower x2, lowest x1, slow x1, slowest x1
+    // pair counts r1: l|o 4+2+1+1+1=9, o|w 9, w|e 2+1+1(west in slowest? no:
+    //   lower -> w|e, lowest -> w|e, slowest -> w|e) = 4 ... the
+    // leading tie l|o vs o|w (both 9) breaks LEXICALLY: 'l|o' < 'o|w'.
+    // r1 = (l,o) -> lo: low=<lo><w>, lower=<lo><w><e><r>, ...
+    // r2 pairs: lo|w = 9 again (every word), wins.
+    // r2 = (lo,w) -> low: low=<low>, lower=<low><e><r>,
+    //   lowest=<low><e><s><t>, slow=<s><low>, slowest=<s><low><e><s><t>
+    // r3 pairs: low|e = 2+1+1 = 4, e|r = 2, e|s = 1+1 = 2, s|t = 2,
+    //   s|low = 2 -> (low,e) wins at 4.
+    val merges = Bpe.train(spark, goldenDir, 3)
+    assert(merges.map(m => (m.a, m.b, m.nPair)) ==
+      Seq(("l", "o", 9L), ("lo", "w", 9L), ("low", "e", 4L)),
+      s"learned merges diverge from the hand derivation: $merges")
+    val toks = Bpe.tokenize(spark, goldenDir, merges)
+      .orderBy(col("doc_id"))
+      .collect().map(_.getSeq[String](2).toList).toList
+    assert(toks == List(
+      List("low", "low", "low", "lowe", "r", "lowe", "r",
+        "lowe", "s", "t"),
+      List("low", "s", "low", "s", "lowe", "s", "t")),
+      s"encoded tokens diverge from the hand derivation: $toks")
+  }
+
+  test("apply-of-train is deterministic") {
+    val m1 = Bpe.train(spark, goldenDir, 3)
+    val m2 = Bpe.train(spark, goldenDir, 3)
+    assert(m1 == m2, "training twice must learn the same merges")
+    val t1 = Bpe.tokenize(spark, goldenDir, m1).orderBy(col("doc_id"))
+      .collect().map(_.toString).toList
+    val t2 = Bpe.tokenize(spark, goldenDir, m1).orderBy(col("doc_id"))
+      .collect().map(_.toString).toList
+    assert(t1 == t2, "encoding twice must yield the same tokens")
+  }
+
+  test("train parity with the frozen q_text_bpe_train query at sf0.001") {
+    val fromQuery = SparkEntry.queries("q_text_bpe_train")(
+      spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1),
+        r.getString(2), r.getLong(3))).toList
+    val fromOp = Bpe.train(spark, TestSpark.sf0001, 3)
+      .map(m => (m.round, m.a, m.b, m.nPair)).toList
+    assert(fromOp == fromQuery,
+      s"operator merges $fromOp != query merges $fromQuery")
+  }
+
+  test("tokens conserve the text and drive the packing wire-up") {
+    val merges = Bpe.train(spark, TestSpark.sf0001, 3)
+    // conservation: concatenating a doc's BPE tokens restores exactly
+    // its lowercased [a-z0-9]+ word stream — encode never drops,
+    // duplicates, or reorders a character
+    val bad = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("text"))
+      .join(Bpe.tokenize(spark, TestSpark.sf0001, merges)
+        .select(col("doc_id"), col("bpe_tokens")), "doc_id")
+      .withColumn("joined", concat_ws("", col("bpe_tokens")))
+      .withColumn("expected", concat_ws("", expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+      .filter(col("joined") =!= col("expected"))
+      .count()
+    assert(bad == 0L, s"$bad docs fail BPE token conservation")
+    // packing on exact BPE counts: window accounting must conserve
+    // tokens and assign every doc to exactly one pack
+    val packs = Bpe.packWithBpe(spark, TestSpark.sf0001, merges)
+    val total = packs.agg(sum(col("tokens")), sum(col("n_docs")))
+      .collect()(0)
+    val direct = Bpe.tokenize(spark, TestSpark.sf0001, merges)
+      .agg(sum(col("n_bpe_tok")), count(lit(1))).collect()(0)
+    assert(total.getLong(0) == direct.getLong(0),
+      "packing lost or invented tokens")
+    assert(total.getLong(1) == direct.getLong(1),
+      "packing lost or duplicated docs")
+  }
+}
