@@ -263,6 +263,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         && !properties.containsKey(TableCatalog.PROP_EXTERNAL),
       s"graftlines catalog: LOCATION/EXTERNAL is not supported — " +
         s"tables live under the warehouse at <warehouse>/<ns>/<table>")
+    // Unknown TBLPROPERTIES are REJECTED, not silently dropped (r15
+    // review — the same posture as LOCATION/NOT NULL below): the
+    // format persists exactly one property ('versioned'), so a typo'd
+    // `TBLPROPERTIES ('versioned'='ture')` or a property this build
+    // does not know would otherwise create a silently-different table.
+    // Spark-managed reserved keys (provider/owner/...) pass through —
+    // Spark injects them on every CREATE/CTAS.
+    locally {
+      val sparkManaged = Set(TableCatalog.PROP_PROVIDER,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_TABLE_TYPE,
+        TableCatalog.PROP_IS_MANAGED_LOCATION)
+      properties.keySet().asScala.foreach { k =>
+        require(sparkManaged.contains(k) || k == "versioned"
+            || k.startsWith("option."),
+          s"graftlines catalog: unknown table property '$k' — the " +
+            "format persists only 'versioned'; refusing to silently " +
+            "drop it")
+      }
+      val v = properties.get("versioned")
+      require(v == null || "true".equalsIgnoreCase(v)
+          || "false".equalsIgnoreCase(v),
+        s"graftlines catalog: 'versioned' must be true or false, got '$v'")
+    }
     // NOT NULL cannot round-trip: the header stores name:type only, so
     // loadTable would report a different (all-nullable) schema and an
     // INSERTed NULL would pass the constraint unchecked. Constraints
@@ -460,7 +483,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     namespace.foreach(checkCreatable)
-    fs.mkdirs(nsPath(namespace))
+    // properties cannot be persisted (a namespace is a bare directory)
+    // — reject rather than silently drop them; Spark itself injects
+    // 'owner' on every CREATE NAMESPACE, which is the one pass-through
+    metadata.keySet().asScala.foreach { k =>
+      require(k == SupportsNamespaces.PROP_OWNER,
+        s"graftlines catalog: namespace property '$k' cannot be " +
+          "persisted (a namespace is a bare warehouse directory); " +
+          "refusing to silently drop it")
+    }
+    val p = nsPath(namespace)
+    // a TABLE directory must never become a namespace: tables nested
+    // inside it would be invisible to every listing, and DROP NAMESPACE
+    // CASCADE on it would delete the table wholesale (r15 review —
+    // same trap class namespaceExists/dropNamespace already guard)
+    if (fs.exists(schemaFile(p)))
+      throw new IllegalArgumentException(
+        s"graftlines catalog: ${namespace.mkString(".")} is a table — " +
+          "cannot create a namespace over it")
+    // CREATE NAMESPACE without IF NOT EXISTS must fail on a duplicate
+    // (the TableCatalog convention createTable already follows)
+    if (fs.exists(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(
+          (name() +: namespace).toArray[String])
+    fs.mkdirs(p)
   }
 
   override def alterNamespace(namespace: Array[String],

@@ -30,11 +30,17 @@ def main():
     small, big = load(sys.argv[1]), load(sys.argv[2])
     growth = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     qs, qb = small["queries"], big["queries"]
+    # a query missing from EITHER run means it was never measured at
+    # that scale — that must fail the gate, not scroll past (r15
+    # harness self-review; big-side-only queries were silently ignored)
+    missing = sorted(set(qs) - set(qb))
+    extra = sorted(set(qb) - set(qs))
+    for k in missing:
+        print(f"MISSING in big run: {k}")
+    for k in extra:
+        print(f"MISSING in small run: {k}")
     rows = []
-    for k in sorted(qs):
-        if k not in qb:
-            print(f"MISSING in big run: {k}")
-            continue
+    for k in sorted(set(qs) & set(qb)):
         s, b = float(qs[k]), float(qb[k])
         rows.append((b / s if s > 0 else float("inf"), s, b, k))
     rows.sort(reverse=True)
@@ -56,6 +62,11 @@ def main():
               f"(time grew faster than the data):")
         for r, s, b, k in flagged:
             print(f"  {k}: {s:.2f}s -> {b:.2f}s ({r:.1f}x)")
+        sys.exit(1)
+    if missing or extra:
+        print(f"\n{len(missing) + len(extra)} quer"
+              f"{'y was' if len(missing) + len(extra) == 1 else 'ies were'} "
+              "not measured at both scales (see MISSING above)")
         sys.exit(1)
     print("\nno super-linear queries: every ratio is at or below the "
           "data growth (within the fixed-cost floor)")

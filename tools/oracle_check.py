@@ -51,6 +51,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a typo'd query name must not exit 0 with "0 pass, 0 fail"
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query name(s) {sorted(unknown)}")
+        n_fail += len(unknown)
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -82,6 +87,34 @@ def main():
         if bad:
             i, c, a, b = bad
             print(f"FAIL {name}: row {i} col {c}: spark={a!r} duckdb={b!r}")
+            n_fail += 1
+            continue
+        # second, DuckDB-NATIVE multiset compare (r15 self-review of this
+        # harness): the pandas loop above is blind to two classes —
+        # fetchdf() maps SQL NULL and NaN both to float NaN (a Spark NULL
+        # would "equal" an oracle NaN), and an int64 column containing a
+        # NULL is widened to float64, where two big integers differing
+        # below 2^53 precision compare equal. EXCEPT ALL inside DuckDB
+        # compares exact native values (NULL distinct from NaN, BIGINTs
+        # exact), order-insensitively — together the two gates cover
+        # order AND exactness.
+        try:
+            cols = ", ".join(f'"{c}"' for c in gc)
+            diff = con.execute(
+                f"SELECT count(*) FROM ("
+                f"(SELECT {cols} FROM read_parquet({files!r}) "
+                f" EXCEPT ALL SELECT {cols} FROM ({sql})) UNION ALL "
+                f"(SELECT {cols} FROM ({sql}) "
+                f" EXCEPT ALL SELECT {cols} FROM read_parquet({files!r}))"
+                f")").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name}: native multiset compare failed: {e}")
+            n_fail += 1
+            continue
+        if diff:
+            print(f"FAIL {name}: {diff} row(s) differ in the native "
+                  f"multiset compare (NULL/NaN or >2^53 integer drift "
+                  f"the pandas loop cannot see)")
             n_fail += 1
             continue
         try:
