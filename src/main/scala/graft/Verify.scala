@@ -8,8 +8,13 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional trailing names: dump only those queries (local iteration;
-    // the driver always calls with exactly two args = full dump)
+    // the driver always calls with exactly two args = full dump). A
+    // typo'd name must fail loudly, not dump nothing and exit 0 — the
+    // same silent-acceptance class the oracle checker guards against.
     val only: Set[String] = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -383,6 +383,11 @@ object Mp4 {
     require(nFrames >= 1 && nFrames <= MaxSamples,
       s"nFrames $nFrames outside [1, $MaxSamples]")
     require(frameSize >= 1, s"frameSize $frameSize < 1")
+    // Long math BEFORE the allocation: nFrames * frameSize can wrap
+    // Int and request a negative (or tiny, silently-wrong) mdat
+    require(nFrames.toLong * frameSize <= MaxSamples.toLong,
+      s"mdat payload ${nFrames.toLong * frameSize} bytes exceeds the " +
+        s"$MaxSamples-byte encode budget")
     val verFlags = new Array[Byte](4)
     val duration = nFrames.toLong // 1 tick per frame
     val ftyp = boxBytes("ftyp",

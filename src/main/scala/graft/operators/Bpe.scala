@@ -56,7 +56,11 @@ object Bpe {
             |             element_at(syms, i + 1)))""".stripMargin)).as("p"))
         .groupBy(col("p")).agg(sum(col("w")).as("cnt"))
         .orderBy(col("cnt").desc, col("p"))
-        .first()
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"BPE training round $r found no adjacent symbol pair — the " +
+            "corpus has no multi-character words left to merge; ask for " +
+            "fewer rounds"))
       val Array(a, b) = top.getString(0).split("\\|", -1)
       merges += Merge(r, a, b, top.getLong(1))
       cur = cur.withColumn("sy", expr(s"replace(sy, '<$a><$b>', '<$a$b>')"))

@@ -58,6 +58,17 @@ class BpeSpec extends AnyFunSuite {
       s"encoded tokens diverge from the hand derivation: $toks")
   }
 
+  test("training past the mergeable horizon fails loudly, not with an NPE") {
+    import spark.implicits._
+    val dir = GraftTmp.dir("bpe_short")
+    // single-char words only: round 1 has no adjacent pair to merge
+    Seq((1L, "en", "web", 5L, "a b c a b"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException](Bpe.train(spark, dir, 1))
+    assert(e.getMessage.contains("no adjacent symbol pair"))
+  }
+
   test("apply-of-train is deterministic") {
     val m1 = Bpe.train(spark, goldenDir, 3)
     val m2 = Bpe.train(spark, goldenDir, 3)

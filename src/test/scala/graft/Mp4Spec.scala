@@ -178,6 +178,11 @@ class Mp4Spec extends AnyFunSuite {
     assert(feats(4) == 100f && feats(5) == 3f && feats(6) == 64f)
     // deterministic bytes
     assert(Mp4.encode(100, frameSize = 3).toSeq == bytes.toSeq)
+    // hostile sizes fail BEFORE allocation: nFrames * frameSize would
+    // wrap Int and request a negative mdat
+    val e = intercept[IllegalArgumentException](
+      Mp4.encode(1 << 22, frameSize = 1 << 20))
+    assert(e.getMessage.contains("budget"))
   }
 
   test("table header fields are bounded by their OWN box, not the file") {
