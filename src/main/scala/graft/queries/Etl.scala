@@ -985,7 +985,7 @@ object Etl extends QueryGroup {
           |FROM graft_cat.contract.orders_merge
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
       },
-      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus,
+      Some("""WITH o AS MATERIALIZED (SELECT o_orderkey, o_orderstatus,
         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |           AS cents
         |       FROM orders),
@@ -1393,7 +1393,7 @@ object Etl extends QueryGroup {
             (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
           .orderBy(col("o_orderstatus"))
       },
-      Some("""WITH base AS (
+      Some("""WITH base AS MATERIALIZED (
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM orders),
@@ -1645,7 +1645,7 @@ object Etl extends QueryGroup {
         at(1).unionByName(at(2)).unionByName(at(3))
           .orderBy(col("version"), col("o_orderstatus"))
       },
-      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      Some("""WITH o AS MATERIALIZED (SELECT o_orderkey, o_custkey, o_orderstatus,
         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |           AS cents
         |       FROM orders)
@@ -1730,7 +1730,7 @@ object Etl extends QueryGroup {
             (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
           .orderBy(col("change"), col("o_orderstatus"))
       },
-      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      Some("""WITH o AS MATERIALIZED (SELECT o_orderkey, o_custkey, o_orderstatus,
         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |           AS cents
         |       FROM orders),

@@ -456,7 +456,7 @@ object Joins extends QueryGroup {
           .filter(levenshtein(col("w1"), col("w2")) <= 1)
           .orderBy(col("w1"), col("w2"))
       },
-      Some("""WITH v AS (
+      Some("""WITH v AS MATERIALIZED (
         |  SELECT w, COUNT(*)::BIGINT AS n FROM (
         |    SELECT unnest(string_split(lower(text), ' ')) AS w
         |    FROM documents)

@@ -471,7 +471,7 @@ object Llm extends QueryGroup {
             round(col("cos"), 4).as("cos"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS q_emb FROM e WHERE vec_id < 10),
         |c AS (SELECT q.qid, e.vec_id,
@@ -778,7 +778,7 @@ object Llm extends QueryGroup {
           .select(col("qid"), col("label").as("pred_label"), col("n_votes"))
           .orderBy(col("qid"))
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
         |q AS (SELECT vec_id AS qid, emb AS q_emb FROM e WHERE vec_id < 10),
         |nb AS (SELECT qid, label FROM (
@@ -845,7 +845,7 @@ object Llm extends QueryGroup {
               / col("n_tok_total"), 4).as("ttr"))
           .orderBy(col("lang"), col("source"))
       },
-      Some("""WITH base AS (SELECT lang, source, n_chars,
+      Some("""WITH base AS MATERIALIZED (SELECT lang, source, n_chars,
         |              string_split(text, ' ') AS toks FROM documents),
         |a1 AS (SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
         |         SUM(n_chars) AS sum_chars, SUM(len(toks)) AS n_tok_total
@@ -914,7 +914,7 @@ object Llm extends QueryGroup {
             round(col("cos"), 4).as("cos"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings
         |  WHERE CAST(list_max(list_transform(embedding, y -> abs(y)))
         |          AS DOUBLE) > 0),
@@ -984,7 +984,7 @@ object Llm extends QueryGroup {
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
           .orderBy(col("cid"))
       },
-      Some("""WITH lng AS (
+      Some("""WITH lng AS MATERIALIZED (
         |  SELECT vec_id, i, qv[i] AS v FROM (
         |    SELECT vec_id,
         |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)

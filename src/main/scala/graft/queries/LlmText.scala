@@ -69,7 +69,7 @@ object LlmText extends QueryGroup {
           .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("pred_lang"))
       },
-      Some("""WITH tok AS (SELECT doc_id, lang,
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
         |         unnest(string_split(lower(text), ' ')) AS token
         |       FROM documents),
         |prof AS (SELECT lang AS plang, token FROM (
@@ -340,7 +340,7 @@ object LlmText extends QueryGroup {
               .as("dup_token_rate"))
           .orderBy(col("lang"))
       },
-      Some("""WITH t AS (SELECT doc_id, lang,
+      Some("""WITH t AS MATERIALIZED (SELECT doc_id, lang,
         |         string_split(lower(text), ' ') AS toks FROM documents),
         |tot AS (SELECT lang, COUNT(*)::BIGINT AS n_docs,
         |          SUM(len(toks))::BIGINT AS n_tokens
@@ -488,7 +488,7 @@ object LlmText extends QueryGroup {
           .select(col("a"), col("b"), col("label"), round(col("cos"), 4).as("cos"))
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS emb
         |           FROM embeddings)
         |SELECT a.vec_id AS a, b.vec_id AS b, a.label,
         |  ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
@@ -558,7 +558,7 @@ object LlmText extends QueryGroup {
               .as("kept_id_sum"))
           .orderBy(col("cell"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      Some("""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb
         |           FROM embeddings),
         |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
         |         ORDER BY vec_id LIMIT 16),
@@ -874,7 +874,7 @@ object LlmText extends QueryGroup {
               .as("commonality"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tok AS (SELECT doc_id, lang,
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, lang,
         |         unnest(string_split(lower(text), ' ')) AS tok
         |       FROM documents),
         |freq AS (SELECT lang, tok, COUNT(*)::BIGINT AS tf
@@ -979,7 +979,7 @@ object LlmText extends QueryGroup {
             coalesce(col("n_distinct"), lit(0L)).as("n_kept"))
           .orderBy(col("lang"))
       },
-      Some("""WITH d AS (SELECT doc_id, lang,
+      Some("""WITH d AS MATERIALIZED (SELECT doc_id, lang,
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INTEGER % 10
         |    AS bucket,
         |  md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))

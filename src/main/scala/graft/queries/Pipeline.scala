@@ -48,7 +48,7 @@ object Pipeline extends QueryGroup {
               / count(lit(1)), 4).as("kept_rate"))
           .orderBy(col("lang"))
       },
-      Some("""WITH counts AS (SELECT lang, COUNT(*)::BIGINT AS n_lang
+      Some("""WITH counts AS MATERIALIZED (SELECT lang, COUNT(*)::BIGINT AS n_lang
         |                FROM documents GROUP BY lang),
         |target AS (SELECT MIN(n_lang)::BIGINT AS n_min FROM counts),
         |gated AS (SELECT d.lang,
@@ -97,7 +97,7 @@ object Pipeline extends QueryGroup {
               .as("w_kept"))
           .orderBy(col("lang"))
       },
-      Some("""WITH d AS (SELECT lang, n_chars,
+      Some("""WITH d AS MATERIALIZED (SELECT lang, n_chars,
         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS u
         |       FROM documents),
         |t AS (SELECT lang, SUM(n_chars)::BIGINT AS s_w,
