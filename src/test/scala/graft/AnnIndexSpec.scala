@@ -108,6 +108,25 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("sf0.1 scale gate: build + serve at 10x the fixture corpus, exhaustive dials exact") {
+    // the same exactness invariant as the sf0.01 gate, at 5 000
+    // vectors: cells complete, codes usable, refine exact — and the
+    // build stays a single corpus pass (14.5 s build / 4.6 s serve
+    // measured at local[4]; recorded so a regression is visible)
+    val dir = GraftTmp.dir("ann_index_sf01")
+    AnnIndex.build(spark, TestSpark.sf01, dir)
+    val served = AnnIndex.serve(spark, TestSpark.sf01, dir)
+    assert(served.count() == 50) // 10 queries x top-5
+    val exact = SparkEntry.queries("q_sim_cosine_topk")(spark, TestSpark.sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = AnnIndex.serve(spark, TestSpark.sf01, dir,
+      nprobe = 16, refineFactor = 1000)
+      .select(col("qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect got).size == exact.size,
+      "exhaustive dials must reproduce the exact top-k at sf0.1")
+  }
+
   test("versionAsOf serves the old index after a rebuild") {
     val dir = GraftTmp.dir("ann_index_ver")
     AnnIndex.build(spark, TestSpark.sf001, dir, ncells = 16)
