@@ -613,9 +613,11 @@ object LlmText extends QueryGroup {
       (s, d) => {
         import graft.multimodal.Multimodal
         // r15: audio rows carry REAL FLAC assets (PCM = the text's
-        // ASCII code points), video rows REAL ISO-BMFF box streams —
-        // so the decode/demux integer outputs below are hash-gated by
-        // the driver's oracle, not just ScalaTest (VERDICT r14 #4)
+        // ASCII code points), video rows REAL ISO-BMFF box streams;
+        // r16: image rows carry REAL PNG/BMP/GIF/JPEG containers
+        // (grayscale folds of the text bytes at the imageDims
+        // geometry) — so ALL SIX codecs' decode integer outputs are
+        // hash-gated by the driver's oracle, not just ScalaTest
         // the fixture table is a single parquet file = ONE scan
         // partition, which would run every FLAC encode+decode on one
         // thread; spreading the docs across the configured shuffle
@@ -630,14 +632,19 @@ object LlmText extends QueryGroup {
         // decoded units per kind, all integer-exact: audio = the FLAC
         // decoder's frame count (audioFeatures[2] == n_chars), video =
         // the MP4 walk's demuxed frame-record count
-        // (containerFeatures[4] == meta.n_frames), image = the opaque
-        // payload's byte count. A FLAC/MP4 payload that silently fell
-        // back to the opaque byte-fold would diverge from the oracle.
+        // (containerFeatures[4] == meta.n_frames), image (r16) = the
+        // DECODED pixel count width × height (imageFeatures[0] ×
+        // imageFeatures[1] == the imageDims formula the oracle
+        // recomputes from n_chars — exact even through JPEG's lossy
+        // sample path, since geometry is header-carried). A payload
+        // that silently fell back to the opaque byte-fold in ANY of
+        // the six codecs would diverge from the oracle.
         val units = when(col("kind") === "audio",
             element_at(col("features"), 3).cast(LongType))
           .when(col("kind") === "video",
             element_at(col("features"), 5).cast(LongType))
-          .otherwise(col("n_bytes").cast(LongType))
+          .otherwise(element_at(col("features"), 1).cast(LongType)
+            * element_at(col("features"), 2).cast(LongType))
         val frames = Multimodal.sampleFrames(media, everyK = 7)
           .groupBy(col("media_id")).agg(count(lit(1)).as("n_sampled"))
         feats.join(frames, "media_id")
@@ -655,7 +662,9 @@ object LlmText extends QueryGroup {
         |         CASE (doc_id % 3)
         |           WHEN 1 THEN n_chars
         |           WHEN 2 THEN n_chars % 100 + 1
-        |           ELSE octet_length(encode(text)) END::BIGINT AS units,
+        |           ELSE CASE WHEN n_chars = 0 THEN 0
+        |             ELSE (n_chars % 29 + 1) * (n_chars % 23 + 1) END
+        |           END::BIGINT AS units,
         |         ((n_chars % 100 + 1 + 6) // 7)::BIGINT AS n_sampled
         |       FROM documents)
         |SELECT kind, COUNT(*)::BIGINT AS n_media,

@@ -100,6 +100,30 @@ class FixturesSpec extends AnyFunSuite {
         assert(cols == want, s"$table drifted: got $cols, want $want")
     }
 
+  // The multimodal codec pipeline's oracle formulas lean on three
+  // corpus facts the physical-type sniff above cannot see (ADVICE r15:
+  // "pure-ASCII corpus" was cited but never asserted): text is
+  // non-NULL and non-empty (Flac.encode requires frames > 0 — the
+  // UDF guards it, but the oracle only mirrors the guard at
+  // n_chars = 0), pure ASCII (FLAC PCM code points == bytes; Scala's
+  // UTF-16 .length == DuckDB's character length), and n_chars equals
+  // the character length the oracles recompute. A regenerated corpus
+  // that breaks any of these turns into a red test here instead of a
+  // hash mismatch three stages downstream.
+  for (dir <- sfDirs)
+    test(s"$dir/documents corpus contract: non-empty ASCII, n_chars") {
+      import org.apache.spark.sql.functions._
+      val d = TestSpark.spark.read.parquet(s"$dir/documents.parquet")
+      val bad = d.filter(
+        col("text").isNull || length(col("text")) === 0 ||
+          col("n_chars") =!= length(col("text")) ||
+          !col("text").rlike("^[\\x00-\\x7F]*$")).count()
+      assert(bad == 0,
+        s"$bad documents violate the non-empty/ASCII/n_chars contract " +
+          "the multimodal oracle formulas assume — re-derive the " +
+          "imageDims/FLAC units before trusting q_multimodal_pipeline")
+    }
+
   for (dir <- sfDirs)
     test(s"eventsTsIsNanos agrees with the $dir footer") {
       val ts = footerCols(s"$dir/events.parquet").find(_.startsWith("ts:")).get

@@ -383,4 +383,59 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.resizePayloads(df, 5, -1)
     }
   }
+
+  test("codec media: image rows are real PNG/BMP/GIF/JPEG at imageDims") {
+    import spark.implicits._
+    import graft.multimodal.{Flac, Gif, Jpeg, Mp4, Png}
+    val text = "The quick brown fox jumps over the lazy dog 0123456789"
+    // doc_id % 3 == 0 -> image; sub-dispatch pmod(doc_id, 12):
+    // 0 PNG, 3 BMP, 6 GIF, 9 JPEG; 12 wraps back to PNG
+    val docs = Seq(0L, 3L, 6L, 9L, 12L, 1L, 2L)
+      .map(id => (id, text, text.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val payloads = Multimodal.mediaFromDocumentsCodec(docs)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    val (w, h) = Multimodal.imageDims(text.length)
+    assert(Png.looksLike(payloads(0L)))
+    val png = Png.decode(payloads(0L))
+    assert((png.width, png.height) == (w, h))
+    // grayscale fold of the text bytes: pixel i cycles the source
+    assert(png.pixels(0) == 0x010101 * text.charAt(0).toInt)
+    assert(Bmp.looksLike(payloads(3L)))
+    val bmp = Bmp.decode(payloads(3L))
+    assert((bmp.width, bmp.height) == (w, h))
+    assert(bmp.pixels.toSeq == png.pixels.toSeq) // same synthesis
+    assert(Gif.looksLike(payloads(6L)))
+    val gif = Gif.decode(payloads(6L))
+    assert((gif.width, gif.height) == (w, h))
+    assert(gif.pixels.toSeq == png.pixels.toSeq) // GIF is lossless here
+    assert(Jpeg.looksLike(payloads(9L)))
+    val jpg = Jpeg.decode(payloads(9L))
+    assert((jpg.width, jpg.height) == (w, h)) // geometry survives lossy
+    assert(Png.looksLike(payloads(12L)))      // dispatch wraps mod 12
+    assert(Flac.looksLike(payloads(1L)))      // audio unchanged by r16
+    assert(Mp4.looksLike(payloads(2L)))       // video unchanged by r16
+  }
+
+  test("codec media: degenerate text takes the fallback, never throws") {
+    import spark.implicits._
+    // ADVICE r15: Flac.encode requires frames > 0 and the image
+    // encoders require a pixel source — one empty-text document must
+    // not kill the stage. The fallback's decoded units are 0 (byte-
+    // fold of zero bytes), exactly what the oracle's n_chars = 0 rows
+    // compute on the image and audio kinds.
+    val docs = Seq((0L, "", 0L), (1L, "", 0L), (2L, "", 0L),
+        (4L, null.asInstanceOf[String], 0L))
+      .toDF("doc_id", "text", "n_chars")
+    val feats = Multimodal.extractFeatures(
+        Multimodal.mediaFromDocumentsCodec(docs))
+      .orderBy("media_id").collect()
+    assert(feats.length == 4)
+    assert(feats(0).getSeq[Float](3).forall(_ == 0f)) // image fallback
+    assert(feats(1).getSeq[Float](3).forall(_ == 0f)) // audio fallback
+    // video never reads the text: a real 1-frame MP4 (0 % 100 + 1)
+    assert(feats(2).getSeq[Float](3)(4) == 1f)
+    assert(feats(3).getSeq[Float](3).forall(_ == 0f)) // NULL-text audio
+  }
 }
