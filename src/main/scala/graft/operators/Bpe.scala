@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * ORDER is exactly how BPE inference tokenizes (Sennrich et al.,
   * "Neural Machine Translation of Rare Words with Subword Units").
   *
-  * Scale shape: encoding is a PURE NARROW MAP — the merge list is
-  * vocabulary-sized driver metadata folded into one codegen'd column
-  * expression (a replace chain), so tokenization shuffles nothing and
-  * broadcasts nothing; at 100 TB it rides the document scan. The
+  * Scale shape: encoding is a PURE NARROW MAP in both forms — the
+  * merge list is driver metadata folded into one codegen'd replace
+  * chain ([[encodeExpr]], right for toy vocabularies) or broadcast as
+  * a rank table consulted by one UDF ([[tokenizeRanked]], the
+  * production form: plan size O(1) in the vocabulary, which a 32k
+  * merge list requires) — so tokenization shuffles nothing either
+  * way; at 100 TB it rides the document scan. The
   * packing consumer (packWithBpe) is q_pack_sequences' cumulative
   * layout with the whitespace token count swapped for the BPE count —
   * the wire-up that query's contract freeze keeps out of the graded
@@ -80,6 +83,82 @@ object Bpe {
         lit(s"<${m.a}><${m.b}>"), lit(s"<${m.a}${m.b}>"))
     }
     regexp_extract_all(chained, lit("<([^>]*)>"), lit(1))
+  }
+
+  /** Merge-rank table for [[encodeWord]]: pair key "a|b" -> rank
+    * (training order). '|' cannot occur inside a symbol — symbols are
+    * substrings of lowercased [a-z0-9]+ words — so the key is
+    * unambiguous, and it is the SAME key the training loop groups on. */
+  def rankTable(merges: Seq[Merge]): Map[String, Int] =
+    merges.map(m => s"${m.a}|${m.b}" -> m.round).toMap
+
+  /** Encode ONE word against the rank table: repeatedly merge every
+    * leftmost-first occurrence of the lowest-rank adjacent pair until
+    * no pair is in the table.
+    *
+    * This equals applying the merges once each in training order (the
+    * [[encodeExpr]] replace chain): a merge only FUSES two adjacent
+    * symbols, so existing adjacencies are destroyed, never created —
+    * for pair (a_j, b_j) to newly appear after a later merge i > j,
+    * one of its symbols would have to be the symbol merge i minted,
+    * which is impossible because merge j was learned over symbols
+    * that existed before merge i ran. Hence rank order == the order
+    * the chain would fire anyway, but the cost is O(len²) per word
+    * and O(1) in the vocabulary — where the chain is O(V) PLAN SIZE,
+    * and a 32k-merge vocabulary cannot analyze or codegen a 32k-deep
+    * expression tree (the engine's r1 method-size negative result). */
+  def encodeWord(word: String, ranks: Map[String, Int]): Seq[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse(syms(i) + "|" + syms(i + 1), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // fuse every leftmost-first non-overlapping occurrence — the
+        // exact semantics of one `replace(sy, '<a><b>', '<ab>')`
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              ranks.getOrElse(syms(j) + "|" + syms(j + 1), Int.MaxValue)
+                == best) {
+            out += syms(j) + syms(j + 1)
+            j += 2
+          } else {
+            out += syms(j)
+            j += 1
+          }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(syms)
+  }
+
+  /** Production-scale [[tokenize]]: identical output, but the merge
+    * list rides ONE broadcast rank table consulted by a single UDF —
+    * plan node count O(1) in the vocabulary (the replace chain grows
+    * linearly and dies around method-size limits long before a real
+    * 32k-merge tokenizer), one table copy per executor instead of a
+    * V-deep expression tree per task. Still a pure narrow map: zero
+    * shuffle, rides the document scan at 100 TB. */
+  def tokenizeRanked(s: SparkSession, d: String,
+      merges: Seq[Merge]): DataFrame = {
+    val bc = s.sparkContext.broadcast(rankTable(merges))
+    val tok = udf((words: Seq[String]) =>
+      words.flatMap(w => encodeWord(w, bc.value)))
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        tok(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("bpe_tokens"))
+      .withColumn("n_bpe_tok", size(col("bpe_tokens")).cast("long"))
   }
 
   /** Tokenize the documents table: per doc the BPE token array over

@@ -91,6 +91,91 @@ class BpeSpec extends AnyFunSuite {
       s"operator merges $fromOp != query merges $fromQuery")
   }
 
+  test("ranked encode hash-equals the replace chain at small counts") {
+    val merges = Bpe.train(spark, goldenDir, 3)
+    val chain = Bpe.tokenize(spark, goldenDir, merges)
+      .orderBy(col("doc_id")).collect().map(_.toString).toList
+    val ranked = Bpe.tokenizeRanked(spark, goldenDir, merges)
+      .orderBy(col("doc_id")).collect().map(_.toString).toList
+    assert(ranked == chain,
+      "rank-table encode diverges from the replace chain on the golden " +
+        s"fixture:\n$ranked\nvs\n$chain")
+    // and on the real corpus
+    val c2 = Bpe.tokenize(spark, TestSpark.sf0001,
+      Bpe.train(spark, TestSpark.sf0001, 3))
+      .orderBy(col("doc_id")).collect().map(_.toString).toList
+    val r2 = Bpe.tokenizeRanked(spark, TestSpark.sf0001,
+      Bpe.train(spark, TestSpark.sf0001, 3))
+      .orderBy(col("doc_id")).collect().map(_.toString).toList
+    assert(r2 == c2, "rank-table encode diverges at sf0.001")
+  }
+
+  /** Independent reference for the big-vocabulary gate: the training
+    * query's own delimited-string replace chain, run DRIVER-SIDE with
+    * plain java.lang.String.replace (left-to-right, non-overlapping —
+    * the same semantics as Spark's replace builtin), one merge per
+    * fold in training order. A completely separate code path from
+    * encodeWord's min-rank loop. */
+  private def chainReference(word: String,
+      merges: Seq[Bpe.Merge]): List[String] = {
+    val sy0 = word.toLowerCase.map(c => s"<$c>").mkString
+    val folded = merges.foldLeft(sy0)((sy, m) =>
+      sy.replace(s"<${m.a}><${m.b}>", s"<${m.a}${m.b}>"))
+    "<([^>]*)>".r.findAllMatchIn(folded).map(_.group(1)).toList
+  }
+
+  test("ranked encode scales to 1000 merges with an O(1) plan") {
+    import spark.implicits._
+    // fabricate a 1000-merge vocabulary the way a real tokenizer's
+    // looks (each merge extends a learned prefix by one symbol):
+    // merge k fuses (base[0,k), base[k]) -> base[0,k+1). Training
+    // 1000 Spark rounds would take hours; the ENCODE semantics only
+    // require that no merge's inputs are minted by a later merge,
+    // which this list satisfies (merge k's left side is minted by
+    // merge k-1, its right side is an original char). The base opens
+    // with "qz" and 'q' never recurs, so every prefix ≥ 2 chars is
+    // ANCHORED — no merge pattern can fire at a spurious position and
+    // break the chain (a naive cycled base stalls at depth 36: the
+    // rank-1..35 merges fuse EVERY cycle, leaving no bare char for
+    // rank 36's pattern) — all 1000 ranks genuinely fire on base.
+    val alpha = "abcdefghijklmnoprstuvwxyz0123456789" // 35 chars, no 'q'
+    val base = "qz" + (0 until 999).map(i => alpha(i % 35)).mkString
+    val merges = (1 to 1000).map(k =>
+      Bpe.Merge(k, base.substring(0, k), base.substring(k, k + 1), 1L))
+    val dir = GraftTmp.dir("bpe_big")
+    // the full base word (collapses to ONE 1001-char token), a prefix
+    // (fires 499 ranks), a doubled base (every pattern fires twice),
+    // repeating and vocabulary-free words
+    val corpus = Seq(base, base.substring(0, 500), base + base,
+      "abcabc", "zz9", "qz")
+    corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", "web", t.length.toLong, t) }
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Bpe.tokenizeRanked(spark, dir, merges)
+      .orderBy(col("doc_id")).collect()
+      .map(_.getSeq[String](2).toList).toList
+    val want = corpus.map(chainReference(_, merges)).toList
+    assert(got == want,
+      "1000-merge rank-table encode diverges from the driver-side " +
+        "replace-chain reference")
+    // the deep merges really fired: the base word is ONE token, the
+    // doubled base exactly two (every rank matched twice), the
+    // half-prefix stops at rank 499's output
+    assert(got.head == List(base))
+    assert(got(2) == List(base, base))
+    assert(got(1).head == base.substring(0, 500))
+    // plan size is O(1) in the vocabulary: the 1000-merge plan is the
+    // 3-merge plan (the table rides the broadcast, not the tree), and
+    // no replace chain appears anywhere
+    def planOf(ms: Seq[Bpe.Merge]) = Bpe.tokenizeRanked(spark, dir, ms)
+      .queryExecution.optimizedPlan.toString
+    val p3 = planOf(merges.take(3)); val p1000 = planOf(merges)
+    assert(!p1000.contains("replace("), "replace chain leaked into plan")
+    assert(p3.length == p1000.length,
+      s"plan grew with the vocabulary: ${p3.length} -> ${p1000.length}")
+  }
+
   test("tokens conserve the text and drive the packing wire-up") {
     val merges = Bpe.train(spark, TestSpark.sf0001, 3)
     // conservation: concatenating a doc's BPE tokens restores exactly
