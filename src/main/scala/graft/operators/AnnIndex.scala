@@ -80,13 +80,26 @@ object AnnIndex {
     require(ncells >= 1 && ncells <= 16,
       s"ncells $ncells outside the 16-seed-vector stand-in's range")
     val emb = corpus(s, d)
+    // seed selection is ORDER BY vec_id LIMIT n — the family's stated
+    // convention ("the n lowest vec_ids"), NOT filter(vec_id < n): the
+    // corpus() degenerate-norm exclusion runs first, so a filter form
+    // would silently hand back a SHORT codebook whenever one of ids
+    // 0..15 is zero-norm, and a short codebook corrupts ADC ranking
+    // through NULL lookups instead of failing (ADVICE r15). The
+    // cell/cid name is the seed's RANK (dense 0..n-1, == vec_id on a
+    // healthy corpus), never the vec_id itself — a cid past 15 would
+    // not fit the nibble encoding. The single-partition window is
+    // over ≤ 16 rows (post-limit), not the corpus.
+    def lowest(n: Int) = emb.orderBy(col("vec_id")).limit(n)
+      .withColumn("seed", (row_number().over(
+        Window.orderBy(col("vec_id"))) - 1).cast("int"))
     // coarse centroids: the ncells lowest vec_ids, long format
-    val coarse = emb.filter(col("vec_id") < ncells)
-      .select(col("vec_id").cast("int").as("cell"),
+    val coarse = lowest(ncells)
+      .select(col("seed").as("cell"),
         posexplode(col("nemb")).as(Seq("dim", "value")))
     // PQ codebooks: subvectors of the 16 lowest vec_ids, long format
-    val pq = emb.filter(col("vec_id") < NSub)
-      .select(col("vec_id").cast("int").as("cid"),
+    val pq = lowest(NSub)
+      .select(col("seed").as("cid"),
         explode(expr(s"""transform(sequence(0, ${NSub - 1}),
           | m -> struct(m AS m, slice(nemb, m * $SubDim + 1, $SubDim)
           |   AS c_sub))""".stripMargin)).as("e"))
@@ -94,16 +107,16 @@ object AnnIndex {
         posexplode(col("e.c_sub")).as(Seq("dim", "value")))
     // cell assignment: argmin_cell |nemb - centroid|^2, ties -> low
     // cell — a map-side-combinable min_by, never a window sort
-    val cent = emb.filter(col("vec_id") < ncells)
-      .select(col("vec_id").cast("int").as("cell"), col("nemb").as("c_emb"))
+    val cent = lowest(ncells)
+      .select(col("seed").as("cell"), col("nemb").as("c_emb"))
     val assign = emb.crossJoin(broadcast(cent))
       .withColumn("cd2", d2("nemb", "c_emb"))
       .groupBy(col("vec_id"))
       .agg(min_by(col("cell"), struct(col("cd2"), col("cell"))).as("cell"))
     // PQ encode: per (vector, subspace) argmin centroid -> nibble;
     // 16 nibbles pack into one BIGINT (code = sum code_m << 4m)
-    val cbArr = emb.filter(col("vec_id") < NSub)
-      .select(col("vec_id").cast("int").as("cid"),
+    val cbArr = lowest(NSub)
+      .select(col("seed").as("cid"),
         explode(expr(s"""transform(sequence(0, ${NSub - 1}),
           | m -> struct(m AS m, slice(nemb, m * $SubDim + 1, $SubDim)
           |   AS c_sub))""".stripMargin)).as("e"))
@@ -177,18 +190,49 @@ object AnnIndex {
     Frames(rd("meta"), rd("coarse"), rd("pq"), rd("postings"))
   }
 
+  /** query-count threshold above which [[serveFrom]] switches the
+    * refine stage from the collect/point-lookup form to the join form
+    * — below it, materializing the shortlist to the driver buys an
+    * `In(vec_id, …)` pushdown on the finalist fetch; above it, that
+    * materialization IS the driver bottleneck and the refine must be
+    * a distributed join (VERDICT r15 #3). */
+  val BatchQueryThreshold = 64
+
   /** Serve top-k from index frames — the full production IVFPQ+refine
     * read path: probe `nprobe` cells, ADC-rank the probed codes, exact
-    * cosine rerank of the ADC shortlist (refineFactor * k candidates,
-    * fetched from the corpus BY ID — a bounded point lookup with a
-    * pushed `In(vec_id, …)` filter, the "fetch full vectors for the
-    * finalists" step every PQ serving tier runs). Queries are the
-    * similarity family's probe set (vec_id < 10); every corpus-table
-    * scan here carries an id pushdown — the corpus is never RESCANNED,
-    * assigned, or encoded at serve time (AnnIndexSpec pins this on the
-    * plan). Recall is bounded by the IVF probe (raise nprobe to trade
-    * scan fraction for recall — the standard dial). */
+    * cosine rerank of the ADC shortlist (refineFactor * k candidates
+    * per query, the "fetch full vectors for the finalists" step every
+    * PQ serving tier runs). Queries are the similarity family's probe
+    * set (vec_id < 10); every corpus-table scan here carries an id
+    * pushdown — the corpus is never RESCANNED, assigned, or encoded
+    * at serve time (AnnIndexSpec pins this on the plan). Recall is
+    * bounded by the IVF probe (raise nprobe to trade scan fraction
+    * for recall — the standard dial).
+    *
+    * The refine stage has two shapes, picked by query count: at or
+    * under [[BatchQueryThreshold]] queries the shortlist (queries x
+    * refineFactor*k id pairs) is driver metadata and the finalist
+    * fetch is a pushed point lookup ([[serveCollectFrom]]); above it
+    * the shortlist stays distributed and the fetch is a shuffle-hash
+    * join ([[serveBatchFrom]]) — a million-query batch never
+    * materializes anything on the driver. Both produce identical
+    * rows (AnnIndexSpec pins hash-equality). */
   def serveFrom(s: SparkSession, d: String, f: Frames, k: Int = 5,
+      nprobe: Int = 12, refineFactor: Int = 8): DataFrame = {
+    // the dispatch probe is a count over the pushed query scan —
+    // bounded work, and the price of never letting a fat probe set
+    // near the driver-materializing form
+    val nq = queryFrame(s, d).count()
+    if (nq > BatchQueryThreshold) serveBatchFrom(s, d, f, k, nprobe,
+      refineFactor)
+    else serveCollectFrom(s, d, f, k, nprobe, refineFactor)
+  }
+
+  /** Point-lookup refine: collect the bounded shortlist, fetch the
+    * finalists BY ID with a pushed `In(vec_id, …)` filter. The right
+    * shape for interactive probe sets — the collect is queries x
+    * refineFactor*k rows of two longs, nothing more. */
+  def serveCollectFrom(s: SparkSession, d: String, f: Frames, k: Int = 5,
       nprobe: Int = 12, refineFactor: Int = 8): DataFrame = {
     graft.functions.FloatDot.register(s)
     val q = queryFrame(s, d)
@@ -206,10 +250,39 @@ object AnnIndex {
       .withColumn("nrm", expr(l2))
       .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
       .select(col("vec_id"), col("embedding"), col("nrm"))
+    rankRefined(broadcast(shortDf).join(vecs, "vec_id")
+      .join(broadcast(q), "qid"), k)
+  }
+
+  /** Join-form refine (the batch-scale shape): the ADC shortlist stays
+    * a distributed frame and the finalist fetch is `shortlist ⋈
+    * embeddings ON vec_id` — shuffle-hash, build side the shortlist
+    * (refineFactor*k rows per query vs the full corpus), zero driver
+    * materialization anywhere in the plan. The corpus side is a real
+    * scan here by design: at a million queries the shortlist touches
+    * most of the corpus anyway, and `In` pushdown with a million ids
+    * is itself a pathology. */
+  def serveBatchFrom(s: SparkSession, d: String, f: Frames, k: Int = 5,
+      nprobe: Int = 12, refineFactor: Int = 8): DataFrame = {
+    graft.functions.FloatDot.register(s)
+    val q = queryFrame(s, d)
+    val short = adcShortlist(s, d, f, k, nprobe, refineFactor)
+    val vecs = graft.Tables.embeddings(s, d)
+      .withColumn("nrm", expr(l2))
+      .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    // queries join on qid: shuffle-hash too — a batch probe set is
+    // too big to broadcast, and both sides are already qid-keyed
+    rankRefined(short.hint("shuffle_hash").join(vecs, "vec_id")
+      .join(q.hint("shuffle_hash"), "qid"), k)
+  }
+
+  /** shared refine tail: true cosine over the fetched finalists,
+    * rank-k per query, deterministic tiebreak on vec_id */
+  private def rankRefined(joined: DataFrame, k: Int): DataFrame = {
     val wk = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    broadcast(shortDf).join(vecs, "vec_id")
-      .join(broadcast(q), "qid")
+    joined
       .withColumn("cos",
         expr("fdot(q_emb, embedding)") / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(wk))
@@ -247,6 +320,22 @@ object AnnIndex {
     val nsub = metaMap("nsub").toInt
     require(nsub == NSub && metaMap("subdim").toInt == SubDim,
       s"index geometry ${metaMap} != the serving code's $NSub x $SubDim")
+    // fail LOUDLY on an incomplete codebook (ADVICE r15): a missing
+    // (m, cid) makes qdt[m][nib] NULL for any code referencing it,
+    // and a NULL ADC distance silently corrupts row_number ranking
+    // instead of erroring. Both checks are metadata-table aggregates
+    // (≤ 1024 / ≤ 1024 rows).
+    val cidsPerM = f.pq.groupBy(col("m"))
+      .agg(countDistinct(col("cid")).as("ncid")).collect()
+    require(cidsPerM.length == NSub &&
+        cidsPerM.forall(_.getLong(1) == NSub.toLong),
+      s"PQ codebook incomplete: ${cidsPerM.length} subspaces, cids " +
+        s"per m = ${cidsPerM.map(r => s"${r.getInt(0)}:${r.getLong(1)}")
+          .sorted.mkString(",")} — expected $NSub x $NSub; the index " +
+        "was built from a corpus with fewer than 16 usable seed vectors")
+    val storedCells = f.coarse.select(col("cell")).distinct().count()
+    require(storedCells == ncells.toLong,
+      s"coarse codebook has $storedCells cells, meta declares $ncells")
     val q = queryFrame(s, d)
     // coarse centroids: long format -> (cell, c_emb) — ncells rows
     val cent = f.coarse.groupBy(col("cell"))

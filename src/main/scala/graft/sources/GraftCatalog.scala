@@ -275,6 +275,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         TableCatalog.PROP_OWNER, TableCatalog.PROP_TABLE_TYPE,
         TableCatalog.PROP_IS_MANAGED_LOCATION)
       properties.keySet().asScala.foreach { k =>
+        // COMMENT is a first-class SQL clause Spark injects as a
+        // reserved property, not a TBLPROPERTIES typo — but the
+        // graftlines header stores name:type only, so a comment
+        // CANNOT persist and loadTable would come back without it.
+        // Same reject-don't-silently-drop posture, clearer message
+        // (ADVICE r15: the generic 'unknown table property' text
+        // misread the clause as a typo).
+        require(k != TableCatalog.PROP_COMMENT,
+          "graftlines catalog: COMMENT cannot persist — the " +
+            "graftlines header stores column name:type only, so the " +
+            "comment would be silently lost on reload; drop the " +
+            "COMMENT clause")
         require(sparkManaged.contains(k) || k == "versioned"
             || k.startsWith("option."),
           s"graftlines catalog: unknown table property '$k' — the " +
@@ -487,6 +499,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // — reject rather than silently drop them; Spark itself injects
     // 'owner' on every CREATE NAMESPACE, which is the one pass-through
     metadata.keySet().asScala.foreach { k =>
+      // name the COMMENT clause rather than calling it an unknown
+      // property — it is Spark-injected, not a user typo (ADVICE r15)
+      require(k != SupportsNamespaces.PROP_COMMENT,
+        "graftlines catalog: COMMENT cannot persist — a namespace is " +
+          "a bare warehouse directory with nowhere to store it; drop " +
+          "the COMMENT clause")
       require(k == SupportsNamespaces.PROP_OWNER,
         s"graftlines catalog: namespace property '$k' cannot be " +
           "persisted (a namespace is a bare warehouse directory); " +

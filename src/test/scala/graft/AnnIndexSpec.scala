@@ -127,6 +127,50 @@ class AnnIndexSpec extends AnyFunSuite {
       "exhaustive dials must reproduce the exact top-k at sf0.1")
   }
 
+  test("batch join-form serve hash-equals the collect form") {
+    val dir = GraftTmp.dir("ann_index_batch")
+    AnnIndex.build(spark, TestSpark.sf001, dir)
+    val f = AnnIndex.loadFrames(spark, dir)
+    val collectForm = rows(AnnIndex.serveCollectFrom(spark,
+      TestSpark.sf001, f))
+    val joinForm = AnnIndex.serveBatchFrom(spark, TestSpark.sf001, f)
+    assert(rows(joinForm) == collectForm,
+      "the batch refine must produce the collect refine's exact rows")
+    // no driver materialization anywhere in the batch plan: the
+    // collect form's shortlist surfaces as a LocalTableScan; the
+    // batch form must carry the full ADC lineage instead
+    val bp = joinForm.queryExecution.executedPlan.toString
+    assert(!bp.contains("LocalTableScan"),
+      s"batch plan materializes the shortlist on the driver:\n$bp")
+    assert(bp.contains("ShuffledHashJoin"),
+      s"batch refine is not a shuffle-hash join:\n$bp")
+    // the 10-query fixture probe set keeps serveFrom on the collect
+    // path (dispatch threshold), whose shortlist IS a local relation
+    val cp = AnnIndex.serveFrom(spark, TestSpark.sf001, f)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("LocalTableScan"),
+      "small probe set unexpectedly dispatched to the batch form")
+  }
+
+  test("an incomplete PQ codebook fails loudly, never NULL-ranks") {
+    val f = AnnIndex.buildFrames(spark, TestSpark.sf001)
+    // drop one centroid from one subspace — the silent-corruption
+    // shape ADVICE r15 named: qdt[m][nib] would be NULL for any code
+    // referencing it
+    val truncated = f.copy(pq =
+      f.pq.filter(!(col("m") === 3 && col("cid") === 7)))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.adcShortlist(spark, TestSpark.sf001, truncated)
+    }
+    assert(e.getMessage.contains("PQ codebook incomplete"))
+    // and a coarse/meta cell-count mismatch fails too
+    val fewerCells = f.copy(coarse = f.coarse.filter(col("cell") < 12))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.adcShortlist(spark, TestSpark.sf001, fewerCells)
+    }
+    assert(e2.getMessage.contains("cells"))
+  }
+
   test("versionAsOf serves the old index after a rebuild") {
     val dir = GraftTmp.dir("ann_index_ver")
     AnnIndex.build(spark, TestSpark.sf001, dir, ncells = 16)

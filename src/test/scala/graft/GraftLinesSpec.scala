@@ -383,6 +383,18 @@ class GraftLinesSpec extends AnyFunSuite {
     val e4 = intercept[Exception](spark.sql(
       "CREATE TABLE graft_guard.ns.nn (k BIGINT NOT NULL) USING graftlines"))
     assert(e4.getMessage.contains("NOT NULL"), e4.getMessage)
+    // COMMENT is a first-class SQL clause Spark injects as a reserved
+    // property — the rejection must NAME the clause and say why it
+    // cannot persist, not call it an unknown-TBLPROPERTIES typo
+    // (ADVICE r15)
+    val ec1 = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_guard.ns.cmt (k BIGINT) USING graftlines " +
+        "COMMENT 'a note'"))
+    assert(ec1.getMessage.contains("COMMENT clause")
+        && !ec1.getMessage.contains("unknown"), ec1.getMessage)
+    val ec2 = intercept[Exception](spark.sql(
+      "CREATE NAMESPACE graft_guard.nscmt COMMENT 'a note'"))
+    assert(ec2.getMessage.contains("COMMENT clause"), ec2.getMessage)
     // CTAS from a non-nullable projection is unaffected: Spark hands
     // CTAS schemas over asNullable
     spark.sql("DROP TABLE IF EXISTS graft_guard.ns.ctaslit")
