@@ -84,8 +84,18 @@ object FrameGraph {
     // from different directories both match, and the (file, name)
     // semi-join below would then admit BOTH files' edges — precisely
     // the blended generations this function exists to prevent. A
-    // metadata-sized count makes the ambiguity loud instead.
+    // metadata-sized count makes the ambiguity loud instead. Zero
+    // matches is equally loud (r16 review): a typo'd or never-imported
+    // tree name would otherwise return an EMPTY edge set, and every
+    // downstream composePath would report "no path" with no error
+    // anywhere — the silent-vanish class (same posture as Verify's
+    // unknown-query-name rejection). Callers probing for a
+    // maybe-absent tree filter transfotrees themselves first.
     val n = matching.count()
+    require(n != 0,
+      s"FrameGraph.snapshot: no imported tree is named '$treeName' — " +
+        "an absent snapshot must fail loudly, not yield an empty edge " +
+        "set (probe transfotrees directly if absence is expected)")
     require(n <= 1,
       s"FrameGraph.snapshot: tree name '$treeName' matches $n imported " +
         "trees (same-named files from different directories) — " +

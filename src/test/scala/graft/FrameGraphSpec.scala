@@ -184,9 +184,14 @@ class FrameGraphSpec extends AnyFunSuite {
     val full = graft.etl.FrameGraph.snapshot(
       out("transfos"), out("transfotrees"), "blinis_sample.xml", "cam")
     assert(full.count() == 2)
-    assert(graft.etl.FrameGraph.snapshot(
-      out("transfos"), out("transfotrees"), "no_such_tree", "cam")
-      .count() == 0)
+    // an absent tree name fails loudly (r16 review): silently returning
+    // an empty snapshot would make every downstream composePath report
+    // "no path" on a mere typo — the silent-vanish class
+    val missing = intercept[IllegalArgumentException] {
+      graft.etl.FrameGraph.snapshot(
+        out("transfos"), out("transfotrees"), "no_such_tree", "cam")
+    }
+    assert(missing.getMessage.contains("no imported tree"), s"$missing")
     // a pruned snapshot excludes the non-member edge (derive the
     // pruned tree from the real one so the FILE scoping key matches —
     // membership is keyed by (file, name), not name alone)
