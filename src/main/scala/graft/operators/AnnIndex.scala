@@ -53,18 +53,22 @@ object AnnIndex {
 
   private val l2 = "sqrt(fdot(embedding, embedding))"
 
-  /** corpus with unit-normalized double vectors; degenerate rows
+  /** unit-normalize a raw (vec_id, embedding) frame; degenerate rows
     * (zero / NaN / Inf norm) are EXCLUDED like the whole similarity
     * family does — on normalized vectors L2 is monotone in cosine
-    * (|a-b|^2 = 2 - 2cos), so every distance below is squared L2. */
+    * (|a-b|^2 = 2 - 2cos), so every distance below is squared L2.
+    * Requires fdot to be registered on the active session. */
+  private def normalize(raw: DataFrame): DataFrame = raw
+    .withColumn("nrm", expr(l2))
+    .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
+    .withColumn("nemb",
+      expr("transform(embedding, x -> cast(x / nrm as double))"))
+    .select(col("vec_id"), col("nemb"))
+
+  /** the corpus table, normalized */
   private def corpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.FloatDot.register(s)
-    graft.Tables.embeddings(s, d)
-      .withColumn("nrm", expr(l2))
-      .filter(col("nrm") > 0d && col("nrm") < Double.PositiveInfinity)
-      .withColumn("nemb",
-        expr("transform(embedding, x -> cast(x / nrm as double))"))
-      .select(col("vec_id"), col("nemb"))
+    normalize(graft.Tables.embeddings(s, d))
   }
 
   /** squared L2 between two equal-length double arrays */
@@ -105,22 +109,41 @@ object AnnIndex {
           |   AS c_sub))""".stripMargin)).as("e"))
       .select(col("e.m").as("m"), col("cid"),
         posexplode(col("e.c_sub")).as(Seq("dim", "value")))
-    // cell assignment: argmin_cell |nemb - centroid|^2, ties -> low
-    // cell — a map-side-combinable min_by, never a window sort
+    // assignment + encode against the seed codebooks — the same plan
+    // [[append]] runs against the STORED codebooks
     val cent = lowest(ncells)
       .select(col("seed").as("cell"), col("nemb").as("c_emb"))
-    val assign = emb.crossJoin(broadcast(cent))
-      .withColumn("cd2", d2("nemb", "c_emb"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("cell"), struct(col("cd2"), col("cell"))).as("cell"))
-    // PQ encode: per (vector, subspace) argmin centroid -> nibble;
-    // 16 nibbles pack into one BIGINT (code = sum code_m << 4m)
     val cbArr = lowest(NSub)
       .select(col("seed").as("cid"),
         explode(expr(s"""transform(sequence(0, ${NSub - 1}),
           | m -> struct(m AS m, slice(nemb, m * $SubDim + 1, $SubDim)
           |   AS c_sub))""".stripMargin)).as("e"))
       .select(col("e.m").as("m"), col("cid"), col("e.c_sub").as("c_sub"))
+    val postings = encodePostings(emb, cent, cbArr)
+    import s.implicits._
+    val meta = Seq(
+      ("ncells", ncells.toLong), ("nsub", NSub.toLong),
+      ("subdim", SubDim.toLong), ("dims", Dims.toLong))
+      .toDF("key", "value")
+    Frames(meta, coarse, pq, postings)
+  }
+
+  /** The one assignment + PQ-encode plan, shared by [[buildFrames]]
+    * (seed codebooks) and [[appendFrames]] (stored codebooks).
+    * `emb`: (vec_id, nemb) normalized batch; `cent`: (cell, c_emb);
+    * `cbArr`: (m, cid, c_sub). Returns (cell, vec_id, code).
+    *
+    * Cell assignment is argmin_cell |nemb - centroid|^2 with ties to
+    * the low cell — a map-side-combinable min_by against BROADCAST
+    * centroids, never a window sort; PQ encode is per-(vector,
+    * subspace) argmin centroid -> nibble, 16 nibbles packed into one
+    * BIGINT (code = sum code_m << 4m). One scan of the batch. */
+  private def encodePostings(emb: DataFrame, cent: DataFrame,
+      cbArr: DataFrame): DataFrame = {
+    val assign = emb.crossJoin(broadcast(cent))
+      .withColumn("cd2", d2("nemb", "c_emb"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("cd2"), col("cell"))).as("cell"))
     val subs = emb.select(col("vec_id"),
       explode(expr(s"""transform(sequence(0, ${NSub - 1}),
         | m -> struct(m AS m, slice(nemb, m * $SubDim + 1, $SubDim)
@@ -135,15 +158,23 @@ object AnnIndex {
         | cast(0 as bigint),
         | (acc, x) -> acc + shiftleft(cast(x.nib as bigint), x.m * 4))"""
         .stripMargin).as("code"))
-    val postings = assign.join(codes, "vec_id")
+    assign.join(codes, "vec_id")
       .select(col("cell"), col("vec_id"), col("code"))
-    import s.implicits._
-    val meta = Seq(
-      ("ncells", ncells.toLong), ("nsub", NSub.toLong),
-      ("subdim", SubDim.toLong), ("dims", Dims.toLong))
-      .toDF("key", "value")
-    Frames(meta, coarse, pq, postings)
   }
+
+  /** (cell, c_emb) centroids in array form, reconstructed from the
+    * long-format stored coarse table — metadata-sized (ncells rows) */
+  private def storedCent(f: Frames): DataFrame =
+    f.coarse.groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, value)))," +
+        " x -> x.value)").as("c_emb"))
+
+  /** (m, cid, c_sub) PQ codebook in array form, reconstructed from
+    * the long-format stored pq table — metadata-sized (<= 256 rows) */
+  private def storedCb(f: Frames): DataFrame =
+    f.pq.groupBy(col("m"), col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, value)))," +
+        " x -> x.value)").as("c_sub"))
 
   private def tableDirs(indexDir: String) = Seq(
     "meta", "coarse", "pq", "postings").map(t => (t, s"$indexDir/$t"))
@@ -177,6 +208,135 @@ object AnnIndex {
     save(f.coarse, "coarse", None)
     save(f.pq, "pq", None)
     save(f.postings, "postings", Some("cell"))
+  }
+
+  /** Geometry + completeness gates shared by the serve and append
+    * paths — returns the declared ncells. Fails LOUDLY on an
+    * incomplete codebook (ADVICE r15): a missing (m, cid) makes
+    * qdt[m][nib] NULL for any code referencing it, and a NULL ADC
+    * distance silently corrupts row_number ranking instead of
+    * erroring; an append against such an index would mint codes no
+    * server can rank. All checks are metadata-table aggregates
+    * (≤ 1024 rows each). */
+  private def checkCodebooks(f: Frames): Int = {
+    val metaMap = f.meta.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ncells = metaMap("ncells").toInt
+    val nsub = metaMap("nsub").toInt
+    require(nsub == NSub && metaMap("subdim").toInt == SubDim,
+      s"index geometry ${metaMap} != the serving code's $NSub x $SubDim")
+    val cidsPerM = f.pq.groupBy(col("m"))
+      .agg(countDistinct(col("cid")).as("ncid")).collect()
+    require(cidsPerM.length == NSub &&
+        cidsPerM.forall(_.getLong(1) == NSub.toLong),
+      s"PQ codebook incomplete: ${cidsPerM.length} subspaces, cids " +
+        s"per m = ${cidsPerM.map(r => s"${r.getInt(0)}:${r.getLong(1)}")
+          .sorted.mkString(",")} — expected $NSub x $NSub; the index " +
+        "was built from a corpus with fewer than 16 usable seed vectors")
+    val storedCells = f.coarse.select(col("cell")).distinct().count()
+    require(storedCells == ncells.toLong,
+      s"coarse codebook has $storedCells cells, meta declares $ncells")
+    ncells
+  }
+
+  /** Encode a batch of NEW vectors against an existing index's STORED
+    * codebooks — the plan [[append]] persists. Returns (cell, vec_id,
+    * code) for exactly the batch's usable rows: one scan of the batch
+    * against the broadcast codebooks; the base corpus is never read
+    * (AnnIndexSpec pins that the encode plan touches no postings).
+    *
+    * Loud gates, because an append is the one write that can corrupt
+    * an index nobody rebuilds: vector length must equal the index
+    * dims (slice() on a short array would silently encode garbage
+    * subvectors), ids must not repeat within the batch or collide
+    * with ids already in the index (a doubled id surfaces twice in
+    * every shortlist), and the usable batch must be non-empty (a
+    * zero-row append would not commit a generation, tearing the
+    * four tables' version alignment). Degenerate-norm rows are
+    * EXCLUDED like everywhere in the similarity family — by the
+    * same normalize() the build runs, so append(delta) after
+    * build(base) lands the exact rows build(base ∪ delta) would. */
+  def appendFrames(s: SparkSession, f: Frames, newVecs: DataFrame)
+      : DataFrame = {
+    graft.functions.FloatDot.register(s)
+    checkCodebooks(f)
+    val badLen = newVecs
+      .filter(size(col("embedding")) =!= lit(Dims))
+      .select(col("vec_id")).limit(3).collect()
+    require(badLen.isEmpty,
+      s"append batch has vectors whose length != the index's $Dims " +
+        s"dims (e.g. vec_id ${badLen.map(_.getLong(0)).mkString(", ")})" +
+        " — a short vector would silently encode garbage subvectors")
+    val emb = normalize(newVecs)
+    val nUsable = emb.count()
+    require(nUsable > 0,
+      "append batch has no usable vectors (empty, or all degenerate " +
+        "norm) — refusing a zero-row append, which would not commit " +
+        "a generation and would tear the index tables' version " +
+        "alignment")
+    val nDistinct = emb.select(col("vec_id")).distinct().count()
+    require(nDistinct == nUsable,
+      s"append batch repeats ${nUsable - nDistinct} vec_id(s) — a " +
+        "doubled id would surface twice in every served shortlist")
+    val clash = f.postings.select(col("vec_id"))
+      .join(emb.select(col("vec_id")), "vec_id")
+      .limit(3).collect()
+    require(clash.isEmpty,
+      s"append batch collides with ids already in the index (e.g. " +
+        s"vec_id ${clash.map(_.getLong(0)).mkString(", ")}) — " +
+        "re-ingesting a vector needs a rebuild, not an append")
+    encodePostings(emb, storedCent(f), storedCb(f))
+  }
+
+  /** Append NEW vectors to a persisted index as one versioned commit
+    * per table — the daily-ingest path a 100 TB corpus needs: a fresh
+    * batch is assigned + PQ-encoded against the STORED codebooks and
+    * lands as an APPEND commit on the cell-partitioned postings table
+    * (old posting files untouched, new files cell-clustered by the
+    * table's partition marker, so serve-time cell pruning covers both
+    * generations' files). Codebooks are immutable across appends —
+    * the standard IVF-PQ maintenance contract: recall on the new
+    * batch is bounded by how well the base codebooks cover it, and
+    * re-training means [[build]].
+    *
+    * The three metadata-sized codebook tables get identical-content
+    * REPLACE commits so all four version counters stay aligned —
+    * the graftlines reader addresses EXACT generations, so a lone
+    * postings bump would make `versionAsOf` unusable on the other
+    * tables. Their rows are collected first (≤ 1024 each) and
+    * rewritten from local data, keeping the self-overwrite read
+    * window closed. Commit order puts postings LAST: an interrupted
+    * append leaves the LIVE index fully consistent (latest-of-each
+    * is the pre-append state everywhere but possibly the codebooks,
+    * whose content never changed) and only time travel to the torn
+    * version fails loudly.
+    *
+    * Cost: one scan of the new batch + one id-overlap probe of the
+    * postings ids (16-byte rows). The base corpus is never re-read
+    * or re-encoded — append(delta) then serve is gated row-for-row
+    * equal to a full rebuild over base ∪ delta (AnnIndexSpec). */
+  def append(s: SparkSession, indexDir: String, newVecs: DataFrame)
+      : Unit = {
+    val f = loadFrames(s, indexDir)
+    val newPost = appendFrames(s, f, newVecs)
+    import s.implicits._
+    val metaLocal = f.meta.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("key", "value")
+    val coarseLocal = f.coarse.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+      .toDF("cell", "dim", "value")
+    val pqLocal = f.pq.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .toSeq.toDF("m", "cid", "dim", "value")
+    def touch(df: DataFrame, t: String): Unit =
+      df.coalesce(1).write.format("graftlines").mode("overwrite")
+        .save(s"$indexDir/$t")
+    touch(metaLocal, "meta")
+    touch(coarseLocal, "coarse")
+    touch(pqLocal, "pq")
+    newPost.write.format("graftlines").mode("append")
+      .option("partitionColumn", "cell").save(s"$indexDir/postings")
   }
 
   /** Load one index version's frames back from storage. */
@@ -314,33 +474,10 @@ object AnnIndex {
   def adcShortlist(s: SparkSession, d: String, f: Frames, k: Int = 5,
       nprobe: Int = 12, refineFactor: Int = 8): DataFrame = {
     graft.functions.FloatDot.register(s)
-    val metaMap = f.meta.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ncells = metaMap("ncells").toInt
-    val nsub = metaMap("nsub").toInt
-    require(nsub == NSub && metaMap("subdim").toInt == SubDim,
-      s"index geometry ${metaMap} != the serving code's $NSub x $SubDim")
-    // fail LOUDLY on an incomplete codebook (ADVICE r15): a missing
-    // (m, cid) makes qdt[m][nib] NULL for any code referencing it,
-    // and a NULL ADC distance silently corrupts row_number ranking
-    // instead of erroring. Both checks are metadata-table aggregates
-    // (≤ 1024 / ≤ 1024 rows).
-    val cidsPerM = f.pq.groupBy(col("m"))
-      .agg(countDistinct(col("cid")).as("ncid")).collect()
-    require(cidsPerM.length == NSub &&
-        cidsPerM.forall(_.getLong(1) == NSub.toLong),
-      s"PQ codebook incomplete: ${cidsPerM.length} subspaces, cids " +
-        s"per m = ${cidsPerM.map(r => s"${r.getInt(0)}:${r.getLong(1)}")
-          .sorted.mkString(",")} — expected $NSub x $NSub; the index " +
-        "was built from a corpus with fewer than 16 usable seed vectors")
-    val storedCells = f.coarse.select(col("cell")).distinct().count()
-    require(storedCells == ncells.toLong,
-      s"coarse codebook has $storedCells cells, meta declares $ncells")
+    val ncells = checkCodebooks(f)
     val q = queryFrame(s, d)
     // coarse centroids: long format -> (cell, c_emb) — ncells rows
-    val cent = f.coarse.groupBy(col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, value)))," +
-        " x -> x.value)").as("c_emb"))
+    val cent = storedCent(f)
     // probes: the nprobe nearest cells per query (metadata-sized)
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("qd2").asc, col("cell").asc)
@@ -351,9 +488,7 @@ object AnnIndex {
       .select(col("qid"), col("cell"), col("qd2"))
     // per-query ADC table: qdt[m][cid] = |q_m - c_m|^2, built from the
     // STORED codebooks (same nested array idiom as q_sim_ann_pq)
-    val cb = f.pq.groupBy(col("m"), col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, value)))," +
-        " x -> x.value)").as("c_sub"))
+    val cb = storedCb(f)
     val qdt = q.select(col("qid"),
         explode(expr(s"""transform(sequence(0, ${NSub - 1}),
           | m -> struct(m AS m, slice(q_nemb, m * $SubDim + 1, $SubDim)

@@ -171,6 +171,81 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("cells"))
   }
 
+  test("append to a built index serves a full rebuild's exact rows") {
+    // the daily-ingest path: build over a base corpus, append the
+    // rest as a batch, serve against the full corpus. Because the
+    // codebooks are the 16 lowest vec_ids (all in the base) and
+    // append encodes against the STORED codebooks, append(delta)
+    // after build(base) must land the exact index build(base ∪ delta)
+    // computes — so the served answers are row-for-row comparable.
+    val full = Tables.embeddings(spark, TestSpark.sf001)
+    val cut = 300L
+    val baseDir = GraftTmp.dir("ann_append_basecorpus")
+    full.filter(col("vec_id") < cut)
+      .write.parquet(s"$baseDir/embeddings.parquet")
+    val idx = GraftTmp.dir("ann_append_idx")
+    AnnIndex.build(spark, baseDir, idx)
+    val preAppend = rows(AnnIndex.serve(spark, TestSpark.sf001, idx))
+
+    // the encode plan never touches the postings table (the base is
+    // not re-read or re-encoded) — only the codebooks + the batch
+    val f = AnnIndex.loadFrames(spark, idx)
+    val delta = full.filter(col("vec_id") >= cut)
+    val ep = AnnIndex.appendFrames(spark, f, delta)
+      .queryExecution.executedPlan.toString
+    assert(!ep.contains("postings"),
+      s"append encode plan re-reads the postings table:\n$ep")
+
+    AnnIndex.append(spark, idx, delta)
+    val appended = rows(AnnIndex.serve(spark, TestSpark.sf001, idx))
+    val fullIdx = GraftTmp.dir("ann_append_fullidx")
+    AnnIndex.build(spark, TestSpark.sf001, fullIdx)
+    assert(appended == rows(AnnIndex.serve(spark, TestSpark.sf001, fullIdx)),
+      "append(delta) over build(base) must serve build(full)'s rows")
+    // the appended postings hold exactly the full corpus's usable rows
+    assert(AnnIndex.loadFrames(spark, idx).postings.count() ==
+      AnnIndex.loadFrames(spark, fullIdx).postings.count())
+    // versionAsOf addresses the PRE-append index bit-for-bit — the
+    // codebook touch commits keep all four tables' versions aligned
+    val v1 = rows(AnnIndex.serve(spark, TestSpark.sf001, idx,
+      versionAsOf = Some(1)))
+    assert(v1 == preAppend,
+      "time travel must serve the pre-append index bit-for-bit")
+  }
+
+  test("append refuses collisions, duplicates, short vectors, empty batches") {
+    val full = Tables.embeddings(spark, TestSpark.sf001)
+    val idx = GraftTmp.dir("ann_append_guards")
+    AnnIndex.build(spark, TestSpark.sf001, idx)
+    val f = AnnIndex.loadFrames(spark, idx)
+    // an id already in the index
+    val clash = intercept[IllegalArgumentException] {
+      AnnIndex.appendFrames(spark, f, full.filter(col("vec_id") < 5))
+    }
+    assert(clash.getMessage.contains("collides"), s"$clash")
+    // an id repeated within the batch (shift past the corpus range to
+    // dodge the collision gate and hit the duplicate gate)
+    val fresh = full.filter(col("vec_id") < 4)
+      .withColumn("vec_id", col("vec_id") % 2 + 10000L)
+    val dup = intercept[IllegalArgumentException] {
+      AnnIndex.appendFrames(spark, f, fresh)
+    }
+    assert(dup.getMessage.contains("repeats"), s"$dup")
+    // a vector of the wrong length
+    val short = full.filter(col("vec_id") === 7)
+      .withColumn("vec_id", lit(20000L))
+      .withColumn("embedding", expr("slice(embedding, 1, 7)"))
+    val badLen = intercept[IllegalArgumentException] {
+      AnnIndex.appendFrames(spark, f, short)
+    }
+    assert(badLen.getMessage.contains("dims"), s"$badLen")
+    // an empty batch
+    val empty = intercept[IllegalArgumentException] {
+      AnnIndex.appendFrames(spark, f, full.filter(col("vec_id") < 0))
+    }
+    assert(empty.getMessage.contains("no usable"), s"$empty")
+  }
+
   test("versionAsOf serves the old index after a rebuild") {
     val dir = GraftTmp.dir("ann_index_ver")
     AnnIndex.build(spark, TestSpark.sf001, dir, ncells = 16)

@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DedupIndex
+
+/** Persistent MinHash-LSH dedup index contract (build/append/probe
+  * split — a gate-verified operator surface like AnnIndex, not a
+  * contract query key):
+  *
+  *  1. fidelity through increments — build(base) + append(delta)
+  *     reproduces the frozen q_dedup_minhash_lsh output BIT-FOR-BIT
+  *     via selfPairs, so neither storage nor the incremental path
+  *     loses or invents a candidate pair;
+  *  2. history probing — pairsAgainst a pre-append index returns
+  *     exactly the cross (history x batch) subset of the one-shot
+  *     query's pairs, in both the point-lookup and the bulk form;
+  *  3. corpus independence — serving reads only the index tables and
+  *     the batch, never the document archive;
+  *  4. versioning — `versionAsOf` serves the pre-append index after
+  *     an append (all three tables advance in lockstep);
+  *  5. loud gates — id collisions, in-batch duplicates, empty
+  *     batches, and foreign-geometry indexes are refused.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  // the sf0.01 fixture's frozen-query pairs are (92,450) (107,387)
+  // (166,323) (267,413) (285,301) (458,462): cut 250 puts three pairs
+  // across the cut and three inside the delta, none inside the base
+  private val cut = 250L
+  private def docs = Tables.documents(spark, TestSpark.sf001)
+  private def base = docs.filter(col("doc_id") < cut)
+  private def delta = docs.filter(col("doc_id") >= cut)
+
+  /** (a, b, est_jac-as-string) — est_jac is the query's DECIMAL
+    * (`/ 128.0`), so string form keeps the compare exact without
+    * caring about the runtime decimal class */
+  private def triples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString))
+      .toSeq
+
+  /** the frozen query's rows — the reference for every gate below */
+  private lazy val oneShot: Seq[(Long, Long, String)] =
+    triples(SparkEntry.queries("q_dedup_minhash_lsh")(spark, TestSpark.sf001))
+
+  test("build(base) + append(delta) reproduces the frozen LSH query") {
+    val idx = GraftTmp.dir("dedup_idx_incr")
+    DedupIndex.build(spark, idx, base)
+    DedupIndex.append(spark, idx, delta)
+    val got = triples(DedupIndex.selfPairs(spark,
+      DedupIndex.loadFrames(spark, idx)))
+    assert(got == oneShot,
+      "incrementally built index must emit q_dedup_minhash_lsh's " +
+        "exact rows — storage or the append path lost/invented pairs")
+    assert(got.nonEmpty, "fixture produced no candidate pairs")
+  }
+
+  test("pairsAgainst returns exactly the cross pairs, both forms") {
+    val idx = GraftTmp.dir("dedup_idx_cross")
+    DedupIndex.build(spark, idx, base)
+    val f = DedupIndex.loadFrames(spark, idx)
+    // all base ids < all delta ids, and the one-shot query sorts each
+    // pair (a < b) — so its cross subset is exactly {a < cut <= b},
+    // matching pairsAgainst's (a = history, b = batch) orientation
+    val expected = oneShot.filter(p => p._1 < cut && p._2 >= cut)
+    assert(expected.nonEmpty, "fixture has no cross pairs — cut is bad")
+    val bulk = triples(DedupIndex.pairsAgainstJoin(spark, f, delta))
+    assert(bulk == expected,
+      "bulk probe must return the one-shot query's cross pairs")
+    // the point-lookup form on a probe-sized slice (60 docs <= the
+    // dispatch threshold) that still contains a cross-pair member
+    val probe = docs.filter(col("doc_id") >= 320 && col("doc_id") < 380)
+    val expProbe = expected.filter(p => p._2 >= 320 && p._2 < 380)
+    assert(expProbe.nonEmpty, "probe window misses every cross pair")
+    val small = DedupIndex.pairsAgainstCollect(spark, f, probe)
+    assert(triples(small) == expProbe,
+      "point-lookup probe must return the same cross pairs")
+    // the dispatcher picks the point-lookup form under the threshold
+    assert(rows(DedupIndex.pairsAgainst(spark, f, probe)) == rows(small))
+    // corpus independence: the only document scans in a probe plan
+    // are the BATCH's own (they carry the batch's id pushdown); the
+    // archive is served purely from the index tables
+    val plan = DedupIndex.pairsAgainstJoin(spark, f, delta)
+      .queryExecution.executedPlan.toString
+    plan.split("\n").filter(l => l.contains("Scan parquet")
+        || l.contains("FileScan parquet")).foreach { l =>
+      assert(l.contains("GreaterThanOrEqual(doc_id"),
+        s"probe plan scans the archive, not just the batch:\n$l")
+    }
+  }
+
+  test("versionAsOf serves the pre-append index") {
+    // cut at 350 so the BASE itself holds pairs — (166,323) and
+    // (285,301) — making the time-travel compare non-vacuous
+    val idx = GraftTmp.dir("dedup_idx_ver")
+    DedupIndex.build(spark, idx, docs.filter(col("doc_id") < 350))
+    val pre = rows(DedupIndex.selfPairs(spark,
+      DedupIndex.loadFrames(spark, idx)))
+    assert(pre.nonEmpty, "base index has no pairs — gate is vacuous")
+    DedupIndex.append(spark, idx, docs.filter(col("doc_id") >= 350))
+    val v1 = rows(DedupIndex.selfPairs(spark,
+      DedupIndex.loadFrames(spark, idx, versionAsOf = Some(1))))
+    assert(v1 == pre,
+      "time travel must serve the pre-append index bit-for-bit")
+    val live = rows(DedupIndex.selfPairs(spark,
+      DedupIndex.loadFrames(spark, idx)))
+    assert(live != pre, "append visibly changed nothing — bad fixture")
+  }
+
+  test("append refuses collisions, duplicates, and empty batches") {
+    val idx = GraftTmp.dir("dedup_idx_guards")
+    DedupIndex.build(spark, idx, base)
+    val clash = intercept[IllegalArgumentException] {
+      DedupIndex.append(spark, idx, docs.filter(col("doc_id") < 5))
+    }
+    assert(clash.getMessage.contains("collides"), s"$clash")
+    val dup = intercept[IllegalArgumentException] {
+      DedupIndex.append(spark, idx,
+        delta.limit(4).withColumn("doc_id", col("doc_id") % 2 + 10000L))
+    }
+    assert(dup.getMessage.contains("repeats"), s"$dup")
+    val empty = intercept[IllegalArgumentException] {
+      DedupIndex.append(spark, idx, docs.filter(col("doc_id") < 0))
+    }
+    assert(empty.getMessage.contains("no usable"), s"$empty")
+    // a one-word document is not usable either
+    val tiny = intercept[IllegalArgumentException] {
+      DedupIndex.append(spark, idx, spark.createDataFrame(Seq(
+        (90000L, "en", "word"))).toDF("doc_id", "lang", "text"))
+    }
+    assert(tiny.getMessage.contains("no usable"), s"$tiny")
+    // a foreign-geometry index is never served or appended
+    val f = DedupIndex.loadFrames(spark, idx)
+    import spark.implicits._
+    val foreign = f.copy(meta = Seq(("nbands", 16L), ("rowsperband", 8L),
+      ("nperm", 128L)).toDF("key", "value"))
+    val geom = intercept[IllegalArgumentException] {
+      DedupIndex.selfPairs(spark, foreign)
+    }
+    assert(geom.getMessage.contains("geometry"), s"$geom")
+  }
+}
