@@ -111,6 +111,24 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(live != pre, "append visibly changed nothing — bad fixture")
   }
 
+  test("sf0.1 scale gate: incremental build at 10x still matches the query") {
+    // the AnnIndexSpec convention: the same fidelity invariant at
+    // 5 000 documents, with the build split into two appends — the
+    // denser corpus exercises hot buckets and multi-file clustering
+    val idx = GraftTmp.dir("dedup_idx_sf01")
+    val all = Tables.documents(spark, TestSpark.sf01)
+    DedupIndex.build(spark, idx, all.filter(col("doc_id") < 2500))
+    DedupIndex.append(spark, idx, all.filter(col("doc_id") >= 2500))
+    val got = triples(DedupIndex.selfPairs(spark,
+      DedupIndex.loadFrames(spark, idx)))
+    val oneShot01 = triples(
+      SparkEntry.queries("q_dedup_minhash_lsh")(spark, TestSpark.sf01))
+    assert(got.size == oneShot01.size && got == oneShot01,
+      s"sf0.1 incremental index diverged: ${got.size} vs " +
+        s"${oneShot01.size} pairs")
+    assert(oneShot01.nonEmpty)
+  }
+
   test("append refuses collisions, duplicates, and empty batches") {
     val idx = GraftTmp.dir("dedup_idx_guards")
     DedupIndex.build(spark, idx, base)
