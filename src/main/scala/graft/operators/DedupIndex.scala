@@ -310,4 +310,91 @@ object DedupIndex {
   def pairsAgainstDir(s: SparkSession, indexDir: String, docs: DataFrame,
       versionAsOf: Option[Int] = None): DataFrame =
     pairsAgainst(s, loadFrames(s, indexDir, versionAsOf), docs)
+
+  /** What [[ingest]] decided, as audit frames PINNED to the pre-ingest
+    * index version — they stay bit-stable after the append commits
+    * (a live-table frame re-lists files at execution time and would
+    * silently include the ingest's own append).
+    *   kept                  the surviving batch rows (full columns)
+    *   droppedAgainstHistory (a = indexed doc, b = batch doc, est_jac)
+    *   withinBatchEdges      (a, b, est_jac) — the thresholded
+    *                         near-dup EDGES among the post-history
+    *                         batch (a < b): the evidence the
+    *                         clustering ran on. One doc per connected
+    *                         cluster (its minimum id) is in `kept`;
+    *                         the rest are the within-batch drops.
+    *                         Edges, not keeper→victim pairs, because
+    *                         a transitive drop (A~B~C, A!~C) has no
+    *                         single eliminating pair to cite. */
+  final case class IngestReport(kept: DataFrame,
+      droppedAgainstHistory: DataFrame, withinBatchEdges: DataFrame)
+
+  /** The production ingest loop in one call — dedup a new batch
+    * against ALL of history, then within itself, then index only the
+    * survivors:
+    *
+    *   1. probe the batch against the index ([[pairsAgainst]]); batch
+    *      docs with est_jac >= threshold against ANY indexed doc are
+    *      dropped — history always outranks the batch
+    *      (first-writer-wins, the streaming-dedup contract);
+    *   2. LSH the remaining batch against itself, keep ONE doc per
+    *      near-dup cluster (the minimum doc_id, via the engine's
+    *      ConnectedComponents — transitive, so A~B~C keeps only A
+    *      even when A!~C directly);
+    *   3. [[append]] the survivors as one versioned commit.
+    *
+    * Post-condition (DedupIndexSpec): the indexed corpus has NO pair
+    * at or above the threshold beyond those the initial [[build]]
+    * already contained — greedily ingested history stays clean.
+    *
+    * Sub-3-word documents are KEPT but not indexed (they have no
+    * shingles, so they can near-duplicate nothing by this family's
+    * measure — and being unindexed, a later batch cannot collide
+    * with their ids); a batch whose survivors are all such docs
+    * commits nothing. The threshold applies to ESTIMATED Jaccard
+    * (sketch agreement), the same verdict column the frozen LSH
+    * query emits. */
+  def ingest(s: SparkSession, indexDir: String, docs: DataFrame,
+      threshold: Double = 0.8): IngestReport = {
+    require(threshold > 0d && threshold <= 1d,
+      s"threshold $threshold outside (0, 1]")
+    val conf = s.sparkContext.hadoopConfiguration
+    val v = graft.sources.GraftLines.currentVersion(s"$indexDir/bands", conf)
+    require(v > 0,
+      s"ingest needs a built index at $indexDir — run build() first " +
+        "(an empty history is a build, not an ingest)")
+    val f = loadFrames(s, indexDir, versionAsOf = Some(v))
+    val histDropped = pairsAgainst(s, f, docs)
+      .filter(col("est_jac") >= threshold)
+    val surv0 = docs.join(
+      histDropped.select(col("b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    // within-batch near-dups among the remaining docs: the selfPairs
+    // machinery over in-flight sketches (same bucket key, same
+    // streamed expansion), thresholded, clustered, min-id kept
+    val sk = sketchFrame(s, surv0)
+    val cand = bandFrame(sk)
+      .groupBy(col("lang"), col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(
+        expr("slice(ids, i + 2, size(ids) - i - 1)")).as("b"))
+      .distinct()
+    val batchPairs = estJac(cand,
+        sk.select(col("doc_id").as("a"), col("mh").as("mha")),
+        sk.select(col("doc_id").as("b"), col("mh").as("mhb")))
+      .filter(col("est_jac") >= threshold)
+      .localCheckpoint() // consumed twice (labels + report) — and the
+                         // report must stay stable after the append
+    val labels = ConnectedComponents.label(
+      batchPairs.select(col("a"), col("b")))
+    val withinDroppedIds = labels
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
+    val kept = surv0.join(withinDroppedIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // stable across the append below
+    if (!sketchFrame(s, kept).isEmpty) append(s, indexDir, kept)
+    IngestReport(kept, histDropped, batchPairs)
+  }
 }

@@ -307,6 +307,17 @@ object GraftLines {
     fs.exists(new Path(p, VersionMarker)) || genVersions(dir, conf).nonEmpty
   }
 
+  /** Latest committed generation of a versioned table — the number
+    * `versionAsOf` would address to pin TODAY'S snapshot. Operators
+    * that mutate a table but must keep serving pre-mutation frames
+    * afterwards (DedupIndex.ingest's audit report) read this before
+    * writing: a frame over the live table re-lists files at execution
+    * time, so a post-mutation evaluation would silently include the
+    * mutation. 0 when the table has no committed generation yet. */
+  def currentVersion(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Int =
+    genVersions(dir, conf).lastOption.getOrElse(0)
+
   /** Committed generation numbers, ascending. */
   private[sources] def genVersions(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[Int] = {

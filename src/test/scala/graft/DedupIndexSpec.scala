@@ -111,6 +111,42 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(live != pre, "append visibly changed nothing — bad fixture")
   }
 
+  test("ingest dedups against history, then within the batch, then indexes survivors") {
+    val idx = GraftTmp.dir("dedup_idx_ingest")
+    DedupIndex.build(spark, idx, base)
+    val rep = DedupIndex.ingest(spark, idx, delta, threshold = 0.8)
+    // every report frame below is evaluated AFTER the append landed —
+    // the version pin must keep them on the pre-ingest index
+    val histDrop = triples(rep.droppedAgainstHistory).sorted
+    assert(histDrop ==
+        oneShot.filter(p => p._1 < cut && p._2 >= cut).sorted,
+      "history drops must be exactly the cross pairs at the threshold")
+    val edges = triples(rep.withinBatchEdges).sorted
+    assert(edges == oneShot.filter(p => p._1 >= cut).sorted,
+      "within-batch evidence must be the delta-internal pairs")
+    val keptIds = rep.kept.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    // dropped: the history-dup batch members and each delta-internal
+    // cluster's non-minimum member
+    val expectDropped = Set(323L, 387L, 450L, 413L, 301L, 462L)
+    assert(keptIds == (250L until 500L).toSet -- expectDropped,
+      s"kept set wrong: ${keptIds.size} ids")
+    // greedy post-condition: the indexed corpus has no pair at the
+    // threshold beyond what build() already contained (here: none)
+    val post = DedupIndex.selfPairs(spark,
+        DedupIndex.loadFrames(spark, idx))
+      .filter(col("est_jac") >= 0.8)
+    assert(post.isEmpty, "post-ingest index still has near-dup pairs")
+    // the index grew by exactly the kept docs
+    assert(DedupIndex.loadFrames(spark, idx).sketches
+      .select(col("doc_id")).distinct().count() == 250 + keptIds.size)
+    // ingesting into a never-built directory fails loudly
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.ingest(spark, GraftTmp.dir("dedup_idx_nobuild"), delta)
+    }
+    assert(e.getMessage.contains("build"), s"$e")
+  }
+
   test("sf0.1 scale gate: incremental build at 10x still matches the query") {
     // the AnnIndexSpec convention: the same fidelity invariant at
     // 5 000 documents, with the build split into two appends — the
