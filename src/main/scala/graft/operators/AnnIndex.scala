@@ -339,6 +339,28 @@ object AnnIndex {
       .option("partitionColumn", "cell").save(s"$indexDir/postings")
   }
 
+  /** Retire old index versions — the retention half of the append
+    * lifecycle (every [[build]]/[[append]] adds a generation to all
+    * four tables; nothing else ever removes one). `keepLast` applies
+    * per table, and because the tables' version counters advance in
+    * LOCKSTEP, one number retires one uniform prefix of index
+    * versions. Returns the dropped generation numbers; a mismatch
+    * between tables means the alignment invariant is already broken
+    * (e.g. a torn append) and fails loudly rather than desyncing
+    * history further. Time travel to a retired version fails loudly
+    * at read, exactly like any expired graftlines generation. */
+  def expire(s: SparkSession, indexDir: String, keepLast: Int): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dropped = tableDirs(indexDir).map { case (t, dir) =>
+      t -> graft.sources.GraftLines.expireVersions(dir, keepLast, conf)._1
+    }
+    val sets = dropped.map(_._2).distinct
+    require(sets.size == 1,
+      s"index tables retired DIFFERENT generation sets — version " +
+        s"alignment is broken: $dropped")
+    sets.head
+  }
+
   /** Load one index version's frames back from storage. */
   def loadFrames(s: SparkSession, indexDir: String,
       versionAsOf: Option[Int] = None): Frames = {

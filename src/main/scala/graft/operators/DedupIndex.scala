@@ -178,6 +178,23 @@ object DedupIndex {
       .option("clusterBy", "sig").save(s"$indexDir/bands")
   }
 
+  /** Retire old index versions — the retention half of the
+    * build/append/ingest lifecycle (the AnnIndex.expire contract:
+    * per-table expiry under the lockstep-version invariant, loud on
+    * any alignment breach, time travel to a retired version fails
+    * loudly at read). Returns the dropped generation numbers. */
+  def expire(s: SparkSession, indexDir: String, keepLast: Int): Seq[Int] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dropped = tableDirs(indexDir).map { case (t, dir) =>
+      t -> graft.sources.GraftLines.expireVersions(dir, keepLast, conf)._1
+    }
+    val sets = dropped.map(_._2).distinct
+    require(sets.size == 1,
+      s"index tables retired DIFFERENT generation sets — version " +
+        s"alignment is broken: $dropped")
+    sets.head
+  }
+
   /** Load one index version's frames back from storage. */
   def loadFrames(s: SparkSession, indexDir: String,
       versionAsOf: Option[Int] = None): Frames = {

@@ -182,7 +182,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val cut = 300L
     val baseDir = GraftTmp.dir("ann_append_basecorpus")
     full.filter(col("vec_id") < cut)
-      .write.parquet(s"$baseDir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
     val idx = GraftTmp.dir("ann_append_idx")
     AnnIndex.build(spark, baseDir, idx)
     val preAppend = rows(AnnIndex.serve(spark, TestSpark.sf001, idx))
@@ -244,6 +244,30 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.appendFrames(spark, f, full.filter(col("vec_id") < 0))
     }
     assert(empty.getMessage.contains("no usable"), s"$empty")
+  }
+
+  test("expire retires versions in lockstep; retired time travel fails loudly") {
+    // start from a CLEAN directory: GraftTmp paths are deterministic
+    // per user, and generation NUMBERS (unlike index content) are not
+    // deterministic across accumulated re-runs
+    val dir = GraftTmp.dir("ann_index_expire")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    AnnIndex.build(spark, TestSpark.sf001, dir, ncells = 16)
+    AnnIndex.build(spark, TestSpark.sf001, dir, ncells = 8)
+    val live = rows(AnnIndex.serve(spark, TestSpark.sf001, dir))
+    assert(AnnIndex.expire(spark, dir, keepLast = 1) == Seq(1),
+      "expire must report the one retired generation")
+    // live serving is untouched by retention
+    assert(rows(AnnIndex.serve(spark, TestSpark.sf001, dir)) == live)
+    // time travel to the retired version fails loudly, never serves
+    // a partial reconstruction
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.serve(spark, TestSpark.sf001, dir,
+        versionAsOf = Some(1)).collect()
+    }
+    assert(e.getMessage.contains("generation"), s"$e")
   }
 
   test("versionAsOf serves the old index after a rebuild") {

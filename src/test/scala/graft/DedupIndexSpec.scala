@@ -165,6 +165,29 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(oneShot01.nonEmpty)
   }
 
+  test("expire retires versions in lockstep after appends") {
+    // clean directory: generation numbers must be deterministic here
+    // (GraftTmp paths persist across local re-runs)
+    val idx = GraftTmp.dir("dedup_idx_expire")
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    DedupIndex.build(spark, idx, base)
+    DedupIndex.append(spark, idx, delta)
+    val live = rows(DedupIndex.selfPairs(spark,
+      DedupIndex.loadFrames(spark, idx)))
+    assert(DedupIndex.expire(spark, idx, keepLast = 1) == Seq(1),
+      "expire must report the one retired generation")
+    assert(rows(DedupIndex.selfPairs(spark,
+      DedupIndex.loadFrames(spark, idx))) == live,
+      "live serving must be untouched by retention")
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.selfPairs(spark,
+        DedupIndex.loadFrames(spark, idx, versionAsOf = Some(1))).collect()
+    }
+    assert(e.getMessage.contains("generation"), s"$e")
+  }
+
   test("append refuses collisions, duplicates, and empty batches") {
     val idx = GraftTmp.dir("dedup_idx_guards")
     DedupIndex.build(spark, idx, base)
