@@ -1929,7 +1929,14 @@ object Etl extends QueryGroup {
       // rounds in identical BIGINT arithmetic.
       "q_graph_label_prop",
       (s, d) => {
-        val BIG = 1L << 22 // > any node id; packs (count, label) exactly
+        // Packing bound (r16 review): label ids ride in the LOW bits as
+        // BIG-1-label, so a node id >= BIG silently corrupts the argmax
+        // (the subtraction goes negative and MAX ranks garbage). 2^22
+        // held only to ~4M nodes — a production graph clears that
+        // easily — so the bound is 2^31 (2G nodes; cnt*2^31 still fits
+        // int64 for any real degree) and the id-domain assumption is
+        // CHECKED loudly below instead of commented.
+        val BIG = 1L << 31
         val e0 = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"))
           .join(Tables.lineitem(s, d)
@@ -1951,6 +1958,17 @@ object Etl extends QueryGroup {
           .agg(min(col("src")).as("label"))
           .withColumnRenamed("dst", "node")
           .localCheckpoint()
+        // loud id-domain gate on the CHECKPOINTED first round (one
+        // small job): labels only ever copy existing labels, so the
+        // domain never grows after this point. Driver-side on purpose —
+        // an assert_true column can be constant-propagated into the
+        // wrong when-branch (the engine's documented Catalyst trap).
+        val maxId = labels
+          .agg(max(greatest(col("node"), col("label")))).head().getLong(0)
+        require(maxId < BIG,
+          s"q_graph_label_prop: node id $maxId >= 2^31 — the " +
+            "(count, label) packing would corrupt; dense_rank-compress " +
+            "the id space before LPA")
         for (_ <- 2 to 3) {
           labels = edges
             .join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -1982,20 +2000,20 @@ object Etl extends QueryGroup {
         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label
         |       FROM e),
         |l1 AS MATERIALIZED (SELECT dst AS node,
-        |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
-        |           % 4194304) AS label
+        |         2147483647 - (MAX(cnt * 2147483648 + (2147483647 - label))
+        |           % 2147483648) AS label
         |       FROM (SELECT e.dst, l0.label, COUNT(*)::BIGINT AS cnt
         |             FROM e JOIN l0 ON e.src = l0.node
         |             GROUP BY e.dst, l0.label) t GROUP BY dst),
         |l2 AS MATERIALIZED (SELECT dst AS node,
-        |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
-        |           % 4194304) AS label
+        |         2147483647 - (MAX(cnt * 2147483648 + (2147483647 - label))
+        |           % 2147483648) AS label
         |       FROM (SELECT e.dst, l1.label, COUNT(*)::BIGINT AS cnt
         |             FROM e JOIN l1 ON e.src = l1.node
         |             GROUP BY e.dst, l1.label) t GROUP BY dst),
         |l3 AS MATERIALIZED (SELECT dst AS node,
-        |         4194303 - (MAX(cnt * 4194304 + (4194303 - label))
-        |           % 4194304) AS label
+        |         2147483647 - (MAX(cnt * 2147483648 + (2147483647 - label))
+        |           % 2147483648) AS label
         |       FROM (SELECT e.dst, l2.label, COUNT(*)::BIGINT AS cnt
         |             FROM e JOIN l2 ON e.src = l2.node
         |             GROUP BY e.dst, l2.label) t GROUP BY dst)
