@@ -247,10 +247,23 @@ object LlmText extends QueryGroup {
           .withColumn("h", expr(HashGate.h60Sql("para")))
         val inst = paras.groupBy(col("lang"))
           .agg(count(lit(1)).as("n_paras"))
-        // keep-first order key: (doc_id, p) packed into one BIGINT
-        // (p < 100000 by construction — docs are KiB, not 10^6 tokens)
+        // keep-first order key: (doc_id, p) packed into one BIGINT.
+        // Bit budget (r16 review — the q_graph_label_prop class: a
+        // bound that lived in a comment): 2^26 paragraph slots per doc
+        // (a 67M-token ≈ 400 MB document — nothing smaller can breach
+        // it) x 2^37 ≈ 137G docs before int64 overflow. The p bound is
+        // CHECKED in-row (assert_true rides the same pass — zero extra
+        // jobs; p carries no downstream equality filter, so the r14
+        // ConstantPropagation trap does not apply); the old 100000
+        // multiplier let a 1M-token doc silently bleed its slots into
+        // the next doc's range and mis-attribute keep-first winners.
+        val POrd = 1L << 26
         val kept = paras
-          .withColumn("ord", col("doc_id") * 100000L + col("p"))
+          .withColumn("ord", col("doc_id") * POrd + col("p")
+            + coalesce(assert_true(col("p") < POrd,
+                lit("q_dedup_paragraph: paragraph index >= 2^26 — the " +
+                  "(doc_id, p) packing would collide")).cast("long"),
+              lit(0L)))
           .groupBy(col("h"))
           .agg(min_by(col("lang"), col("ord")).as("lang"))
           .groupBy(col("lang"))
@@ -274,7 +287,7 @@ object LlmText extends QueryGroup {
         |       FROM paras),
         |inst AS (SELECT lang, COUNT(*)::BIGINT AS n_paras
         |         FROM ph GROUP BY 1),
-        |winner AS (SELECT h, arg_min(lang, doc_id * 100000 + p) AS lang
+        |winner AS (SELECT h, arg_min(lang, doc_id * 67108864 + p) AS lang
         |           FROM ph GROUP BY h),
         |kept AS (SELECT lang, COUNT(*)::BIGINT AS n_kept,
         |           SUM(h & 1073741823)::BIGINT AS fp_lo,
