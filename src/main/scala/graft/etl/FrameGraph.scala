@@ -270,9 +270,12 @@ object FrameGraph {
     // asymptotics. Each round localCheckpoints so the self-join reads
     // a materialized table rather than doubling the lineage; a cycle
     // within maxHops is then exactly an (origin, origin) pair.
+    // r16 (guide §1.2): checkpoints are LAZY — the doubling loop has
+    // no per-round driver read, so the terminal action materializes
+    // each round exactly once; eager rounds were pure job dispatch.
     var reach = dedupEdges
       .select(col("_s_src").as("origin"), col("_s_dst").as("cur"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var len = 1
     while (len < maxHops) {
       if (len * 2 <= maxHops) {
@@ -281,13 +284,13 @@ object FrameGraph {
         reach = reach.unionByName(
             reach.join(rr, col("cur") === col("_m_src"))
               .select(col("origin"), col("_m_cur").as("cur")))
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(eager = false)
         len *= 2
       } else {
         reach = reach.unionByName(
             reach.join(step, col("cur") === col("_s_src"))
               .select(col("origin"), col("_s_dst").as("cur")))
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(eager = false)
         len += 1
       }
     }

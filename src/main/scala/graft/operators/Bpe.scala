@@ -47,7 +47,8 @@ object Bpe {
       .groupBy(col("t")).agg(count(lit(1)).as("w"))
       .withColumn("sy", expr("regexp_replace(t, '(.)', '<$1>')"))
       .select(col("sy"), col("w"))
-      .localCheckpoint()
+      // r16 (guide §1.2): LAZY — round 1's collect materializes it
+      .localCheckpoint(eager = false)
     val merges = Seq.newBuilder[Merge]
     for (r <- 1 to rounds) {
       val top = cur
@@ -67,7 +68,7 @@ object Bpe {
       val Array(a, b) = top.getString(0).split("\\|", -1)
       merges += Merge(r, a, b, top.getLong(1))
       cur = cur.withColumn("sy", expr(s"replace(sy, '<$a><$b>', '<$a$b>')"))
-      if (r < rounds) cur = cur.localCheckpoint()
+      if (r < rounds) cur = cur.localCheckpoint(eager = false)
     }
     merges.result()
   }

@@ -59,13 +59,18 @@ object ConnectedComponents {
     // would run the upstream shingle/LSH work twice in the one job
     // that materializes sym — labelStar checkpoints eRaw first for the
     // same reason (r14 review).
-    val e = longEdges(edges).localCheckpoint()
+    // All checkpoints here are LAZY (r16, guide §1.2): every sweep ends
+    // in a driver-side count — THAT action materializes the sweep's
+    // frame (and, in sweep 1, e/sym/labels riding inside its plan) into
+    // the checkpoint cache, so the eager per-checkpoint jobs were pure
+    // dispatch overhead. Lineage truncation and values are unchanged.
+    val e = longEdges(edges).localCheckpoint(eager = false)
     // Symmetric closure once, checkpointed: every sweep re-reads it.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var iter = 0
     var changed = 1L
     while (changed > 0) {
@@ -84,7 +89,7 @@ object ConnectedComponents {
         .select(col("node"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr"), col("comp")))
             .as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("comp") < col("old")).count()
       labels = next.select(col("node"), col("comp"))
       iter += 1
@@ -155,15 +160,21 @@ object ConnectedComponents {
     // (label() gives it its own component; dropping it here would
     // silently lose the row — the contract is "same as label"). The
     // contraction itself then runs on the loop-free subset.
+    // Checkpoints are LAZY (r16, guide §1.2): sig(cur) right below is
+    // the action that materializes eRaw (the expensive pair-finder
+    // pipeline) into the checkpoint cache; each round's sig(next) does
+    // the same for that round, and allNodes rides in the terminal
+    // plan. Same lineage truncation, one driver job per round instead
+    // of two, identical labels.
     val eRaw = e0
       .select(least(col("u"), col("v")).as("lo"),
         greatest(col("u"), col("v")).as("hi"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var cur = eRaw.filter(col("lo") =!= col("hi"))
     val allNodes = eRaw.select(col("lo").as("node"))
       .union(eRaw.select(col("hi").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var curSig = sig(cur)
     var iter = 0
     var converged = false
@@ -193,7 +204,7 @@ object ConnectedComponents {
         .select(col("p.a").as("lo"), col("p.b").as("hi"))
         .filter(col("lo") =!= col("hi"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSig = sig(next)
       // The signature is the cheap per-round probe; the first time it
       // says "fixpoint", confirm EXACTLY once (both sides are distinct

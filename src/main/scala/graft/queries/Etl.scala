@@ -194,7 +194,7 @@ object Etl extends QueryGroup {
           .distinct()
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         var visited = Seq((2L, 0)).toDF("node", "hop")
         var frontier = visited.select(col("node"))
         for (h <- 1 to 4) {
@@ -202,13 +202,19 @@ object Etl extends QueryGroup {
           // materialized hop (checkpointing their derivations instead
           // would recompute the round's join chain twice), and visited
           // stays a lazy union of checkpointed hops: lineage depth is
-          // O(rounds) of plain scans, no re-execution anywhere
+          // O(rounds) of plain scans, no re-execution anywhere.
+          // Checkpoints are LAZY (r16, guide §1.2): the hop count is
+          // fixed and nothing driver-side reads a round, so the one
+          // terminal action materializes each hop (and the edge list)
+          // exactly once into the checkpoint cache — 5 fewer
+          // driver-dispatched jobs than eager rounds, same lineage
+          // truncation, bit-identical hops.
           val next = edges
             .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
             .select(col("dst").as("node")).distinct()
             .join(visited, Seq("node"), "left_anti")
             .withColumn("hop", lit(h))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
           frontier = next.select(col("node"))
           visited = visited.unionByName(next)
         }
@@ -1849,23 +1855,37 @@ object Etl extends QueryGroup {
           .distinct()
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val deg = edges.groupBy(col("src"))
-          .agg(count(lit(1)).as("deg")).localCheckpoint()
+          .agg(count(lit(1)).as("deg")).localCheckpoint(eager = false)
+        // the count below is the action that materializes deg (and the
+        // edge list riding inside its plan) into the checkpoint cache
         val n = deg.count() // metadata scalar: node count for r0/teleport
         val r0u = SCALE / n
         val teleport = 15L * r0u / 100L
         var ranks = deg.select(col("src").as("node"), lit(r0u).as("r"))
         for (_ <- 1 to 3) {
+          // r16 optimization (guide §1.2 step 1 / §2.3): contribution
+          // r div deg depends only on the SOURCE node, so compute it on
+          // the node-sized ranks ⋈ deg join FIRST and hang the single
+          // edge-sized join off that — the old edges ⋈ deg ⋈ ranks
+          // chain dragged the 2|E| edge table through TWO join stages
+          // per round. Same inner joins on the same unique keys, same
+          // BIGINT ops, bit-identical ranks. Checkpoints are LAZY: the
+          // round count is fixed (no convergence probe reads them), so
+          // the one terminal action materializes each round exactly
+          // once — 3 fewer driver-dispatched jobs per run — while the
+          // checkpoint still truncates lineage for the next round.
+          val contrib = ranks
+            .join(deg.withColumnRenamed("src", "node"), Seq("node"))
+            .select(col("node").as("src"), expr("r div deg").as("contrib"))
           ranks = edges
-            .join(deg, Seq("src"))
-            .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-            .select(col("dst").as("node"),
-              expr("r div deg").as("contrib"))
+            .join(contrib, Seq("src"))
+            .select(col("dst").as("node"), col("contrib"))
             .groupBy(col("node"))
             .agg((lit(teleport)
               + expr("85 * sum(contrib) div 100")).as("r"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
         }
         ranks.join(deg.withColumnRenamed("src", "node"), Seq("node"))
           .select(col("node"), col("deg"), col("r").as("rank_units"))
@@ -1947,17 +1967,23 @@ object Etl extends QueryGroup {
           .distinct()
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         // Round 1 closed form: initial labels are the (distinct) node
         // ids, so every neighbor label has count 1 and the
         // most-frequent-with-min-tiebreak update degenerates to plain
         // min(neighbor) — ONE aggregate instead of a join + two aggs.
         // Not a data assumption: it holds by construction of l0. The
         // oracle keeps the generic form; the results are identical.
+        // Checkpoints are LAZY (r16, guide §1.2): the maxId gate right
+        // below is the action that materializes round 1 (and the edge
+        // list riding inside its plan) into the checkpoint cache, and
+        // rounds 2-3 have no driver-side read at all — the terminal
+        // action materializes each exactly once. Same lineage
+        // truncation, 3 fewer driver-dispatched jobs, identical labels.
         var labels = edges.groupBy(col("dst"))
           .agg(min(col("src")).as("label"))
           .withColumnRenamed("dst", "node")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         // loud id-domain gate on the CHECKPOINTED first round (one
         // small job): labels only ever copy existing labels, so the
         // domain never grows after this point. Driver-side on purpose —
@@ -1979,7 +2005,7 @@ object Etl extends QueryGroup {
               .as("pack"))
             .select(col("dst").as("node"),
               (lit(BIG) - 1 - (col("pack") % BIG)).as("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
         }
         labels.groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("n_nodes"),

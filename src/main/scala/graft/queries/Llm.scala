@@ -957,7 +957,9 @@ object Llm extends QueryGroup {
             """transform(embedding,
               | x -> cast(floor(cast(x as double) * 1000.0D + 0.5D)
               |   as bigint))""".stripMargin)).as(Seq("i", "v")))
-          .localCheckpoint() // every round re-reads the long form
+          // r16 (guide §1.2): LAZY — first-round use materializes it
+          // into the checkpoint cache; every later read hits the cache
+          .localCheckpoint(eager = false)
         var cents = lng.filter(col("vec_id") < K)
           .select(col("vec_id").as("cid"), col("i"), col("v").as("c"))
         def assign(cs: org.apache.spark.sql.DataFrame) = lng
@@ -976,7 +978,7 @@ object Llm extends QueryGroup {
               .as("num"), count(lit(1)).as("n"))
             .select(col("cid"), col("i"),
               (expr("num div n") - 100000L).as("c"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
         }
         assign(cents)
           .groupBy(col("cid"))

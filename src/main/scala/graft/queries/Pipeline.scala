@@ -796,7 +796,8 @@ object Pipeline extends QueryGroup {
           .groupBy(col("t")).agg(count(lit(1)).as("w"))
           .withColumn("sy", expr("regexp_replace(t, '(.)', '<$1>')"))
           .select(col("sy"), col("w"))
-          .localCheckpoint()
+          // r16 (guide §1.2): LAZY — round 1's first() materializes it
+          .localCheckpoint(eager = false)
         var cur = toks
         val merges = scala.collection.mutable.ArrayBuffer
           .empty[(Long, String, String, Long)]
@@ -820,7 +821,7 @@ object Pipeline extends QueryGroup {
           // the post-merge frame is only read by the NEXT round's pair
           // count — materializing it on the final round is a whole
           // wasted Spark job (merges were already collected)
-          if (r < 3) cur = cur.localCheckpoint()
+          if (r < 3) cur = cur.localCheckpoint(eager = false)
         }
         import s.implicits._
         merges.toSeq.toDF("round", "sym_a", "sym_b", "n_pair")
