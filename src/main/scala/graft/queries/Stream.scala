@@ -29,6 +29,29 @@ object Stream extends QueryGroup {
       ("org.apache.spark.sql.execution.streaming."
         + "state.RocksDBStateStoreProvider")
 
+  /** Scale-adaptive state/shuffle partition count for the streaming
+    * runs (r16, guide §2.2 and the optimization-round rule: derive
+    * partitioning from input size, never a constant tuned for one
+    * host). Stateful operators pay a fixed per-state-partition cost
+    * EVERY micro-batch — store open, commit, delta file write; a
+    * stream-stream join multiplies it by four stores per side — so
+    * the partition count should track the data: one partition per
+    * `spark.graft.stream.bytesPerPartition` bytes of source (default
+    * 64 MB, conf-overridable), clamped to [1, session shuffle
+    * partitions]. At the bench's sf0.1 (2 MB of events) that is 1;
+    * at 100 TB the same formula saturates the cluster's configured
+    * partition count. Replaces the previous hard-coded 4. */
+  private def statePartitions(s: SparkSession, d: String): Int = {
+    val target = s.conf.getOption("spark.graft.stream.bytesPerPartition")
+      .flatMap(_.toLongOption).getOrElse(64L << 20)
+    require(target > 0, "spark.graft.stream.bytesPerPartition must be > 0")
+    val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(cap.toLong, (bytes + target - 1) / target).toInt)
+  }
+
   /** The one memory-sink drain every true-streaming query shares:
     * drop the fixed sink view (repeated invocations — Verify + Bench
     * run each query twice — must not accumulate result tables in the
@@ -39,10 +62,10 @@ object Stream extends QueryGroup {
     * withConfs blocks, the r13 epoch keying).
     *
     * Conf axes, all scoped by [[Confs.withConfs]] and restored after:
-    *  - shuffle partitions 4 — the stateful exchange pays
-    *    per-state-partition fixed cost per micro-batch; 4 carries the
-    *    fixture's group counts with headroom (production sizes this
-    *    to data volume);
+    *  - shuffle/state partitions from [[statePartitions]] — the
+    *    stateful exchange pays per-state-partition fixed cost per
+    *    micro-batch, so the count is derived from source bytes
+    *    (production behavior) instead of a constant;
     *  - `noDataBatches`: most queries disable the trailing no-data
     *    micro-batch (it only re-emits the complete-mode result to
     *    advance a watermark nothing waits on), but the outer/full
@@ -54,13 +77,14 @@ object Stream extends QueryGroup {
     *
     * `build` is by-name and evaluated INSIDE the conf scope, so a
     * plan that reads confs at analysis time sees the pinned values. */
-  private def drainToMemory(s: SparkSession, name: String,
+  private def drainToMemory(s: SparkSession, d: String, name: String,
       outputMode: String, noDataBatches: Boolean = false,
       extraConfs: Seq[(String, String)] = Nil)(
       build: => DataFrame): DataFrame = {
     s.catalog.dropTempView(name)
     val confs = extraConfs ++
-      Seq("spark.sql.shuffle.partitions" -> "4") ++
+      Seq("spark.sql.shuffle.partitions"
+        -> statePartitions(s, d).toString) ++
       (if (noDataBatches) Nil
        else Seq("spark.sql.streaming.noDataMicroBatches.enabled" -> "false"))
     Confs.withConfs(s, confs: _*) {
@@ -171,7 +195,7 @@ object Stream extends QueryGroup {
         // must equal q_stream_tumbling's counts — which the oracle
         // asserts; append-mode late-drop semantics are exercised
         // epoch-by-epoch in StreamingSpec (MemoryStream).
-        drainToMemory(s, "wm_late_sink", "complete") {
+        drainToMemory(s, d, "wm_late_sink", "complete") {
           Tables.eventsReadStream(s, d)
             .withWatermark("ts", "30 minutes")
             .groupBy(window(col("ts"), "1 hour").getField("start")
@@ -200,7 +224,7 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-        drainToMemory(s, "stateful_sink", "update") {
+        drainToMemory(s, d, "stateful_sink", "update") {
           Tables.eventsReadStream(s, d)
             .select(col("user_id"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
@@ -246,7 +270,7 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-        drainToMemory(s, "tws_sink", "update",
+        drainToMemory(s, d, "tws_sink", "update",
           extraConfs = Seq(RocksDbProvider)) {
           Tables.eventsReadStream(s, d)
             // state carries exact unix micros
@@ -292,7 +316,7 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-        drainToMemory(s, "twm_sink", "update",
+        drainToMemory(s, d, "twm_sink", "update",
           extraConfs = Seq(RocksDbProvider)) {
           Tables.eventsReadStream(s, d)
             .select(col("user_id"), col("event_type"),
@@ -331,7 +355,7 @@ object Stream extends QueryGroup {
       // counts).
       "q_stream_stream_join",
       (s, d) => {
-        drainToMemory(s, "ss_join_sink", "append") {
+        drainToMemory(s, d, "ss_join_sink", "append") {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -400,7 +424,7 @@ object Stream extends QueryGroup {
           .groupBy(col("event_type"))
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
-        drainToMemory(s, "ss_outer_sink", "append", noDataBatches = true) {
+        drainToMemory(s, d, "ss_outer_sink", "append", noDataBatches = true) {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -470,7 +494,7 @@ object Stream extends QueryGroup {
           .groupBy(col("event_type"))
           .agg(max(unix_micros(col("ts"))).as("mx"))
           .agg((min(col("mx")) - lit(2400000000L)).as("cut_us"))
-        drainToMemory(s, "ss_full_sink", "append", noDataBatches = true) {
+        drainToMemory(s, d, "ss_full_sink", "append", noDataBatches = true) {
           def src() = Tables.eventsReadStream(s, d)
           val clicks = src().filter(col("event_type") === "click")
             .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -534,7 +558,7 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-        drainToMemory(s, "stateful_to_sink", "append",
+        drainToMemory(s, d, "stateful_to_sink", "append",
           noDataBatches = true) {
           Tables.eventsReadStream(s, d)
             // delay 0: the watermark rides the max seen event time, so
@@ -587,7 +611,7 @@ object Stream extends QueryGroup {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-        drainToMemory(s, "tws_timer_sink", "append",
+        drainToMemory(s, d, "tws_timer_sink", "append",
           noDataBatches = true, extraConfs = Seq(RocksDbProvider)) {
           Tables.eventsReadStream(s, d)
             .withWatermark("ts", "0 seconds")
@@ -636,7 +660,8 @@ object Stream extends QueryGroup {
         val p = new org.apache.hadoop.fs.Path(out)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
-        Confs.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+        Confs.withConfs(s, "spark.sql.shuffle.partitions"
+            -> statePartitions(s, d).toString) {
           val rows = Tables.eventsReadStream(s, d)
             .select(col("event_type"),
               expr("cast(cast(value as decimal(14,2)) * 100 as bigint)")
@@ -701,7 +726,7 @@ object Stream extends QueryGroup {
       // with a full row_number contract.
       "q_stream_dedup_watermark",
       (s, d) => {
-        drainToMemory(s, "dedup_wm_sink", "append") {
+        drainToMemory(s, d, "dedup_wm_sink", "append") {
           Tables.eventsReadStream(s, d)
             .withWatermark("ts", "30 minutes")
             .select(col("user_id"), col("event_type"), col("ts"))
@@ -731,7 +756,7 @@ object Stream extends QueryGroup {
       // the row-count equality proves).
       "q_stream_static_join",
       (s, d) => {
-        drainToMemory(s, "stream_static_sink", "complete") {
+        drainToMemory(s, d, "stream_static_sink", "complete") {
           val dim = broadcast(Tables.customer(s, d)
             .select(col("c_custkey"), col("c_mktsegment")))
           Tables.eventsReadStream(s, d)
