@@ -38,6 +38,15 @@ object Bench {
       // date_trunc/to_date/year-month queries would otherwise bench a
       // DIFFERENT grouping than the one the oracle verified
       .config("spark.sql.session.timeZone", "UTC")
+      // r16 (measured, Scratch A/B x3): Spark 4.1's recursive-CTE
+      // executor converts a small anchor to a LocalRelation
+      // (spark.sql.cteRecursionAnchorRowsLimitToConvertToLocalRelation,
+      // default 100), which re-embeds the growing iteration state into
+      // every per-iteration plan and re-analyzes it — q_sql_recursive
+      // 3.8 s -> 2.7 s with the conversion off. Pure execution-strategy
+      // flag; results oracle-identical.
+      .config("spark.sql.cteRecursionAnchorRowsLimitToConvertToLocalRelation",
+        "0")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", GraftTmp.dir("warehouse_bench"))
       .getOrCreate()

@@ -1025,10 +1025,32 @@ object Etl extends QueryGroup {
           .withColumn("ck", expr("o_custkey & 65535"))
           .withColumn("dy",
             expr("(unix_micros(o_orderdate) div 86400000000) & 65535"))
-          .withColumn("z", expr(
-            """aggregate(sequence(0, 15), cast(0 as bigint), (acc, i) ->
-              | acc + shiftleft((ck >> i) & 1, 2*i)
-              |     + shiftleft((dy >> i) & 1, 2*i + 1))""".stripMargin))
+          // r16 (guide §4.1 — codegen-friendly expressions): the z
+          // value was a 16-step interpreted higher-order fold, and
+          // repartitionByRange's sampling pass evaluates it a second
+          // time. The closed form below is the standard Morton
+          // bit-spread (each 16-bit input spread to even bits via 4
+          // shift-or-mask rounds, dy's copy shifted up one) — pure
+          // BIGINT shifts/masks, whole-stage codegen'd, and provably
+          // the same integer: both place bit i of ck at bit 2i and
+          // bit i of dy at bit 2i+1.
+          .withColumn("zck", expr(
+            """((ck | shiftleft(ck, 8)) & 16711935)""")) // 0x00FF00FF
+          .withColumn("zck", expr(
+            """((zck | shiftleft(zck, 4)) & 252645135)""")) // 0x0F0F0F0F
+          .withColumn("zck", expr(
+            """((zck | shiftleft(zck, 2)) & 858993459)""")) // 0x33333333
+          .withColumn("zck", expr(
+            """((zck | shiftleft(zck, 1)) & 1431655765)""")) // 0x55555555
+          .withColumn("zdy", expr(
+            """((dy | shiftleft(dy, 8)) & 16711935)"""))
+          .withColumn("zdy", expr(
+            """((zdy | shiftleft(zdy, 4)) & 252645135)"""))
+          .withColumn("zdy", expr(
+            """((zdy | shiftleft(zdy, 2)) & 858993459)"""))
+          .withColumn("zdy", expr(
+            """((zdy | shiftleft(zdy, 1)) & 1431655765)"""))
+          .withColumn("z", expr("zck + shiftleft(zdy, 1)"))
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("o_totalprice"), col("z"))
           .repartitionByRange(8, col("z"))

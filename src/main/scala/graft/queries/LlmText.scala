@@ -32,14 +32,6 @@ object LlmText extends QueryGroup {
     * construction per token loses to 60 cache-friendly passes over a
     * small primitive array. Keep this form.
     */
-  private val simhashExpr =
-    """aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) ->
-      | acc + if(
-      |   aggregate(transform(hs, h ->
-      |     if((shiftright(h, j) & 1) = 1, 1, -1)),
-      |     0, (a2, x) -> a2 + x) >= 0,
-      |   shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin
-
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -384,15 +376,32 @@ object LlmText extends QueryGroup {
       "q_dedup_simhash",
       (s, d) => {
         // md5 once per exploded token row; the aggregation boundary keeps
-        // the optimizer from re-inlining the hash into the 60-bit lambda
+        // the optimizer from re-inlining the hash into the bit counters.
+        //
+        // r16 signature computation (guide §4.1 — built-ins/codegen over
+        // interpreted lambdas; §2.3 — shuffle fewer bytes): the old form
+        // collect_list'ed every token hash through the shuffle and then
+        // folded the list with a NESTED higher-order aggregate — 60
+        // re-walks of hs per doc, one fresh ±1 array per bit, all
+        // interpreted. The signature bit j is set iff the ±1 sum over
+        // tokens is >= 0, i.e. 2·(count of tokens with bit j set) >= n —
+        // so the same integers come out of 60 plain map-side-combinable
+        // SUM(bit) aggregates plus one codegen'd scalar fold over the 60
+        // counters: whole-stage codegen end to end, and the exchange
+        // carries 61 BIGINTs per doc instead of every token hash.
+        val bitCnt = (0 until 60).map(j =>
+          sum(expr(s"shiftright(h, $j) & 1")).as(s"c$j"))
+        val sigExpr = (0 until 60)
+          .map(j => when(col(s"c$j") * 2 >= col("nt"), lit(1L << j))
+            .otherwise(lit(0L)))
+          .reduce(_ + _)
         val sigs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             explode(split(lower(col("text")), " ")).as("tok"))
           .select(col("doc_id"), col("lang"), expr(tokHash60).as("h"))
           .groupBy(col("doc_id"), col("lang"))
-          .agg(collect_list(col("h")).as("hs"))
-          .withColumn("sig", expr(simhashExpr))
-          .select(col("doc_id"), col("lang"), col("sig"))
+          .agg(count(lit(1)).as("nt"), bitCnt: _*)
+          .select(col("doc_id"), col("lang"), sigExpr.as("sig"))
         // Candidate generation is a band equi-join, not a per-lang pair
         // join (the round-1 scale-killer: one near-cartesian task per
         // language). Split the 60-bit signature into 15 bands of 4 bits;
