@@ -2875,31 +2875,75 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
     case _ => throw new IllegalStateException(s"unorderable: $a / $b")
   }
 
+  // r16 hot loop (guide §1.2 step 2 — per-task work): the fold runs
+  // once per ROW of the file, so per-row allocations dominate the agg
+  // scan (measured 2.0 s vs 0.36 s for the plain row scan of the same
+  // file before this change). Three fixes, values unchanged:
+  //  - counts live in a primitive long array instead of re-boxing a
+  //    java.lang.Long per row per count function;
+  //  - `count` null-tests via row.isNullAt instead of boxing the cell;
+  //  - the single-group-column case (the common pushed shape) keys the
+  //    map on the raw cell value instead of allocating a one-element
+  //    Seq wrapper per row (Scala's ## / == make nulls and UTF8String
+  //    keys behave identically to the Seq form).
+  // Func kinds are resolved to an opcode array once — no per-row
+  // string matching. LinkedHashMap stays: deterministic output order.
   private lazy val groups: Iterator[InternalRow] = {
-    val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]()
-    def fresh(): Array[Any] = spec.funcs.map { f =>
-      if (f.kind == "countstar" || f.kind == "count")
-        java.lang.Long.valueOf(0L): Any
-      else null
+    // per-func state: cnt for counts; for min/max either the primitive
+    // double slots (dbl + seen — allocation-free per row, the common
+    // numeric case) or the boxed generic slot mm, chosen by type once
+    final class GState(val cnt: Array[Long], val mm: Array[Any],
+      val dbl: Array[Double], val seen: Array[Boolean])
+    val nf = spec.funcs.length
+    // opcodes: 0 countstar, 1 count, 2 min, 3 max (validated at push);
+    // +4 = the double-specialized variant of min/max
+    val ops: Array[Int] = spec.funcs.zipWithIndex.map { case (f, j) =>
+      val base = f.kind match {
+        case "countstar" => 0
+        case "count" => 1
+        case "min" => 2
+        case "max" => 3
+        case other => throw new IllegalStateException(other)
+      }
+      if (base >= 2 && types(funcIdx(j)) == DoubleType) base + 4 else base
     }.toArray
+    val single = groupIdx.length == 1
+    val m = scala.collection.mutable.LinkedHashMap[Any, GState]()
+    def fresh() = new GState(new Array[Long](nf), new Array[Any](nf),
+      new Array[Double](nf), new Array[Boolean](nf))
     while (inner.next()) {
       val row = inner.get()
-      val key: Seq[Any] = groupIdx.map(value(row, _)).toSeq
+      val key: Any =
+        if (single) value(row, groupIdx(0))
+        else groupIdx.map(value(row, _)).toSeq
       val st = m.getOrElseUpdate(key, fresh())
       var j = 0
-      while (j < spec.funcs.length) {
-        spec.funcs(j).kind match {
-          case "countstar" =>
-            st(j) = java.lang.Long.valueOf(st(j).asInstanceOf[Long] + 1)
-          case "count" =>
-            if (value(row, funcIdx(j)) != null)
-              st(j) = java.lang.Long.valueOf(st(j).asInstanceOf[Long] + 1)
-          case "min" =>
+      while (j < nf) {
+        ops(j) match {
+          case 0 => st.cnt(j) += 1
+          case 1 => if (!row.isNullAt(funcIdx(j))) st.cnt(j) += 1
+          case 2 =>
             val v = value(row, funcIdx(j))
-            if (v != null && (st(j) == null || lt(v, st(j)))) st(j) = v
-          case "max" =>
+            if (v != null && (st.mm(j) == null || lt(v, st.mm(j))))
+              st.mm(j) = v
+          case 3 =>
             val v = value(row, funcIdx(j))
-            if (v != null && (st(j) == null || lt(st(j), v))) st(j) = v
+            if (v != null && (st.mm(j) == null || lt(st.mm(j), v)))
+              st.mm(j) = v
+          case 6 => // min(double) — Double.compare, NaN greatest (= lt)
+            if (!row.isNullAt(funcIdx(j))) {
+              val v = row.getDouble(funcIdx(j))
+              if (!st.seen(j) || java.lang.Double.compare(v, st.dbl(j)) < 0) {
+                st.dbl(j) = v; st.seen(j) = true
+              }
+            }
+          case 7 => // max(double)
+            if (!row.isNullAt(funcIdx(j))) {
+              val v = row.getDouble(funcIdx(j))
+              if (!st.seen(j) || java.lang.Double.compare(st.dbl(j), v) < 0) {
+                st.dbl(j) = v; st.seen(j) = true
+              }
+            }
         }
         j += 1
       }
@@ -2907,7 +2951,16 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
     inner.close()
     if (m.isEmpty && spec.groupCols.isEmpty) m.update(Seq.empty, fresh())
     m.iterator.map { case (k, st) =>
-      new GenericInternalRow((k ++ st).toArray[Any])
+      val ks: Seq[Any] = if (single) Seq(k) else k.asInstanceOf[Seq[Any]]
+      val vs: Seq[Any] = (0 until nf).map { j =>
+        ops(j) match {
+          case 0 | 1 => java.lang.Long.valueOf(st.cnt(j))
+          case 2 | 3 => st.mm(j)
+          case _ =>
+            if (st.seen(j)) java.lang.Double.valueOf(st.dbl(j)) else null
+        }
+      }
+      new GenericInternalRow((ks ++ vs).toArray[Any])
     }
   }
 
