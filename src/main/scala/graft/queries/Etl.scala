@@ -192,6 +192,12 @@ object Etl extends QueryGroup {
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sn"))
           .distinct()
+          // r16: checkpoint BEFORE the symmetric union — union's two
+          // children are separate subtrees (no static cross-child CSE;
+          // measured 1.13 vs 0.94 s warm for the edge build), the same
+          // discipline ConnectedComponents.label documents. Lazy: the
+          // first action over edges materializes both frames.
+          .localCheckpoint(eager = false)
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
           .localCheckpoint(eager = false)
@@ -1875,6 +1881,12 @@ object Etl extends QueryGroup {
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sn"))
           .distinct()
+          // r16: checkpoint BEFORE the symmetric union — union's two
+          // children are separate subtrees (no static cross-child CSE;
+          // measured 1.13 vs 0.94 s warm for the edge build), the same
+          // discipline ConnectedComponents.label documents. Lazy: the
+          // first action over edges materializes both frames.
+          .localCheckpoint(eager = false)
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
           .localCheckpoint(eager = false)
@@ -1987,6 +1999,12 @@ object Etl extends QueryGroup {
           .select((col("o_custkey") * 2).as("c"),
             (col("l_suppkey") * 2 + 1).as("sn"))
           .distinct()
+          // r16: checkpoint BEFORE the symmetric union — union's two
+          // children are separate subtrees (no static cross-child CSE;
+          // measured 1.13 vs 0.94 s warm for the edge build), the same
+          // discipline ConnectedComponents.label documents. Lazy: the
+          // first action over edges materializes both frames.
+          .localCheckpoint(eager = false)
         val edges = e0.select(col("c").as("src"), col("sn").as("dst"))
           .unionByName(e0.select(col("sn").as("src"), col("c").as("dst")))
           .localCheckpoint(eager = false)
