@@ -271,8 +271,10 @@ object FrameGraph {
     // a materialized table rather than doubling the lineage; a cycle
     // within maxHops is then exactly an (origin, origin) pair.
     // r16 (guide §1.2): checkpoints are LAZY — the doubling loop has
-    // no per-round driver read, so the terminal action materializes
-    // each round exactly once; eager rounds were pure job dispatch.
+    // no per-round driver read, so eager mode's separate per-round
+    // materialization job was redundant dispatch. (Lazy defers only
+    // that job: under AQE the checkpoint call still runs each round's
+    // shuffle stages synchronously while finalizing the plan.)
     var reach = dedupEdges
       .select(col("_s_src").as("origin"), col("_s_dst").as("cur"))
       .localCheckpoint(eager = false)

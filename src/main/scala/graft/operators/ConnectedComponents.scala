@@ -60,10 +60,12 @@ object ConnectedComponents {
     // that materializes sym — labelStar checkpoints eRaw first for the
     // same reason (r14 review).
     // All checkpoints here are LAZY (r16, guide §1.2): every sweep ends
-    // in a driver-side count — THAT action materializes the sweep's
-    // frame (and, in sweep 1, e/sym/labels riding inside its plan) into
-    // the checkpoint cache, so the eager per-checkpoint jobs were pure
-    // dispatch overhead. Lineage truncation and values are unchanged.
+    // in a driver-side count — that action fills the checkpoint cache,
+    // so eager mode's separate per-checkpoint materialization job was
+    // redundant dispatch. (Lazy defers only that final job: under AQE,
+    // localCheckpoint(eager=false) still finalizes the plan, which runs
+    // the sweep's shuffle stages synchronously at the checkpoint call.)
+    // Lineage truncation and values are unchanged.
     val e = longEdges(edges).localCheckpoint(eager = false)
     // Symmetric closure once, checkpointed: every sweep re-reads it.
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -161,11 +163,13 @@ object ConnectedComponents {
     // silently lose the row — the contract is "same as label"). The
     // contraction itself then runs on the loop-free subset.
     // Checkpoints are LAZY (r16, guide §1.2): sig(cur) right below is
-    // the action that materializes eRaw (the expensive pair-finder
-    // pipeline) into the checkpoint cache; each round's sig(next) does
-    // the same for that round, and allNodes rides in the terminal
-    // plan. Same lineage truncation, one driver job per round instead
-    // of two, identical labels.
+    // the action that fills eRaw's checkpoint cache (the expensive
+    // pair-finder pipeline); each round's sig(next) does the same for
+    // that round, and allNodes rides in the terminal plan. Lazy mode
+    // skips eager's separate materialization job per checkpoint — not
+    // all per-round execution: under AQE the checkpoint call itself
+    // still runs the round's shuffle stages synchronously. Same
+    // lineage truncation, identical labels.
     val eRaw = e0
       .select(least(col("u"), col("v")).as("lo"),
         greatest(col("u"), col("v")).as("hi"))
@@ -207,14 +211,21 @@ object ConnectedComponents {
         .localCheckpoint(eager = false)
       val nextSig = sig(next)
       // The signature is the cheap per-round probe; the first time it
-      // says "fixpoint", confirm EXACTLY once (both sides are distinct
-      // sets, so equal counts + empty one-sided except ⇒ set equality).
-      // This removes the ~2^-128 hash-collision risk from a
-      // correctness-critical fixpoint at the cost of two jobs once per
-      // RUN instead of per round. If the exact check ever disagrees
-      // (a signature collision), we simply keep iterating.
+      // says "fixpoint", confirm EXACTLY once. Signature equality
+      // already proves the counts equal EXACTLY (component 1 of sig is
+      // a real count, not a hash), and for finite distinct sets
+      // |next| = |cur| ∧ next \ cur = ∅ ⇒ next = cur — so the one
+      // remaining exact job is the anti-join emptiness probe (r17: the
+      // previous count() + count() + except() confirm spent three jobs
+      // re-deriving what the sig counts and one anti join settle; a
+      // left_anti also skips except's distinct re-aggregation, and
+      // isEmpty stops at the first surviving row). This keeps the
+      // ~2^-128 hash-collision risk out of a correctness-critical
+      // fixpoint at the cost of ONE job once per RUN. If the exact
+      // check ever disagrees (a signature collision), we keep
+      // iterating.
       converged = nextSig == curSig &&
-        next.count() == cur.count() && next.except(cur).isEmpty
+        next.join(cur, Seq("lo", "hi"), "left_anti").isEmpty
       cur = next
       curSig = nextSig
       iter += 1

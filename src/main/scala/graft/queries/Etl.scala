@@ -1907,9 +1907,11 @@ object Etl extends QueryGroup {
           // per round. Same inner joins on the same unique keys, same
           // BIGINT ops, bit-identical ranks. Checkpoints are LAZY: the
           // round count is fixed (no convergence probe reads them), so
-          // the one terminal action materializes each round exactly
-          // once — 3 fewer driver-dispatched jobs per run — while the
-          // checkpoint still truncates lineage for the next round.
+          // eager mode's separate per-round materialization job was
+          // redundant — 3 fewer driver-dispatched jobs per run (under
+          // AQE the checkpoint call still runs each round's shuffle
+          // stages synchronously; only the final result-stage job is
+          // deferred) — while the checkpoint still truncates lineage.
           val contrib = ranks
             .join(deg.withColumnRenamed("src", "node"), Seq("node"))
             .select(col("node").as("src"), expr("r div deg").as("contrib"))
@@ -2015,11 +2017,13 @@ object Etl extends QueryGroup {
         // Not a data assumption: it holds by construction of l0. The
         // oracle keeps the generic form; the results are identical.
         // Checkpoints are LAZY (r16, guide §1.2): the maxId gate right
-        // below is the action that materializes round 1 (and the edge
-        // list riding inside its plan) into the checkpoint cache, and
-        // rounds 2-3 have no driver-side read at all — the terminal
-        // action materializes each exactly once. Same lineage
-        // truncation, 3 fewer driver-dispatched jobs, identical labels.
+        // below is the action that fills round 1's checkpoint cache
+        // (and the edge list riding inside its plan), and rounds 2-3
+        // have no driver-side read at all. Lazy skips eager's separate
+        // materialization job per round — under AQE the checkpoint call
+        // still runs each round's shuffle stages synchronously. Same
+        // lineage truncation, 3 fewer driver-dispatched jobs, identical
+        // labels.
         var labels = edges.groupBy(col("dst"))
           .agg(min(col("src")).as("label"))
           .withColumnRenamed("dst", "node")

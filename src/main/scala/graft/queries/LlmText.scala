@@ -22,16 +22,9 @@ object LlmText extends QueryGroup {
     * 15 hex chars of md5, parsed base-16. */
   private val tokHash60 = HashGate.h60Sql("tok")
 
-  /** 60-bit SimHash over precomputed token hashes (nested HOFs).
-    *
-    * Measured r3 (Scratch profile, sf0.1, local[4]): this sketch pass is
-    * 0.55 s warm for 5 k docs / 270 k tokens — NOT the query's cost. A
-    * single-pass SWAR rewrite (60 packed counters in 15 bigints, one
-    * aggregate of long arithmetic) was tried and measured SLOWER
-    * (16.6 s vs 10.6 s whole-query): interpreted named_struct
-    * construction per token loses to 60 cache-friendly passes over a
-    * small primitive array. Keep this form.
-    */
+  // (Measurement history of the DELETED nested-HOF simhash expression —
+  // r3's SWAR attempt, r16's replacement by 60 codegen bit-count SUM
+  // aggregates — now lives with q_dedup_simhash's comment block below.)
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -389,6 +382,12 @@ object LlmText extends QueryGroup {
         // SUM(bit) aggregates plus one codegen'd scalar fold over the 60
         // counters: whole-stage codegen end to end, and the exchange
         // carries 61 BIGINTs per doc instead of every token hash.
+        // (Earlier history: r3 tried a single-pass SWAR fold — 60 packed
+        // counters in 15 bigints — and measured it SLOWER than the
+        // nested-HOF form this replaced: interpreted named_struct
+        // construction per token lost to 60 cache-friendly passes over a
+        // small primitive array. The r16 SUM form beats both because it
+        // never materializes the per-doc hash list at all.)
         val bitCnt = (0 until 60).map(j =>
           sum(expr(s"shiftright(h, $j) & 1")).as(s"c$j"))
         val sigExpr = (0 until 60)

@@ -42,8 +42,13 @@ object Stream extends QueryGroup {
     * at 100 TB the same formula saturates the cluster's configured
     * partition count. Replaces the previous hard-coded 4. */
   private def statePartitions(s: SparkSession, d: String): Int = {
+    // misconfiguration fails LOUDLY on both axes (ADVICE r16): an
+    // unparseable value must not silently revert to the default any
+    // more than a non-positive one may pass
     val target = s.conf.getOption("spark.graft.stream.bytesPerPartition")
-      .flatMap(_.toLongOption).getOrElse(64L << 20)
+      .map(v => v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        "spark.graft.stream.bytesPerPartition must be a byte count, " +
+          s"got '$v'"))).getOrElse(64L << 20)
     require(target > 0, "spark.graft.stream.bytesPerPartition must be > 0")
     val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
     val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
