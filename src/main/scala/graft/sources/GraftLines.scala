@@ -2878,7 +2878,7 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
   // r16 hot loop (guide §1.2 step 2 — per-task work): the fold runs
   // once per ROW of the file, so per-row allocations dominate the agg
   // scan (measured 2.0 s vs 0.36 s for the plain row scan of the same
-  // file before this change). Three fixes, values unchanged:
+  // file before this change). Fixes, values unchanged:
   //  - counts live in a primitive long array instead of re-boxing a
   //    java.lang.Long per row per count function;
   //  - `count` null-tests via row.isNullAt instead of boxing the cell;
@@ -2886,17 +2886,28 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
   //    map on the raw cell value instead of allocating a one-element
   //    Seq wrapper per row (Scala's ## / == make nulls and UTF8String
   //    keys behave identically to the Seq form).
-  // Func kinds are resolved to an opcode array once — no per-row
-  // string matching. LinkedHashMap stays: deterministic output order.
+  // r17 (VERDICT r16 #3 — the residual 1.25 s vs 0.36 s plain-scan gap):
+  //  - min/max over the integer-backed types (int/long/date/timestamp)
+  //    fold through primitive long slots (opcodes 8/9) instead of the
+  //    boxed generic path — no per-row boxing, no pattern-matched lt;
+  //  - the single-STRING-group shape (every pushed demo groups on a
+  //    flag/brand/source column) probes an insertion-ordered array by
+  //    linear UTF8String.equals scan (a memcmp) instead of paying map
+  //    hashing machinery per row; past LINEAR_MAX observed groups —
+  //    where a linear scan would lose to hashing — the store migrates
+  //    itself (insertion order preserved) into the LinkedHashMap that
+  //    every other shape uses. Output order and values are unchanged
+  //    in all cases: first-observation order either way.
   private lazy val groups: Iterator[InternalRow] = {
-    // per-func state: cnt for counts; for min/max either the primitive
-    // double slots (dbl + seen — allocation-free per row, the common
-    // numeric case) or the boxed generic slot mm, chosen by type once
+    // per-func state: cnt for counts; min/max in primitive double/long
+    // slots chosen by type once (allocation-free per row), with the
+    // boxed generic slot mm kept as the fallback for any other
+    // orderable type a future pushAggregation might admit
     final class GState(val cnt: Array[Long], val mm: Array[Any],
-      val dbl: Array[Double], val seen: Array[Boolean])
+      val dbl: Array[Double], val lng: Array[Long], val seen: Array[Boolean])
     val nf = spec.funcs.length
     // opcodes: 0 countstar, 1 count, 2 min, 3 max (validated at push);
-    // +4 = the double-specialized variant of min/max
+    // +4 = double-specialized min/max, +6 = long-backed min/max
     val ops: Array[Int] = spec.funcs.zipWithIndex.map { case (f, j) =>
       val base = f.kind match {
         case "countstar" => 0
@@ -2905,18 +2916,63 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
         case "max" => 3
         case other => throw new IllegalStateException(other)
       }
-      if (base >= 2 && types(funcIdx(j)) == DoubleType) base + 4 else base
+      if (base >= 2) types(funcIdx(j)) match {
+        case DoubleType => base + 4
+        case IntegerType | DateType | LongType | TimestampType => base + 6
+        case _ => base
+      } else base
+    }.toArray
+    // long-backed min/max slots box back to the column's external type
+    val intWidth: Array[Boolean] = spec.funcs.indices.map { j =>
+      funcIdx(j) >= 0 && (types(funcIdx(j)) match {
+        case IntegerType | DateType => true
+        case _ => false
+      })
     }.toArray
     val single = groupIdx.length == 1
+    val singleStr = single && types(groupIdx(0)) == StringType
     val m = scala.collection.mutable.LinkedHashMap[Any, GState]()
     def fresh() = new GState(new Array[Long](nf), new Array[Any](nf),
-      new Array[Double](nf), new Array[Boolean](nf))
+      new Array[Double](nf), new Array[Long](nf), new Array[Boolean](nf))
+    // linear store for the single-string-group shape
+    val LINEAR_MAX = 64
+    var linKeys: Array[UTF8String] = null
+    var linStates: Array[GState] = null
+    var linN = 0
+    var useLin = singleStr
+    if (useLin) {
+      linKeys = new Array[UTF8String](LINEAR_MAX)
+      linStates = new Array[GState](LINEAR_MAX)
+    }
+    def linLookup(k: UTF8String): GState = {
+      var i = 0
+      while (i < linN) {
+        val ki = linKeys(i)
+        if (if (k == null) ki == null else k.equals(ki)) return linStates(i)
+        i += 1
+      }
+      if (linN == LINEAR_MAX) {
+        // migrate, preserving first-observation order, then fall back
+        var j = 0
+        while (j < linN) { m.update(linKeys(j), linStates(j)); j += 1 }
+        useLin = false
+        return m.getOrElseUpdate(k, fresh())
+      }
+      val st = fresh()
+      linKeys(linN) = k; linStates(linN) = st; linN += 1
+      st
+    }
     while (inner.next()) {
       val row = inner.get()
-      val key: Any =
-        if (single) value(row, groupIdx(0))
-        else groupIdx.map(value(row, _)).toSeq
-      val st = m.getOrElseUpdate(key, fresh())
+      val st =
+        if (useLin) linLookup(
+          if (row.isNullAt(groupIdx(0))) null else row.getUTF8String(groupIdx(0)))
+        else {
+          val key: Any =
+            if (single) value(row, groupIdx(0))
+            else groupIdx.map(value(row, _)).toSeq
+          m.getOrElseUpdate(key, fresh())
+        }
       var j = 0
       while (j < nf) {
         ops(j) match {
@@ -2944,24 +3000,55 @@ private[sources] class GlAggReader(file: String, tableSchema: StructType,
                 st.dbl(j) = v; st.seen(j) = true
               }
             }
+          case 8 => // min(int/long/date/timestamp) — natural long order
+            if (!row.isNullAt(funcIdx(j))) {
+              val v = if (intWidth(j)) row.getInt(funcIdx(j)).toLong
+                      else row.getLong(funcIdx(j))
+              if (!st.seen(j) || v < st.lng(j)) {
+                st.lng(j) = v; st.seen(j) = true
+              }
+            }
+          case 9 => // max(int/long/date/timestamp)
+            if (!row.isNullAt(funcIdx(j))) {
+              val v = if (intWidth(j)) row.getInt(funcIdx(j)).toLong
+                      else row.getLong(funcIdx(j))
+              if (!st.seen(j) || v > st.lng(j)) {
+                st.lng(j) = v; st.seen(j) = true
+              }
+            }
         }
         j += 1
       }
     }
     inner.close()
-    if (m.isEmpty && spec.groupCols.isEmpty) m.update(Seq.empty, fresh())
-    m.iterator.map { case (k, st) =>
-      val ks: Seq[Any] = if (single) Seq(k) else k.asInstanceOf[Seq[Any]]
+    if (linN == 0 && m.isEmpty && spec.groupCols.isEmpty)
+      m.update(Seq.empty, fresh())
+    def emit(k: Any, st: GState): InternalRow = {
+      val ks: Seq[Any] =
+        if (single) Seq(k) else k.asInstanceOf[Seq[Any]]
       val vs: Seq[Any] = (0 until nf).map { j =>
         ops(j) match {
           case 0 | 1 => java.lang.Long.valueOf(st.cnt(j))
           case 2 | 3 => st.mm(j)
-          case _ =>
+          case 6 | 7 =>
             if (st.seen(j)) java.lang.Double.valueOf(st.dbl(j)) else null
+          case _ =>
+            if (!st.seen(j)) null
+            else if (intWidth(j)) java.lang.Integer.valueOf(st.lng(j).toInt)
+            else java.lang.Long.valueOf(st.lng(j))
         }
       }
       new GenericInternalRow((ks ++ vs).toArray[Any])
     }
+    // useLin still true ⇒ every state lives in the lin arrays (m can
+    // only be non-empty here via the global-agg empty-file row, whose
+    // shape never enters the lin path). useLin false ⇒ everything is
+    // in m — including any migrated lin entries, in their original
+    // first-observation order.
+    if (useLin)
+      (0 until linN).iterator.map(i => emit(linKeys(i), linStates(i))) ++
+        m.iterator.map((emit _).tupled)
+    else m.iterator.map((emit _).tupled)
   }
 
   private var current: InternalRow = _
