@@ -29,7 +29,13 @@ class DedupVerifyEquivalenceSpec extends AnyFunSuite {
     (carrySets, inverted)
   }
 
-  for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+  // GRAFT_EQ_EXTRA_SF names an additional fixture dir (e.g. the
+  // /tmp/graft_sf1 ScaleUp fixture) so the branch equality can be
+  // proven at scales the default suite doesn't pay for.
+  private val fixtures = Seq(TestSpark.sf0001, TestSpark.sf001) ++
+    sys.env.get("GRAFT_EQ_EXTRA_SF").toSeq
+
+  for (sf <- fixtures) {
     test(s"both verify branches produce identical results on $sf") {
       val (carrySets, inverted) = runBoth(sf)
       assert(carrySets.nonEmpty)
